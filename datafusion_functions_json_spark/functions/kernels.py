@@ -1,0 +1,255 @@
+"""Pandas-level kernels for the 13 JSON functions.
+
+Pure Python + pandas — no SparkSession needed, mirroring the reference's
+two-layer testability (kernels invokable directly, reference:
+tests/main.rs:689-718 call ``invoke_with_args`` below the planner). Each
+kernel takes the JSON column as an iterable of ``str | None`` plus a
+per-row iterable of path tuples (``itertools.repeat(path)`` for the
+literal-path case — the dominant one), and returns plain Python lists
+ready for Arrow conversion.
+
+Semantics per function are documented in SURVEY.md §2.1 with reference
+file:line citations; the shared traversal lives in :mod:`.core`.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterable, Optional, Sequence
+
+from . import core
+from .core import (
+    ARRAY,
+    BOOL,
+    FLOAT,
+    INT,
+    INT64_MAX,
+    INT64_MIN,
+    MISSING,
+    NULL,
+    OBJECT,
+    STR,
+)
+
+__all__ = [
+    "repeat_path",
+    "kernel_json_get",
+    "kernel_json_get_str",
+    "kernel_json_get_int",
+    "kernel_json_get_float",
+    "kernel_json_get_bool",
+    "kernel_json_get_json",
+    "kernel_json_get_array",
+    "kernel_json_as_text",
+    "kernel_json_contains",
+    "kernel_json_length",
+    "kernel_json_object_keys",
+    "kernel_json_union_to_text",
+    "UNION_FIELDS",
+]
+
+# Union struct member layout — order and names follow the reference's
+# sparse-union members (reference: src/common_union.rs:184-205).
+UNION_FIELDS = ("type_id", "bool", "int", "float", "str", "array", "object")
+
+
+def repeat_path(path: Sequence) -> Iterable:
+    """Per-row path iterable for a literal path (broadcast, zero-copy)."""
+    return itertools.repeat(tuple(path))
+
+
+def kernel_json_get(json_vals, paths):
+    """json_get → union struct columns (reference: src/json_get.rs:109-151).
+
+    Returns a dict of 7 parallel lists (see UNION_FIELDS). MISSING and JSON
+    null both land in the null arm: type_id=0, all members None (reference:
+    src/common_union.rs:53). JSON ints beyond i64 → null arm (the reference
+    panics via ``todo!`` at src/json_get.rs:147; we keep the query alive —
+    documented deviation).
+    """
+    tids, bools, ints, floats, strs, arrs, objs = ([] for _ in range(7))
+    for s, p in zip(json_vals, paths):
+        kind, v = core.find(s, p)
+        b = i = f = st = ar = ob = None
+        if kind == BOOL:
+            tid, b = 1, v
+        elif kind == INT:
+            if INT64_MIN <= v <= INT64_MAX:
+                tid, i = 2, v
+            else:
+                tid = 0
+        elif kind == FLOAT:
+            tid, f = 3, v
+        elif kind == STR:
+            tid, st = 4, v
+        elif kind == ARRAY:
+            tid, ar = 5, v
+        elif kind == OBJECT:
+            tid, ob = 6, v
+        else:  # NULL or MISSING -> null arm
+            tid = 0
+        tids.append(tid)
+        bools.append(b)
+        ints.append(i)
+        floats.append(f)
+        strs.append(st)
+        arrs.append(ar)
+        objs.append(ob)
+    return {
+        "type_id": tids,
+        "bool": bools,
+        "int": ints,
+        "float": floats,
+        "str": strs,
+        "array": arrs,
+        "object": objs,
+    }
+
+
+def kernel_json_get_str(json_vals, paths):
+    """Value only if a JSON string; everything else NULL (reference:
+    src/json_get_str.rs:74-77)."""
+    out = []
+    for s, p in zip(json_vals, paths):
+        kind, v = core.find(s, p)
+        out.append(v if kind == STR else None)
+    return out
+
+
+def kernel_json_get_int(json_vals, paths):
+    """JSON int → value; JSON string parsed with Rust i64 semantics
+    ('123'→123, '1.5'→NULL); float/bool/null/containers/BigInt → NULL
+    (reference: src/json_get_int.rs:102-116)."""
+    out = []
+    for s, p in zip(json_vals, paths):
+        kind, v = core.find(s, p)
+        if kind == INT:
+            out.append(v if INT64_MIN <= v <= INT64_MAX else None)
+        elif kind == STR:
+            out.append(core.parse_int_like_rust(v))
+        else:
+            out.append(None)
+    return out
+
+
+def kernel_json_get_float(json_vals, paths):
+    """JSON int or float → f64 (int coerced, reference:
+    src/json_get_float.rs:115-118); string parsed with Rust f64 semantics;
+    bool/null/containers → NULL."""
+    out = []
+    for s, p in zip(json_vals, paths):
+        kind, v = core.find(s, p)
+        if kind == FLOAT:
+            out.append(v)
+        elif kind == INT:
+            out.append(float(v))
+        elif kind == STR:
+            out.append(core.parse_float_like_rust(v))
+        else:
+            out.append(None)
+    return out
+
+
+def kernel_json_get_bool(json_vals, paths):
+    """JSON true/false → value; string only exact 'true'/'false'
+    (reference: src/json_get_bool.rs:75-78); everything else NULL."""
+    out = []
+    for s, p in zip(json_vals, paths):
+        kind, v = core.find(s, p)
+        if kind == BOOL:
+            out.append(v)
+        elif kind == STR:
+            out.append(core.parse_bool_like_rust(v))
+        else:
+            out.append(None)
+    return out
+
+
+def kernel_json_get_json(json_vals, paths):
+    """RAW JSON text of the value at the path, any type: strings stay
+    quoted, JSON null → literal 'null' text, floats verbatim ('4.2e-1');
+    missing → SQL NULL (reference: src/json_get_json.rs:84-94,
+    tests/main.rs:486-512)."""
+    out = []
+    for s, p in zip(json_vals, paths):
+        kind, raw, _ = core.find_raw(s, p)
+        out.append(None if kind == MISSING else raw)
+    return out
+
+
+def kernel_json_get_array(json_vals, paths):
+    """JSON array → list of raw-text elements (literal 'null' kept);
+    non-array / missing → NULL list (reference:
+    src/json_get_array.rs:119-144)."""
+    return [core.items_at(s, p) for s, p in zip(json_vals, paths)]
+
+
+def kernel_json_as_text(json_vals, paths):
+    """Postgres ->> : JSON string → unquoted text; JSON null → SQL NULL;
+    any other present value → raw JSON text (reference:
+    src/json_as_text.rs:101-112)."""
+    out = []
+    for s, p in zip(json_vals, paths):
+        kind, raw, sval = core.find_raw(s, p)
+        if kind == STR:
+            out.append(sval)
+        elif kind in (MISSING, NULL):
+            out.append(None)
+        else:
+            out.append(raw)
+    return out
+
+
+def kernel_json_contains(json_vals, paths):
+    """TRUE iff the path exists — including present-null (reference:
+    tests/main.rs:21-43); invalid JSON → False, never an error (reference:
+    src/json_contains.rs:103-106)."""
+    return [core.exists_at(s, p) for s, p in zip(json_vals, paths)]
+
+
+def kernel_json_length(json_vals, paths):
+    """Array element count / object key count; scalar/string/missing/
+    invalid → NULL (reference: src/json_length.rs:99-128)."""
+    return [core.length_at(s, p) for s, p in zip(json_vals, paths)]
+
+
+def kernel_json_object_keys(json_vals, paths):
+    """Object keys in document order; non-object / missing → NULL
+    (reference: src/json_object_keys.rs:122-141)."""
+    return [core.keys_at(s, p) for s, p in zip(json_vals, paths)]
+
+
+def kernel_json_union_to_text(
+    type_ids, bools, ints, floats, strs, arrs, objs
+):
+    """Flatten union struct rows → canonical JSON text (reference:
+    src/json_union_to_text.rs:82-118): null member → SQL NULL, bool/int
+    canonical, float via repr (matches serde_json for normal values),
+    strings JSON-quoted+escaped, containers raw passthrough.
+
+    Takes the 7 member columns as parallel sequences (a struct column
+    arrives in pandas as a DataFrame; the wrapper splits it).
+    """
+    out = []
+    for tid, b, i, f, st, ar, ob in zip(
+        type_ids, bools, ints, floats, strs, arrs, objs
+    ):
+        # NaN guard: a struct column with NULLs arrives from Arrow→pandas
+        # with numeric members as float dtype (None => NaN).
+        if tid is None or tid != tid or tid == 0:
+            out.append(None)
+        elif tid == 1:
+            out.append("true" if b else "false")
+        elif tid == 2:
+            out.append(str(int(i)))
+        elif tid == 3:
+            out.append(core.json_dumps_canonical(FLOAT, float(f)))
+        elif tid == 4:
+            out.append(core.json_dumps_canonical(STR, st))
+        elif tid == 5:
+            out.append(ar)
+        elif tid == 6:
+            out.append(ob)
+        else:
+            out.append(None)
+    return out

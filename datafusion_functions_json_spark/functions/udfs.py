@@ -1,0 +1,158 @@
+"""Pandas-UDF construction over the kernels.
+
+Two shapes, mirroring the reference's kernel dispatch (reference:
+src/common.rs:159-182 dispatches (json array|scalar) × (path
+scalars|array)):
+
+* **literal path** (the dominant case): the path is closed over at plan
+  time, so ONLY the JSON column crosses the JVM→Python Arrow boundary.
+  UDF objects are cached per (function, path) so repeated plan references
+  reuse one PythonUDF expression.
+* **column path**: a single path element comes from a column (the
+  reference allows exactly one column path element and only alone —
+  reference: src/common.rs:129-133); both series cross the boundary and
+  the path tuple is built per row. A NULL key in the column yields a null
+  result, not an error (reference: src/common.rs:118-127 JsonPath::None).
+
+All UDFs are deterministic (never call ``asNondeterministic``) so Catalyst
+remains free to push/collapse projections containing them — the Spark
+equivalent of the reference's leaf-ward placement hint (reference:
+src/json_get.rs:61-77; SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import kernels
+from .kernels import UNION_FIELDS
+
+__all__ = ["literal_path_udf", "column_path_udf", "union_to_text_udf", "RETURN_TYPES"]
+
+# Return types per function key. json_length returns LongType — Spark has
+# no unsigned (reference returns UInt64, SURVEY.md §2.1 #10).
+RETURN_TYPES = {
+    "json_get": (
+        "struct<type_id:tinyint,bool:boolean,int:bigint,float:double,"
+        "str:string,array:string,object:string>"
+    ),
+    "json_get_str": "string",
+    "json_get_int": "bigint",
+    "json_get_float": "double",
+    "json_get_bool": "boolean",
+    "json_get_json": "string",
+    "json_get_array": "array<string>",
+    "json_as_text": "string",
+    "json_contains": "boolean",
+    "json_length": "bigint",
+    "json_object_keys": "array<string>",
+}
+
+_KERNELS = {
+    "json_get": kernels.kernel_json_get,
+    "json_get_str": kernels.kernel_json_get_str,
+    "json_get_int": kernels.kernel_json_get_int,
+    "json_get_float": kernels.kernel_json_get_float,
+    "json_get_bool": kernels.kernel_json_get_bool,
+    "json_get_json": kernels.kernel_json_get_json,
+    "json_get_array": kernels.kernel_json_get_array,
+    "json_as_text": kernels.kernel_json_as_text,
+    "json_contains": kernels.kernel_json_contains,
+    "json_length": kernels.kernel_json_length,
+    "json_object_keys": kernels.kernel_json_object_keys,
+}
+
+_STRUCT_FNS = {"json_get"}
+
+
+def _wrap_result(fn_key: str, out):
+    if fn_key in _STRUCT_FNS:
+        return pd.DataFrame({name: out[name] for name in UNION_FIELDS})
+    return pd.Series(out, dtype=object)
+
+
+@lru_cache(maxsize=512)
+def literal_path_udf(fn_key: str, path: tuple):
+    """Pandas UDF computing ``fn_key`` at a fixed literal ``path``.
+
+    Cached: the same (function, path) pair always returns the same UDF
+    object, so Catalyst sees one PythonUDF and identical call sites
+    collapse (analog of the reference's singleton UDF instances,
+    reference: src/common_macros.rs:17-49).
+    """
+    kernel = _KERNELS[fn_key]
+    ret = RETURN_TYPES[fn_key]
+
+    if fn_key in _STRUCT_FNS:
+
+        def fn(js: pd.Series) -> pd.DataFrame:
+            return _wrap_result(fn_key, kernel(js, itertools.repeat(path)))
+
+    else:
+
+        def fn(js: pd.Series) -> pd.Series:
+            return _wrap_result(fn_key, kernel(js, itertools.repeat(path)))
+
+    fn.__name__ = fn_key
+    return F.pandas_udf(fn, ret)
+
+
+def _key_to_elem(v):
+    """Normalize one per-row key value from a column path: numpy ints →
+    int, None/NaN → None (null key ⇒ null result, reference:
+    src/common.rs:118-127)."""
+    if v is None or v != v:  # NaN check for float keys from pandas
+        return None
+    if isinstance(v, str):
+        return v
+    return int(v)
+
+
+@lru_cache(maxsize=64)
+def column_path_udf(fn_key: str):
+    """Pandas UDF computing ``fn_key`` with a single column-valued path
+    element (reference: src/common.rs:106-110 Array path)."""
+    kernel = _KERNELS[fn_key]
+    ret = RETURN_TYPES[fn_key]
+
+    def _paths(keys):
+        return [
+            ((e,) if (e := _key_to_elem(k)) is not None else (None,))
+            for k in keys
+        ]
+
+    if fn_key in _STRUCT_FNS:
+
+        def fn(js: pd.Series, keys: pd.Series) -> pd.DataFrame:
+            return _wrap_result(fn_key, kernel(js, _paths(keys)))
+
+    else:
+
+        def fn(js: pd.Series, keys: pd.Series) -> pd.Series:
+            return _wrap_result(fn_key, kernel(js, _paths(keys)))
+
+    fn.__name__ = fn_key
+    return F.pandas_udf(fn, ret)
+
+
+@lru_cache(maxsize=1)
+def union_to_text_udf():
+    """json_union_to_text over the union struct (reference:
+    src/json_union_to_text.rs:82-118). Python-side because float
+    canonicalization must match serde_json's shortest-roundtrip formatting
+    (Python ``repr``), which Spark's double→string cast does not
+    (``1e10`` → '1.0E10' in Spark vs '10000000000.0' canonical)."""
+
+    def fn(u: pd.DataFrame) -> pd.Series:
+        if len(u) == 0:
+            return pd.Series([], dtype=object)
+        cols = [u[name] for name in UNION_FIELDS]
+        return pd.Series(kernels.kernel_json_union_to_text(*cols), dtype=object)
+
+    fn.__name__ = "json_union_to_text"
+    return F.pandas_udf(fn, "string")

@@ -1,0 +1,228 @@
+"""Unit tests for the pure-Python path engine — no Spark needed.
+
+Mirrors the reference's kernel-level tests (reference: tests/main.rs:
+689-857 invoke below the planner) plus the null-taxonomy truth table
+(SURVEY.md §7.5: key-missing vs value-is-json-null vs invalid-json).
+"""
+
+import math
+
+from datafusion_functions_json_spark.functions import core
+from datafusion_functions_json_spark.functions.core import (
+    ARRAY,
+    BOOL,
+    FLOAT,
+    INT,
+    MISSING,
+    NULL,
+    OBJECT,
+    STR,
+)
+
+
+class TestFind:
+    def test_string(self):
+        assert core.find(' {"foo": "abc"} ', ("foo",)) == (STR, "abc")
+
+    def test_nested_array_raw(self):
+        assert core.find(' {"foo": [1]} ', ("foo",)) == (ARRAY, "[1]")
+
+    def test_empty_object_raw(self):
+        assert core.find(' {"foo": {}} ', ("foo",)) == (OBJECT, "{}")
+
+    def test_json_null(self):
+        assert core.find(' {"foo": null} ', ("foo",)) == (NULL, None)
+
+    def test_missing_key(self):
+        assert core.find(' {"bar": true} ', ("foo",)) == (MISSING, None)
+
+    def test_top_level_array_key_lookup_misses(self):
+        assert core.find(' ["foo"] ', ("foo",)) == (MISSING, None)
+
+    def test_invalid_json(self):
+        assert core.find("is not json", ("foo",)) == (MISSING, None)
+
+    def test_array_index(self):
+        assert core.find(' ["foo"] ', (0,)) == (STR, "foo")
+
+    def test_array_index_oob(self):
+        assert core.find("[1, 2]", (2,)) == (MISSING, None)
+
+    def test_negative_index_missing(self):
+        # reference: src/common.rs:90-97 (negative => JsonPath::None)
+        assert core.find("[1, 2]", (-1,)) == (MISSING, None)
+
+    def test_deep_path(self):
+        assert core.find('{"a": {"b": [4.2e-1, 2]}}', ("a", "b", 0)) == (FLOAT, 0.42)
+
+    def test_int_vs_float(self):
+        assert core.find('{"a": 1}', ("a",)) == (INT, 1)
+        assert core.find('{"a": 1.0}', ("a",)) == (FLOAT, 1.0)
+        assert core.find('{"a": 1e2}', ("a",)) == (FLOAT, 100.0)
+
+    def test_bool(self):
+        assert core.find('{"a": true}', ("a",)) == (BOOL, True)
+        assert core.find('{"a": false}', ("a",)) == (BOOL, False)
+
+    def test_big_int_preserved_by_core(self):
+        # kernels decide overflow policy; core reports the value
+        assert core.find('{"a": 18446744073709551615}', ("a",)) == (
+            INT,
+            18446744073709551615,
+        )
+
+    def test_escaped_key_and_value(self):
+        assert core.find('{"a\\"b": "x\\"y"}', ('a"b',)) == (STR, 'x"y')
+
+    def test_unicode(self):
+        assert core.find('{"k": "héllo ✨"}', ("k",)) == (STR, "héllo ✨")
+
+    def test_duplicate_keys_first_wins(self):
+        assert core.find('{"a": 1, "a": 2}', ("a",)) == (INT, 1)
+
+    def test_null_input(self):
+        assert core.find(None, ("a",)) == (MISSING, None)
+
+    def test_empty_path_returns_root(self):
+        assert core.find("[1, 2]", ()) == (ARRAY, "[1, 2]")
+
+    def test_trailing_garbage_streaming(self):
+        # streaming: the value is found before the garbage is reached
+        assert core.find('{"foo": 1} not json anymore', ("foo",)) == (INT, 1)
+
+    def test_none_path_elem(self):
+        assert core.find('{"a": 1}', (None,)) == (MISSING, None)
+
+    def test_scalar_traversal_misses(self):
+        assert core.find('{"a": "str"}', ("a", "b")) == (MISSING, None)
+
+    def test_object_raw_slice_preserves_spacing(self):
+        assert core.find('{"a": { "b" : 1 }}', ("a",)) == (OBJECT, '{ "b" : 1 }')
+
+
+class TestFindRaw:
+    def test_float_verbatim(self):
+        # reference: tests/main.rs:507-512 — raw text fidelity
+        assert core.find_raw('{"a": 4.2e-1}', ("a",)) == (FLOAT, "4.2e-1", None)
+
+    def test_string_stays_quoted(self):
+        kind, raw, sval = core.find_raw('{"a": "x\\"y"}', ("a",))
+        assert (kind, raw, sval) == (STR, '"x\\"y"', 'x"y')
+
+    def test_null_literal_text(self):
+        assert core.find_raw('{"a": null}', ("a",)) == (NULL, "null", None)
+
+    def test_missing(self):
+        assert core.find_raw("{}", ("a",)) == (MISSING, None, None)
+
+
+class TestExists:
+    def test_present_null_is_true(self):
+        # reference: tests/main.rs:21-43
+        assert core.exists_at('{"foo": null}', ("foo",)) is True
+
+    def test_missing_false(self):
+        assert core.exists_at('{"foo": 1}', ("bar",)) is False
+
+    def test_array_bounds(self):
+        # reference: tests/main.rs:46-54
+        assert core.exists_at("[1, 2]", (1,)) is True
+        assert core.exists_at("[1, 2]", (2,)) is False
+
+    def test_invalid_json_false(self):
+        assert core.exists_at("is not json", ("foo",)) is False
+
+
+class TestLength:
+    def test_array(self):
+        assert core.length_at("[1, 2, 3]", ()) == 3
+
+    def test_object(self):
+        assert core.length_at('{"a": 1, "b": 2}', ()) == 2
+
+    def test_empty(self):
+        assert core.length_at("[]", ()) == 0
+        assert core.length_at("{}", ()) == 0
+
+    def test_scalar_none(self):
+        assert core.length_at('"str"', ()) is None
+        assert core.length_at("123", ()) is None
+
+    def test_with_path(self):
+        assert core.length_at('{"a": [1, [1, 2]]}', ("a",)) == 2
+        assert core.length_at('{"a": [1, [1, 2]]}', ("a", 1)) == 2
+
+    def test_missing(self):
+        assert core.length_at("{}", ("a",)) is None
+
+
+class TestKeys:
+    def test_document_order(self):
+        assert core.keys_at('{"b": 1, "a": 2, "c": 3}', ()) == ["b", "a", "c"]
+
+    def test_non_object_none(self):
+        assert core.keys_at("[1]", ()) is None
+        assert core.keys_at('"s"', ()) is None
+
+    def test_nested_path(self):
+        # reference: tests/main.rs:2086-2175
+        assert core.keys_at('{"a": {"x": 1, "y": 2}}', ("a",)) == ["x", "y"]
+
+
+class TestItems:
+    def test_mixed_array_raw_elements(self):
+        # reference: tests/main.rs:103-163
+        assert core.items_at('["hello", 42, true, null, 3.14]', ()) == [
+            '"hello"',
+            "42",
+            "true",
+            "null",
+            "3.14",
+        ]
+
+    def test_nested_containers_raw(self):
+        assert core.items_at('[[1, 2], {"a": 1}]', ()) == ["[1, 2]", '{"a": 1}']
+
+    def test_non_array_none(self):
+        assert core.items_at('{"a": 1}', ()) is None
+
+
+class TestRustParsers:
+    def test_int(self):
+        # reference: tests/main.rs:318-343
+        assert core.parse_int_like_rust("123") == 123
+        assert core.parse_int_like_rust("-17") == -17
+        assert core.parse_int_like_rust("+5") == 5
+        assert core.parse_int_like_rust("1.5") is None
+        assert core.parse_int_like_rust("1e2") is None
+        assert core.parse_int_like_rust(" 1") is None
+        assert core.parse_int_like_rust("") is None
+        assert core.parse_int_like_rust("9223372036854775808") is None  # i64+1
+
+    def test_float(self):
+        assert core.parse_float_like_rust("1.5") == 1.5
+        assert core.parse_float_like_rust("123") == 123.0
+        assert core.parse_float_like_rust("4.2e-1") == 0.42
+        assert math.isnan(core.parse_float_like_rust("NaN"))
+        assert core.parse_float_like_rust("inf") == float("inf")
+        assert core.parse_float_like_rust(" 1.5") is None
+        assert core.parse_float_like_rust("1_000") is None
+        assert core.parse_float_like_rust("abc") is None
+
+    def test_bool(self):
+        assert core.parse_bool_like_rust("true") is True
+        assert core.parse_bool_like_rust("false") is False
+        assert core.parse_bool_like_rust("True") is None
+        assert core.parse_bool_like_rust("1") is None
+
+
+class TestCanonicalText:
+    def test_all_kinds(self):
+        f = core.json_dumps_canonical
+        assert f(NULL, None) is None
+        assert f(BOOL, True) == "true"
+        assert f(INT, 1) == "1"
+        assert f(FLOAT, 1.5) == "1.5"
+        assert f(STR, 'a"b\n') == '"a\\"b\\n"'
+        assert f(ARRAY, "[1, 2]") == "[1, 2]"
+        assert f(OBJECT, '{"a": 1}') == '{"a": 1}'
