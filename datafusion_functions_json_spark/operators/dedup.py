@@ -1,0 +1,344 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Spark-first design, sized for 100 TB:
+
+* **Shingling/hashing/signatures are pure Column expressions** (xxhash64,
+  transform, aggregate) — whole-stage codegen, no Python workers.
+* **Candidate generation is a banded-LSH self-join**: explode (band_id,
+  band_hash) — one shuffle keyed by band hash, so only documents sharing
+  a band collide; never an O(n²) cross join.
+* **Verification joins only the candidate pairs** and computes exact
+  Jaccard JVM-side.
+* Skew: a degenerate band (e.g. empty documents hashing alike) would
+  hot-spot one reducer; callers can pre-filter empties (``min_len``).
+  AQE skew-join handles the rest.
+
+ANSI-safety: minhash permutations run in modular space (values < 2^31,
+multipliers < 2^31 ⇒ products < 2^62) so ANSI mode never sees overflow;
+bit-mixing uses shifts/xor which don't overflow-check.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import char_ngrams, tokens, word_ngrams
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "shingle_hashes",
+    "minhash_signature",
+    "lsh_bands",
+    "minhash_dup_pairs",
+    "minhash_dedup",
+    "simhash",
+    "simhash_dup_pairs",
+    "jaccard_tokens",
+    "ngram_jaccard_pairs",
+]
+
+_MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), the classic minhash modulus
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, *cols: str) -> DataFrame:
+    """Exact deduplication on ``cols`` (all columns when empty). Plain
+    ``dropDuplicates`` — Catalyst plans a hash aggregate with map-side
+    partial dedup; one shuffle on the key."""
+    return df.dropDuplicates(list(cols) if cols else None)
+
+
+def exact_dup_groups(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates: one row per duplicated key value with
+    its count and member ids (ids sorted for determinism)."""
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list(_col(id_col))).alias("ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+def shingle_hashes(text, *, mode: str = "char", n: int = 5) -> Column:
+    """Distinct shingles hashed to non-negative ints < 2^31 via xxhash64
+    (JVM). ``mode``: 'char' (character n-grams) or 'word' (token
+    n-grams)."""
+    sh = char_ngrams(text, n) if mode == "char" else word_ngrams(text, n)
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+
+
+def _perm_coeffs(num_perm: int, seed: int):
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MH_PRIME), rnd.randrange(0, _MH_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signature(
+    text,
+    *,
+    num_perm: int = 64,
+    seed: int = 42,
+    mode: str = "char",
+    n: int = 5,
+) -> Column:
+    """MinHash signature: array<bigint> of length ``num_perm``.
+
+    Each permutation is ``min((a*h + b) mod p)`` over the shingle hashes
+    — all JVM expressions; signatures for a 100 TB corpus are computed at
+    scan speed with zero shuffles. Empty/blank documents get NULL
+    signatures (array_min of empty => NULL) so they never collide into a
+    mega-bucket."""
+    hashes = shingle_hashes(text, mode=mode, n=n)
+
+    def perm(a, b):
+        # closure, not default-args: Spark's higher-order lambdas must
+        # declare exactly 1-2 parameters
+        return F.array_min(F.transform(hashes, lambda h: (h * a + b) % _MH_PRIME))
+
+    sig = F.array(*[perm(a, b) for a, b in _perm_coeffs(num_perm, seed)])
+    return F.when(F.size(hashes) > 0, sig)
+
+
+def lsh_bands(sig: Column, *, bands: int, rows: int) -> Column:
+    """Split a signature into ``bands`` bands of ``rows`` and hash each:
+    array of (band_id, band_hash) structs. Two documents agreeing on ANY
+    band become join candidates."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(",", *[
+                        F.element_at(sig, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (JVM)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "char",
+    n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs with exact-Jaccard verification.
+
+    Plan shape (the 100 TB story):
+      1. map: signature + bands per doc  (scan-speed, no shuffle)
+      2. explode bands → shuffle keyed by (band_id, band_hash) — the ONLY
+         large shuffle; identical docs co-locate, everything else spreads
+      3. self-join within buckets (id_a < id_b cuts mirror pairs)
+      4. verify: exact Jaccard on shingle sets, filter by threshold
+
+    Returns (id_a, id_b, jaccard).
+    """
+    rows = num_perm // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_text"),
+            minhash_signature(
+                text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
+            ).alias("_sig"),
+        )
+        .filter(F.col("_sig").isNotNull())
+        .withColumn("_band", F.explode(lsh_bands(F.col("_sig"), bands=bands, rows=rows)))
+    )
+    left = base.select(
+        F.col("_band"), F.col("_id").alias("id_a"), F.col("_text").alias("text_a")
+    )
+    right = base.select(
+        F.col("_band"), F.col("_id").alias("id_b"), F.col("_text").alias("text_b")
+    )
+    cand = (
+        left.join(right, on="_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = lambda c: (char_ngrams(c, n) if mode == "char" else word_ngrams(c, n))  # noqa: E731
+    return (
+        cand.withColumn("jaccard", jaccard_tokens(sh(F.col("text_a")), sh(F.col("text_b"))))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates, keeping the smallest id of each duplicate
+    pair-component (single-link by pairs; a full connected-components
+    pass would iterate — at pipeline scale, pair-wise removal of the
+    larger id is the standard one-shot approximation)."""
+    pairs = minhash_dup_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(text, *, mode: str = "word", n: int = 1) -> Column:
+    """64-bit SimHash of the document (BIGINT), pure JVM expressions:
+    per-token xxhash64, bit votes via zip_with over a 64-slot accumulator,
+    sign-threshold to bits.
+
+    ``mode='word', n=1`` votes over unique tokens; char mode votes over
+    shingles."""
+    feats = (
+        F.array_distinct(tokens(_col(text)))
+        if mode == "word" and n == 1
+        else (char_ngrams(text, n) if mode == "char" else word_ngrams(text, n))
+    )
+    hashes = F.transform(feats, lambda s: F.xxhash64(s))
+    # Bit positions are plan-time constants (shift amounts must be python
+    # ints in Spark), so the 64 vote lanes unroll here; the per-row work
+    # stays one aggregate pass over the feature hashes.
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for b in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    out = F.lit(0).cast("bigint")
+    for b in range(64):
+        out = out + F.when(
+            F.element_at(votes, b + 1) > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), b),
+        ).otherwise(F.lit(0).cast("bigint"))
+    return out
+
+
+def _popcount64(x: Column) -> Column:
+    """Hamming weight of a BIGINT via bit_count (Spark 3.3+)."""
+    return F.bit_count(x)
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Blocked join: split the 64-bit hash into 4 16-bit blocks; by
+    pigeonhole, two hashes within Hamming distance 3 agree on ≥1 block —
+    join on (block_id, block_value) instead of cross join (same shuffle
+    discipline as minhash banding). Returns (id_a, id_b, hamming).
+    """
+    n_blocks = 64 // block_bits
+    base = df.select(
+        F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")
+    ).withColumn(
+        "_blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright(F.col("_sh"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ),
+    )
+    left = base.select("_blk", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    right = base.select("_blk", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        left.join(right, on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", _popcount64(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    band_on: str = "fingerprint",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs.
+
+    Candidates come from a cheap blocking key (default: shared rare
+    n-gram via min-hash of the n-gram set — one permutation) so the join
+    stays linear-ish; the exact Jaccard then verifies. For guaranteed
+    completeness use minhash_dup_pairs with more permutations.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    block = F.array_min(
+        F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_MH_PRIME)))
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text"), block.alias("_blk")
+    ).filter(F.col("_blk").isNotNull())
+    left = base.select(F.col("_blk"), F.col("_id").alias("id_a"), F.col("_text").alias("ta"))
+    right = base.select(F.col("_blk"), F.col("_id").alias("id_b"), F.col("_text").alias("tb"))
+    return (
+        left.join(right, on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "jaccard",
+            jaccard_tokens(word_ngrams(F.col("ta"), n), word_ngrams(F.col("tb"), n)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

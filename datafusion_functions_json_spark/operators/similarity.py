@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* **Brute-force cosine top-k** — the exactness baseline. Dot products are
+  pure JVM expressions (``zip_with`` + ``aggregate``); top-k compiles to
+  ``TakeOrderedAndProject``, which computes PARTIAL top-k per partition
+  map-side and merges k·num_partitions rows at the driver — no full sort,
+  no full shuffle. This scales linearly: at 100 TB it is one scan.
+* **Random-hyperplane LSH** — the sublinear path. Bucket signatures are
+  computed at scan speed; a query probes only its own bucket (plus
+  optional multiprobe neighbors). For self-join near-dup detection the
+  bucket column is the shuffle key, same discipline as minhash banding.
+
+Float math notes: embeddings are cast to double before accumulation so
+results are stable across Spark/duckdb; accumulation order inside
+``aggregate`` is left-to-right element order — deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_to_query",
+    "cosine_topk",
+    "lsh_bucket",
+    "add_lsh_buckets",
+    "ann_topk",
+    "embedding_dup_pairs",
+]
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _lit_vec(q: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)).cast("double") for x in q])
+
+
+def _dvec(c) -> Column:
+    return F.transform(_col(c), lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Dot product of two array<numeric> columns (JVM: zip_with+aggregate)."""
+    return F.aggregate(
+        F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_dvec(a), lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_to_query(vec_col, query: Sequence[float]) -> Column:
+    """Cosine similarity of each row's vector to a constant query vector.
+    The query's norm is folded at plan time (python float)."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
+    return dot(vec_col, _lit_vec(query)) / (l2_norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    id_cols: Sequence[str] = ("vec_id",),
+) -> DataFrame:
+    """Exact cosine top-k: scan + per-partition partial top-k
+    (TakeOrderedAndProject). Returns id columns + ``cosine`` descending,
+    ties broken by the first id column for determinism."""
+    out = df.select(
+        *[F.col(c) for c in id_cols],
+        F.round(cosine_to_query(vec_col, query), 6).alias("cosine"),
+    )
+    order = [F.col("cosine").desc()] + [F.col(id_cols[0]).asc()]
+    return out.orderBy(*order).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int):
+    rnd = random.Random(seed)
+    return [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col, dim: int, *, n_planes: int = 12, seed: int = 42) -> Column:
+    """Random-hyperplane (SRP) LSH bucket id: one bit per hyperplane =
+    sign of the projection; INT bucket in [0, 2^n_planes). JVM-only."""
+    v = _dvec(vec_col)
+    bits = []
+    for i, h in enumerate(_hyperplanes(dim, n_planes, seed)):
+        proj = dot(v, _lit_vec(h))
+        bits.append(
+            F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def add_lsh_buckets(
+    df: DataFrame, vec_col: str, dim: int, *, n_planes: int = 12, seed: int = 42
+) -> DataFrame:
+    """Attach the LSH bucket column. At warehouse scale, persist this
+    table partitioned/bucketed by ``lsh_bucket`` so ANN probes become
+    partition-pruned scans."""
+    return df.withColumn(
+        "lsh_bucket", lsh_bucket(vec_col, dim, n_planes=n_planes, seed=seed)
+    )
+
+
+def ann_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    n_planes: int = 12,
+    seed: int = 42,
+    multiprobe: int = 1,
+    id_cols: Sequence[str] = ("vec_id",),
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (+ all buckets at
+    Hamming distance ≤ ``multiprobe``), then exact cosine within.
+
+    The bucket filter is a plain predicate — with a bucket-partitioned
+    table it prunes at the source; otherwise it's still a scan-speed
+    filter that skips the dot product for non-candidates (lazy CASE).
+    """
+    dim = len(query)
+    # driver-side query signature (pure python, mirrors lsh_bucket)
+    qsig = 0
+    for i, h in enumerate(_hyperplanes(dim, n_planes, seed)):
+        proj = sum(float(a) * float(b) for a, b in zip(query, h))
+        if proj >= 0:
+            qsig |= 1 << i
+    probes = {qsig}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probes.add(qsig ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qsig ^ (1 << i) ^ (1 << j))
+    bucketed = add_lsh_buckets(df, vec_col, dim, n_planes=n_planes, seed=seed)
+    cand = bucketed.filter(F.col("lsh_bucket").isin(*sorted(probes)))
+    return cosine_topk(cand, vec_col, query, k, id_cols=id_cols)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket self-join (shuffle keyed
+    by bucket — near-identical vectors land together) + exact cosine
+    verification. Returns (id_a, id_b, cosine)."""
+    base = add_lsh_buckets(df, vec_col, dim, n_planes=n_planes, seed=seed).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "lsh_bucket"
+    )
+    left = base.select("lsh_bucket", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    right = base.select("lsh_bucket", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    pair_cos = dot(F.col("va"), F.col("vb")) / (
+        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    )
+    return (
+        left.join(right, on="lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", F.round(pair_cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

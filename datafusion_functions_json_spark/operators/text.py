@@ -1,0 +1,185 @@
+"""Text analysis for training-data pipelines: tokenization, language ID,
+quality scoring, fingerprinting.
+
+Everything here is pure Column expressions — JVM-side, whole-stage
+codegen'd, zero Python in the hot path. At 100 TB these run at scan
+speed; the only shuffle any of them introduces is the caller's own
+aggregation.
+
+ANSI-safety: Spark 4 runs with ``spark.sql.ansi.enabled=true`` where
+integer overflow is an error, so all rolling-hash arithmetic stays inside
+explicit modular bounds (acc < 2^31, multiplier < 2^21 → products < 2^52
+< 2^63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "char_ngrams",
+    "word_ngrams",
+    "stopword_hits",
+    "lang_id",
+    "quality_features",
+    "quality_score",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text) -> Column:
+    """Whitespace tokenization: array<string> of non-empty tokens."""
+    t = _col(text)
+    return F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+
+
+def token_count(text) -> Column:
+    """Whitespace token count (0 for empty/blank, NULL for NULL)."""
+    return F.size(tokens(text))
+
+
+def char_ngrams(text, n: int = 5) -> Column:
+    """Distinct character n-grams (shingles). JVM-side: transform over an
+    index sequence + substr. Short texts yield the whole text as the only
+    shingle."""
+    t = _col(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+    )
+
+
+def word_ngrams(text, n: int = 3) -> Column:
+    """Distinct word n-grams joined by single spaces."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# Tiny demonstration stoplists (public common-word lists). Real pipelines
+# swap in full lists; the operator shape is what matters.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+}
+
+
+def stopword_hits(text, lang: str = "en") -> Column:
+    """Count of DISTINCT stopwords of ``lang`` present in the text."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(F.lower(_col(text)))),
+            F.array(*[F.lit(w) for w in STOPWORDS[lang]]),
+        )
+    )
+
+
+def lang_id(text) -> Column:
+    """Heuristic language ID: the language whose stoplist scores the most
+    distinct hits; ties break by language code order; no hits => 'und'.
+
+    Pure expressions — at scale this is a scan-speed map. (A real system
+    would use character n-gram profiles; the operator shape — per-row
+    classify, no shuffle — is identical.)
+    """
+    t = _col(text)
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(t, lang).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(F.filter(scored, lambda s: s["hits"] > 0))
+    return F.when(best.isNull(), F.lit("und")).otherwise(best["lang"])
+
+
+def quality_features(text) -> Column:
+    """Struct of cheap quality signals: n_chars, n_tokens, mean token
+    length, alpha ratio, punctuation ratio, stopword ratio (en), distinct
+    token ratio."""
+    t = _col(text)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    safe_tok = F.greatest(n_tokens, F.lit(1))
+    safe_chr = F.greatest(n_chars, F.lit(1))
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars / safe_tok).alias("mean_token_len"),
+        (
+            F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / safe_chr
+        ).alias("alpha_ratio"),
+        (
+            F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", "")) / safe_chr
+        ).alias("punct_ratio"),
+        (stopword_hits(t, "en") / safe_tok).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)) / safe_tok).alias("distinct_ratio"),
+    )
+
+
+def quality_score(text) -> Column:
+    """Composite [0,1] quality score from :func:`quality_features` — a
+    Gopher-style heuristic gate: reasonable length, alphabetic, not too
+    repetitive."""
+    q = quality_features(text)
+    length_ok = F.when(
+        (q["n_tokens"] >= 10) & (q["n_tokens"] <= 100000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    mean_len_ok = F.when(
+        (q["mean_token_len"] >= 2.0) & (q["mean_token_len"] <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return F.round(
+        (
+            0.3 * length_ok
+            + 0.2 * mean_len_ok
+            + 0.3 * F.least(q["alpha_ratio"] * 1.25, F.lit(1.0))
+            + 0.2 * F.least(q["distinct_ratio"] * 2.0, F.lit(1.0))
+        ),
+        6,
+    )
+
+
+# Rolling-hash constants: kept small so every intermediate fits in int64
+# under ANSI mode (acc < MOD = 2^31-1, MULT < 2^21).
+_FP_MOD = 2147483647
+_FP_MULT = 1000003
+
+
+def _token_code(tok: Column) -> Column:
+    """Deterministic small integer per token, expressible identically in
+    ANSI SQL engines (used by the duckdb oracle): combines length, first/
+    last character codes."""
+    return (
+        F.length(tok) * 131
+        + F.ascii(tok) * 31
+        + F.ascii(F.substring(tok, -1, 1))
+    ) % _FP_MOD
+
+
+def fingerprint(text) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream —
+    a document fingerprint: same token sequence => same value. BIGINT."""
+    return F.aggregate(
+        tokens(_col(text)),
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: (acc * _FP_MULT + _token_code(tok)) % _FP_MOD,
+    )

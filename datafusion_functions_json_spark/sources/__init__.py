@@ -1,0 +1,12 @@
+"""Sources & sinks.
+
+The reference has no scans of its own — it registers in-memory Arrow
+batches (reference: tests/utils/mod.rs:69-81) and inherits IO from the
+host engine. Our engine inherits Spark's readers/writers the same way;
+this module adds the small amount of glue the shared testdata needs and
+scale-aware defaults.
+"""
+
+from .io import SCALE_CONF, TABLES, load_table, load_tables, session_defaults
+
+__all__ = ["load_table", "load_tables", "session_defaults", "TABLES", "SCALE_CONF"]

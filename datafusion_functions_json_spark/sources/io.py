@@ -1,0 +1,95 @@
+"""Parquet loading for the shared testdata + scale-aware session defaults.
+
+Scale notes (100 TB design):
+
+* Reads stay declarative (``spark.read.parquet``) so Catalyst performs
+  predicate pushdown, column pruning, and partition pruning — never
+  pre-collect or materialize.
+* ``spark.sql.files.maxPartitionBytes`` default (128 MB) gives ~800k
+  input splits at 100 TB — fine for a 1000-executor cluster; we leave it
+  alone and instead make sure per-row work is bounded (no whole-table
+  collects anywhere in this package).
+* AQE is enabled in :func:`session_defaults` so shuffle partition counts
+  re-plan at runtime (skew joins, empty-partition coalescing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as parquet TIMESTAMP(NANOS) in the shared testdata.
+# Spark 4 refuses nanos timestamps unless the legacy conf maps them to
+# BIGINT nanoseconds; we normalize them back to TIMESTAMP (microsecond
+# precision) so date semantics stay first-class.
+_NANOS_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+SCALE_CONF = {
+    # runtime re-planning: coalesce small shuffle partitions, split skewed
+    # joins — the difference between sf0.1 and 100 TB is mostly here
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow path for pandas UDFs and createDataFrame
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # testdata uses TIMESTAMP(NANOS)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def session_defaults(builder):
+    """Apply scale-aware defaults to a SparkSession.Builder."""
+    for k, v in SCALE_CONF.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # pragma: no cover - conf may be locked; reads may still work
+        pass
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    nanos_as_timestamp: bool = True,
+) -> DataFrame:
+    """Load one testdata table.
+
+    ``nanos_as_timestamp=True`` converts BIGINT-nanosecond columns (how
+    Spark reads the testdata's TIMESTAMP(NANOS) under the legacy conf)
+    to proper TIMESTAMP columns, truncated to microseconds.
+    """
+    from pyspark.sql import functions as F
+
+    _ensure_nanos_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if nanos_as_timestamp:
+        for c in _NANOS_TS_COLS.get(name, ()):
+            if c in df.columns and dict(df.dtypes)[c] == "bigint":
+                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
+    return {n: load_table(spark, sf_dir, n) for n in names}

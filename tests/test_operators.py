@@ -1,0 +1,200 @@
+"""Extended pipeline operators over the real testdata tables: dedup,
+similarity, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_json_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from datafusion_functions_json_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+class TestText:
+    def test_token_count_matches_python(self, documents):
+        rows = documents.select("doc_id", "text", text.token_count("text").alias("n")).take(20)
+        for r in rows:
+            assert r.n == len(r.text.split())
+
+    def test_char_ngrams(self, spark):
+        df = spark.createDataFrame([("abcdef",)], "t string")
+        grams = df.select(text.char_ngrams("t", 3).alias("g")).collect()[0].g
+        assert grams == ["abc", "bcd", "cde", "def"]
+
+    def test_word_ngrams(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "t string")
+        grams = df.select(text.word_ngrams("t", 2).alias("g")).collect()[0].g
+        assert grams == ["a b", "b c", "c d"]
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("the cat sat on the mat and it is happy",),
+                ("der hund ist ein tier und das ist gut",),
+                ("xyzzy plugh qwerty",),
+            ],
+            "t string",
+        )
+        langs = [r.l for r in df.select(text.lang_id("t").alias("l")).collect()]
+        assert langs == ["en", "de", "und"]
+
+    def test_quality_features(self, documents):
+        r = documents.select(text.quality_features("text").alias("q")).first().q
+        assert r.n_tokens > 0 and 0 <= r.alpha_ratio <= 1
+
+    def test_quality_score_range(self, documents):
+        rows = documents.select(text.quality_score("text").alias("s")).collect()
+        assert all(0.0 <= r.s <= 1.0 for r in rows)
+
+    def test_fingerprint_deterministic_and_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [("a b c", "a b c"), ("a b c", "c b a")], "t1 string, t2 string"
+        )
+        rows = df.select(
+            text.fingerprint("t1").alias("f1"), text.fingerprint("t2").alias("f2")
+        ).collect()
+        assert rows[0].f1 == rows[0].f2
+        assert rows[1].f1 != rows[1].f2
+
+
+class TestExactDedup:
+    def test_dup_groups_on_documents(self, documents):
+        dups = dedup.exact_dup_groups(documents, "text", "doc_id")
+        total = documents.count()
+        deduped = dedup.exact_dedup(documents, "text").count()
+        dup_rows = dups.agg(
+            F.coalesce(F.sum(F.col("dup_count") - 1), F.lit(0))
+        ).collect()[0][0]
+        assert deduped == total - dup_rows
+
+
+class TestMinhash:
+    def test_exact_dup_texts_always_pair(self, spark):
+        rows = [(1, "the quick brown fox jumps over the lazy dog repeatedly"),
+                (2, "the quick brown fox jumps over the lazy dog repeatedly"),
+                (3, "completely different text about spark query engines here"),
+                (4, "")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        pairs = dedup.minhash_dup_pairs(df, "id", "text", num_perm=32, bands=8).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+        assert pairs[0].jaccard == 1.0
+
+    def test_minhash_dedup_removes_losers(self, spark):
+        rows = [(1, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+                (2, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+                (3, "unrelated content entirely")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        kept = dedup.minhash_dedup(df, "id", "text", num_perm=32, bands=8)
+        assert sorted(r.id for r in kept.collect()) == [1, 3]
+
+    def test_documents_near_dups_verified(self, documents):
+        pairs = dedup.minhash_dup_pairs(
+            documents, "doc_id", "text", num_perm=32, bands=8, threshold=0.8
+        )
+        for p in pairs.take(5):
+            assert p.jaccard >= 0.8
+
+
+class TestSimhash:
+    def test_simhash_stable_and_distinct(self, spark):
+        df = spark.createDataFrame(
+            [("spark json engine test document",),
+             ("spark json engine test document",),
+             ("an entirely different sentence structure",)],
+            "t string",
+        )
+        vals = [r.s for r in df.select(dedup.simhash("t").alias("s")).collect()]
+        assert vals[0] == vals[1] != vals[2]
+
+    def test_simhash_pairs_blocked_join(self, spark):
+        rows = [(1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta"),
+                (3, "one two three four five six seven eight")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        pairs = dedup.simhash_dup_pairs(df, "id", "text", max_hamming=3).collect()
+        assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+class TestNgramJaccard:
+    def test_pairs(self, spark):
+        rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "totally different words here now")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        pairs = dedup.ngram_jaccard_pairs(df, "id", "text", n=2, threshold=0.9).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+class TestSimilarity:
+    def test_cosine_topk_self_query(self, embeddings):
+        # querying with row 0's own embedding must return row 0 first
+        q = embeddings.filter(F.col("vec_id") == 0).first().embedding
+        top = similarity.cosine_topk(embeddings, "embedding", q, k=5).collect()
+        assert top[0].vec_id == 0
+        assert abs(top[0].cosine - 1.0) < 1e-5
+        assert all(top[i].cosine >= top[i + 1].cosine for i in range(4))
+
+    def test_ann_recall_of_exact_top1(self, embeddings):
+        q = embeddings.filter(F.col("vec_id") == 7).first().embedding
+        ann = similarity.ann_topk(
+            embeddings, "embedding", q, k=3, n_planes=8, multiprobe=1
+        ).collect()
+        assert ann and ann[0].vec_id == 7  # own bucket always contains self
+
+    def test_embedding_dup_pairs_finds_identical(self, spark, embeddings):
+        two = embeddings.limit(2)
+        dup = two.union(two)  # duplicate every vector
+        pairs = similarity.embedding_dup_pairs(
+            dup.withColumn("vec_id2", F.monotonically_increasing_id()),
+            "vec_id2",
+            "embedding",
+            dim=64,
+            threshold=0.999,
+        )
+        assert pairs.count() >= 2  # each duplicated vector pairs with itself
+
+
+class TestMultimodal:
+    def _media_df(self, spark):
+        rows = [
+            (1, "image", bytearray(b"\x89PNG fake bytes 1"), "image/png", (4, 4, None, None)),
+            (2, "image", bytearray(b"\x89PNG other bytes 22"), "image/png", (8, 8, None, None)),
+            (3, "video", None, "video/mp4", (None, None, 3500, None)),
+        ]
+        return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def test_decode_stub_raises_without_fake(self, spark):
+        df = self._media_df(spark)
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(df)
+
+    def test_fake_decode_deterministic(self, spark):
+        df = self._media_df(spark)
+        out = multimodal.decode_image(df, fake=True).filter(F.col("kind") == "image")
+        rows = {r.media_id: r for r in out.collect()}
+        assert len(rows[1].features) == 16
+        again = multimodal.decode_image(df, fake=True).filter(F.col("media_id") == 1)
+        assert again.first().features == rows[1].features
+
+    def test_metadata_jvm_side(self, spark):
+        df = multimodal.attach_media_metadata(self._media_df(spark))
+        r = {x.media_id: x for x in df.collect()}
+        assert r[1].payload_bytes == 17
+        assert r[3].payload_bytes is None
+
+    def test_frame_sample_plan(self, spark):
+        plan = multimodal.frame_sample_plan(self._media_df(spark), every_ms=1000)
+        assert [r.frame_ts_ms for r in plan.collect()] == [0, 1000, 2000, 3000]

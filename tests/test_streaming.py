@@ -1,0 +1,83 @@
+"""Structured Streaming composition: our JSON functions are stateless
+deterministic scalars, so they run unchanged inside streaming plans
+(SURVEY.md §2.4). File source → extract → watermark → windowed agg →
+memory sink, with an availableNow trigger for determinism."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_functions_json_spark import streaming as js
+
+
+@pytest.fixture()
+def json_dir(tmp_path):
+    rows = [
+        {"ts": "2024-01-01T00:00:05", "payload": '{"user": "a", "n": 1}'},
+        {"ts": "2024-01-01T00:00:15", "payload": '{"user": "a", "n": 2}'},
+        {"ts": "2024-01-01T00:01:05", "payload": '{"user": "b", "n": 3}'},
+        {"ts": "2024-01-01T00:01:45", "payload": 'not json'},
+    ]
+    p = tmp_path / "stream_in"
+    p.mkdir()
+    with open(p / "part-0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(p)
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+class TestStreaming:
+    def test_extract_and_windowed_counts(self, spark, json_dir):
+        stream = spark.readStream.schema(SCHEMA).json(json_dir)
+        assert stream.isStreaming
+
+        agg = js.windowed_json_counts(
+            stream, "payload", ("user",), ts_col="ts",
+            window="1 minute", watermark="2 minutes",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wincounts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.win.start.minute, r._key): r.n
+            for r in spark.sql("select * from wincounts").collect()
+        }
+        # invalid json -> NULL key still counted in its window
+        assert got == {(0, "a"): 2, (1, "b"): 1, (1, None): 1}
+
+    def test_extract_json_stream_projection(self, spark, json_dir):
+        stream = spark.readStream.schema(SCHEMA).json(json_dir)
+        ext = js.extract_json_stream(
+            stream, "payload", {"user": ("str", "user"), "n": ("int", "n")}
+        )
+        q = (
+            ext.writeStream.format("memory")
+            .queryName("extracted")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select user, n from extracted order by n").collect()
+        assert [(r.user, r.n) for r in rows] == [
+            (None, None),
+            ("a", 1),
+            ("a", 2),
+            ("b", 3),
+        ]
