@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -49,6 +51,18 @@ def _col(c) -> Column:
 
 
 # ---------------------------------------------------------------- exact
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the heavy per-row map (shingling/hashing) runs with at
+    least one partition per core. A single large input file otherwise
+    serializes the whole signature computation into one task — on a real
+    cluster input splits usually provide parallelism, but a repartition
+    here is cheap insurance relative to the per-row work it spreads."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    return df
+
 
 def exact_dedup(df: DataFrame, *cols: str) -> DataFrame:
     """Exact deduplication on ``cols`` (all columns when empty). Plain
@@ -95,23 +109,88 @@ def minhash_signature(
     seed: int = 42,
     mode: str = "char",
     n: int = 5,
+    impl: str = "pandas",
 ) -> Column:
     """MinHash signature: array<bigint> of length ``num_perm``.
 
-    Each permutation is ``min((a*h + b) mod p)`` over the shingle hashes
-    — all JVM expressions; signatures for a 100 TB corpus are computed at
-    scan speed with zero shuffles. Empty/blank documents get NULL
-    signatures (array_min of empty => NULL) so they never collide into a
-    mega-bucket."""
+    Shingling + xxhash64 stay JVM-side; the permutation minima
+    ``min((a*h + b) mod p)`` run in a numpy-vectorized pandas UDF by
+    default. Rationale: Spark's higher-order array functions are
+    interpreted (excluded from whole-stage codegen), so an
+    O(shingles × num_perm) expression pays tree-walk costs per element —
+    the Arrow hop plus one numpy broadcast is ~10× faster at num_perm=32+.
+    ``impl='expr'`` keeps the pure-JVM single-pass fold (useful where
+    Python workers are unavailable).
+
+    Empty/blank documents get NULL signatures so they never collide into
+    a mega-bucket."""
+    coeffs = _perm_coeffs(num_perm, seed)
+    if impl == "expr":
+        hashes = shingle_hashes(text, mode=mode, n=n)
+        sig = F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(_MH_PRIME).cast("bigint"), num_perm),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(*[(h * a + b) % _MH_PRIME for a, b in coeffs]),
+                lambda x, y: F.least(x, y),
+            ),
+        )
+        return F.when(F.size(hashes) > 0, sig)
+
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    def _minima(shingle_hashes_i64: np.ndarray):
+        hv = shingle_hashes_i64[None, :]
+        # h,a < 2^31 => products < 2^62: no int64 overflow
+        return ((a_vec * hv + b_vec) % _MH_PRIME).min(axis=1).tolist()
+
+    if mode == "word":
+        # Word mode never materializes n-gram STRINGS: tokens are hashed
+        # once JVM-side (xxhash64), and an n-gram's hash is a numeric mix
+        # of its n consecutive token hashes — vectorized slicing in numpy.
+        # Building 100s of concat_ws(slice(...)) strings per row through
+        # Spark's interpreted higher-order functions costs more than the
+        # whole signature otherwise.
+        tok_hashes = F.transform(tokens(_col(text)), lambda t: F.xxhash64(t))
+        mix = np.array(
+            [0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1][:n]
+            if n <= 5
+            else [0x9E3779B1 + 2 * i + 1 for i in range(n)],
+            dtype=np.uint64,
+        )
+
+        @F.pandas_udf("array<bigint>")
+        def _sig_words(hs: pd.Series) -> pd.Series:
+            out = []
+            for h in hs:
+                if h is None or len(h) < n:
+                    out.append(None)
+                    continue
+                hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                acc = hv[: len(hv) - n + 1] * mix[0]
+                for i in range(1, n):
+                    acc = acc ^ (hv[i : len(hv) - n + 1 + i] * mix[i])
+                sh = np.unique((acc % np.uint64(_MH_PRIME)).astype(np.int64))
+                out.append(_minima(sh))
+            return pd.Series(out, dtype=object)
+
+        return _sig_words(tok_hashes)
+
     hashes = shingle_hashes(text, mode=mode, n=n)
 
-    def perm(a, b):
-        # closure, not default-args: Spark's higher-order lambdas must
-        # declare exactly 1-2 parameters
-        return F.array_min(F.transform(hashes, lambda h: (h * a + b) % _MH_PRIME))
+    @F.pandas_udf("array<bigint>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            out.append(_minima(np.asarray(h, dtype=np.int64)))
+        return pd.Series(out, dtype=object)
 
-    sig = F.array(*[perm(a, b) for a, b in _perm_coeffs(num_perm, seed)])
-    return F.when(F.size(hashes) > 0, sig)
+    return _sig(hashes)
 
 
 def lsh_bands(sig: Column, *, bands: int, rows: int) -> Column:
@@ -165,31 +244,40 @@ def minhash_dup_pairs(
     Returns (id_a, id_b, jaccard).
     """
     rows = num_perm // bands
-    base = (
+    df = _spread(df)
+    # (id, band) pairs only — text stays behind and is re-joined for the
+    # (small) verified candidate set. PERSISTED: a self-join otherwise
+    # computes the signatures once per side (broadcast joins have no
+    # exchange to reuse), and signatures are the expensive map.
+    band_df = (
         df.select(
             F.col(id_col).alias("_id"),
-            F.col(text_col).alias("_text"),
             minhash_signature(
                 text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
             ).alias("_sig"),
         )
         .filter(F.col("_sig").isNotNull())
         .withColumn("_band", F.explode(lsh_bands(F.col("_sig"), bands=bands, rows=rows)))
-    )
-    left = base.select(
-        F.col("_band"), F.col("_id").alias("id_a"), F.col("_text").alias("text_a")
-    )
-    right = base.select(
-        F.col("_band"), F.col("_id").alias("id_b"), F.col("_text").alias("text_b")
+        .select("_band", "_id")
+        .persist()
     )
     cand = (
-        left.join(right, on="_band")
-        .filter(F.col("id_a") < F.col("id_b"))
+        band_df.alias("L")
+        .join(band_df.alias("R"), F.col("L._band") == F.col("R._band"))
+        .filter(F.col("L._id") < F.col("R._id"))
+        .select(F.col("L._id").alias("id_a"), F.col("R._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext"))
     sh = lambda c: (char_ngrams(c, n) if mode == "char" else word_ngrams(c, n))  # noqa: E731
     return (
-        cand.withColumn("jaccard", jaccard_tokens(sh(F.col("text_a")), sh(F.col("text_b"))))
+        cand.join(texts, cand.id_a == texts._tid)
+        .withColumnRenamed("_ttext", "text_a")
+        .drop("_tid")
+        .join(texts, cand.id_b == texts._tid)
+        .withColumnRenamed("_ttext", "text_b")
+        .drop("_tid")
+        .withColumn("jaccard", jaccard_tokens(sh(F.col("text_a")), sh(F.col("text_b"))))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -212,10 +300,14 @@ def minhash_dedup(
 
 # -------------------------------------------------------------- simhash
 
-def simhash(text, *, mode: str = "word", n: int = 1) -> Column:
-    """64-bit SimHash of the document (BIGINT), pure JVM expressions:
-    per-token xxhash64, bit votes via zip_with over a 64-slot accumulator,
-    sign-threshold to bits.
+def simhash(text, *, mode: str = "word", n: int = 1, impl: str = "pandas") -> Column:
+    """64-bit SimHash of the document (BIGINT): per-feature xxhash64
+    (JVM), bit votes, sign-threshold to bits.
+
+    Default impl is a numpy-vectorized pandas UDF over the JVM-computed
+    hash array (same interpreted-HOF rationale as minhash_signature);
+    ``impl='expr'`` keeps the pure-JVM fold. Both produce identical
+    values.
 
     ``mode='word', n=1`` votes over unique tokens; char mode votes over
     shingles."""
@@ -225,6 +317,25 @@ def simhash(text, *, mode: str = "word", n: int = 1) -> Column:
         else (char_ngrams(text, n) if mode == "char" else word_ngrams(text, n))
     )
     hashes = F.transform(feats, lambda s: F.xxhash64(s))
+    if impl == "pandas":
+
+        @F.pandas_udf("bigint")
+        def _simhash(hs: pd.Series) -> pd.Series:
+            shifts = np.arange(64, dtype=np.uint64)
+            out = []
+            for h in hs:
+                if h is None:
+                    out.append(None)
+                    continue
+                hv = np.asarray(h, dtype=np.int64).astype(np.uint64)[:, None]
+                votes = (((hv >> shifts[None, :]) & 1).astype(np.int64) * 2 - 1).sum(
+                    axis=0
+                )
+                v = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+                out.append(v - (1 << 64) if v >= (1 << 63) else v)
+            return pd.Series(out, dtype=object)
+
+        return _simhash(hashes)
     # Bit positions are plan-time constants (shift amounts must be python
     # ints in Spark), so the 64 vote lanes unroll here; the per-row work
     # stays one aggregate pass over the feature hashes.
@@ -274,6 +385,7 @@ def simhash_dup_pairs(
     discipline as minhash banding). Returns (id_a, id_b, hamming).
     """
     n_blocks = 64 // block_bits
+    df = _spread(df)
     base = df.select(
         F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")
     ).withColumn(
@@ -292,11 +404,19 @@ def simhash_dup_pairs(
             )
         ),
     )
-    left = base.select("_blk", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    right = base.select("_blk", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    # persisted: simhash is the expensive map and a broadcast self-join
+    # would otherwise compute it once per side
+    base = base.select("_blk", "_id", "_sh").persist()
     return (
-        left.join(right, on="_blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        base.alias("L")
+        .join(base.alias("R"), F.col("L._blk") == F.col("R._blk"))
+        .filter(F.col("L._id") < F.col("R._id"))
+        .select(
+            F.col("L._id").alias("id_a"),
+            F.col("R._id").alias("id_b"),
+            F.col("L._sh").alias("sh_a"),
+            F.col("R._sh").alias("sh_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", _popcount64(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -326,14 +446,19 @@ def ngram_jaccard_pairs(
     block = F.array_min(
         F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_MH_PRIME)))
     )
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text"), block.alias("_blk")
     ).filter(F.col("_blk").isNotNull())
-    left = base.select(F.col("_blk"), F.col("_id").alias("id_a"), F.col("_text").alias("ta"))
-    right = base.select(F.col("_blk"), F.col("_id").alias("id_b"), F.col("_text").alias("tb"))
     return (
-        left.join(right, on="_blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        base.alias("L")
+        .join(base.alias("R"), F.col("L._blk") == F.col("R._blk"))  # ReusedExchange
+        .filter(F.col("L._id") < F.col("R._id"))
+        .select(
+            F.col("L._id").alias("id_a"),
+            F.col("R._id").alias("id_b"),
+            F.col("L._text").alias("ta"),
+            F.col("R._text").alias("tb"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "jaccard",

@@ -179,17 +179,25 @@ def embedding_dup_pairs(
     """Embedding near-duplicate pairs: LSH-bucket self-join (shuffle keyed
     by bucket — near-identical vectors land together) + exact cosine
     verification. Returns (id_a, id_b, cosine)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     base = add_lsh_buckets(df, vec_col, dim, n_planes=n_planes, seed=seed).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "lsh_bucket"
     )
-    left = base.select("lsh_bucket", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    right = base.select("lsh_bucket", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
     pair_cos = dot(F.col("va"), F.col("vb")) / (
         l2_norm(F.col("va")) * l2_norm(F.col("vb"))
     )
     return (
-        left.join(right, on="lsh_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        base.alias("L")
+        .join(base.alias("R"), F.col("L.lsh_bucket") == F.col("R.lsh_bucket"))
+        .filter(F.col("L._id") < F.col("R._id"))
+        .select(
+            F.col("L._id").alias("id_a"),
+            F.col("R._id").alias("id_b"),
+            F.col("L._v").alias("va"),
+            F.col("R._v").alias("vb"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("cosine", F.round(pair_cos, 6))
         .filter(F.col("cosine") >= threshold)

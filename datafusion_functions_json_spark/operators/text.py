@@ -171,7 +171,7 @@ def _token_code(tok: Column) -> Column:
     return (
         F.length(tok) * 131
         + F.ascii(tok) * 31
-        + F.ascii(F.substring(tok, -1, 1))
+        + F.ascii(F.reverse(tok))
     ) % _FP_MOD
 
 

@@ -1,0 +1,115 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
+given SF, compare row count + order-insensitive values (columns sorted
+by name, rows sorted), and print a per-query verdict.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+from datafusion_functions_json_spark.sources import TABLES, session_defaults
+
+
+def norm_cell(v):
+    if v is None:
+        return "~N"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(norm_cell(vals[i]) for i in order))
+    out.sort()
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = session_defaults(
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        a, b = canon(srows, scols), canon(orows, ocols)
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL  {name}: column names {sorted(scols)} vs {sorted(ocols)}")
+            failures.append(name)
+        elif a == b:
+            print(f"OK    {name}: {len(a)} rows [{time.time()-t0:.1f}s]")
+        else:
+            print(f"FAIL  {name}: {len(a)} vs {len(b)} rows; first diffs:")
+            sb, sa = set(b), set(a)
+            diff_a = [r for r in a if r not in sb][:3]
+            diff_b = [r for r in b if r not in sa][:3]
+            print("   spark:", diff_a)
+            print("   duck :", diff_b)
+            failures.append(name)
+    print()
+    print(f"{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
