@@ -232,6 +232,24 @@ def _q_operator_chain(spark, sf_dir):
     )
 
 
+def _q_multi_extract(spark, sf_dir):
+    # fused extraction: one parse + one Arrow hop for 5 typed fields
+    li = _lineitem(spark, sf_dir).withColumn("j", _nested_json_col())
+    u = jsonf.json_extract_multi(
+        "j",
+        {
+            "b0": ("int", "a", "b", 0),
+            "flag": ("str", "a", "b", 1, "c"),
+            "d_text": ("text", "d"),
+            "len_ab": ("length", "a", "b"),
+            "has_d": ("exists", "d"),
+        },
+    ).alias("u")
+    return li.select("l_orderkey", "l_linenumber", u).select(
+        "l_orderkey", "l_linenumber", "u.*"
+    )
+
+
 def _q_union_roundtrip(spark, sf_dir):
     # json_get -> union struct -> json_union_to_text + json_is_null
     li = _lineitem(spark, sf_dir).withColumn("j", _nested_json_col())
@@ -467,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_as_text_null": _q_nested_as_text_null,
         "get_array_csv": _q_get_array_csv,
         "operator_chain": _q_operator_chain,
+        "multi_extract": _q_multi_extract,
         "union_roundtrip": _q_union_roundtrip,
         "from_scalar": _q_from_scalar,
         "column_key": _q_column_key,
@@ -564,6 +583,14 @@ def oracle_sql() -> dict[str, str]:
             f"select l_orderkey, l_linenumber, "
             f"try_cast(json_extract({nested}, '$.a.b[0]') as bigint) as b0, "
             f"json_extract_string({nested}, '$.d') as d_text from lineitem"
+        ),
+        "multi_extract": (
+            f"select l_orderkey, l_linenumber, "
+            f"try_cast(json_extract({nested}, '$.a.b[0]') as bigint) as b0, "
+            f"json_extract_string({nested}, '$.a.b[1].c') as flag, "
+            f"json_extract_string({nested}, '$.d') as d_text, "
+            f"json_array_length({nested}, '$.a.b')::bigint as len_ab, "
+            f"json_type({nested}, '$.d') is not null as has_d from lineitem"
         ),
         "union_roundtrip": (
             # our a_text preserves the document's RAW bytes (spacing

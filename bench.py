@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "json_agg",            # contains-filter + int-extract + group agg
     "json_get_int",        # plain per-row extraction at scale
     "nested_get_str",      # 4-level path on synthesized nested docs
+    "multi_extract",       # fused 5-field extraction, one parse per doc
     "union_roundtrip",     # union struct + to_text + is_null
     # relational
     "tpch_q1",

@@ -28,14 +28,14 @@ def _register_pickle_by_value() -> None:
         from pyspark import cloudpickle
 
         from . import register
-        from .functions import core, kernels, udfs
+        from .functions import core, kernels, multi, udfs
         from .operators import dedup, multimodal, similarity
         from .operators import text as optext
 
         # Only the modules whose code executes inside workers — the
         # pure-API modules (api/column/union) are driver-side and stay
         # reference-pickled.
-        for m in (core, kernels, udfs, register, dedup, similarity, optext, multimodal):
+        for m in (core, kernels, udfs, multi, register, dedup, similarity, optext, multimodal):
             cloudpickle.register_pickle_by_value(m)
     except Exception:  # pragma: no cover - best-effort; cwd layouts still work
         pass
@@ -44,6 +44,7 @@ def _register_pickle_by_value() -> None:
 _register_pickle_by_value()
 
 from .column import JsonColumn, col
+from .functions.multi import json_extract_multi
 from .functions.api import (
     json_as_text,
     json_contains,
@@ -86,6 +87,7 @@ __all__ = [
     "scalar_to_json",
     "json_union_to_text",
     "json_is_null",
+    "json_extract_multi",
     "register_all",
     "UNION_SCHEMA",
     "UNION_DDL",

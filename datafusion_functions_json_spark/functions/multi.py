@@ -1,0 +1,209 @@
+"""Fused multi-field JSON extraction — parse each document ONCE for N
+fields.
+
+The reference evaluates one UDF per extraction, re-parsing the document
+per call (mitigated by its call un-nesting for chained lookups;
+SURVEY.md §2.3). For the analytics pattern "project 5 typed fields out
+of one JSON column", our engine can do strictly better than both the
+reference and naive per-field UDFs: a single pandas UDF that parses each
+document once (C-accelerated ``json.loads``) and emits a struct — one
+JVM→Python Arrow hop, one parse, N fields.
+
+Semantics per field mirror the single-field kernels exactly (same
+coercion and null taxonomy); documents where strict full-document
+parsing fails (invalid JSON — or valid-prefix-plus-garbage, which the
+streaming finder tolerates) fall back to the per-path streaming finder,
+so results are IDENTICAL to N separate calls.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Mapping, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import core
+
+__all__ = ["json_extract_multi", "FIELD_KINDS"]
+
+FIELD_KINDS = {
+    "str": "string",
+    "int": "bigint",
+    "float": "double",
+    "bool": "boolean",
+    "text": "string",  # json_as_text semantics
+    "length": "bigint",
+    "exists": "boolean",
+}
+
+
+def _nav(doc, path):
+    """Navigate a parsed DOM; returns (found, value)."""
+    cur = doc
+    for p in path:
+        if isinstance(p, str):
+            if not isinstance(cur, dict) or p not in cur:
+                return False, None
+            cur = cur[p]
+        else:
+            i = int(p)
+            if isinstance(cur, bool) or not isinstance(cur, list):
+                return False, None
+            if i < 0 or i >= len(cur):
+                return False, None
+            cur = cur[i]
+    return True, cur
+
+
+def _coerce(kind: str, found: bool, v):
+    """Apply the single-field kernel's coercion rules to a DOM value
+    (reference semantics per SURVEY.md §2.1)."""
+    if kind == "exists":
+        return found
+    if not found:
+        return None
+    if kind == "str":
+        return v if isinstance(v, str) else None
+    if kind == "int":
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return v if core.INT64_MIN <= v <= core.INT64_MAX else None
+        if isinstance(v, str):
+            return core.parse_int_like_rust(v)
+        return None
+    if kind == "float":
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, float):
+            return v
+        if isinstance(v, int):
+            return float(v)
+        if isinstance(v, str):
+            return core.parse_float_like_rust(v)
+        return None
+    if kind == "bool":
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, str):
+            return core.parse_bool_like_rust(v)
+        return None
+    if kind == "text":
+        # json_as_text: string unquoted; null -> SQL NULL; other values
+        # canonical JSON text (DOM path reserializes — identical to the
+        # raw slice only for scalars; containers go through the fallback
+        # finder to preserve raw bytes)
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return v
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return core.json_dumps_canonical(
+                core.INT if isinstance(v, int) else core.FLOAT, v
+            )
+        return None  # containers handled by fallback
+    if kind == "length":
+        if isinstance(v, dict):
+            return len(v)
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, list):
+            return len(v)
+        return None
+    raise ValueError(f"unknown field kind {kind!r}")
+
+
+def _fallback_one(s, kind: str, path):
+    """Streaming-finder path for docs the strict parser rejects and for
+    container-valued text fields — bit-identical to the single kernels."""
+    if kind == "exists":
+        return core.exists_at(s, path)
+    if kind == "length":
+        return core.length_at(s, path)
+    if kind == "text":
+        k, raw, sval = core.find_raw(s, path)
+        if k == core.STR:
+            return sval
+        if k in (core.MISSING, core.NULL):
+            return None
+        return raw
+    k, v = core.find(s, path)
+    if kind == "str":
+        return v if k == core.STR else None
+    if kind == "int":
+        if k == core.INT:
+            return v if core.INT64_MIN <= v <= core.INT64_MAX else None
+        return core.parse_int_like_rust(v) if k == core.STR else None
+    if kind == "float":
+        if k == core.FLOAT:
+            return v
+        if k == core.INT:
+            return float(v)
+        return core.parse_float_like_rust(v) if k == core.STR else None
+    if kind == "bool":
+        if k == core.BOOL:
+            return v
+        return core.parse_bool_like_rust(v) if k == core.STR else None
+    raise ValueError(f"unknown field kind {kind!r}")
+
+
+def json_extract_multi(
+    json_col, fields: Mapping[str, Tuple]
+) -> Column:
+    """Extract N typed fields from one JSON column with ONE parse per
+    document.
+
+    ``fields``: ``{out_name: (kind, *path)}`` with kind in
+    ``FIELD_KINDS`` ({str,int,float,bool,text,length,exists}) and path
+    elements str (key) / int (index).
+
+    Returns a struct column; expand with ``.select(out["*"])`` or
+    ``F.col("out.*")``.
+
+    Scale: for K fields this replaces K ArrowEvalPython round trips and
+    K parses with 1 + 1 — on wide-extraction workloads the dominant cost
+    (parse) is paid once.
+    """
+    if isinstance(json_col, str):
+        json_col = F.col(json_col)
+    specs = []
+    for name, spec in fields.items():
+        kind, *path = spec
+        if kind not in FIELD_KINDS:
+            raise ValueError(
+                f"unknown kind {kind!r} for field {name!r}; expected one "
+                f"of {sorted(FIELD_KINDS)}"
+            )
+        specs.append((name, kind, tuple(path)))
+    ret = "struct<" + ",".join(f"`{n}`:{FIELD_KINDS[k]}" for n, k, _ in specs) + ">"
+    loads = json.loads
+
+    def extract_row(s):
+        if s is None:
+            return tuple(
+                False if k == "exists" else None for _, k, _p in specs
+            )
+        try:
+            doc = loads(s)
+        except Exception:
+            return tuple(_fallback_one(s, k, p) for _, k, p in specs)
+        out = []
+        for _, k, p in specs:
+            found, v = _nav(doc, p)
+            if k == "text" and found and isinstance(v, (dict, list)):
+                out.append(_fallback_one(s, k, p))  # raw-bytes fidelity
+            else:
+                out.append(_coerce(k, found, v))
+        return tuple(out)
+
+    @F.pandas_udf(ret)
+    def _multi(js: pd.Series) -> pd.DataFrame:
+        rows = [extract_row(s) for s in js]
+        return pd.DataFrame(rows, columns=[n for n, _, _ in specs], dtype=object)
+
+    return _multi(json_col)

@@ -1,0 +1,100 @@
+"""json_extract_multi: fused N-field extraction must be bit-identical to
+N single-field calls (including the malformed-JSON fallback path)."""
+
+from pyspark.sql import functions as F
+
+import datafusion_functions_json_spark as jsonf
+
+
+FIELDS = {
+    "s": ("str", "foo"),
+    "i": ("int", "foo"),
+    "f": ("float", "foo"),
+    "b": ("bool", "foo"),
+    "t": ("text", "foo"),
+    "n": ("length",),
+    "e": ("exists", "foo"),
+}
+
+
+def singles(df):
+    return df.select(
+        "name",
+        jsonf.json_get_str("json_data", "foo").alias("s"),
+        jsonf.json_get_int("json_data", "foo").alias("i"),
+        jsonf.json_get_float("json_data", "foo").alias("f"),
+        jsonf.json_get_bool("json_data", "foo").alias("b"),
+        jsonf.json_as_text("json_data", "foo").alias("t"),
+        jsonf.json_length("json_data").alias("n"),
+        jsonf.json_contains("json_data", "foo").alias("e"),
+    ).collect()
+
+
+def fused(df):
+    u = jsonf.json_extract_multi("json_data", FIELDS).alias("u")
+    return df.select("name", u).select("name", "u.*").collect()
+
+
+class TestMultiEquivalence:
+    def test_fixture_matrix(self, test_df):
+        a = {r.name: tuple(r)[1:] for r in singles(test_df)}
+        b = {r.name: tuple(r)[1:] for r in fused(test_df)}
+        assert a == b
+
+    def test_edge_docs(self, spark):
+        rows = [
+            (str(i), j)
+            for i, j in enumerate(
+                [
+                    '{"foo": "123"}',
+                    '{"foo": "1.5"}',
+                    '{"foo": 1.5}',
+                    '{"foo": 9223372036854775808}',
+                    '{"foo": true} trailing garbage',  # strict-parse fallback
+                    '{"foo": [1, {"x": 2}]}',
+                    "",
+                    None,
+                ]
+            )
+        ]
+        df = spark.createDataFrame(rows, "name string, json_data string")
+        a = {r.name: tuple(r)[1:] for r in singles(df)}
+        b = {r.name: tuple(r)[1:] for r in fused(df)}
+        assert a == b
+
+    def test_raw_container_text_fidelity(self, spark):
+        # text kind on a container must preserve raw bytes (spacing)
+        df = spark.createDataFrame([('{"foo": [1,  2]}',)], "json_data string")
+        r = df.select(
+            jsonf.json_extract_multi("json_data", {"t": ("text", "foo")}).alias("u")
+        ).select("u.*").collect()[0]
+        assert r.t == "[1,  2]"
+
+    def test_single_arrow_eval(self, spark):
+        from datafusion_functions_json_spark.plans import arrow_eval_count
+
+        df = spark.createDataFrame([('{"a": 1, "b": "x"}',)], "j string")
+        out = df.select(
+            jsonf.json_extract_multi(
+                "j", {"a": ("int", "a"), "b": ("str", "b"), "n": ("length",)}
+            ).alias("u")
+        )
+        assert arrow_eval_count(out) == 1
+
+    def test_deep_paths(self, spark):
+        df = spark.createDataFrame([('{"a": {"b": [10, 20]}}',)], "j string")
+        r = (
+            df.select(
+                jsonf.json_extract_multi(
+                    "j",
+                    {
+                        "x": ("int", "a", "b", 1),
+                        "has": ("exists", "a", "b", 5),
+                        "len": ("length", "a", "b"),
+                    },
+                ).alias("u")
+            )
+            .select("u.*")
+            .collect()[0]
+        )
+        assert (r.x, r.has, r.len) == (20, False, 2)
