@@ -411,6 +411,11 @@ def json_dumps_canonical(kind: int, value) -> Optional[str]:
     if kind == INT:
         return str(value)
     if kind == FLOAT:
+        # serde_json writes non-finite floats as JSON null (reference:
+        # src/json_union_to_text.rs float arm); Python json.dumps would
+        # emit the non-standard 'Infinity'/'NaN' tokens
+        if value != value or value in (float("inf"), float("-inf")):
+            return "null"
         return json.dumps(value)
     raise ValueError(f"cannot serialize kind {kind}")
 

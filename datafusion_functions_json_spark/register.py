@@ -90,6 +90,40 @@ def _make_sql_udf(fn_key: str):
     return F.pandas_udf(fn, ret)
 
 
+def _from_scalar_udf():
+    """SQL-surface json_from_scalar: per-value python-type dispatch (the
+    SQL boundary erases static types; the reference dispatches on the
+    Arrow type at plan time — same arms, reference:
+    src/json_from_scalar.rs:48-68)."""
+    import numpy as _np
+
+    def classify(v):
+        none7 = (None, None, None, None, None, None)
+        if v is None:
+            return (None,) + none7[:6]
+        if isinstance(v, (bool, _np.bool_)):
+            return (1, bool(v), None, None, None, None, None)
+        if isinstance(v, (int, _np.integer)):
+            return (2, None, int(v), None, None, None, None)
+        if isinstance(v, (float, _np.floating)):
+            if v != v:  # NaN from a nullable int column means NULL
+                return (None,) + none7[:6]
+            return (3, None, None, float(v), None, None, None)
+        if isinstance(v, str):
+            return (4, None, None, None, v, None, None)
+        return (None,) + none7[:6]
+
+    def fn(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [classify(v) for v in s],
+            columns=["type_id", "bool", "int", "float", "str", "array", "object"],
+            dtype=object,
+        )
+
+    fn.__name__ = "json_from_scalar"
+    return F.pandas_udf(fn, UNION_DDL)
+
+
 def _union_is_null_udf():
     def fn(u: pd.DataFrame) -> pd.Series:
         tid = u["type_id"]
@@ -109,5 +143,7 @@ def register_all(spark: SparkSession) -> None:
     names["json_keys"] = names["json_object_keys"]  # src/json_object_keys.rs:29
     names["json_union_to_text"] = udfs.union_to_text_udf()
     names["json_is_null"] = _union_is_null_udf()
+    names["json_from_scalar"] = _from_scalar_udf()
+    names["scalar_to_json"] = names["json_from_scalar"]  # src/json_from_scalar.rs:31
     for name, udf in names.items():
         spark.udf.register(name, udf)

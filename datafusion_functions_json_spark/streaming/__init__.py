@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions import api as jsonf
 
-__all__ = ["extract_json_stream", "windowed_json_counts"]
+__all__ = ["extract_json_stream", "windowed_json_counts", "sessionize"]
 
 
 def extract_json_stream(
@@ -61,3 +61,99 @@ def windowed_json_counts(
     return extracted.groupBy(
         F.window(F.col(ts_col), window).alias("win"), F.col("_key")
     ).agg(F.count("*").alias("n"))
+
+
+
+def _session_frame(pd, rows):
+    # datetime64 columns, NOT object-dtype Timestamp lists: the Arrow
+    # serializer hard-crashes the worker on object-dtype timestamps
+    return pd.DataFrame(
+        {
+            "key": [r[0] for r in rows],
+            "session_start": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "session_end": pd.to_datetime([r[2] for r in rows], unit="s"),
+            "n_events": [r[3] for r in rows],
+        }
+    )
+
+
+SESSION_OUTPUT_DDL = (
+    "key string, session_start timestamp, session_end timestamp, n_events bigint"
+)
+_SESSION_STATE_DDL = "start double, last double, n bigint"
+
+
+def sessionize(
+    stream: DataFrame,
+    json_col: str,
+    key_path: tuple,
+    *,
+    ts_col: str = "ts",
+    gap_seconds: float = 300.0,
+):
+    """Custom stateful streaming operator: gap-based sessionization keyed
+    by a JSON-extracted field, via ``applyInPandasWithState``.
+
+    A session for a key closes when no event arrives within
+    ``gap_seconds``; closed sessions are emitted with start/end/count.
+    In-batch gaps close sessions immediately; the trailing open session
+    is held in the state store and emitted when the processing-time
+    timeout fires (real streams) — state per key is three numbers, so
+    the store stays O(active keys) regardless of input volume.
+
+    Works identically on batch DataFrames for backfill (groupBy the same
+    logic); the streaming path is the reference pattern for "custom
+    stateful operator" composition on top of our stateless JSON scalars.
+    """
+    import pandas as pd  # local: runs on workers
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    extracted = stream.select(
+        jsonf.json_as_text(json_col, *key_path).alias("_key"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+    ).filter(F.col("_key").isNotNull())
+
+    gap = float(gap_seconds)
+
+    def fn(key, pdf_iter, state: GroupState):
+        rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                rows.append((key[0], start, last, int(n)))
+                state.remove()
+            if rows:
+                yield _session_frame(pd, rows)
+            return
+
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.extend(t.timestamp() for t in pdf["_ts"] if t is not None)
+        ts_all.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        for t in ts_all:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > gap:
+                rows.append((key[0], start, last, int(n)))
+                start, last, n = t, t, 1
+            else:
+                last = t
+                n += 1
+        if last is not None:
+            state.update((float(start), float(last), int(n)))
+            state.setTimeoutDuration(int(gap * 1000))
+        if rows:
+            yield _session_frame(pd, rows)
+
+    return extracted.groupBy("_key").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_DDL,
+        stateStructType=_SESSION_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

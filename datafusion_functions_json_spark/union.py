@@ -112,8 +112,12 @@ def format_union_value(row) -> str:
     if tid == TYPE_ID_INT:
         return "{int=%d}" % row["int"]
     if tid == TYPE_ID_FLOAT:
-        v = row["float"]
-        return "{float=%s}" % (int(v) if float(v).is_integer() else v)
+        v = float(row["float"])
+        if v != v:
+            return "{float=NaN}"  # Rust Display casing
+        if v in (float("inf"), float("-inf")):
+            return "{float=%sinf}" % ("-" if v < 0 else "")
+        return "{float=%s}" % (int(v) if v.is_integer() else v)
     if tid == TYPE_ID_STR:
         return "{str=%s}" % row["str"]
     if tid == TYPE_ID_ARRAY:

@@ -61,6 +61,50 @@ class TestStreaming:
         # invalid json -> NULL key still counted in its window
         assert got == {(0, "a"): 2, (1, "b"): 1, (1, None): 1}
 
+    def test_sessionize_stateful(self, spark, tmp_path):
+        # two users; user a has an in-batch gap > 60s => one CLOSED session
+        # emitted; trailing open sessions stay in state
+        rows = [
+            {"ts": "2024-01-01T00:00:00", "payload": '{"user": "a"}'},
+            {"ts": "2024-01-01T00:00:30", "payload": '{"user": "a"}'},
+            {"ts": "2024-01-01T00:05:00", "payload": '{"user": "a"}'},  # gap
+            {"ts": "2024-01-01T00:00:10", "payload": '{"user": "b"}'},
+        ]
+        p = tmp_path / "sess_in"
+        p.mkdir()
+        with open(p / "part-0.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+        stream = spark.readStream.schema(SCHEMA).json(str(p))
+        sessions = js.sessionize(
+            stream, "payload", ("user",), ts_col="ts", gap_seconds=60
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow + ProcessingTimeTimeout keeps scheduling batches to
+        # fire pending timeouts — poll for the closed session, then stop
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("select * from sessions").count() >= 1:
+                break
+            time.sleep(1)
+        q.stop()
+        got = [
+            (r.key, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+            for r in spark.sql("select * from sessions order by key").collect()
+        ]
+        assert got == [
+            ("a", "2024-01-01T00:00:00", "2024-01-01T00:00:30", 2),
+        ]
+
     def test_extract_json_stream_projection(self, spark, json_dir):
         stream = spark.readStream.schema(SCHEMA).json(json_dir)
         ext = js.extract_json_stream(
