@@ -1,0 +1,100 @@
+"""Native tier — pure-JVM fast paths for a subset of the surface
+(SURVEY.md §7.1: "native tier (where provably equivalent, used
+opportunistically for speed)").
+
+These avoid the JVM→Python Arrow hop entirely by mapping onto Spark
+built-ins. They are NOT drop-in equivalent to the exact tier in every
+corner; each function documents its equivalence envelope, and
+tests/test_native.py pins both the agreements and the known divergences.
+Use them when your data fits the envelope (the common analytics case);
+the exact tier remains the default everywhere else.
+
+Envelope summary:
+
+* ``json_as_text_native`` — `get_json_object` with a '$.k[i]' path.
+  Agrees with ``json_as_text`` for: string/int/bool values, missing
+  keys, JSON null, invalid JSON. Diverges on: float reserialization
+  (`4.2e-1` → `0.42`), container values (minified by Jackson, raw in the
+  exact tier), keys containing '.', '[', quotes (path syntax).
+* ``json_length_native`` (path-less) — coalesce of
+  `json_array_length` / `size(json_object_keys)`. Agrees except:
+  documents with trailing garbage (strict Jackson parse vs streaming).
+* ``json_object_keys_native`` (path-less) — Spark's `json_object_keys`.
+  Same envelope as above.
+* ``json_get_int_native`` / ``json_get_float_native`` — get_json_object
+  + try-cast. Agrees for int/float/missing/null; diverges on string
+  coercions ('1.5' string → NULL in exact tier int getter, and Spark
+  casts accept forms Rust rejects, e.g. whitespace).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "jsonpath",
+    "json_as_text_native",
+    "json_length_native",
+    "json_object_keys_native",
+    "json_get_int_native",
+    "json_get_float_native",
+]
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def jsonpath(path) -> str:
+    """Render our variadic path model as a Spark JSONPath string.
+    Raises for keys the syntax can't express (dots/brackets/quotes) —
+    those need the exact tier."""
+    out = "$"
+    for p in path:
+        if isinstance(p, str):
+            if any(ch in p for ch in ".[]'\"$*"):
+                raise ValueError(
+                    f"key {p!r} is not expressible in JSONPath syntax; "
+                    "use the exact tier"
+                )
+            out += f".{p}"
+        else:
+            i = int(p)
+            if i < 0:
+                raise ValueError("negative index; use the exact tier")
+            out += f"[{i}]"
+    return out
+
+
+def json_as_text_native(json_col, *path) -> Column:
+    """``->>`` via get_json_object (JVM, codegen). See envelope above."""
+    return F.get_json_object(F.ltrim(_col(json_col)), jsonpath(path))
+
+
+def json_length_native(json_col) -> Column:
+    """Path-less json_length via built-ins."""
+    c = F.ltrim(_col(json_col))
+    return F.coalesce(
+        F.json_array_length(c).cast("bigint"),
+        F.size(F.json_object_keys(c)).cast("bigint"),
+    )
+
+
+def json_object_keys_native(json_col) -> Column:
+    """Path-less json_object_keys via the Spark built-in."""
+    return F.json_object_keys(F.ltrim(_col(json_col)))
+
+
+def json_get_int_native(json_col, *path) -> Column:
+    """Int getter for documents whose values are JSON numbers (no string
+    coercion parity). try_cast: NULL on mismatch even under ANSI."""
+    return F.get_json_object(F.ltrim(_col(json_col)), jsonpath(path)).try_cast(
+        "bigint"
+    )
+
+
+def json_get_float_native(json_col, *path) -> Column:
+    t = F.get_json_object(F.ltrim(_col(json_col)), jsonpath(path))
+    # reject bools explicitly (a cast would not, in some Spark versions)
+    return F.when(~t.isin("true", "false"), t.try_cast("double"))

@@ -76,15 +76,25 @@ def _make_sql_udf(fn_key: str):
         cols = [[elem(v) for v in k] for k in key_cols]
         return list(zip(*cols))
 
+    def _json_text(js):
+        # Union-struct first argument (nested SQL call like
+        # json_get(json_get(j,'a'),'b')): continue the lookup through the
+        # container members, like the reference's nested_json_array
+        # (reference: src/common_union.rs:49-57). Scalar members => NULL
+        # => nested lookup misses.
+        if isinstance(js, pd.DataFrame):
+            return js["array"].combine_first(js["object"])
+        return js
+
     if fn_key == "json_get":
 
         def fn(js: pd.Series, *key_cols: pd.Series) -> pd.DataFrame:
-            return wrap(fn_key, kernel(js, _paths(key_cols)))
+            return wrap(fn_key, kernel(_json_text(js), _paths(key_cols)))
 
     else:
 
         def fn(js: pd.Series, *key_cols: pd.Series) -> pd.Series:
-            return wrap(fn_key, kernel(js, _paths(key_cols)))
+            return wrap(fn_key, kernel(_json_text(js), _paths(key_cols)))
 
     fn.__name__ = fn_key
     return F.pandas_udf(fn, ret)

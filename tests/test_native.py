@@ -1,0 +1,109 @@
+"""Native tier (SURVEY.md §7.1): pin where the JVM fast paths agree with
+the exact tier, and pin the documented divergences so the envelope stays
+honest."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import datafusion_functions_json_spark as jsonf
+from datafusion_functions_json_spark.functions import native
+from datafusion_functions_json_spark.plans import arrow_eval_count
+
+
+class TestAgreementEnvelope:
+    def test_as_text_agrees_on_fixture_matrix(self, test_df):
+        rows = test_df.select(
+            "name",
+            jsonf.json_as_text("json_data", "foo").alias("exact"),
+            native.json_as_text_native("json_data", "foo").alias("nat"),
+        ).collect()
+        # strings / missing / null / invalid agree; containers diverge
+        # (raw vs minified) — the fixture's containers are '[1]' and '{}'
+        # whose minified form equals the raw form, so ALL rows agree here
+        for r in rows:
+            assert r.exact == r.nat, r.name
+
+    def test_length_and_keys_agree(self, test_df):
+        rows = test_df.select(
+            "name",
+            jsonf.json_length("json_data").alias("el"),
+            native.json_length_native("json_data").alias("nl"),
+            jsonf.json_object_keys("json_data").alias("ek"),
+            native.json_object_keys_native("json_data").alias("nk"),
+        ).collect()
+        for r in rows:
+            assert r.el == r.nl, r.name
+            assert r.ek == r.nk, r.name
+
+    def test_int_float_agree_on_numeric_values(self, spark):
+        df = spark.createDataFrame(
+            [('{"a": 1}',), ('{"a": 1.5}',), ('{"a": true}',), ('{"a": null}',), ("{}",), ("bad",)],
+            "j string",
+        )
+        rows = df.select(
+            jsonf.json_get_int("j", "a").alias("ei"),
+            native.json_get_int_native("j", "a").alias("ni"),
+            jsonf.json_get_float("j", "a").alias("ef"),
+            native.json_get_float_native("j", "a").alias("nf"),
+        ).collect()
+        for r in rows:
+            assert r.ei == r.ni
+            assert r.ef == r.nf
+
+    def test_native_has_no_python_stage(self, test_df):
+        out = test_df.select(native.json_as_text_native("json_data", "foo"))
+        assert arrow_eval_count(out) == 0
+
+
+class TestDocumentedDivergences:
+    def test_float_reserialization(self, spark):
+        # exact tier: raw text 4.2e-1; native: Jackson rewrites
+        df = spark.createDataFrame([('{"a": 4.2e-1}',)], "j string")
+        r = df.select(
+            jsonf.json_as_text("j", "a").alias("exact"),
+            native.json_as_text_native("j", "a").alias("nat"),
+        ).collect()[0]
+        assert r.exact == "4.2e-1"
+        assert r.nat != "4.2e-1"  # 0.42
+
+    def test_container_minification(self, spark):
+        df = spark.createDataFrame([('{"a": [1,  2]}',)], "j string")
+        r = df.select(
+            jsonf.json_as_text("j", "a").alias("exact"),
+            native.json_as_text_native("j", "a").alias("nat"),
+        ).collect()[0]
+        assert r.exact == "[1,  2]"
+        assert r.nat == "[1,2]"
+
+    def test_pathological_key_rejected(self):
+        with pytest.raises(ValueError, match="not expressible"):
+            native.jsonpath(("a.b",))
+
+
+class TestPlanQuality:
+    """The scale claims from README: pruning and pushdown reach the
+    parquet scan THROUGH our pandas UDFs."""
+
+    def test_column_pruning_through_udf(self, spark, tmp_path):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        p = str(tmp_path / "wide.parquet")
+        spark.createDataFrame(
+            [(1, '{"k": 1}', "x", 2.0)], "id long, j string, unused string, also double"
+        ).write.mode("overwrite").parquet(p)
+        df = spark.read.parquet(p)
+        plan = explain_str(df.select("id", jsonf.json_get_int("j", "k")))
+        assert "ReadSchema: struct<id:bigint,j:string>" in plan
+
+    def test_predicate_pushdown_past_udf_projection(self, spark, tmp_path):
+        from datafusion_functions_json_spark.plans import has_pushed_filter
+
+        p = str(tmp_path / "t2.parquet")
+        spark.createDataFrame(
+            [(i, '{"k": %d}' % i) for i in range(20)], "id long, j string"
+        ).write.mode("overwrite").parquet(p)
+        df = spark.read.parquet(p)
+        q = df.select("id", jsonf.json_get_int("j", "k").alias("k")).filter(
+            F.col("id") > 5
+        )
+        assert has_pushed_filter(q, "GreaterThan(id,5)")

@@ -75,6 +75,22 @@ class TestSqlSurface:
             (None, None),
         ]
 
+    def test_nested_union_input_sql(self, spark):
+        # reference: union-typed first argument continues the lookup
+        # (nested call in SQL, no un-nesting rewrite available there)
+        df = spark.createDataFrame(
+            [('{"a": {"b": 7}}',), ('{"a": "scalar"}',)], "j string"
+        )
+        df.createOrReplaceTempView("nested_u")
+        rows = spark.sql(
+            """
+            select json_union_to_text(json_get(json_get(j, 'a'), 'b')) v,
+                   json_is_null(json_get(json_get(j, 'a'), 'b')) n
+            from nested_u
+            """
+        ).collect()
+        assert [(r.v, r.n) for r in rows] == [("7", False), (None, True)]
+
     def test_multi_literal_path_sql(self, spark):
         df = spark.createDataFrame([('{"a": {"b": [9]}}',)], "j string")
         df.createOrReplaceTempView("deep")
