@@ -1,0 +1,72 @@
+"""End-to-end training-data curation: the operators composed the way a
+100 TB pipeline would run them, cheapest-first so each stage shrinks the
+data for the next.
+
+Stage order (and why):
+
+1. **quality gate** — scan-speed column expressions; drops garbage before
+   anything shuffles.
+2. **language filter** — still scan-speed.
+3. **exact dedup** — one hash shuffle on the text (dropDuplicates).
+4. **near dedup (MinHash)** — the only expensive stage, now running on
+   the survivors only; banded self-join as in dedup.py.
+5. **fingerprint + stats** — bookkeeping columns for downstream joins.
+
+Each stage is also exposed separately; `curate` is the composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, text
+
+__all__ = ["curate", "curation_stats"]
+
+
+def curate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    languages: tuple = ("en",),
+    quality_threshold: float = 0.5,
+    near_dedup: bool = True,
+    minhash_kwargs: dict | None = None,
+) -> DataFrame:
+    """Filter + dedup a document table for training. Returns the kept
+    rows with added columns: lang, quality, n_tokens, fingerprint."""
+    enriched = docs.withColumn("n_tokens", text.token_count(text_col)).withColumn(
+        "lang", text.lang_id(text_col)
+    ).withColumn("quality", text.quality_score(text_col))
+
+    kept = enriched.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & F.col("lang").isin(*languages)
+        & (F.col("quality") >= quality_threshold)
+    )
+
+    # exact dedup keeping the smallest id per identical text (deterministic)
+    w_min = kept.groupBy(text_col).agg(F.min(id_col).alias("_keep_id"))
+    kept = kept.join(
+        w_min, (kept[text_col] == w_min[text_col]) & (kept[id_col] == w_min["_keep_id"])
+    ).drop(w_min[text_col]).drop("_keep_id")
+
+    if near_dedup:
+        kw = dict(num_perm=32, bands=8, mode="word", n=3, threshold=0.8)
+        kw.update(minhash_kwargs or {})
+        kept = dedup.minhash_dedup(kept, id_col, text_col, **kw)
+
+    return kept.withColumn("fingerprint", text.fingerprint(text_col))
+
+
+def curation_stats(docs: DataFrame, kept: DataFrame) -> DataFrame:
+    """One-row summary: input/output counts and survival rate."""
+    n_in = docs.count()
+    n_out = kept.count()
+    return docs.sparkSession.createDataFrame(
+        [(n_in, n_out, round(n_out / max(n_in, 1), 6))],
+        "n_in bigint, n_out bigint, survival_rate double",
+    )

@@ -167,6 +167,36 @@ class TestSimilarity:
         assert pairs.count() >= 2  # each duplicated vector pairs with itself
 
 
+class TestPipeline:
+    def test_curate_end_to_end(self, spark, documents):
+        from datafusion_functions_json_spark.operators import pipeline
+
+        kept = pipeline.curate(
+            documents, min_tokens=5, quality_threshold=0.0, near_dedup=True
+        )
+        rows = kept.collect()
+        assert len(rows) > 0
+        assert {"lang", "quality", "n_tokens", "fingerprint"} <= set(kept.columns)
+        # exact duplicates removed: texts unique
+        texts = [r.text for r in rows]
+        assert len(texts) == len(set(texts))
+        stats = pipeline.curation_stats(documents, kept).collect()[0]
+        assert stats.n_out == len(rows) and 0 < stats.survival_rate <= 1
+
+    def test_identical_corpus_skew(self, spark):
+        # degenerate skew: ALL documents identical -> one LSH mega-bucket;
+        # must still complete and keep exactly one
+        from datafusion_functions_json_spark.operators import pipeline
+
+        df = spark.createDataFrame(
+            [(i, "the same exact document body with enough tokens to pass the gate") for i in range(200)],
+            "doc_id long, text string",
+        )
+        kept = pipeline.curate(df, min_tokens=5, quality_threshold=0.0)
+        assert kept.count() == 1
+        assert kept.first().doc_id == 0
+
+
 class TestMultimodal:
     def _media_df(self, spark):
         rows = [
