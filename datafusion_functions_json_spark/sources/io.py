@@ -63,6 +63,10 @@ def session_defaults(builder):
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamps in the shared testdata are naive; pin the session tz
+        # so collected values match the (naive) duckdb oracle under any
+        # host configuration
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # pragma: no cover - conf may be locked; reads may still work
         pass
 

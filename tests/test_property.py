@@ -1,0 +1,164 @@
+"""Property-based differential tests: the streaming scanner in
+functions/core.py vs strict DOM navigation over arbitrary generated JSON.
+The reference ships no fuzz tests (SURVEY §5.8); this is our stronger
+replacement — pure Python, no SparkSession.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_functions_json_spark.functions import core
+
+# JSON value strategy: bounded depth/width so cases stay fast
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**70), max_value=2**70),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=20),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(st.text(max_size=8), children, max_size=5),
+    ),
+    max_leaves=25,
+)
+
+paths = st.lists(
+    st.one_of(st.text(max_size=8), st.integers(min_value=0, max_value=6)),
+    max_size=4,
+)
+
+ws = st.sampled_from(["", " ", "\n", "\t ", "  "])
+
+
+def dom_nav(doc, path):
+    """Ground truth: navigate the parsed DOM."""
+    cur = doc
+    for p in path:
+        if isinstance(p, str):
+            if not isinstance(cur, dict) or p not in cur:
+                return False, None
+            cur = cur[p]
+        else:
+            if isinstance(cur, bool) or not isinstance(cur, list):
+                return False, None
+            if p >= len(cur):
+                return False, None
+            cur = cur[p]
+    return True, cur
+
+
+@settings(max_examples=300, deadline=None)
+@given(value=json_values, path=paths, pre=ws, post=ws)
+def test_find_matches_dom(value, path, pre, post):
+    s = pre + json.dumps(value) + post
+    kind, got = core.find(s, tuple(path))
+    found, expected = dom_nav(value, path)
+
+    if not found:
+        assert kind == core.MISSING and got is None
+        return
+    if expected is None:
+        assert kind == core.NULL
+    elif isinstance(expected, bool):
+        assert (kind, got) == (core.BOOL, expected)
+    elif isinstance(expected, int):
+        assert (kind, got) == (core.INT, expected)
+    elif isinstance(expected, float):
+        assert kind == core.FLOAT
+        assert got == expected or (math.isnan(got) and math.isnan(expected))
+    elif isinstance(expected, str):
+        assert (kind, got) == (core.STR, expected)
+    elif isinstance(expected, list):
+        assert kind == core.ARRAY
+        assert json.loads(got) == expected  # raw slice reparses to the value
+    else:
+        assert kind == core.OBJECT
+        assert json.loads(got) == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(value=json_values, path=paths)
+def test_find_raw_slices_reparse(value, path):
+    """Every raw slice must reparse to exactly the value it represents."""
+    s = json.dumps(value)
+    kind, raw, sval = core.find_raw(s, tuple(path))
+    if kind == core.MISSING:
+        return
+    reparsed = json.loads(raw)
+    found, expected = dom_nav(value, path)
+    assert found
+    if isinstance(expected, float):
+        assert reparsed == expected or (
+            math.isnan(reparsed) and math.isnan(expected)
+        )
+    else:
+        assert reparsed == expected
+    if kind == core.STR:
+        assert sval == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(value=json_values, path=paths)
+def test_exists_matches_dom(value, path):
+    s = json.dumps(value)
+    found, _ = dom_nav(value, path)
+    assert core.exists_at(s, tuple(path)) == found
+
+
+@settings(max_examples=200, deadline=None)
+@given(value=json_values)
+def test_lengths_and_keys(value):
+    s = json.dumps(value)
+    if isinstance(value, dict):
+        assert core.length_at(s, ()) == len(value)
+        assert core.keys_at(s, ()) == list(value.keys())
+        assert core.items_at(s, ()) is None
+    elif isinstance(value, list):
+        assert core.length_at(s, ()) == len(value)
+        assert core.keys_at(s, ()) is None
+        items = core.items_at(s, ())
+        assert [json.loads(i) for i in items] == [
+            x if x == x else x for x in value
+        ] or all(
+            (json.loads(i) == x)
+            or (isinstance(x, float) and math.isnan(x) and math.isnan(json.loads(i)))
+            for i, x in zip(items, value)
+        )
+    else:
+        assert core.length_at(s, ()) is None
+        assert core.keys_at(s, ()) is None
+
+
+@settings(max_examples=300, deadline=None)
+@given(junk=st.text(max_size=30), path=paths)
+def test_never_raises_on_garbage(junk, path):
+    """The never-throw contract against arbitrary non-JSON text."""
+    core.find(junk, tuple(path))
+    core.find_raw(junk, tuple(path))
+    core.exists_at(junk, tuple(path))
+    core.length_at(junk, tuple(path))
+    core.keys_at(junk, tuple(path))
+    core.items_at(junk, tuple(path))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    junk=st.text(alphabet='{}[]",:0123456789.eE+- \n\ttrufalsn', max_size=40),
+    path=paths,
+)
+def test_never_raises_on_json_shaped_garbage(junk, path):
+    """Same, but biased toward almost-JSON byte soup (the hard cases)."""
+    core.find(junk, tuple(path))
+    core.exists_at(junk, tuple(path))
+    core.length_at(junk, tuple(path))
+    core.keys_at(junk, tuple(path))
+    core.items_at(junk, tuple(path))
