@@ -390,10 +390,21 @@ def _q_jaccard_adjacent(spark, sf_dir):
     )
 
 
+def _query_vector(sf_dir: str, vec_id: int = 0):
+    """Fetch the query point driver-side via pyarrow — a metadata-scale
+    lookup; spending a full Spark job (scan+collect) on one row would
+    double the query's latency for no reason."""
+    import pyarrow.dataset as ds
+
+    t = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=ds.field("vec_id") == vec_id, columns=["embedding"]
+    )
+    return [float(x) for x in t.column("embedding")[0].as_py()]
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).first().embedding
-    return similarity.cosine_topk(emb, "embedding", q, k=10)
+    return similarity.cosine_topk(emb, "embedding", _query_vector(sf_dir), k=10)
 
 
 def _q_media_meta(spark, sf_dir):
@@ -447,8 +458,9 @@ def _q_simhash_pairs(spark, sf_dir):
 
 def _q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).first().embedding
-    return similarity.ann_topk(emb, "embedding", q, k=5, n_planes=10, multiprobe=1)
+    return similarity.ann_topk(
+        emb, "embedding", _query_vector(sf_dir), k=5, n_planes=10, multiprobe=1
+    )
 
 
 def _q_embedding_dups(spark, sf_dir):

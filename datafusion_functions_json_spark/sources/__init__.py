@@ -8,5 +8,15 @@ scale-aware defaults.
 """
 
 from .io import SCALE_CONF, TABLES, load_table, load_tables, session_defaults
+from .sinks import estimate_files, write_bucketed, write_partitioned
 
-__all__ = ["load_table", "load_tables", "session_defaults", "TABLES", "SCALE_CONF"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "session_defaults",
+    "TABLES",
+    "SCALE_CONF",
+    "write_partitioned",
+    "write_bucketed",
+    "estimate_files",
+]

@@ -1,0 +1,78 @@
+"""Sinks — write-side discipline for 100 TB outputs.
+
+The reference has no sinks of its own (in-memory batches only; its
+``json_union_to_text`` exists because Arrow unions can't hit Parquet —
+our union struct just writes). These helpers encode the write-side rules
+that matter at scale; they are thin on purpose — ``df.write`` IS the
+engine, the value is the defaults.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["write_partitioned", "write_bucketed", "estimate_files"]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = (),
+    target_file_rows: Optional[int] = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Partitioned parquet write with small-file control.
+
+    ``partition_by`` should be LOW-cardinality columns (date, language,
+    source) — every distinct combination becomes a directory; a
+    high-cardinality partition key is the classic small-files disaster.
+    ``target_file_rows`` coalesces/repartitions within partitions via a
+    round-robin repartition so each output file lands near the target
+    (AQE handles the rest).
+    """
+    out = df
+    if target_file_rows:
+        n = max(1, df.count() // target_file_rows)
+        out = df.repartition(n, *[F.col(c) for c in partition_by] or [F.spark_partition_id()])
+    writer = out.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write (saveAsTable — bucketing needs the catalog).
+
+    Co-locates future joins/aggregations on ``bucket_by``: two tables
+    bucketed the same way join with ZERO shuffle. The right call for
+    repeatedly-joined 100 TB fact tables (e.g. documents bucketed by
+    doc_id joined against minhash pair output)."""
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def estimate_files(df: DataFrame, partition_by: Sequence[str] = ()) -> DataFrame:
+    """Pre-flight check: how many directories/files would this write
+    create? One row per partition value combo with its row count —
+    eyeball it BEFORE burning a 100 TB write on a bad partition key."""
+    if not partition_by:
+        return df.agg(F.count("*").alias("rows"))
+    return df.groupBy(*partition_by).agg(F.count("*").alias("rows"))

@@ -1,0 +1,74 @@
+"""Sources & sinks: testdata loading (nanos timestamps), partitioned
+writes, bucketed tables, prepared-statement args parity."""
+
+from pyspark.sql import functions as F
+
+import datafusion_functions_json_spark as jsonf
+from datafusion_functions_json_spark.sources import (
+    estimate_files,
+    load_table,
+    write_bucketed,
+    write_partitioned,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestLoad:
+    def test_nanos_timestamps_become_timestamps(self, spark):
+        ev = load_table(spark, SF_DIR, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        assert ev.count() == 1000
+
+    def test_lineitem_dates_filterable(self, spark):
+        li = load_table(spark, SF_DIR, "lineitem")
+        n = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).count()
+        assert 0 < n < li.count()
+
+
+class TestSinks:
+    def test_partitioned_write_roundtrip(self, spark, tmp_path):
+        ev = load_table(spark, SF_DIR, "events")
+        out = str(tmp_path / "by_type")
+        write_partitioned(
+            ev.select("event_id", "event_type", "props"),
+            out,
+            partition_by=["event_type"],
+        )
+        back = spark.read.parquet(out)
+        assert back.count() == 1000
+        # partition pruning works on the written layout
+        from datafusion_functions_json_spark.plans import explain_str
+
+        plan = explain_str(back.filter(F.col("event_type") == "click"))
+        assert "PartitionFilters" in plan
+
+    def test_estimate_files(self, spark):
+        ev = load_table(spark, SF_DIR, "events")
+        est = {r.event_type: r.rows for r in estimate_files(ev, ["event_type"]).collect()}
+        assert sum(est.values()) == 1000 and len(est) == 5
+
+    def test_bucketed_write_zero_shuffle_join(self, spark, tmp_path):
+        # warehouse dir is a static conf; the default ./spark-warehouse is
+        # gitignored and cleaned by the drop below
+        ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "props")
+        write_bucketed(ev, "ev_bucketed", bucket_by=["user_id"], num_buckets=4)
+        t = spark.table("ev_bucketed")
+        agg = t.groupBy("user_id").agg(F.count("*").alias("n"))
+        from datafusion_functions_json_spark.plans import explain_str
+
+        # aggregation on the bucket key needs NO exchange
+        assert "Exchange" not in explain_str(agg)
+        spark.sql("drop table if exists ev_bucketed")
+
+
+class TestPreparedArgs:
+    def test_sql_named_args_with_json_functions(self, spark, test_df):
+        # reference: prepared-statement params (tests/utils/mod.rs:249-256)
+        # => spark.sql named args
+        jsonf.register_all(spark)
+        rows = spark.sql(
+            "select name from test where json_get_str(json_data, :k) = :v",
+            args={"k": "foo", "v": "abc"},
+        ).collect()
+        assert [r.name for r in rows] == ["object_foo"]
