@@ -38,15 +38,17 @@ from datafusion_functions_json_spark.sources import load_table  # noqa: E402
 
 
 def _events(spark, sf_dir):
-    return load_table(spark, sf_dir, "events")
+    # spread: the shared single-row-group files would otherwise serialize
+    # the per-row JSON work into one task (no-op on multi-split inputs)
+    return load_table(spark, sf_dir, "events", spread=True)
 
 
 def _lineitem(spark, sf_dir):
-    return load_table(spark, sf_dir, "lineitem")
+    return load_table(spark, sf_dir, "lineitem", spread=True)
 
 
 def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+    return load_table(spark, sf_dir, "documents", spread=True)
 
 
 def _emb(spark, sf_dir):
@@ -137,6 +139,24 @@ def _q_json_object_keys(spark, sf_dir):
     return _events(spark, sf_dir).select(
         "event_id",
         F.concat_ws(",", jsonf.json_object_keys("props")).alias("keys_csv"),
+    )
+
+
+def _q_json_get_int_variant(spark, sf_dir):
+    # tier comparison: Spark 4 VariantType native path, same semantics on
+    # data inside the native envelope (flat int values here)
+    from datafusion_functions_json_spark.functions import native
+
+    return _events(spark, sf_dir).select(
+        "event_id", native.json_get_int_variant("props", "k").alias("k")
+    )
+
+
+def _q_json_as_text_native(spark, sf_dir):
+    from datafusion_functions_json_spark.functions import native
+
+    return _events(spark, sf_dir).select(
+        "event_id", native.json_as_text_native("props", "k").alias("kt")
     )
 
 
@@ -504,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_length": _q_json_length,
         "json_object_keys": _q_json_object_keys,
         "json_agg": _q_json_agg,
+        "json_get_int_variant": _q_json_get_int_variant,
+        "json_as_text_native": _q_json_as_text_native,
         "nested_get_int": _q_nested_get_int,
         "nested_get_str": _q_nested_get_str,
         "nested_contains": _q_nested_contains,
@@ -570,6 +592,12 @@ def oracle_sql() -> dict[str, str]:
         "json_object_keys": (
             "select event_id, array_to_string(json_keys(props), ',') as keys_csv "
             "from events"
+        ),
+        "json_get_int_variant": (
+            f"select event_id, try_cast({jx} as bigint) as k from events"
+        ),
+        "json_as_text_native": (
+            "select event_id, json_extract_string(props,'$.k') as kt from events"
         ),
         "json_agg": (
             "select event_type, sum(try_cast(json_extract(props,'$.k') as bigint)) as sum_k, "

@@ -315,9 +315,21 @@ scalar_to_json = json_from_scalar
 
 def json_union_to_text(u) -> Column:
     """Flatten a union struct → canonical JSON text; null arm → SQL NULL
-    (reference: src/json_union_to_text.rs:82-118)."""
+    (reference: src/json_union_to_text.rs:82-118).
+
+    When ``u`` is a literal-path ``json_get`` result, the composition
+    fuses into ONE UDF (find + canonicalize — no intermediate struct
+    crossing the Arrow boundary): the reference's un-nesting philosophy
+    extended to the union consumers."""
+    from ..column import JsonColumn
+
     if isinstance(u, str):
         u = F.col(u)
+    if isinstance(u, JsonColumn) and not u._is_text:
+        prov = u._flatten_provenance()
+        if prov is not None:
+            root, path = prov
+            return udfs.literal_path_udf("json_to_text_fused", path)(root)
     return udfs.union_to_text_udf()(u)
 
 
@@ -330,5 +342,10 @@ def json_is_null(u) -> Column:
     if isinstance(u, str):
         u = F.col(u)
     if isinstance(u, JsonColumn):
+        if not u._is_text:
+            prov = u._flatten_provenance()
+            if prov is not None:
+                root, path = prov
+                return udfs.literal_path_udf("json_is_null_fused", path)(root)
         u = ClassicColumn(u._jc)
     return union_mod.json_is_null(u)

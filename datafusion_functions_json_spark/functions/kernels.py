@@ -45,6 +45,8 @@ __all__ = [
     "kernel_json_length",
     "kernel_json_object_keys",
     "kernel_json_union_to_text",
+    "kernel_json_to_text_fused",
+    "kernel_json_is_null_fused",
     "UNION_FIELDS",
 ]
 
@@ -217,6 +219,35 @@ def kernel_json_object_keys(json_vals, paths):
     """Object keys in document order; non-object / missing → NULL
     (reference: src/json_object_keys.rs:122-141)."""
     return [core.keys_at(s, p) for s, p in zip(json_vals, paths)]
+
+
+def kernel_json_to_text_fused(json_vals, paths):
+    """Fused ``json_union_to_text(json_get(j, *path))`` — one parse, one
+    Arrow hop: find the value and canonicalize directly, skipping the
+    intermediate union struct. Same output as the two-step composition
+    (strings re-encoded canonically, containers raw passthrough, null
+    arm/missing/out-of-range ints => SQL NULL)."""
+    out = []
+    for s, p in zip(json_vals, paths):
+        kind, v = core.find(s, p)
+        if kind == INT and not (INT64_MIN <= v <= INT64_MAX):
+            out.append(None)  # big ints land in the null arm (union rules)
+        else:
+            out.append(core.json_dumps_canonical(kind, v))
+    return out
+
+
+def kernel_json_is_null_fused(json_vals, paths):
+    """Fused ``json_is_null(json_get(j, *path))``: true iff the union
+    would hold the null arm (missing / json-null / invalid / big int)."""
+    out = []
+    for s, p in zip(json_vals, paths):
+        kind, v = core.find(s, p)
+        out.append(
+            kind in (MISSING, NULL)
+            or (kind == INT and not (INT64_MIN <= v <= INT64_MAX))
+        )
+    return out
 
 
 def kernel_json_union_to_text(

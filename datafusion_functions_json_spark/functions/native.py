@@ -39,6 +39,11 @@ __all__ = [
     "json_object_keys_native",
     "json_get_int_native",
     "json_get_float_native",
+    "parse_variant",
+    "variant_extract",
+    "json_get_int_variant",
+    "json_get_str_variant",
+    "json_get_float_variant",
 ]
 
 
@@ -98,3 +103,34 @@ def json_get_float_native(json_col, *path) -> Column:
     t = F.get_json_object(F.ltrim(_col(json_col)), jsonpath(path))
     # reject bools explicitly (a cast would not, in some Spark versions)
     return F.when(~t.isin("true", "false"), t.try_cast("double"))
+
+
+# ---------------------------------------------------------------- variant
+# Spark 4's native VariantType: the engine's own binary JSON encoding.
+# try_parse_json tolerates invalid docs (NULL); variant_get traverses with
+# JSONPath and casts. Envelope: same path-syntax limits as above; string
+# coercions differ from the exact tier (variant_get '123' string -> 123
+# under int target); float raw text is re-encoded. Fastest JVM tier for
+# repeated extraction from the same column (parse once into variant).
+
+
+def parse_variant(json_col) -> Column:
+    """Parse JSON text into a VariantType value (NULL for invalid)."""
+    return F.try_parse_json(F.ltrim(_col(json_col)))
+
+
+def variant_extract(json_col, path, dtype: str) -> Column:
+    """Extract a typed value at ``path`` via the variant encoding."""
+    return F.variant_get(parse_variant(json_col), jsonpath(path), dtype)
+
+
+def json_get_int_variant(json_col, *path) -> Column:
+    return variant_extract(json_col, path, "bigint")
+
+
+def json_get_str_variant(json_col, *path) -> Column:
+    return variant_extract(json_col, path, "string")
+
+
+def json_get_float_variant(json_col, *path) -> Column:
+    return variant_extract(json_col, path, "double")

@@ -51,6 +51,8 @@ RETURN_TYPES = {
     "json_contains": "boolean",
     "json_length": "bigint",
     "json_object_keys": "array<string>",
+    "json_to_text_fused": "string",
+    "json_is_null_fused": "boolean",
 }
 
 _KERNELS = {
@@ -65,6 +67,8 @@ _KERNELS = {
     "json_contains": kernels.kernel_json_contains,
     "json_length": kernels.kernel_json_length,
     "json_object_keys": kernels.kernel_json_object_keys,
+    "json_to_text_fused": kernels.kernel_json_to_text_fused,
+    "json_is_null_fused": kernels.kernel_json_is_null_fused,
 }
 
 _STRUCT_FNS = {"json_get"}

@@ -48,6 +48,9 @@ SCALE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow path for pandas UDFs and createDataFrame
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # bigger Arrow batches amortize per-batch pandas/IPC overhead in the
+    # JSON kernels (default 10k; our rows are small strings)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
     # testdata uses TIMESTAMP(NANOS)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
@@ -77,12 +80,20 @@ def load_table(
     name: str,
     *,
     nanos_as_timestamp: bool = True,
+    spread: bool = False,
 ) -> DataFrame:
     """Load one testdata table.
 
     ``nanos_as_timestamp=True`` converts BIGINT-nanosecond columns (how
     Spark reads the testdata's TIMESTAMP(NANOS) under the legacy conf)
     to proper TIMESTAMP columns, truncated to microseconds.
+
+    ``spread=True`` repartitions to the default parallelism when the
+    scan produces fewer partitions than cores. Parquet is splittable
+    only at ROW-GROUP boundaries; the shared testdata ships one row
+    group per file, which would serialize every downstream per-row map
+    into a single task. On a real multi-split 100 TB layout this branch
+    never fires — it is behavior-gated, not a local hack.
     """
     from pyspark.sql import functions as F
 
@@ -92,6 +103,10 @@ def load_table(
         for c in _NANOS_TS_COLS.get(name, ()):
             if c in df.columns and dict(df.dtypes)[c] == "bigint":
                 df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 
