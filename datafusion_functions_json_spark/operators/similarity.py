@@ -23,6 +23,8 @@ import math
 import random
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,8 @@ __all__ = [
     "lsh_bucket",
     "add_lsh_buckets",
     "ann_topk",
+    "ivf_build",
+    "ivf_topk",
     "embedding_dup_pairs",
 ]
 
@@ -163,6 +167,79 @@ def ann_topk(
                 probes.add(qsig ^ (1 << i) ^ (1 << j))
     bucketed = add_lsh_buckets(df, vec_col, dim, n_planes=n_planes, seed=seed)
     cand = bucketed.filter(F.col("lsh_bucket").isin(*sorted(probes)))
+    return cosine_topk(cand, vec_col, query, k, id_cols=id_cols)
+
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    *,
+    n_clusters: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """Build an IVF (inverted-file) index: k-means centroids trained on a
+    driver-side sample, then every row assigned to its nearest centroid.
+
+    Returns ``(assigned_df, centroids)`` where assigned_df carries an
+    ``ivf_cluster`` column. At warehouse scale, persist assigned_df
+    partitioned by ``ivf_cluster`` so probes prune partitions — same
+    storage discipline as the LSH bucket path, but data-adaptive.
+
+    The sample collect is bounded (``sample`` rows) — training never
+    scans the full table; assignment is one numpy-vectorized pass.
+    """
+    rows = (
+        df.select(vec_col).limit(sample).collect()
+    )  # bounded driver-side sample
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = X[m].mean(axis=0)
+    centroids = [[float(x) for x in c] for c in cent]
+
+    cmat = np.array(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            out.append(int(((cmat - x[None, :]) ** 2).sum(axis=1).argmin()))
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn("ivf_cluster", _assign(F.col(vec_col))), centroids
+
+
+def ivf_topk(
+    assigned_df: DataFrame,
+    centroids,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    id_cols: Sequence[str] = ("vec_id",),
+) -> DataFrame:
+    """Probe the ``nprobe`` clusters nearest the query, exact cosine
+    within — the IVF scale path: with cluster-partitioned storage this
+    reads nprobe/n_clusters of the data."""
+    q = np.asarray(list(query), dtype=np.float64)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    order = ((cmat - q[None, :]) ** 2).sum(axis=1).argsort()[:nprobe]
+    probes = [int(i) for i in order]
+    cand = assigned_df.filter(F.col("ivf_cluster").isin(probes))
     return cosine_topk(cand, vec_col, query, k, id_cols=id_cols)
 
 

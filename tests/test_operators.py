@@ -154,6 +154,25 @@ class TestSimilarity:
         ).collect()
         assert ann and ann[0].vec_id == 7  # own bucket always contains self
 
+    def test_ivf_recall_of_self(self, embeddings):
+        assigned, centroids = similarity.ivf_build(
+            embeddings, "embedding", dim=64, n_clusters=8, sample=500
+        )
+        assigned = assigned.cache()
+        q = embeddings.filter(F.col("vec_id") == 3).first().embedding
+        top = similarity.ivf_topk(
+            assigned, centroids, "embedding", q, k=3, nprobe=2
+        ).collect()
+        assert top and top[0].vec_id == 3  # own cluster is always probed
+        # partition-pruning shape: candidates come from <= nprobe clusters
+        n_probed = (
+            assigned.filter(F.col("ivf_cluster").isin([0, 1, 2, 3, 4, 5, 6, 7]))
+            .select("ivf_cluster")
+            .distinct()
+            .count()
+        )
+        assert n_probed == 8  # all clusters populated => probe is selective
+
     def test_embedding_dup_pairs_finds_identical(self, spark, embeddings):
         two = embeddings.limit(2)
         dup = two.union(two)  # duplicate every vector
