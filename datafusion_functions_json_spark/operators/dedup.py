@@ -193,6 +193,64 @@ def minhash_signature(
     return _sig(hashes)
 
 
+def _signature_with_hashes(
+    text, *, num_perm: int, seed: int, mode: str, n: int
+) -> Column:
+    """struct<sig: array<bigint>, hashes: array<bigint>> in ONE pandas
+    pass: the banding uses ``sig``; verification uses the distinct
+    shingle-hash set directly (exact Jaccard over hashes ≡ over shingles
+    modulo 2^31-hash collisions) — the text is never re-shingled."""
+    coeffs = _perm_coeffs(num_perm, seed)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    ret = "struct<sig:array<bigint>,hashes:array<bigint>>"
+
+    if mode == "word":
+        tok_hashes = F.transform(tokens(_col(text)), lambda t: F.xxhash64(t))
+        mix = np.array(
+            [0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1][:n]
+            if n <= 5
+            else [0x9E3779B1 + 2 * i + 1 for i in range(n)],
+            dtype=np.uint64,
+        )
+
+        @F.pandas_udf(ret)
+        def _sw(hs: pd.Series) -> pd.DataFrame:
+            sigs, hsets = [], []
+            for h in hs:
+                if h is None or len(h) < n:
+                    sigs.append(None)
+                    hsets.append(None)
+                    continue
+                hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                acc = hv[: len(hv) - n + 1] * mix[0]
+                for i in range(1, n):
+                    acc = acc ^ (hv[i : len(hv) - n + 1 + i] * mix[i])
+                sh = np.unique((acc % np.uint64(_MH_PRIME)).astype(np.int64))
+                sigs.append(((a_vec * sh[None, :] + b_vec) % _MH_PRIME).min(axis=1).tolist())
+                hsets.append(sh.tolist())
+            return pd.DataFrame({"sig": sigs, "hashes": hsets}, dtype=object)
+
+        return _sw(tok_hashes)
+
+    hashes = shingle_hashes(text, mode=mode, n=n)
+
+    @F.pandas_udf(ret)
+    def _sc(hs: pd.Series) -> pd.DataFrame:
+        sigs, hsets = [], []
+        for h in hs:
+            if h is None or len(h) == 0:
+                sigs.append(None)
+                hsets.append(None)
+                continue
+            sh = np.unique(np.asarray(h, dtype=np.int64))
+            sigs.append(((a_vec * sh[None, :] + b_vec) % _MH_PRIME).min(axis=1).tolist())
+            hsets.append(sh.tolist())
+        return pd.DataFrame({"sig": sigs, "hashes": hsets}, dtype=object)
+
+    return _sc(hashes)
+
+
 def lsh_bands(sig: Column, *, bands: int, rows: int) -> Column:
     """Split a signature into ``bands`` bands of ``rows`` and hash each:
     array of (band_id, band_hash) structs. Two documents agreeing on ANY
@@ -245,22 +303,23 @@ def minhash_dup_pairs(
     """
     rows = num_perm // bands
     df = _spread(df)
-    # (id, band) pairs only — text stays behind and is re-joined for the
-    # (small) verified candidate set. PERSISTED: a self-join otherwise
-    # computes the signatures once per side (broadcast joins have no
-    # exchange to reuse), and signatures are the expensive map.
-    band_df = (
+    # One pandas pass computes BOTH the signature (for banding) and the
+    # distinct shingle-hash set (for verification). PERSISTED: the
+    # self-join and the two verification joins all read this base — the
+    # expensive map runs once; text is never touched again.
+    base = (
         df.select(
             F.col(id_col).alias("_id"),
-            minhash_signature(
+            _signature_with_hashes(
                 text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
-            ).alias("_sig"),
+            ).alias("_s"),
         )
-        .filter(F.col("_sig").isNotNull())
-        .withColumn("_band", F.explode(lsh_bands(F.col("_sig"), bands=bands, rows=rows)))
-        .select("_band", "_id")
+        .filter(F.col("_s.sig").isNotNull())
         .persist()
     )
+    band_df = base.withColumn(
+        "_band", F.explode(lsh_bands(F.col("_s.sig"), bands=bands, rows=rows))
+    ).select("_band", "_id")
     cand = (
         band_df.alias("L")
         .join(band_df.alias("R"), F.col("L._band") == F.col("R._band"))
@@ -268,16 +327,17 @@ def minhash_dup_pairs(
         .select(F.col("L._id").alias("id_a"), F.col("R._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext"))
-    sh = lambda c: (char_ngrams(c, n) if mode == "char" else word_ngrams(c, n))  # noqa: E731
+    hs = base.select(F.col("_id").alias("_hid"), F.col("_s.hashes").alias("_h"))
     return (
-        cand.join(texts, cand.id_a == texts._tid)
-        .withColumnRenamed("_ttext", "text_a")
-        .drop("_tid")
-        .join(texts, cand.id_b == texts._tid)
-        .withColumnRenamed("_ttext", "text_b")
-        .drop("_tid")
-        .withColumn("jaccard", jaccard_tokens(sh(F.col("text_a")), sh(F.col("text_b"))))
+        cand.join(hs, cand.id_a == hs._hid)
+        .withColumnRenamed("_h", "ha")
+        .drop("_hid")
+        .join(hs, cand.id_b == hs._hid)
+        .withColumnRenamed("_h", "hb")
+        .drop("_hid")
+        # exact Jaccard over the hashed shingle sets (array_intersect /
+        # array_union are codegen'd collection ops, not interpreted HOFs)
+        .withColumn("jaccard", jaccard_tokens(F.col("ha"), F.col("hb")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
