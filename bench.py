@@ -97,7 +97,7 @@ def main():
 
     qs = entrymod.queries()
     times = {}
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in BENCH_QUERIES:
         fn = qs[name]
         best = None
