@@ -183,13 +183,18 @@ def json_extract_multi(
     ret = "struct<" + ",".join(f"`{n}`:{FIELD_KINDS[k]}" for n, k, _ in specs) + ">"
     loads = json.loads
 
+    def first_wins(pairs):
+        # duplicate keys: the reference's linear scan takes the FIRST
+        # match (src/common.rs:531-539); plain dict() would keep the last
+        return dict(reversed(pairs))
+
     def extract_row(s):
         if s is None:
             return tuple(
                 False if k == "exists" else None for _, k, _p in specs
             )
         try:
-            doc = loads(s)
+            doc = loads(s, object_pairs_hook=first_wins)
         except Exception:
             return tuple(_fallback_one(s, k, p) for _, k, p in specs)
         out = []

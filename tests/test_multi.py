@@ -62,6 +62,24 @@ class TestMultiEquivalence:
         b = {r.name: tuple(r)[1:] for r in fused(df)}
         assert a == b
 
+    def test_duplicate_keys_first_wins(self, spark):
+        # reference linear scan takes the first match; the DOM fast path
+        # must agree (object_pairs_hook)
+        df = spark.createDataFrame(
+            [('{"foo": 1, "foo": 2}',)], "json_data string"
+        )
+        r = (
+            df.select(
+                jsonf.json_extract_multi(
+                    "json_data", {"i": ("int", "foo")}
+                ).alias("u"),
+                jsonf.json_get_int("json_data", "foo").alias("single"),
+            )
+            .select("u.i", "single")
+            .collect()[0]
+        )
+        assert (r.i, r.single) == (1, 1)
+
     def test_raw_container_text_fidelity(self, spark):
         # text kind on a container must preserve raw bytes (spacing)
         df = spark.createDataFrame([('{"foo": [1,  2]}',)], "json_data string")
