@@ -600,7 +600,7 @@ def oracle_sql() -> dict[str, str]:
             "select event_id, json_extract_string(props,'$.k') as kt from events"
         ),
         "json_agg": (
-            "select event_type, sum(try_cast(json_extract(props,'$.k') as bigint)) as sum_k, "
+            "select event_type, sum(try_cast(json_extract(props,'$.k') as bigint))::bigint as sum_k, "
             "count(*) as n from events "
             "where json_type(props,'$.k') is not null group by event_type"
         ),

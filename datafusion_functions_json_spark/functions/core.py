@@ -50,6 +50,7 @@ __all__ = [
     "INT64_MIN",
     "INT64_MAX",
     "find",
+    "find_scalar",
     "find_raw",
     "exists_at",
     "length_at",
@@ -79,6 +80,7 @@ INT64_MIN = -(2**63)
 INT64_MAX = 2**63 - 1
 
 _WS = " \t\n\r"
+_loads = json.loads
 
 def _raw_decode(s: str, i: int):
     """C-accelerated ``JSONDecoder.raw_decode`` with a process-local
@@ -232,6 +234,78 @@ def find(s, path):
         raise ValueError("unexpected scalar")
     except (ValueError, TypeError, RecursionError, IndexError, StopIteration):
         return MISSING, None
+
+
+def find_scalar(s, path):
+    """Fast twin of :func:`find` for consumers that never need raw
+    container slices (``json_get_str/int/float/bool``, ``json_contains``,
+    the to_text/is_null fusions).
+
+    Strategy: one C-speed ``json.loads`` + native dict/list walk — ~2-3×
+    faster than the streaming scan on typical documents because the whole
+    tokenize/skip loop runs inside the C decoder instead of Python. The
+    walk is only equivalent to the streaming first-match scan when object
+    keys are unique, so a cheap textual guard falls back to :func:`find`
+    whenever equivalence can't be proven from the raw text:
+
+    * any ``\\`` in the document (escapes could hide a duplicate key from
+      the textual check), or
+    * any string path key occurring more than once as a quoted token
+      (conservative: a hit inside a string *value* also falls back).
+
+    With no backslashes, decoded key text == raw key text, so counting
+    ``"key"`` occurrences bounds the number of members with that name
+    anywhere in the document. Trailing garbage / invalid JSON also falls
+    back (``loads`` raises; the streaming scan may still find the value —
+    reference never-throw contract, src/common.rs:559-578).
+
+    Returns ``(kind, value)`` like :func:`find`, EXCEPT that ARRAY/OBJECT
+    values are the *parsed* ``list``/``dict`` (not the raw text slice) —
+    callers needing raw fidelity must re-run :func:`find` for those rows.
+    """
+    if s is None:
+        return MISSING, None
+    if "\\" in s:
+        return find(s, path)
+    for p in path:
+        if isinstance(p, str) and s.count('"%s"' % p) > 1:
+            return find(s, path)
+    try:
+        doc = _loads(s)
+    except Exception:
+        return find(s, path)
+    try:
+        for p in path:
+            if p is None:
+                return MISSING, None
+            if isinstance(p, str):
+                if type(doc) is dict:
+                    doc = doc[p]  # KeyError -> MISSING
+                else:
+                    return MISSING, None
+            elif isinstance(p, bool):  # guard: bool is an int subclass
+                return MISSING, None
+            else:
+                i = int(p)
+                if i < 0 or type(doc) is not list:
+                    return MISSING, None
+                doc = doc[i]  # IndexError -> MISSING
+    except (KeyError, IndexError, TypeError, ValueError):
+        return MISSING, None
+    if doc is None:
+        return NULL, None
+    if doc is True or doc is False:
+        return BOOL, doc
+    t = type(doc)
+    if t is int:
+        return INT, doc
+    if t is float:
+        return FLOAT, doc
+    if t is str:
+        return STR, doc
+    if t is list:
+        return ARRAY, doc
+    return OBJECT, doc
 
 
 def find_raw(s, path):

@@ -71,7 +71,11 @@ def kernel_json_get(json_vals, paths):
     """
     tids, bools, ints, floats, strs, arrs, objs = ([] for _ in range(7))
     for s, p in zip(json_vals, paths):
-        kind, v = core.find(s, p)
+        kind, v = core.find_scalar(s, p)
+        if kind == ARRAY or kind == OBJECT:
+            # fast path yields parsed containers; the union carries raw
+            # text slices, so re-run the streaming scan for these rows
+            kind, v = core.find(s, p)
         b = i = f = st = ar = ob = None
         if kind == BOOL:
             tid, b = 1, v
@@ -111,11 +115,11 @@ def kernel_json_get(json_vals, paths):
 def kernel_json_get_str(json_vals, paths):
     """Value only if a JSON string; everything else NULL (reference:
     src/json_get_str.rs:74-77)."""
-    out = []
-    for s, p in zip(json_vals, paths):
-        kind, v = core.find(s, p)
-        out.append(v if kind == STR else None)
-    return out
+    find_scalar = core.find_scalar
+    return [
+        v if kind == STR else None
+        for kind, v in (find_scalar(s, p) for s, p in zip(json_vals, paths))
+    ]
 
 
 def kernel_json_get_int(json_vals, paths):
@@ -124,7 +128,7 @@ def kernel_json_get_int(json_vals, paths):
     (reference: src/json_get_int.rs:102-116)."""
     out = []
     for s, p in zip(json_vals, paths):
-        kind, v = core.find(s, p)
+        kind, v = core.find_scalar(s, p)
         if kind == INT:
             out.append(v if INT64_MIN <= v <= INT64_MAX else None)
         elif kind == STR:
@@ -140,7 +144,7 @@ def kernel_json_get_float(json_vals, paths):
     bool/null/containers → NULL."""
     out = []
     for s, p in zip(json_vals, paths):
-        kind, v = core.find(s, p)
+        kind, v = core.find_scalar(s, p)
         if kind == FLOAT:
             out.append(v)
         elif kind == INT:
@@ -157,7 +161,7 @@ def kernel_json_get_bool(json_vals, paths):
     (reference: src/json_get_bool.rs:75-78); everything else NULL."""
     out = []
     for s, p in zip(json_vals, paths):
-        kind, v = core.find(s, p)
+        kind, v = core.find_scalar(s, p)
         if kind == BOOL:
             out.append(v)
         elif kind == STR:
@@ -192,12 +196,19 @@ def kernel_json_as_text(json_vals, paths):
     src/json_as_text.rs:101-112)."""
     out = []
     for s, p in zip(json_vals, paths):
-        kind, raw, sval = core.find_raw(s, p)
+        kind, v = core.find_scalar(s, p)
         if kind == STR:
-            out.append(sval)
-        elif kind in (MISSING, NULL):
+            out.append(v)
+        elif kind == MISSING or kind == NULL:
             out.append(None)
+        elif kind == BOOL:
+            out.append("true" if v else "false")
+        elif kind == INT and v != 0:
+            out.append(str(v))  # escape-free JSON int: raw text == str(v)
         else:
+            # FLOAT / containers need the VERBATIM slice ('4.2e-1' stays
+            # '4.2e-1'); INT 0 may be spelled '-0' in the document
+            _, raw, _ = core.find_raw(s, p)
             out.append(raw)
     return out
 
@@ -206,7 +217,10 @@ def kernel_json_contains(json_vals, paths):
     """TRUE iff the path exists — including present-null (reference:
     tests/main.rs:21-43); invalid JSON → False, never an error (reference:
     src/json_contains.rs:103-106)."""
-    return [core.exists_at(s, p) for s, p in zip(json_vals, paths)]
+    find_scalar = core.find_scalar
+    return [
+        find_scalar(s, p)[0] != MISSING for s, p in zip(json_vals, paths)
+    ]
 
 
 def kernel_json_length(json_vals, paths):
@@ -229,7 +243,9 @@ def kernel_json_to_text_fused(json_vals, paths):
     arm/missing/out-of-range ints => SQL NULL)."""
     out = []
     for s, p in zip(json_vals, paths):
-        kind, v = core.find(s, p)
+        kind, v = core.find_scalar(s, p)
+        if kind == ARRAY or kind == OBJECT:
+            kind, v = core.find(s, p)  # raw-slice passthrough for containers
         if kind == INT and not (INT64_MIN <= v <= INT64_MAX):
             out.append(None)  # big ints land in the null arm (union rules)
         else:
@@ -242,7 +258,7 @@ def kernel_json_is_null_fused(json_vals, paths):
     would hold the null arm (missing / json-null / invalid / big int)."""
     out = []
     for s, p in zip(json_vals, paths):
-        kind, v = core.find(s, p)
+        kind, v = core.find_scalar(s, p)
         out.append(
             kind in (MISSING, NULL)
             or (kind == INT and not (INT64_MIN <= v <= INT64_MAX))

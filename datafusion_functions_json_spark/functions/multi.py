@@ -92,21 +92,20 @@ def _coerce(kind: str, found: bool, v):
             return core.parse_bool_like_rust(v)
         return None
     if kind == "text":
-        # json_as_text: string unquoted; null -> SQL NULL; other values
-        # canonical JSON text (DOM path reserializes — identical to the
-        # raw slice only for scalars; containers go through the fallback
-        # finder to preserve raw bytes)
+        # json_as_text: string unquoted; null -> SQL NULL; bool/nonzero-int
+        # canonical text == raw text; floats, containers and int 0 (maybe
+        # spelled '-0') go through the raw-slice fallback in extract_row
+        # so '4.2e-1' stays '4.2e-1' (reference: src/json_as_text.rs
+        # raw-slice arm, tests/main.rs:507-512)
         if v is None:
             return None
         if isinstance(v, str):
             return v
         if isinstance(v, bool):
             return "true" if v else "false"
-        if isinstance(v, (int, float)):
-            return core.json_dumps_canonical(
-                core.INT if isinstance(v, int) else core.FLOAT, v
-            )
-        return None  # containers handled by fallback
+        if isinstance(v, int):
+            return str(v)
+        return None  # floats/containers handled by fallback
     if kind == "length":
         if isinstance(v, dict):
             return len(v)
@@ -200,7 +199,16 @@ def json_extract_multi(
         out = []
         for _, k, p in specs:
             found, v = _nav(doc, p)
-            if k == "text" and found and isinstance(v, (dict, list)):
+            if (
+                k == "text"
+                and found
+                and (
+                    type(v) is dict
+                    or type(v) is list
+                    or type(v) is float
+                    or (type(v) is int and v == 0)
+                )
+            ):
                 out.append(_fallback_one(s, k, p))  # raw-bytes fidelity
             else:
                 out.append(_coerce(k, found, v))

@@ -100,6 +100,57 @@ class TestFind:
         assert core.find('{"a": { "b" : 1 }}', ("a",)) == (OBJECT, '{ "b" : 1 }')
 
 
+class TestFindScalar:
+    """The json.loads fast path must be indistinguishable from the
+    streaming scan for every scalar-kernel-visible behavior — the guard
+    must catch every document where plain loads (last-wins) would diverge
+    from the streaming first-match rule."""
+
+    def test_duplicate_keys_first_wins(self):
+        # textual guard sees '"a"' twice -> falls back to streaming
+        assert core.find_scalar('{"a": 1, "a": 2}', ("a",)) == (INT, 1)
+
+    def test_duplicate_keys_nested(self):
+        s = '{"o": {"a": 1, "a": 2}}'
+        assert core.find_scalar(s, ("o", "a")) == (INT, 1)
+
+    def test_escaped_duplicate_key_first_wins(self):
+        # 'a' decodes to 'a': textually invisible duplicate — the
+        # backslash guard must force the streaming path
+        s = '{"\\u0061": 1, "a": 2}'
+        assert core.find_scalar(s, ("a",)) == core.find(s, ("a",)) == (INT, 1)
+
+    def test_dup_key_lookalike_in_string_value_is_safe(self):
+        # '"a"' inside a VALUE trips the guard (conservative) — result
+        # must still be correct via the fallback
+        assert core.find_scalar('{"t": "\\"a\\"", "a": 7}', ("a",)) == (INT, 7)
+
+    def test_trailing_garbage_streaming(self):
+        # loads raises on trailing junk; streaming fallback still finds it
+        assert core.find_scalar('{"foo": 1} junk', ("foo",)) == (INT, 1)
+
+    def test_invalid_tail_after_value(self):
+        assert core.find_scalar('{"foo": 1, "bad', ("foo",)) == (INT, 1)
+
+    def test_containers_return_parsed(self):
+        kind, v = core.find_scalar('{"a": [1, 2]}', ("a",))
+        assert kind == core.ARRAY and v == [1, 2]
+        kind, v = core.find_scalar('{"a": {"b": 1}}', ("a",))
+        assert kind == core.OBJECT and v == {"b": 1}
+
+    def test_scalars_and_null(self):
+        assert core.find_scalar('{"a": null}', ("a",)) == (core.NULL, None)
+        assert core.find_scalar('{"a": "x"}', ("a",)) == (STR, "x")
+        assert core.find_scalar('{"a": 4.2e-1}', ("a",)) == (FLOAT, 0.42)
+        assert core.find_scalar("{}", ("a",)) == (MISSING, None)
+
+    def test_path_guards(self):
+        assert core.find_scalar('{"a": [1]}', ("a", True)) == (MISSING, None)
+        assert core.find_scalar('{"a": [1]}', ("a", -1)) == (MISSING, None)
+        assert core.find_scalar('{"a": [1]}', (None,)) == (MISSING, None)
+        assert core.find_scalar(None, ("a",)) == (MISSING, None)
+
+
 class TestFindRaw:
     def test_float_verbatim(self):
         # reference: tests/main.rs:507-512 — raw text fidelity

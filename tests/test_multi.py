@@ -88,6 +88,35 @@ class TestMultiEquivalence:
         ).select("u.*").collect()[0]
         assert r.t == "[1,  2]"
 
+    def test_raw_float_text_fidelity(self, spark):
+        # text kind on a FLOAT must return the VERBATIM slice, not a
+        # reserialization: 4.2e-1 stays '4.2e-1', never '0.42'
+        # (reference: src/json_as_text.rs raw-slice arm,
+        # tests/main.rs:507-512); int 0 spelled '-0' likewise
+        df = spark.createDataFrame(
+            [('{"f": 4.2e-1, "g": 1.0, "z": -0, "i": 5}',)],
+            "json_data string",
+        )
+        r = (
+            df.select(
+                jsonf.json_extract_multi(
+                    "json_data",
+                    {
+                        "f": ("text", "f"),
+                        "g": ("text", "g"),
+                        "z": ("text", "z"),
+                        "i": ("text", "i"),
+                    },
+                ).alias("u")
+            )
+            .select("u.*")
+            .collect()[0]
+        )
+        assert r.f == "4.2e-1"
+        assert r.g == "1.0"
+        assert r.z == "-0"
+        assert r.i == "5"
+
     def test_single_arrow_eval(self, spark):
         from datafusion_functions_json_spark.plans import arrow_eval_count
 

@@ -106,6 +106,26 @@ def test_find_raw_slices_reparse(value, path):
         assert sval == expected
 
 
+@settings(max_examples=400, deadline=None)
+@given(value=json_values, path=paths, pre=ws, post=ws)
+def test_find_scalar_matches_find(value, path, pre, post):
+    """The loads-based fast path must agree with the streaming scan on
+    every document (container values compared by reparse: the fast path
+    yields parsed dict/list, the streaming path a raw slice)."""
+    s = pre + json.dumps(value) + post
+    p = tuple(path)
+    kind_f, got_f = core.find_scalar(s, p)
+    kind_s, got_s = core.find(s, p)
+    assert kind_f == kind_s
+    if kind_f in (core.ARRAY, core.OBJECT):
+        norm_f = json.loads(got_f) if isinstance(got_f, str) else got_f
+        assert norm_f == json.loads(got_s)
+    elif kind_f == core.FLOAT:
+        assert got_f == got_s or (math.isnan(got_f) and math.isnan(got_s))
+    else:
+        assert got_f == got_s
+
+
 @settings(max_examples=200, deadline=None)
 @given(value=json_values, path=paths)
 def test_exists_matches_dom(value, path):
@@ -143,6 +163,7 @@ def test_lengths_and_keys(value):
 def test_never_raises_on_garbage(junk, path):
     """The never-throw contract against arbitrary non-JSON text."""
     core.find(junk, tuple(path))
+    core.find_scalar(junk, tuple(path))
     core.find_raw(junk, tuple(path))
     core.exists_at(junk, tuple(path))
     core.length_at(junk, tuple(path))
@@ -158,6 +179,7 @@ def test_never_raises_on_garbage(junk, path):
 def test_never_raises_on_json_shaped_garbage(junk, path):
     """Same, but biased toward almost-JSON byte soup (the hard cases)."""
     core.find(junk, tuple(path))
+    core.find_scalar(junk, tuple(path))
     core.exists_at(junk, tuple(path))
     core.length_at(junk, tuple(path))
     core.keys_at(junk, tuple(path))
