@@ -272,16 +272,23 @@ def _q_multi_extract(spark, sf_dir):
 
 
 def _q_union_roundtrip(spark, sf_dir):
-    # json_get -> union struct -> json_union_to_text + json_is_null
+    # json_get -> union struct -> json_union_to_text + json_is_null,
+    # computed via the fused union kinds of json_extract_multi: one parse
+    # + one Arrow hop for all three outputs instead of three kernels over
+    # the same document. The unfused union path stays driver-covered by
+    # from_scalar (json_union_to_text over json_from_scalar) and
+    # operator_chain, plus tests/test_union.py.
     li = _lineitem(spark, sf_dir).withColumn("j", _nested_json_col())
-    u_a = jsonf.json_get("j", "a")
-    u_d = jsonf.json_get("j", "d")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        jsonf.json_union_to_text(u_a).alias("a_text"),
-        jsonf.json_is_null(u_d).alias("d_is_null"),
-        jsonf.json_is_null(u_a).alias("a_is_null"),
+    u = jsonf.json_extract_multi(
+        "j",
+        {
+            "a_text": ("union_text", "a"),
+            "d_is_null": ("union_isnull", "d"),
+            "a_is_null": ("union_isnull", "a"),
+        },
+    ).alias("u")
+    return li.select("l_orderkey", "l_linenumber", u).select(
+        "l_orderkey", "l_linenumber", "u.*"
     )
 
 
@@ -308,7 +315,9 @@ def _q_column_key(spark, sf_dir):
 
 
 def _q_tpch_q1(spark, sf_dir):
-    li = _lineitem(spark, sf_dir)
+    # pure Catalyst aggregation: partial agg collapses the scan task's
+    # output, so the spread shuffle would only add cost — load unspread
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -324,7 +333,9 @@ def _q_tpch_q1(spark, sf_dir):
 
 
 def _q_events_hourly(spark, sf_dir):
-    ev = _events(spark, sf_dir)
+    # pure Catalyst windowed aggregation — partial agg collapses the scan
+    # task's output; the spread shuffle would only add cost
+    ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
         F.window("ts", "1 hour")["start"].alias("hour_start"), "event_type"
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))

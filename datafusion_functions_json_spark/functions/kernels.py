@@ -60,6 +60,35 @@ def repeat_path(path: Sequence) -> Iterable:
     return itertools.repeat(tuple(path))
 
 
+def _adaptive_raw_fallback(sample: int = 256):
+    """Per-batch chooser between the loads fast path and the streaming
+    scan for kernels that need RAW container slices.
+
+    ``find_scalar`` yields parsed containers, so container rows must
+    re-run the streaming scan — two parses. Whether that pays depends on
+    the data: scalar-heavy columns win big, container-heavy columns lose
+    ~2×. Sample the first ``sample`` rows; if container rows dominate,
+    switch the rest of the batch to the streaming scan outright (paths
+    are constant per batch in the dominant literal-path case, so the
+    sample is representative).
+    """
+    state = {"seen": 0, "containers": 0, "streaming": False}
+
+    def find_with_raw(s, p):
+        if state["streaming"]:
+            return core.find(s, p)
+        kind, v = core.find_scalar(s, p)
+        if kind == ARRAY or kind == OBJECT:
+            kind, v = core.find(s, p)  # raw-slice fidelity
+            state["containers"] += 1
+        state["seen"] += 1
+        if state["seen"] == sample and state["containers"] * 2 > sample:
+            state["streaming"] = True
+        return kind, v
+
+    return find_with_raw
+
+
 def kernel_json_get(json_vals, paths):
     """json_get → union struct columns (reference: src/json_get.rs:109-151).
 
@@ -70,12 +99,9 @@ def kernel_json_get(json_vals, paths):
     documented deviation).
     """
     tids, bools, ints, floats, strs, arrs, objs = ([] for _ in range(7))
+    fallback = _adaptive_raw_fallback()
     for s, p in zip(json_vals, paths):
-        kind, v = core.find_scalar(s, p)
-        if kind == ARRAY or kind == OBJECT:
-            # fast path yields parsed containers; the union carries raw
-            # text slices, so re-run the streaming scan for these rows
-            kind, v = core.find(s, p)
+        kind, v = fallback(s, p)
         b = i = f = st = ar = ob = None
         if kind == BOOL:
             tid, b = 1, v
@@ -195,7 +221,18 @@ def kernel_json_as_text(json_vals, paths):
     any other present value → raw JSON text (reference:
     src/json_as_text.rs:101-112)."""
     out = []
+    seen = raws = 0
+    streaming = False
     for s, p in zip(json_vals, paths):
+        if streaming:
+            kind, raw, sval = core.find_raw(s, p)
+            if kind == STR:
+                out.append(sval)
+            elif kind == MISSING or kind == NULL:
+                out.append(None)
+            else:
+                out.append(raw)
+            continue
         kind, v = core.find_scalar(s, p)
         if kind == STR:
             out.append(v)
@@ -210,6 +247,10 @@ def kernel_json_as_text(json_vals, paths):
             # '4.2e-1'); INT 0 may be spelled '-0' in the document
             _, raw, _ = core.find_raw(s, p)
             out.append(raw)
+            raws += 1
+        seen += 1
+        if seen == 256 and raws * 2 > seen:
+            streaming = True  # raw-needing rows dominate: skip double parse
     return out
 
 
@@ -242,10 +283,9 @@ def kernel_json_to_text_fused(json_vals, paths):
     (strings re-encoded canonically, containers raw passthrough, null
     arm/missing/out-of-range ints => SQL NULL)."""
     out = []
+    fallback = _adaptive_raw_fallback()
     for s, p in zip(json_vals, paths):
-        kind, v = core.find_scalar(s, p)
-        if kind == ARRAY or kind == OBJECT:
-            kind, v = core.find(s, p)  # raw-slice passthrough for containers
+        kind, v = fallback(s, p)
         if kind == INT and not (INT64_MIN <= v <= INT64_MAX):
             out.append(None)  # big ints land in the null arm (union rules)
         else:

@@ -37,6 +37,12 @@ FIELD_KINDS = {
     "text": "string",  # json_as_text semantics
     "length": "bigint",
     "exists": "boolean",
+    # union-roundtrip semantics, fused: same outputs as
+    # json_union_to_text(json_get(j, *path)) / json_is_null(json_get(...))
+    # without materializing the union struct (reference:
+    # src/json_union_to_text.rs:82-118, src/common_union.rs:53)
+    "union_text": "string",
+    "union_isnull": "boolean",
 }
 
 
@@ -63,6 +69,14 @@ def _coerce(kind: str, found: bool, v):
     (reference semantics per SURVEY.md §2.1)."""
     if kind == "exists":
         return found
+    if kind == "union_isnull":
+        # true iff json_get would fill the union's null arm — missing,
+        # json null, or out-of-i64 int
+        if not found or v is None:
+            return True
+        if isinstance(v, int) and not isinstance(v, bool):
+            return not (core.INT64_MIN <= v <= core.INT64_MAX)
+        return False
     if not found:
         return None
     if kind == "str":
@@ -114,6 +128,23 @@ def _coerce(kind: str, found: bool, v):
         if isinstance(v, list):
             return len(v)
         return None
+    if kind == "union_text":
+        # json_union_to_text over the would-be union: null arm => NULL,
+        # bool/int/float canonical, strings JSON-quoted, containers raw
+        # (raw handled by the fallback in extract_row)
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return (
+                str(v) if core.INT64_MIN <= v <= core.INT64_MAX else None
+            )  # big ints land in the null arm
+        if isinstance(v, float):
+            return core.json_dumps_canonical(core.FLOAT, v)
+        if isinstance(v, str):
+            return core.json_dumps_canonical(core.STR, v)
+        return None  # containers handled by fallback
     raise ValueError(f"unknown field kind {kind!r}")
 
 
@@ -131,6 +162,16 @@ def _fallback_one(s, kind: str, path):
         if k in (core.MISSING, core.NULL):
             return None
         return raw
+    if kind == "union_text":
+        k, v = core.find(s, path)
+        if k == core.INT and not (core.INT64_MIN <= v <= core.INT64_MAX):
+            return None
+        return core.json_dumps_canonical(k, v)
+    if kind == "union_isnull":
+        k, v = core.find(s, path)
+        return k in (core.MISSING, core.NULL) or (
+            k == core.INT and not (core.INT64_MIN <= v <= core.INT64_MAX)
+        )
     k, v = core.find(s, path)
     if kind == "str":
         return v if k == core.STR else None
@@ -190,7 +231,10 @@ def json_extract_multi(
     def extract_row(s):
         if s is None:
             return tuple(
-                False if k == "exists" else None for _, k, _p in specs
+                False
+                if k == "exists"
+                else (True if k == "union_isnull" else None)
+                for _, k, _p in specs
             )
         try:
             doc = loads(s, object_pairs_hook=first_wins)
@@ -199,14 +243,19 @@ def json_extract_multi(
         out = []
         for _, k, p in specs:
             found, v = _nav(doc, p)
-            if (
-                k == "text"
-                and found
-                and (
-                    type(v) is dict
-                    or type(v) is list
-                    or type(v) is float
-                    or (type(v) is int and v == 0)
+            if found and (
+                (
+                    k == "text"
+                    and (
+                        type(v) is dict
+                        or type(v) is list
+                        or type(v) is float
+                        or (type(v) is int and v == 0)
+                    )
+                )
+                or (
+                    k == "union_text"
+                    and (type(v) is dict or type(v) is list)
                 )
             ):
                 out.append(_fallback_one(s, k, p))  # raw-bytes fidelity
@@ -217,6 +266,14 @@ def json_extract_multi(
     @F.pandas_udf(ret)
     def _multi(js: pd.Series) -> pd.DataFrame:
         rows = [extract_row(s) for s in js]
-        return pd.DataFrame(rows, columns=[n for n, _, _ in specs], dtype=object)
+        # column-wise assembly: zip(*rows) transposes at C speed; building
+        # the frame from per-cell rows costs ~2x on wide batches
+        data = zip(*rows) if rows else ([] for _ in specs)
+        return pd.DataFrame(
+            {
+                n: pd.Series(col, dtype=object)
+                for (n, _, _), col in zip(specs, data)
+            }
+        )
 
     return _multi(json_col)

@@ -117,6 +117,40 @@ class TestMultiEquivalence:
         assert r.z == "-0"
         assert r.i == "5"
 
+    def test_union_kinds_match_unfused(self, spark):
+        # union_text/union_isnull must equal the two-step
+        # json_union_to_text(json_get(...)) / json_is_null(json_get(...))
+        docs = [
+            '{"k": 1}',
+            '{"k": "s"}',
+            '{"k": true}',
+            '{"k": 4.2e-1}',
+            '{"k": null}',
+            '{"k": [1, {"x": 2}]}',
+            '{"k": { "a" : 1 }}',
+            '{"k": 99999999999999999999999999}',  # beyond i64 -> null arm
+            '{"other": 1}',
+            "{invalid",
+            None,
+        ]
+        df = spark.createDataFrame([(d,) for d in docs], "j string")
+        fused = (
+            df.select(
+                jsonf.json_extract_multi(
+                    "j",
+                    {"t": ("union_text", "k"), "n": ("union_isnull", "k")},
+                ).alias("u")
+            )
+            .select("u.*")
+            .collect()
+        )
+        u = jsonf.json_get("j", "k")
+        unfused = df.select(
+            jsonf.json_union_to_text(u).alias("t"),
+            jsonf.json_is_null(u).alias("n"),
+        ).collect()
+        assert [tuple(r) for r in fused] == [tuple(r) for r in unfused]
+
     def test_single_arrow_eval(self, spark):
         from datafusion_functions_json_spark.plans import arrow_eval_count
 

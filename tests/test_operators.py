@@ -147,6 +147,20 @@ class TestSimilarity:
         assert abs(top[0].cosine - 1.0) < 1e-5
         assert all(top[i].cosine >= top[i + 1].cosine for i in range(4))
 
+    def test_cosine_impls_agree(self, embeddings):
+        # the numpy tier must reproduce the JVM HOF tier exactly at the
+        # rounded precision the operator returns
+        q = embeddings.filter(F.col("vec_id") == 3).first().embedding
+        vec = similarity.cosine_topk(
+            embeddings, "embedding", q, k=10, impl="vectorized"
+        ).collect()
+        hof = similarity.cosine_topk(
+            embeddings, "embedding", q, k=10, impl="hof"
+        ).collect()
+        assert [(r.vec_id, r.cosine) for r in vec] == [
+            (r.vec_id, r.cosine) for r in hof
+        ]
+
     def test_ann_recall_of_exact_top1(self, embeddings):
         q = embeddings.filter(F.col("vec_id") == 7).first().embedding
         ann = similarity.ann_topk(
