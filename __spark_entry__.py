@@ -314,6 +314,18 @@ def _q_column_key(spark, sf_dir):
     )
 
 
+def _q_sql_operators(spark, sf_dir):
+    # the jsonf.sql text surface: ->> and ? rewritten to registered
+    # functions with reference alias rendering (src/rewrite.rs:112-198)
+    jsonf.register_all(spark)
+    _events(spark, sf_dir).createOrReplaceTempView("events_sqlops")
+    return jsonf.sql(
+        spark,
+        "select event_id, props ->> 'k' as kt, props ? 'k' as has_k "
+        "from events_sqlops",
+    )
+
+
 def _q_tpch_q1(spark, sf_dir):
     # pure Catalyst aggregation: partial agg collapses the scan task's
     # output, so the spread shuffle would only add cost — load unspread
@@ -548,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_roundtrip": _q_union_roundtrip,
         "from_scalar": _q_from_scalar,
         "column_key": _q_column_key,
+        "sql_operators": _q_sql_operators,
         "tpch_q1": _q_tpch_q1,
         "events_hourly": _q_events_hourly,
         "orders_join": _q_orders_join,
@@ -674,6 +687,10 @@ def oracle_sql() -> dict[str, str]:
         "column_key": (
             "select event_id, case when event_type = 'click' "
             "then try_cast(json_extract(props,'$.k') as bigint) end as dyn from events"
+        ),
+        "sql_operators": (
+            "select event_id, json_extract_string(props,'$.k') as kt, "
+            "json_type(props,'$.k') is not null as has_k from events"
         ),
         "tpch_q1": (
             "select l_returnflag, l_linestatus, "

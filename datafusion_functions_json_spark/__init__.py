@@ -65,6 +65,7 @@ from .functions.api import (
     scalar_to_json,
 )
 from .register import register_all
+from .sql import rewrite_sql, sql
 from .union import UNION_DDL, UNION_SCHEMA, format_union_value
 
 __all__ = [
@@ -89,6 +90,8 @@ __all__ = [
     "json_is_null",
     "json_extract_multi",
     "register_all",
+    "rewrite_sql",
+    "sql",
     "UNION_SCHEMA",
     "UNION_DDL",
     "format_union_value",
