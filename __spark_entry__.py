@@ -506,10 +506,45 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
-def _q_embedding_dups(spark, sf_dir):
-    return similarity.embedding_dup_pairs(
-        _emb(spark, sf_dir), "vec_id", "embedding", dim=64, threshold=0.95
+def _q_ivf_topk(spark, sf_dir):
+    # second ANN tier: k-means IVF build + nprobe-bounded exact re-rank
+    emb = _emb(spark, sf_dir)
+    assigned, cents = similarity.ivf_build(
+        emb, "embedding", dim=64, n_clusters=8, sample=512
     )
+    return similarity.ivf_topk(
+        assigned, cents, "embedding", _query_vector(sf_dir), k=5, nprobe=2
+    )
+
+
+def _q_embedding_dups(spark, sf_dir):
+    # PLANTED near-duplicates make the rows-only check falsifiable: five
+    # scaled copies (cosine exactly 1.0 with their originals) are unioned
+    # in under fresh ids — a broken banding or verification path returns
+    # 0 rows and the driver check fails instead of passing vacuously
+    emb = _emb(spark, sf_dir)
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    return similarity.embedding_dup_pairs(
+        emb.unionByName(planted), "vec_id", "embedding", dim=64, threshold=0.95
+    )
+
+
+def _q_audio_features(spark, sf_dir):
+    # audio featurizer plumbing (fake decode): the size-derived fields
+    # are deterministic, so this path is fully hash-checked by the oracle
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = multimodal.extract_audio_features(docs, fake=True)
+    return feats.select("media_id", "sample_rate", "n_samples")
 
 
 def _q_media_features(spark, sf_dir):
@@ -578,7 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "embedding_dups": _q_embedding_dups,
+        "audio_features": _q_audio_features,
         "media_features": _q_media_features,
     }
 
@@ -768,6 +805,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_meta": (
             "select doc_id as media_id, octet_length(encode(text))::int as payload_bytes "
+            "from documents"
+        ),
+        "audio_features": (
+            "select doc_id as media_id, "
+            "case when octet_length(encode(text)) % 2 = 1 then 16000 "
+            "else 44100 end::int as sample_rate, "
+            "(octet_length(encode(text)) // 2)::bigint as n_samples "
             "from documents"
         ),
         "curation": (

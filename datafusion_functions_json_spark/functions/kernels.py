@@ -151,7 +151,14 @@ def kernel_json_get_str(json_vals, paths):
 def kernel_json_get_int(json_vals, paths):
     """JSON int → value; JSON string parsed with Rust i64 semantics
     ('123'→123, '1.5'→NULL); float/bool/null/containers/BigInt → NULL
-    (reference: src/json_get_int.rs:102-116)."""
+    (reference: src/json_get_int.rs:102-116).
+
+    DELIBERATE DEVIATION: the reference's jiter match arms omit
+    ``Peek::Minus``, so a NEGATIVE JSON number (``{"k": -5}``) errors
+    there and surfaces as NULL; we return the value (-5), matching JSON
+    semantics and the DuckDB oracle (same deviation class as the BigInt
+    ``todo!`` null-arm documented on kernel_json_get). Pinned by
+    tests/test_functions.py::test_negative_numbers_returned."""
     out = []
     for s, p in zip(json_vals, paths):
         kind, v = core.find_scalar(s, p)
@@ -167,7 +174,9 @@ def kernel_json_get_int(json_vals, paths):
 def kernel_json_get_float(json_vals, paths):
     """JSON int or float → f64 (int coerced, reference:
     src/json_get_float.rs:115-118); string parsed with Rust f64 semantics;
-    bool/null/containers → NULL."""
+    bool/null/containers → NULL. Same deliberate negative-number
+    deviation as :func:`kernel_json_get_int` (reference
+    src/json_get_float.rs:110 omits Peek::Minus; we return the value)."""
     out = []
     for s, p in zip(json_vals, paths):
         kind, v = core.find_scalar(s, p)

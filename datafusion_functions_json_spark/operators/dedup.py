@@ -71,9 +71,29 @@ def exact_dedup(df: DataFrame, *cols: str) -> DataFrame:
     return df.dropDuplicates(list(cols) if cols else None)
 
 
-def exact_dup_groups(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+def exact_dup_groups(
+    df: DataFrame, key_col: str, id_col: str, *, hash_key: bool = False
+) -> DataFrame:
     """Groups of exact duplicates: one row per duplicated key value with
-    its count and member ids (ids sorted for determinism)."""
+    its count and member ids (ids sorted for determinism).
+
+    ``hash_key=True`` groups on ``sha2(key)`` so the shuffle key is a
+    32-byte digest instead of the key value — the right call at 100 TB
+    when the key is document text (equal digest treated as equal key,
+    2^-256 collision odds); the key value is still carried into the
+    output via ``first``. Default ``False`` keeps value-grouping for
+    oracle-parity queries on small keys."""
+    if hash_key:
+        return (
+            df.groupBy(F.sha2(_col(key_col).cast("string"), 256).alias("_kh"))
+            .agg(
+                F.first(_col(key_col)).alias(key_col),
+                F.count("*").alias("dup_count"),
+                F.sort_array(F.collect_list(_col(id_col))).alias("ids"),
+            )
+            .filter(F.col("dup_count") > 1)
+            .select(key_col, "dup_count", "ids")
+        )
     return (
         df.groupBy(key_col)
         .agg(
@@ -289,6 +309,7 @@ def minhash_dup_pairs(
     mode: str = "char",
     n: int = 5,
     threshold: float = 0.7,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs with exact-Jaccard verification.
 
@@ -300,23 +321,29 @@ def minhash_dup_pairs(
       4. verify: exact Jaccard on shingle sets, filter by threshold
 
     Returns (id_a, id_b, jaccard).
+
+    Cache contract: the signature base is read by the self-join and both
+    verification joins, so it must be cached while the pairs compute.
+    With ``materialize=True`` (default) the pairs are computed eagerly,
+    cached, and the big signature base is unpersisted before returning —
+    nothing large stays pinned in executor memory. ``materialize=False``
+    returns a fully lazy plan and persists NOTHING (the base recomputes
+    per branch; Spark still reuses the shuffle files where plans share
+    exchanges) — for callers composing further before executing.
     """
     rows = num_perm // bands
     df = _spread(df)
     # One pandas pass computes BOTH the signature (for banding) and the
-    # distinct shingle-hash set (for verification). PERSISTED: the
-    # self-join and the two verification joins all read this base — the
-    # expensive map runs once; text is never touched again.
-    base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            _signature_with_hashes(
-                text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
-            ).alias("_s"),
-        )
-        .filter(F.col("_s.sig").isNotNull())
-        .persist()
-    )
+    # distinct shingle-hash set (for verification) — the expensive map
+    # runs once; text is never touched again.
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _signature_with_hashes(
+            text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
+        ).alias("_s"),
+    ).filter(F.col("_s.sig").isNotNull())
+    if materialize:
+        base = base.persist()
     band_df = base.withColumn(
         "_band", F.explode(lsh_bands(F.col("_s.sig"), bands=bands, rows=rows))
     ).select("_band", "_id")
@@ -328,7 +355,7 @@ def minhash_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hs = base.select(F.col("_id").alias("_hid"), F.col("_s.hashes").alias("_h"))
-    return (
+    pairs = (
         cand.join(hs, cand.id_a == hs._hid)
         .withColumnRenamed("_h", "ha")
         .drop("_hid")
@@ -341,6 +368,11 @@ def minhash_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if materialize:
+        pairs = pairs.persist()
+        pairs.count()  # force: pairs (small) cached, base releasable
+        base.unpersist()
+    return pairs
 
 
 def minhash_dedup(
@@ -436,6 +468,7 @@ def simhash_dup_pairs(
     *,
     max_hamming: int = 3,
     block_bits: int = 16,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -443,6 +476,12 @@ def simhash_dup_pairs(
     pigeonhole, two hashes within Hamming distance 3 agree on ≥1 block —
     join on (block_id, block_value) instead of cross join (same shuffle
     discipline as minhash banding). Returns (id_a, id_b, hamming).
+
+    Cache contract: same as :func:`minhash_dup_pairs` — the simhash base
+    is read by both sides of the self-join; ``materialize=True``
+    (default) computes the (small) pairs eagerly, caches them, and
+    unpersists the base before returning; ``materialize=False`` returns
+    a lazy plan with no caching at all.
     """
     n_blocks = 64 // block_bits
     df = _spread(df)
@@ -464,10 +503,12 @@ def simhash_dup_pairs(
             )
         ),
     )
-    # persisted: simhash is the expensive map and a broadcast self-join
-    # would otherwise compute it once per side
-    base = base.select("_blk", "_id", "_sh").persist()
-    return (
+    base = base.select("_blk", "_id", "_sh")
+    if materialize:
+        # simhash is the expensive map and a broadcast self-join would
+        # otherwise compute it once per side
+        base = base.persist()
+    pairs = (
         base.alias("L")
         .join(base.alias("R"), F.col("L._blk") == F.col("R._blk"))
         .filter(F.col("L._id") < F.col("R._id"))
@@ -482,6 +523,11 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if materialize:
+        pairs = pairs.persist()
+        pairs.count()  # force: pairs (small) cached, base releasable
+        base.unpersist()
+    return pairs
 
 
 # ------------------------------------------------------- n-gram jaccard

@@ -34,6 +34,7 @@ __all__ = [
     "attach_media_metadata",
     "decode_image",
     "image_features",
+    "extract_audio_features",
     "frame_sample_plan",
 ]
 
@@ -125,6 +126,53 @@ def image_features(df: DataFrame, payload_col: str = "payload", *, fake: bool = 
     """Feature-extraction-only variant: (media_id, features)."""
     decoded = decode_image(df, payload_col, fake=fake)
     return decoded.select("media_id", "features")
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "payload", *, fake: bool = False
+) -> DataFrame:
+    """Extract audio features (sample rate, sample count, fixed-width
+    feature vector) via Arrow-batched ``mapInPandas`` — the audio twin of
+    :func:`decode_image`.
+
+    Real decoding requires an audio codec library not present in this
+    environment — STUB: raises ``NotImplementedError`` unless
+    ``fake=True`` (deterministic hash-derived features; the Spark-side
+    schema/batching/partitioning is real and tested).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires a codec library (e.g. soundfile/"
+            "librosa) not available in this environment; pass fake=True "
+            "to exercise the pipeline with deterministic stand-in features"
+        )
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            pdf = pdf.copy()
+            sizes = payloads.map(lambda b: len(b) if b is not None else None)
+            # deterministic fake "decode": 16-bit mono at a size-derived
+            # standard rate
+            pdf["sample_rate"] = sizes.map(
+                lambda s: None if s is None else (16000 if s % 2 else 44100)
+            )
+            pdf["n_samples"] = sizes.map(
+                lambda s: None if s is None else s // 2
+            )
+            pdf["features"] = payloads.map(_fake_feature_vector)
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

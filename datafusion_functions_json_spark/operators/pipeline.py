@@ -17,7 +17,7 @@ Each stage is also exposed separately; `curate` is the composition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import dedup, text
@@ -48,11 +48,17 @@ def curate(
         & (F.col("quality") >= quality_threshold)
     )
 
-    # exact dedup keeping the smallest id per identical text (deterministic)
-    w_min = kept.groupBy(text_col).agg(F.min(id_col).alias("_keep_id"))
-    kept = kept.join(
-        w_min, (kept[text_col] == w_min[text_col]) & (kept[id_col] == w_min["_keep_id"])
-    ).drop(w_min[text_col]).drop("_keep_id")
+    # exact dedup keeping the smallest id per identical text
+    # (deterministic). The shuffle key is sha2(text) — a 32-byte digest —
+    # never the document itself: at 100 TB, shuffling full documents as
+    # keys is the difference between a dedup and a cluster outage. Equal
+    # digest is treated as equal text (2^-256 collision odds).
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    kept = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     if near_dedup:
         kw = dict(num_perm=32, bands=8, mode="word", n=3, threshold=0.8)

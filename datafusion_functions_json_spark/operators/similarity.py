@@ -221,12 +221,19 @@ def ivf_build(
     partitioned by ``ivf_cluster`` so probes prune partitions — same
     storage discipline as the LSH bucket path, but data-adaptive.
 
-    The sample collect is bounded (``sample`` rows) — training never
-    scans the full table; assignment is one numpy-vectorized pass.
+    The training sample is UNIFORM: ``orderBy(rand(seed)).limit(n)``
+    compiles to TakeOrderedAndProject (partial top-k per partition — one
+    column scan, no global sort). A plain ``limit(n)`` would take the
+    first rows of the first partitions, biasing centroids on
+    sorted/partitioned data. The collect is bounded to ``sample`` rows;
+    assignment is one numpy-vectorized pass.
     """
     rows = (
-        df.select(vec_col).limit(sample).collect()
-    )  # bounded driver-side sample
+        df.select(vec_col)
+        .orderBy(F.rand(seed))
+        .limit(sample)
+        .collect()
+    )  # bounded, uniformly-random driver-side sample
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]

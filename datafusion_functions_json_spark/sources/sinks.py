@@ -31,15 +31,15 @@ def write_partitioned(
     ``partition_by`` should be LOW-cardinality columns (date, language,
     source) — every distinct combination becomes a directory; a
     high-cardinality partition key is the classic small-files disaster.
-    ``target_file_rows`` coalesces/repartitions within partitions via a
-    round-robin repartition so each output file lands near the target
-    (AQE handles the rest).
+    ``target_file_rows`` caps rows per output file via the writer's own
+    ``maxRecordsPerFile`` option: the writer rolls to a new file when the
+    cap is hit — NO extra pass over the input (an earlier draft ran
+    ``df.count()`` to pre-size a repartition, which reads the whole
+    input twice; at 100 TB that doubles the job).
     """
-    out = df
+    writer = df.write.mode(mode).format(fmt)
     if target_file_rows:
-        n = max(1, df.count() // target_file_rows)
-        out = df.repartition(n, *[F.col(c) for c in partition_by] or [F.spark_partition_id()])
-    writer = out.write.mode(mode).format(fmt)
+        writer = writer.option("maxRecordsPerFile", int(target_file_rows))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)

@@ -345,6 +345,54 @@ class TestErrorParity:
         with pytest.raises(ValueError, match="expected string or int"):
             jsonf.json_get("j", 1.5)
 
+    def test_union_equals_raises_without_cast(self, spark, test_df):
+        # reference: tests/main.rs test_json_get_equals — comparing the
+        # raw union to a string is a plan error; ::string works (cast
+        # elision rewrites it to json_get_str, covered in test_column)
+        import pyspark.errors
+
+        with pytest.raises(pyspark.errors.AnalysisException):
+            test_df.select(
+                (jsonf.json_get("json_data", "foo") == F.lit("abc")).alias("x")
+            ).collect()
+
+    def test_no_args_sql(self, spark, test_df):
+        # reference: tests/main.rs test_no_args — json_len() with no
+        # arguments must be rejected, not return garbage. At the SQL-UDF
+        # boundary Spark rejects at EXECUTION time (PythonException from
+        # the missing positional arg), not planning — documented delta;
+        # the jsonf.sql surface has no operator form that can produce a
+        # zero-arg call.
+        jsonf.register_all(spark)
+        with pytest.raises(Exception, match="json_len|positional argument"):
+            spark.sql("select json_len()").collect()
+
+
+class TestNegativeNumberDeviation:
+    """DELIBERATE divergence from the reference, pinned: the reference's
+    jiter match arms omit Peek::Minus so negative JSON numbers yield NULL
+    there (src/json_get_int.rs:109, src/json_get_float.rs:110); we return
+    the value — saner, and what the DuckDB oracle does. Documented in
+    kernels.py and SURVEY.md §2.1."""
+
+    def test_negative_numbers_returned(self, spark):
+        df = spark.createDataFrame(
+            [('{"k": -5, "f": -2.5}',)], "j string"
+        )
+        r = df.select(
+            jsonf.json_get_int("j", "k").alias("i"),
+            jsonf.json_get_float("j", "f").alias("f"),
+            jsonf.json_get("j", "k").alias("u"),
+        ).collect()[0]
+        assert (r.i, r.f, (r.u.type_id, r.u.int)) == (-5, -2.5, (2, -5))
+
+    def test_cast_elision_path_hits_divergent_kernel(self, spark):
+        # cast elision funnels jc['k'].cast('bigint') into json_get_int
+        df = spark.createDataFrame([('{"k": -7}',)], "j string")
+        jc = jsonf.col("j")
+        r = df.select(jc["k"].cast("bigint").alias("b")).collect()[0]
+        assert r.b == -7
+
 
 class TestProvenanceInvariance:
     """Spark analog of the reference's 5-encoding matrix (reference:

@@ -261,3 +261,23 @@ class TestMultimodal:
     def test_frame_sample_plan(self, spark):
         plan = multimodal.frame_sample_plan(self._media_df(spark), every_ms=1000)
         assert [r.frame_ts_ms for r in plan.collect()] == [0, 1000, 2000, 3000]
+
+    def test_audio_stub_raises_without_fake(self, spark):
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_audio_features(self._media_df(spark))
+
+    def test_fake_audio_features_deterministic(self, spark):
+        rows = [
+            (10, "audio", bytearray(b"RIFF fake wav 123456"), "audio/wav", (None, None, 1000, 16000)),
+            (11, "audio", bytearray(b"RIFF other wav 9"), "audio/wav", (None, None, 500, 44100)),
+            (12, "audio", None, "audio/wav", (None, None, None, None)),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = {r.media_id: r for r in multimodal.extract_audio_features(df, fake=True).collect()}
+        assert out[10].n_samples == 10 and out[10].sample_rate == 44100
+        assert len(out[10].features) == 16
+        assert out[12].features is None and out[12].sample_rate is None
+        again = multimodal.extract_audio_features(df, fake=True).filter(
+            F.col("media_id") == 10
+        ).first()
+        assert again.features == out[10].features

@@ -105,6 +105,49 @@ class TestIsNull:
         assert vals == [True, True, True, False]
 
 
+class TestNullMaskingInvariant:
+    """Port of the reference's dictionary null-masking property
+    (reference: tests/main.rs:1781-1845 check_for_null_dictionary_values:
+    no non-null key may point to a null value). Spark analog: a json_get
+    result row is either a WHOLE-STRUCT NULL (null arm, masked by
+    mask_null_arm) or carries type_id 1-6 with exactly the active member
+    populated — never a present struct with type_id 0/NULL, never a
+    populated inactive member."""
+
+    _ACTIVE = {1: "bool", 2: "int", 3: "float", 4: "str", 5: "array", 6: "object"}
+
+    def test_invariant_over_edge_docs(self, spark):
+        docs = [
+            '{"k": 1}',
+            '{"k": -5}',
+            '{"k": 4.2e-1}',
+            '{"k": "s"}',
+            '{"k": true}',
+            '{"k": false}',
+            '{"k": null}',
+            '{"k": [1, null]}',
+            '{"k": {"a": 1}}',
+            '{"k": 99999999999999999999999999}',  # big int -> null arm
+            '{"other": 1}',
+            "{bad json",
+            "",
+            None,
+        ]
+        df = spark.createDataFrame([(d,) for d in docs], "j string")
+        rows = df.select(jsonf.json_get("j", "k").alias("u")).collect()
+        assert len(rows) == len(docs)
+        for r in rows:
+            u = r.u
+            if u is None:
+                continue  # null arm, correctly masked
+            d = u.asDict()
+            assert d["type_id"] in self._ACTIVE, d
+            active = self._ACTIVE[d["type_id"]]
+            assert d[active] is not None, d
+            for member in set(self._ACTIVE.values()) - {active}:
+                assert d[member] is None, d
+
+
 class TestParquetRoundTrip:
     def test_union_struct_survives_parquet(self, spark, tmp_path):
         df = spark.createDataFrame(
