@@ -85,6 +85,26 @@ _UNNEST_OUTER = {
     "json_as_text",
 }
 
+# Cast elision targets (reference: src/rewrite.rs:41-49): casting a
+# json_get chain picks the typed variant so the union never materializes.
+_CAST_ELISION = {
+    "int": "json_get_int",
+    "integer": "json_get_int",
+    "bigint": "json_get_int",
+    "long": "json_get_int",
+    "smallint": "json_get_int",
+    "tinyint": "json_get_int",
+    "boolean": "json_get_bool",
+    "bool": "json_get_bool",
+    "float": "json_get_float",
+    "double": "json_get_float",
+    "real": "json_get_float",
+    "decimal": "json_get_float",
+    "string": "json_get_str",
+    "varchar": "json_get_str",
+    "text": "json_get_str",
+}
+
 # Registered functions taking (json, *path) — validated for the
 # one-column-path-element rule and NULL path literals.
 _PATH_FNS = {
@@ -411,6 +431,96 @@ def rewrite_sql(query: str) -> str:
             literal_path=all(_arg_is_literal(a) for a in args[1:]),
         )
         toks[left["start"] : r_idx + 1] = [new_tok]
+
+    # -- cast elision over rewritten json_get chains --------------------
+    # (json_data->'foo'->0)::int  =>  json_get_int(json_data, 'foo', 0)
+    # cast(json_data->'foo' as int) likewise; the operator-spelling alias
+    # survives (reference: tests/main.rs test_arrow_double_nested_cast
+    # keeps `json_data -> 'foo' -> 0` as the column title). Only
+    # json_get is elided (src/rewrite.rs is_json_get guard); a cast on a
+    # ->> chain casts the TEXT result, which Spark handles natively.
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if t.kind != "call" or t.fn != "json_get":
+                continue
+            span_start, span_end = i, i
+            p = _prev(toks, i)
+            n = _next(toks, i)
+            # unwrap (call) — only a PURE paren wrap
+            if (
+                p >= 0
+                and toks[p].kind == "punct"
+                and toks[p].text == "("
+                and n >= 0
+                and toks[n].kind == "punct"
+                and toks[n].text == ")"
+            ):
+                pp = _prev(toks, p)
+                if not (
+                    pp >= 0
+                    and toks[pp].kind == "ident"
+                    and toks[pp].text.lower() not in _KEYWORDS
+                ):  # not a function call's arg list
+                    span_start, span_end = p, n
+            after = _next(toks, span_end)
+            new_fn = None
+            if (
+                after >= 0
+                and toks[after].kind == "punct"
+                and toks[after].text == ":"
+                and after + 1 < len(toks)
+                and toks[after + 1].kind == "punct"
+                and toks[after + 1].text == ":"
+            ):
+                ty = _next(toks, after + 1)
+                if ty >= 0 and toks[ty].kind == "ident":
+                    new_fn = _CAST_ELISION.get(toks[ty].text.lower())
+                    if new_fn:
+                        span_end = ty
+            elif span_start == i:
+                # cast( CALL as TYPE ) — the call is the sole argument
+                if (
+                    p >= 0
+                    and toks[p].kind == "punct"
+                    and toks[p].text == "("
+                ):
+                    pp = _prev(toks, p)
+                    a = _next(toks, i)
+                    if (
+                        pp >= 0
+                        and toks[pp].kind == "ident"
+                        and toks[pp].text.lower() == "cast"
+                        and a >= 0
+                        and toks[a].kind == "ident"
+                        and toks[a].text.lower() == "as"
+                    ):
+                        ty = _next(toks, a)
+                        close = _next(toks, ty) if ty >= 0 else -1
+                        if (
+                            ty >= 0
+                            and toks[ty].kind == "ident"
+                            and close >= 0
+                            and toks[close].kind == "punct"
+                            and toks[close].text == ")"
+                        ):
+                            new_fn = _CAST_ELISION.get(toks[ty].text.lower())
+                            if new_fn:
+                                span_start, span_end = pp, close
+            if new_fn:
+                toks[span_start : span_end + 1] = [
+                    _Tok(
+                        "call",
+                        f"{new_fn}({', '.join(t.args)})",
+                        fn=new_fn,
+                        args=t.args,
+                        alias=t.alias,
+                        literal_path=t.literal_path,
+                    )
+                ]
+                changed = True
+                break
 
     # -- validation of function-form path args --------------------------
     for i, t in enumerate(toks):

@@ -113,6 +113,33 @@ class TestRewrite:
         q = "select case when x then j end ->'k' from t"
         assert rewrite_sql(q) == q
 
+    def test_cast_elision_double_colon(self):
+        # reference: tests/main.rs test_plan_arrow_double_nested_cast —
+        # the cast picks the typed variant, alias keeps operator spelling
+        assert rewrite_sql(
+            "select (json_data->'foo'->0)::int from test"
+        ) == (
+            "select json_get_int(json_data, 'foo', 0) "
+            "AS `json_data -> 'foo' -> 0` from test"
+        )
+
+    def test_cast_elision_cast_form(self):
+        assert rewrite_sql("select cast(j->'a' as string) from t") == (
+            "select json_get_str(j, 'a') AS `j -> 'a'` from t"
+        )
+
+    def test_cast_not_elided_through_as_text(self):
+        # reference: test_plan_double_arrow_double_nested_cast —
+        # json_as_text(..)::int is NOT json_get_int; the cast stays
+        assert rewrite_sql("select (j->>'foo'->>0)::int from t") == (
+            "select (json_as_text(json_as_text(j, 'foo'), 0))::int from t"
+        )
+
+    def test_unmapped_cast_type_passes_through(self):
+        assert rewrite_sql("select (j->'a')::date from t") == (
+            "select (json_get(j, 'a'))::date from t"
+        )
+
 
 class TestOperatorExecution:
     """Ported reference expectations over the shared `test` table."""
@@ -170,6 +197,26 @@ class TestOperatorExecution:
             spark, "select name, json_data->'foo' ? 'x' from test"
         )
         assert all(v == (False,) for v in got.values())
+
+    def test_arrow_double_nested_cast_values(self, spark, test_df):
+        # reference: tests/main.rs test_arrow_double_nested_cast — only
+        # object_foo_array yields 1; everything else NULL
+        got, df = self._rows(
+            spark, "select name, (json_data->'foo'->0)::int from test"
+        )
+        assert df.columns[1] == "json_data -> 'foo' -> 0"
+        for name, (v,) in got.items():
+            assert v == (1 if name == "object_foo_array" else None)
+
+    def test_double_arrow_double_nested_cast_values(self, spark, test_df):
+        # reference: tests/main.rs test_double_arrow_double_nested_cast —
+        # the TEXT result is cast natively; same value table
+        got, _ = self._rows(
+            spark,
+            "select name, (json_data->>'foo'->>0)::int as v from test",
+        )
+        for name, (v,) in got.items():
+            assert v == (1 if name == "object_foo_array" else None)
 
     def test_lambda_executes_through_jsonf_sql(self, spark):
         row = jsonf.sql(
