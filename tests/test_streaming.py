@@ -105,6 +105,75 @@ class TestStreaming:
             ("a", "2024-01-01T00:00:00", "2024-01-01T00:00:30", 2),
         ]
 
+    def test_sessionize_tws_raises_without_protobuf(self, spark, json_dir):
+        # the upfront guard must fire (clear message) when protobuf is
+        # absent, instead of crashing the query at stream start
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            stream = spark.readStream.schema(SCHEMA).json(json_dir)
+            with pytest.raises(RuntimeError, match="protobuf"):
+                js.sessionize_tws(stream, "payload", ("user",))
+        else:
+            pytest.skip("protobuf installed; guard not applicable")
+
+    def test_sessionize_tws_stateful(self, spark, tmp_path):
+        # same scenario through the Spark 4 transformWithStateInPandas
+        # tier — requires the RocksDB state store provider AND the
+        # protobuf python package (Spark's TWS state-server protocol)
+        pytest.importorskip("google.protobuf")
+        rows = [
+            {"ts": "2024-01-01T00:00:00", "payload": '{"user": "a"}'},
+            {"ts": "2024-01-01T00:00:30", "payload": '{"user": "a"}'},
+            {"ts": "2024-01-01T00:05:00", "payload": '{"user": "a"}'},  # gap
+            {"ts": "2024-01-01T00:00:10", "payload": '{"user": "b"}'},
+        ]
+        p = tmp_path / "sess_tws_in"
+        p.mkdir()
+        with open(p / "part-0.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            stream = spark.readStream.schema(SCHEMA).json(str(p))
+            sessions = js.sessionize_tws(
+                stream, "payload", ("user",), ts_col="ts", gap_seconds=60
+            )
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName("sessions_tws")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            import time
+
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.sql("select * from sessions_tws").count() >= 1:
+                    break
+                time.sleep(1)
+            q.stop()
+            got = [
+                (r.key, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+                for r in spark.sql(
+                    "select * from sessions_tws order by key"
+                ).collect()
+            ]
+            assert got[0] == ("a", "2024-01-01T00:00:00", "2024-01-01T00:00:30", 2)
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
     def test_extract_json_stream_projection(self, spark, json_dir):
         stream = spark.readStream.schema(SCHEMA).json(json_dir)
         ext = js.extract_json_stream(
