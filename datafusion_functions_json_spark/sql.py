@@ -327,6 +327,22 @@ def _arg_is_literal(arg_src: str) -> bool:
     return _LITERAL_ARG_RE.fullmatch(arg_src.strip()) is not None
 
 
+# exact-arity functions: rewrite-time twin of the reference's signature
+# check (reference: tests/main.rs test_json_from_scalar_no_args /
+# test_json_from_scalar_too_many_args, src/json_from_scalar.rs signature)
+_ARITY_FNS = {"json_from_scalar": 1, "scalar_to_json": 1}
+
+
+def _validate_arity(fn: str, args: List[str]):
+    want = _ARITY_FNS[fn]
+    got = 0 if args == [""] else len(args)
+    if got != want:
+        raise ValueError(
+            f"The function '{fn}' expected {want} arguments "
+            f"but received {got}."
+        )
+
+
 def _validate_path_args(fn: str, args: List[str]):
     """Rewrite-time twin of the reference's path-arg planning checks."""
     ident_re = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
@@ -526,7 +542,9 @@ def rewrite_sql(query: str) -> str:
     for i, t in enumerate(toks):
         if t.kind == "call" and t.fn in _PATH_FNS:
             _validate_path_args(t.fn, t.args)
-        elif t.kind == "ident" and t.text.lower() in _PATH_FNS:
+        elif t.kind == "ident" and (
+            t.text.lower() in _PATH_FNS or t.text.lower() in _ARITY_FNS
+        ):
             n = _next(toks, i)
             if n >= 0 and toks[n].kind == "punct" and toks[n].text == "(":
                 depth, j = 0, n
@@ -540,9 +558,12 @@ def rewrite_sql(query: str) -> str:
                             break
                     j += 1
                 if j < len(toks):
-                    _validate_path_args(
-                        t.text.lower(), _split_call_args(toks, n, j)
-                    )
+                    name = t.text.lower()
+                    call_args = _split_call_args(toks, n, j)
+                    if name in _ARITY_FNS:
+                        _validate_arity(name, call_args)
+                    else:
+                        _validate_path_args(name, call_args)
 
     # -- alias attachment for whole top-level select items --------------
     out = []

@@ -367,6 +367,18 @@ class TestErrorParity:
         with pytest.raises(Exception, match="json_len|positional argument"):
             spark.sql("select json_len()").collect()
 
+    def test_from_scalar_arg_count_sql(self, spark, test_df):
+        # reference: tests/main.rs:2643-2660 — json_from_scalar() and
+        # json_from_scalar(1, 2) are both rejected. Raw spark.sql rejects
+        # at execution (python arity error); the jsonf.sql surface
+        # rejects at rewrite time (test_sql_operators) — documented delta
+        # matching test_no_args_sql above.
+        jsonf.register_all(spark)
+        with pytest.raises(Exception, match="json_from_scalar|positional argument"):
+            spark.sql("select json_from_scalar()").collect()
+        with pytest.raises(Exception, match="json_from_scalar|positional argument"):
+            spark.sql("select json_from_scalar(1, 2)").collect()
+
 
 class TestNegativeNumberDeviation:
     """DELIBERATE divergence from the reference, pinned: the reference's

@@ -109,6 +109,23 @@ class TestRewrite:
         q = "select json_get(j, k_col) from t"
         assert rewrite_sql(q) == q
 
+    def test_from_scalar_arity_errors(self):
+        # reference: tests/main.rs:2643-2660 — json_from_scalar is
+        # exactly-one-arg; both violations are plan (rewrite-time) errors
+        with pytest.raises(ValueError, match="expected 1 arguments but received 0"):
+            rewrite_sql("select json_from_scalar()")
+        with pytest.raises(
+            ValueError,
+            match="'json_from_scalar' expected 1 arguments but received 2",
+        ):
+            rewrite_sql("select json_from_scalar(1, 2)")
+        # the alias enforces the same signature
+        with pytest.raises(ValueError, match="'scalar_to_json' expected 1"):
+            rewrite_sql("select scalar_to_json(1, 2)")
+        # exactly one arg passes through untouched
+        q = "select json_from_scalar(1)"
+        assert rewrite_sql(q) == q
+
     def test_case_end_left_operand_passes_through(self):
         q = "select case when x then j end ->'k' from t"
         assert rewrite_sql(q) == q
