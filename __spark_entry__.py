@@ -161,15 +161,27 @@ def _q_json_as_text_native(spark, sf_dir):
 
 
 def _q_json_agg(spark, sf_dir):
-    # flagship composition: JSON predicate + extraction + aggregation
+    # flagship composition: JSON predicate + extraction + aggregation.
+    # Written as conditional aggregation rather than filter-then-agg:
+    # a Python-UDF *filter* gets pushed below the spread exchange and
+    # runs serially on the single-file scan partition, and it splits the
+    # two kernels into separate ArrowEvalPython nodes. With no filter,
+    # both kernels ride ONE ArrowEvalPython above the spread (32-way
+    # parallel, one Arrow hop); the post-agg n>0 filter reproduces
+    # filter-first group semantics over ~5 groups for free.
+    ev = _events(spark, sf_dir)
     return (
-        _events(spark, sf_dir)
-        .filter(jsonf.json_contains("props", "k"))
+        ev.select(
+            "event_type",
+            jsonf.json_contains("props", "k").alias("c"),
+            jsonf.json_get_int("props", "k").alias("v"),
+        )
         .groupBy("event_type")
         .agg(
-            F.sum(jsonf.json_get_int("props", "k")).alias("sum_k"),
-            F.count("*").alias("n"),
+            F.sum(F.when(F.col("c"), F.col("v"))).alias("sum_k"),
+            F.count(F.when(F.col("c"), F.lit(1))).alias("n"),
         )
+        .filter(F.col("n") > 0)
     )
 
 
@@ -384,7 +396,11 @@ def _q_dedup_stats(spark, sf_dir):
 
 
 def _q_token_count(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    # unspread: token_count is a single split+size expression — at this
+    # row count the spread exchange costs more than the parallelism buys
+    # (measured min-of-5: 0.22 s unspread vs 0.30 s spread); lang_id's
+    # heavier regex stack still wants the spread
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id", text.token_count("text").alias("n_tokens")
     )
 

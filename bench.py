@@ -59,10 +59,19 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
+    # Shuffle partitions sized for THIS data scale (sf0.1: the largest
+    # shuffle moves ~10 MB): 8 reduce tasks beat 32 by ~0.1 s/query of
+    # pure task-scheduling overhead, measured min-of-4 per query. The
+    # library default (session_defaults) stays at cluster-oriented
+    # sizing — at 100 TB you want AQE coalescing from a high initial
+    # count; a benchmark at fixed small scale wants the opposite. UDF
+    # spread parallelism is independent (load_table spreads to
+    # defaultParallelism = all cores).
+    shuffle = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("spark-graft-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -111,7 +120,7 @@ def main():
 
     qs = entrymod.queries()
     all_queries = BENCH_QUERIES + UNTWINNED_QUERIES
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     # INTERLEAVED passes: the host shows multi-second interference spikes
     # lasting longer than one query's back-to-back runs, so run the whole
     # list once per pass and take the per-query min across passes — a

@@ -35,6 +35,7 @@ observable behavior as the reference's event parser).
 from __future__ import annotations
 
 import json
+import re
 from json.decoder import scanstring
 from typing import Optional, Sequence, Tuple, Union
 
@@ -80,7 +81,26 @@ INT64_MIN = -(2**63)
 INT64_MAX = 2**63 - 1
 
 _WS = " \t\n\r"
-_loads = json.loads
+# Fast-path parser: orjson (Rust, ~3× stdlib) when available, stdlib
+# otherwise. Semantics-neutral under find_scalar's guard: docs with
+# duplicate path keys or escapes never reach it, and orjson's stricter
+# failures (>i64 ints, NaN/Infinity literals, trailing garbage) raise
+# into the same streaming-scanner fallback the stdlib path uses.
+try:  # pragma: no cover - environment-dependent
+    from orjson import loads as _loads
+
+    _IS_ORJSON = True
+except ImportError:  # pragma: no cover
+    _loads = json.loads
+    _IS_ORJSON = False
+
+# orjson parses integers OUTSIDE [i64::MIN, u64::MAX] as lossy floats
+# (stdlib keeps arbitrary precision, and the union builder's documented
+# BigInt null-arm needs to see an int). Any 19+ digit run can be such an
+# integer (|i64::MIN| = 9223372036854775808 is 19 digits), so those docs
+# take the streaming-scanner path. Digits inside string values
+# over-trigger; that's a conservative fallback, never a wrong answer.
+_BIG_DIGITS = re.compile(r"[0-9]{19}")
 
 def _raw_decode(s: str, i: int):
     """C-accelerated ``JSONDecoder.raw_decode`` with a process-local
@@ -270,6 +290,8 @@ def find_scalar(s, path):
     for p in path:
         if isinstance(p, str) and s.count('"%s"' % p) > 1:
             return find(s, path)
+    if _IS_ORJSON and _BIG_DIGITS.search(s) is not None:
+        return find(s, path)
     try:
         doc = _loads(s)
     except Exception:

@@ -19,6 +19,7 @@ so results are IDENTICAL to N separate calls.
 from __future__ import annotations
 
 import json
+import re
 from typing import Mapping, Sequence, Tuple
 
 import pandas as pd
@@ -222,11 +223,30 @@ def json_extract_multi(
         specs.append((name, kind, tuple(path)))
     ret = "struct<" + ",".join(f"`{n}`:{FIELD_KINDS[k]}" for n, k, _ in specs) + ">"
     loads = json.loads
+    try:  # orjson (Rust): ~6× the hooked stdlib path; guarded below
+        from orjson import loads as fast_loads
+
+        # orjson float-ifies ints outside [i64::MIN, u64::MAX]; any 19+
+        # digit run routes to the stdlib path (see core._BIG_DIGITS)
+        big_digits = re.compile(r"[0-9]{19}").search
+    except ImportError:  # pragma: no cover
+        fast_loads = json.loads
+        big_digits = None
 
     def first_wins(pairs):
         # duplicate keys: the reference's linear scan takes the FIRST
         # match (src/common.rs:531-539); plain dict() would keep the last
         return dict(reversed(pairs))
+
+    # textual guard (same proof as core.find_scalar): with no backslashes,
+    # counting '"key"' occurrences bounds the members with that name, so a
+    # single occurrence of every queried path key means first-match ==
+    # plain-dict lookup and the hook (and its per-object cost) is
+    # unnecessary. Any ambiguity -> stdlib loads with the first-wins hook.
+    quoted_keys = tuple(
+        '"%s"' % p
+        for p in {p for _, _, path in specs for p in path if isinstance(p, str)}
+    )
 
     def extract_row(s):
         if s is None:
@@ -237,7 +257,14 @@ def json_extract_multi(
                 for _, k, _p in specs
             )
         try:
-            doc = loads(s, object_pairs_hook=first_wins)
+            if (
+                "\\" in s
+                or any(s.count(q) > 1 for q in quoted_keys)
+                or (big_digits is not None and big_digits(s) is not None)
+            ):
+                doc = loads(s, object_pairs_hook=first_wins)
+            else:
+                doc = fast_loads(s)
         except Exception:
             return tuple(_fallback_one(s, k, p) for _, k, p in specs)
         out = []

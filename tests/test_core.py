@@ -144,6 +144,26 @@ class TestFindScalar:
         assert core.find_scalar('{"a": 4.2e-1}', ("a",)) == (FLOAT, 0.42)
         assert core.find_scalar("{}", ("a",)) == (MISSING, None)
 
+    def test_bigint_beyond_i64_stays_int(self):
+        # orjson (when present as the fast-path parser) float-ifies ints
+        # outside [i64::MIN, u64::MAX]; the 19-digit-run guard must route
+        # those docs to the streaming scanner so the kind stays INT with
+        # full precision (the union builder's BigInt null-arm depends on
+        # seeing an int, and json_get_float's cast must be exact)
+        assert core.find_scalar('{"k": -9223372036854775809}', ("k",)) == (
+            INT,
+            -9223372036854775809,
+        )
+        assert core.find_scalar('{"k": 18446744073709551616}', ("k",)) == (
+            INT,
+            18446744073709551616,
+        )
+        # within i64: the fast path is exact
+        assert core.find_scalar('{"k": 9223372036854775807}', ("k",)) == (
+            INT,
+            9223372036854775807,
+        )
+
     def test_path_guards(self):
         assert core.find_scalar('{"a": [1]}', ("a", True)) == (MISSING, None)
         assert core.find_scalar('{"a": [1]}', ("a", -1)) == (MISSING, None)
