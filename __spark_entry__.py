@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import datafusion_functions_json_spark as jsonf  # noqa: E402
 from datafusion_functions_json_spark.operators import (  # noqa: E402
     dedup,
+    joins,
     multimodal,
     pipeline,
     similarity,
@@ -490,6 +491,28 @@ def _q_curation(spark, sf_dir):
     return kept.select("doc_id", "lang", "n_tokens")
 
 
+def _q_asof_join(spark, sf_dir):
+    # temporal enrichment: each event gets the date of the user's most
+    # recent order at-or-before the event (operators/joins.py — union +
+    # keyed window merge, one shuffle per side, no UDF). Only the matched
+    # TIMESTAMP is projected: rows tied on (custkey, orderdate) make any
+    # other payload pick implementation-defined on both sides.
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    out = joins.asof_join(
+        ev,
+        orders,
+        [("user_id", "o_custkey")],
+        "ts",
+        "o_orderdate",
+        ["o_orderdate"],
+        prefix="last_",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("last_o_orderdate").alias("last_order_ts")
+    )
+
+
 # -- rows-only (hash-function-dependent → no SQL oracle; driver records a
 # weaker check, the judge sees which)
 
@@ -625,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "media_meta": _q_media_meta,
         "curation": _q_curation,
+        "asof_join": _q_asof_join,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -846,5 +870,10 @@ def oracle_sql() -> dict[str, str]:
             "keep as (select text, min(doc_id) as kid from f group by text) "
             "select f.doc_id, f.lang, f.n_tokens from f "
             "join keep on f.text = keep.text and f.doc_id = keep.kid"
+        ),
+        "asof_join": (
+            "select e.event_id, e.user_id, o.o_orderdate as last_order_ts "
+            "from events e asof left join orders o "
+            "on e.user_id = o.o_custkey and e.ts >= o.o_orderdate"
         ),
     }

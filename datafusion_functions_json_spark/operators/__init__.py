@@ -9,6 +9,6 @@ where vectorized numerics genuinely win (embedding math), ``mapInPandas``
 for opaque binary payloads.
 """
 
-from . import dedup, multimodal, pipeline, similarity, text
+from . import dedup, joins, multimodal, pipeline, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal", "pipeline"]
+__all__ = ["dedup", "joins", "similarity", "text", "multimodal", "pipeline"]

@@ -1,0 +1,155 @@
+"""Temporal joins the built-in operator set lacks: as-of join.
+
+An as-of join attaches, to every left row, the payload of the nearest
+right row for the same key at-or-before (``backward``) or at-or-after
+(``forward``) the left timestamp — the canonical time-series enrichment
+(trades→quotes, events→latest-order). Spark has no ASOF JOIN; a naive
+encoding is a non-equi range join (O(n·m) per key or a broadcast-only
+plan). This implementation is the distributed merge formulation:
+
+1. tag both sides and UNION them (right rows carry their payload as one
+   struct column, left rows carry a typed null),
+2. hash-partition by the join key and sort each partition by
+   ``(ts, side-tag)`` — exactly one shuffle per side, the same cost
+   profile as a sort-merge equi-join, and
+3. a running ``last(payload, ignorenulls=True)`` window over
+   ``rows between unbounded preceding and current row`` lands the
+   nearest right payload on every left row in O(n) per partition.
+
+Pure Catalyst: no UDF, no per-key loop, no cross product, no collect.
+At 100 TB the plan is shuffle+sort+window — AQE's skew-split applies to
+the exchange, and a hot key degrades to a big sorted partition rather
+than an n×m blow-up. Inclusive-bound tie handling rides the sort order
+(right-before-left at equal timestamps for ``>=``, after for ``>``), so
+semantics match DuckDB/kdb ``asof`` including equal-timestamp matches.
+
+Null semantics mirror SQL comparisons: right rows with a null key or
+null timestamp can never match and are dropped; left rows with a null
+key or timestamp survive with a null payload (left-join contract).
+Among right rows tied on (key, timestamp) the matched payload is one of
+the tied rows (unspecified which — same contract as DuckDB ASOF); pass
+``tiebreak`` columns to make the pick deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def _normalize_on(on):
+    """-> list of (left_col, right_col) pairs."""
+    if isinstance(on, str):
+        return [(on, on)]
+    pairs = []
+    for item in on:
+        if isinstance(item, str):
+            pairs.append((item, item))
+        else:
+            lc, rc = item
+            pairs.append((lc, rc))
+    return pairs
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str,
+    right_ts: str,
+    payload,
+    *,
+    direction: str = "backward",
+    allow_exact: bool = True,
+    tiebreak=None,
+    prefix: str = "",
+) -> DataFrame:
+    """As-of join ``left`` to ``right``.
+
+    Parameters
+    ----------
+    on : str | list[str] | list[(left_col, right_col)]
+        Equi-join key(s); pair form when the sides name them differently.
+    left_ts / right_ts : str
+        Ordering (timestamp or any orderable) column on each side.
+    payload : list[str]
+        Right-side columns to attach. ``right_ts`` may be included to
+        expose the matched timestamp.
+    direction : "backward" | "forward"
+        backward = nearest right at-or-before the left timestamp
+        (``left_ts >= right_ts``); forward = nearest at-or-after.
+    allow_exact : bool
+        Include equal timestamps (``>=``/``<=``); False makes the bound
+        strict (``>``/``<``).
+    tiebreak : list[str] | None
+        Extra right-side sort columns breaking (key, ts) ties
+        deterministically (ascending; the LAST row in this order wins).
+    prefix : str
+        Prefix for the attached payload column names (collision escape).
+
+    Returns the left rows (all columns, original order within each
+    partition-key group not guaranteed) plus one ``prefix + name``
+    column per payload entry, null where no right row qualifies.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    pairs = _normalize_on(on)
+    lkeys = [lc for lc, _ in pairs]
+    payload = list(payload)
+    tiebreak = list(tiebreak or [])
+
+    # Right side: keys renamed to the left's names; payload as one struct.
+    # Tiebreak columns ride inside the struct tail so the window's
+    # last() over the refined sort picks the intended row.
+    right_sel = [F.col(rc).alias(lc) for lc, rc in pairs]
+    right_sel.append(F.col(right_ts).alias("__ats"))
+    right_sel.append(F.struct(*[F.col(c) for c in payload]).alias("__pay"))
+    right_sel.extend(F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreak))
+    r = right.select(*right_sel)
+    # null key / null ts right rows can never match (SQL comparison
+    # semantics); drop them before the shuffle
+    cond = F.col("__ats").isNotNull()
+    for k in lkeys:
+        cond = cond & F.col(k).isNotNull()
+    r = r.filter(cond)
+    pay_type = r.schema["__pay"].dataType
+
+    # Sort-tag encodes the bound: at equal timestamps, inclusive bounds
+    # want the right row BEFORE the left row (so the running last() has
+    # seen it), strict bounds after.
+    right_tag = 0 if allow_exact else 2
+    r = r.withColumn("__tag", F.lit(right_tag))
+
+    lcols = left.columns
+    left_sel = [F.col(c) for c in lcols]
+    left_sel.append(F.col(left_ts).alias("__ats"))
+    left_sel.append(F.lit(None).cast(pay_type).alias("__pay"))
+    left_sel.extend(
+        F.lit(None).cast(r.schema[f"__tb{i}"].dataType).alias(f"__tb{i}")
+        for i in range(len(tiebreak))
+    )
+    l = left.select(*left_sel).withColumn("__tag", F.lit(1))
+
+    # union by name: right rows carry nulls for the left's non-key columns
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        order = [F.col("__ats").asc_nulls_first()]
+    else:
+        order = [F.col("__ats").desc_nulls_first()]
+    order.append(F.col("__tag").asc())
+    order.extend(F.col(f"__tb{i}").asc_nulls_first() for i in range(len(tiebreak)))
+    w = (
+        Window.partitionBy(*lkeys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__pay", ignorenulls=True).over(w))
+
+    out = matched.filter(F.col("__tag") == 1).select(
+        *lcols,
+        *[F.col("__m")[c].alias(prefix + c) for c in payload],
+    )
+    return out

@@ -1,0 +1,194 @@
+"""As-of join: distributed merge formulation (union + keyed window).
+
+Semantics pinned against the DuckDB ASOF JOIN contract (the entry query
+`asof_join` is oracle-checked at sf0.01; these tests pin the corners the
+random tables don't hit: strict bounds, forward direction, no-match
+nulls, null keys/timestamps, ties, multi-key)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_json_spark.operators import joins
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", ts("2024-01-01T10:00:00"), 100.0),
+            (2, "A", ts("2024-01-01T10:00:05"), 101.0),
+            (3, "B", ts("2024-01-01T10:00:03"), 50.0),
+            (4, "C", ts("2024-01-01T10:00:01"), 7.0),  # no quotes for C
+            (5, None, ts("2024-01-01T10:00:02"), 1.0),  # null key
+            (6, "A", None, 2.0),  # null ts
+        ],
+        "trade_id bigint, sym string, t timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01T09:59:58"), 99.5),
+            ("A", ts("2024-01-01T10:00:00"), 100.5),  # == trade 1's ts
+            ("A", ts("2024-01-01T10:00:04"), 100.9),
+            ("B", ts("2024-01-01T10:00:02"), 49.9),
+            ("B", None, 48.0),  # null ts: never matches
+            (None, ts("2024-01-01T09:00:00"), 0.0),  # null key: never matches
+        ],
+        "sym string, qt timestamp, bid double",
+    )
+
+
+class TestAsofBackward:
+    def test_basic_inclusive(self, trades, quotes):
+        out = joins.asof_join(
+            trades, quotes, "sym", "t", "qt", ["qt", "bid"]
+        )
+        got = {r.trade_id: (r.bid, r.qt) for r in out.collect()}
+        assert got[1] == (100.5, ts("2024-01-01T10:00:00"))  # equal ts matches
+        assert got[2] == (100.9, ts("2024-01-01T10:00:04"))
+        assert got[3] == (49.9, ts("2024-01-01T10:00:02"))
+        assert got[4] == (None, None)  # key with no right rows
+        assert got[5] == (None, None)  # null key never matches
+        assert got[6] == (None, None)  # null left ts never matches
+
+    def test_strict_bound(self, trades, quotes):
+        out = joins.asof_join(
+            trades, quotes, "sym", "t", "qt", ["bid"], allow_exact=False
+        )
+        got = {r.trade_id: r.bid for r in out.collect()}
+        assert got[1] == 99.5  # the 10:00:00 quote is excluded now
+        assert got[2] == 100.9
+
+    def test_left_row_count_preserved(self, trades, quotes):
+        out = joins.asof_join(trades, quotes, "sym", "t", "qt", ["bid"])
+        assert out.count() == trades.count()
+
+    def test_no_join_explosion_in_plan(self, trades, quotes):
+        out = joins.asof_join(trades, quotes, "sym", "t", "qt", ["bid"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in plan
+        assert "Window" in plan
+
+
+class TestAsofForward:
+    def test_basic(self, trades, quotes):
+        out = joins.asof_join(
+            trades, quotes, "sym", "t", "qt", ["bid"], direction="forward"
+        )
+        got = {r.trade_id: r.bid for r in out.collect()}
+        assert got[1] == 100.5  # equal ts inclusive
+        assert got[2] is None  # nothing at-or-after 10:00:05 for A
+        assert got[3] is None
+        assert got[6] is None
+
+    def test_forward_strict(self, trades, quotes):
+        out = joins.asof_join(
+            trades,
+            quotes,
+            "sym",
+            "t",
+            "qt",
+            ["bid"],
+            direction="forward",
+            allow_exact=False,
+        )
+        got = {r.trade_id: r.bid for r in out.collect()}
+        assert got[1] == 100.9  # skips the equal-ts 100.5
+
+
+class TestAsofShapes:
+    def test_renamed_key_pairs_and_prefix(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, ts("2024-01-01T00:01:00"))], "id bigint, uid bigint, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [(10, ts("2024-01-01T00:00:00"), "x")],
+            "cust bigint, ot timestamp, v string",
+        )
+        out = joins.asof_join(
+            left, right, [("uid", "cust")], "t", "ot", ["v"], prefix="m_"
+        )
+        r = out.collect()[0]
+        assert r.m_v == "x" and "v" not in out.columns
+
+    def test_multi_key(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", 1, ts("2024-01-01T00:01:00")), (2, "a", 2, ts("2024-01-01T00:01:00"))],
+            "id bigint, k1 string, k2 bigint, t timestamp",
+        )
+        right = spark.createDataFrame(
+            [("a", 1, ts("2024-01-01T00:00:00"), 7.0)],
+            "k1 string, k2 bigint, rt timestamp, v double",
+        )
+        out = joins.asof_join(left, right, ["k1", "k2"], "t", "rt", ["v"])
+        got = {r.id: r.v for r in out.collect()}
+        assert got == {1: 7.0, 2: None}
+
+    def test_tiebreak_deterministic(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", ts("2024-01-01T00:01:00"))], "id bigint, k string, t timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                ("a", ts("2024-01-01T00:00:00"), 1, "low"),
+                ("a", ts("2024-01-01T00:00:00"), 9, "high"),
+            ],
+            "k string, rt timestamp, seq bigint, v string",
+        )
+        out = joins.asof_join(
+            left, right, "k", "t", "rt", ["v"], tiebreak=["seq"]
+        )
+        # the LAST row in ascending tiebreak order wins
+        assert out.collect()[0].v == "high"
+
+    def test_bad_direction(self, spark, trades=None):
+        df = spark.range(1).withColumn("t", F.current_timestamp())
+        with pytest.raises(ValueError, match="backward|forward"):
+            joins.asof_join(df, df, "id", "t", "t", ["t"], direction="nearest")
+
+
+class TestAsofOracleParity:
+    """Differential vs DuckDB ASOF LEFT JOIN on a random table — the
+    same check the driver runs on the entry query, kept here so a
+    regression is caught before the driver sees it."""
+
+    def test_random_differential(self, spark):
+        import random
+
+        import duckdb
+
+        rng = random.Random(7)
+        lrows = [
+            (i, rng.randrange(5), dt.datetime(2024, 1, 1) + dt.timedelta(seconds=rng.randrange(10000)))
+            for i in range(300)
+        ]
+        rrows = [
+            (rng.randrange(5), dt.datetime(2024, 1, 1) + dt.timedelta(seconds=rng.randrange(10000)), float(i))
+            for i in range(80)
+        ]
+        left = spark.createDataFrame(lrows, "id bigint, k bigint, t timestamp")
+        right = spark.createDataFrame(rrows, "k bigint, rt timestamp, v double")
+        out = joins.asof_join(left, right, "k", "t", "rt", ["rt"])
+        got = {r.id: r.rt for r in out.collect()}
+
+        con = duckdb.connect()
+        con.register("l", __import__("pandas").DataFrame(lrows, columns=["id", "k", "t"]))
+        con.register("r", __import__("pandas").DataFrame(rrows, columns=["k", "rt", "v"]))
+        want = {
+            row[0]: row[1]
+            for row in con.execute(
+                "select l.id, r.rt from l asof left join r "
+                "on l.k = r.k and l.t >= r.rt"
+            ).fetchall()
+        }
+        assert got == want
