@@ -513,6 +513,28 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_range_join(spark, sf_dir):
+    # point-in-interval: for each 'error' event, count the same user's
+    # events inside the following 5 minutes (operators/joins.range_join —
+    # bucketized equi-join, no nested-loop plan). Aggregated output keeps
+    # the result deterministic and small.
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("anchor_id"),
+        F.col("user_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("interval 5 minutes")).alias("e"),
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    pairs = joins.range_join(
+        pts, anchors, "ts", "s", "e", ["anchor_id"], on="user_id",
+        bucket_seconds=300.0,
+    )
+    return pairs.groupBy("anchor_id").agg(
+        F.count("*").alias("n_in_window")
+    )
+
+
 # -- rows-only (hash-function-dependent → no SQL oracle; driver records a
 # weaker check, the judge sees which)
 
@@ -649,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "curation": _q_curation,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -875,5 +898,13 @@ def oracle_sql() -> dict[str, str]:
             "select e.event_id, e.user_id, o.o_orderdate as last_order_ts "
             "from events e asof left join orders o "
             "on e.user_id = o.o_custkey and e.ts >= o.o_orderdate"
+        ),
+        "range_join": (
+            "with iv as (select event_id as anchor_id, user_id, ts as s, "
+            "ts + interval 5 minute as e from events where event_type = 'error') "
+            "select iv.anchor_id, count(*) as n_in_window "
+            "from iv join events p on p.user_id = iv.user_id "
+            "and p.ts >= iv.s and p.ts < iv.e "
+            "group by iv.anchor_id"
         ),
     }

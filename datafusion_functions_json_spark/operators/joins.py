@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def _normalize_on(on):
@@ -153,3 +153,82 @@ def asof_join(
         *[F.col("__m")[c].alias(prefix + c) for c in payload],
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    payload,
+    *,
+    on=None,
+    bucket_seconds: float = 3600.0,
+    prefix: str = "",
+) -> DataFrame:
+    """Point-in-interval join: each point row is paired with every
+    interval row (same equi key, if given) whose half-open window
+    ``[start_ts, end_ts)`` contains the point — 1:N inner-join output.
+
+    Spark plans a bare ``p.ts >= i.s AND p.ts < i.e`` predicate as a
+    BroadcastNestedLoopJoin (O(n·m) work, broadcast-only). This is the
+    bucketized formulation instead: intervals explode to one row per
+    covered time bucket (``sequence`` of ``floor(epoch/width)``), points
+    compute their single bucket, both sides hash-shuffle on
+    ``(keys…, bucket)``, and the exact predicate refines after the
+    equi-join. A (point, interval) pair meets in exactly ONE bucket (the
+    point's), so no dedup is needed. At 100 TB that is the plan you
+    want: two keyed shuffles + a hash join, AQE-splittable, no
+    broadcast requirement and no quadratic corner.
+
+    ``bucket_seconds`` should be on the order of the TYPICAL interval
+    length: the explode factor is ``ceil(len/width)+1`` per interval (a
+    pathological interval spanning millions of buckets will fail loudly
+    in ``sequence``'s length check rather than silently flooding).
+
+    Interval rows with a null key, start, or end never match and are
+    dropped; point rows only appear in the output when matched (inner
+    join; compose with a left anti-join for the unmatched set).
+    """
+    pairs = _normalize_on(on) if on is not None else []
+    lkeys = [lc for lc, _ in pairs]
+    payload = list(payload)
+    w = float(bucket_seconds)
+
+    isel = [F.col(rc).alias(lc) for lc, rc in pairs]
+    isel.append(F.col(start_ts).cast("double").alias("__s"))
+    isel.append(F.col(end_ts).cast("double").alias("__e"))
+    isel.append(F.struct(*[F.col(c) for c in payload]).alias("__pay"))
+    iv = intervals.select(*isel)
+    cond = F.col("__s").isNotNull() & F.col("__e").isNotNull() & (
+        F.col("__s") < F.col("__e")
+    )
+    for k in lkeys:
+        cond = cond & F.col(k).isNotNull()
+    iv = iv.filter(cond).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__s") / w).cast("long"),
+                # end is exclusive, but a window ending exactly on a
+                # boundary just explodes one refinable extra bucket
+                F.floor(F.col("__e") / w).cast("long"),
+            )
+        ),
+    )
+
+    pts = points.withColumn("__p", F.col(point_ts).cast("double")).withColumn(
+        "__bucket", F.floor(F.col("__p") / w).cast("long")
+    )
+
+    join_cond = pts["__bucket"] == iv["__bucket"]
+    for k in lkeys:
+        join_cond = join_cond & (pts[k] == iv[k])
+    joined = pts.join(iv, join_cond, "inner").filter(
+        (pts["__p"] >= iv["__s"]) & (pts["__p"] < iv["__e"])
+    )
+    return joined.select(
+        *[pts[c] for c in points.columns],
+        *[iv["__pay"][c].alias(prefix + c) for c in payload],
+    )

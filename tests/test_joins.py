@@ -157,6 +157,117 @@ class TestAsofShapes:
             joins.asof_join(df, df, "id", "t", "t", ["t"], direction="nearest")
 
 
+class TestRangeJoin:
+    def test_basic_point_in_interval(self, spark):
+        pts = spark.createDataFrame(
+            [
+                (1, "a", ts("2024-01-01T10:00:30")),
+                (2, "a", ts("2024-01-01T11:00:00")),  # outside
+                (3, "b", ts("2024-01-01T10:00:30")),  # wrong key
+            ],
+            "id bigint, k string, t timestamp",
+        )
+        iv = spark.createDataFrame(
+            [("a", ts("2024-01-01T10:00:00"), ts("2024-01-01T10:01:00"), "w1")],
+            "k string, s timestamp, e timestamp, label string",
+        )
+        out = joins.range_join(pts, iv, "t", "s", "e", ["label"], on="k")
+        got = [(r.id, r.label) for r in out.collect()]
+        assert got == [(1, "w1")]
+
+    def test_half_open_bounds(self, spark):
+        pts = spark.createDataFrame(
+            [(1, ts("2024-01-01T10:00:00")), (2, ts("2024-01-01T10:01:00"))],
+            "id bigint, t timestamp",
+        )
+        iv = spark.createDataFrame(
+            [(ts("2024-01-01T10:00:00"), ts("2024-01-01T10:01:00"), "w")],
+            "s timestamp, e timestamp, label string",
+        )
+        out = joins.range_join(pts, iv, "t", "s", "e", ["label"])
+        got = sorted(r.id for r in out.collect())
+        assert got == [1]  # start inclusive, end exclusive
+
+    def test_interval_spanning_many_buckets(self, spark):
+        # 1-second buckets, 2-minute interval: the explode must cover
+        # every bucket so a point deep inside still matches exactly once
+        pts = spark.createDataFrame(
+            [(1, ts("2024-01-01T10:01:37"))], "id bigint, t timestamp"
+        )
+        iv = spark.createDataFrame(
+            [(ts("2024-01-01T10:00:00"), ts("2024-01-01T10:02:00"), "w")],
+            "s timestamp, e timestamp, label string",
+        )
+        out = joins.range_join(
+            pts, iv, "t", "s", "e", ["label"], bucket_seconds=1.0
+        )
+        assert [(r.id, r.label) for r in out.collect()] == [(1, "w")]
+
+    def test_one_to_many_and_null_intervals(self, spark):
+        pts = spark.createDataFrame(
+            [(1, "a", ts("2024-01-01T10:00:30"))], "id bigint, k string, t timestamp"
+        )
+        iv = spark.createDataFrame(
+            [
+                ("a", ts("2024-01-01T10:00:00"), ts("2024-01-01T10:01:00"), "w1"),
+                ("a", ts("2024-01-01T10:00:20"), ts("2024-01-01T10:00:40"), "w2"),
+                ("a", None, ts("2024-01-01T10:01:00"), "null_s"),
+                ("a", ts("2024-01-01T10:01:00"), ts("2024-01-01T10:00:00"), "empty"),
+                (None, ts("2024-01-01T10:00:00"), ts("2024-01-01T10:01:00"), "null_k"),
+            ],
+            "k string, s timestamp, e timestamp, label string",
+        )
+        out = joins.range_join(pts, iv, "t", "s", "e", ["label"], on="k")
+        assert sorted(r.label for r in out.collect()) == ["w1", "w2"]
+
+    def test_no_nested_loop_in_plan(self, spark):
+        pts = spark.createDataFrame(
+            [(1, "a", ts("2024-01-01T10:00:30"))], "id bigint, k string, t timestamp"
+        )
+        iv = spark.createDataFrame(
+            [("a", ts("2024-01-01T10:00:00"), ts("2024-01-01T10:01:00"), "w")],
+            "k string, s timestamp, e timestamp, label string",
+        )
+        out = joins.range_join(pts, iv, "t", "s", "e", ["label"], on="k")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in plan
+
+    def test_random_differential(self, spark):
+        import random
+
+        import duckdb
+        import pandas as pd
+
+        rng = random.Random(11)
+        prows = [
+            (i, rng.randrange(4), dt.datetime(2024, 1, 1) + dt.timedelta(seconds=rng.randrange(5000)))
+            for i in range(200)
+        ]
+        irows = []
+        for i in range(40):
+            s = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=rng.randrange(5000))
+            irows.append((rng.randrange(4), s, s + dt.timedelta(seconds=rng.randrange(1, 600)), i))
+        pts = spark.createDataFrame(prows, "id bigint, k bigint, t timestamp")
+        iv = spark.createDataFrame(irows, "k bigint, s timestamp, e timestamp, iid bigint")
+        out = joins.range_join(
+            pts, iv, "t", "s", "e", ["iid"], on="k", bucket_seconds=120.0
+        )
+        got = sorted((r.id, r.iid) for r in out.collect())
+
+        con = duckdb.connect()
+        con.register("p", pd.DataFrame(prows, columns=["id", "k", "t"]))
+        con.register("i", pd.DataFrame(irows, columns=["k", "s", "e", "iid"]))
+        want = sorted(
+            tuple(row)
+            for row in con.execute(
+                "select p.id, i.iid from p join i on p.k = i.k "
+                "and p.t >= i.s and p.t < i.e"
+            ).fetchall()
+        )
+        assert got == want
+
+
 class TestAsofOracleParity:
     """Differential vs DuckDB ASOF LEFT JOIN on a random table — the
     same check the driver runs on the entry query, kept here so a
