@@ -513,6 +513,14 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_top_tokens(spark, sf_dir):
+    # corpus vocabulary induction: explode -> hash agg -> partial top-k
+    # (TakeOrderedAndProject). Unspread: explode+agg is pure Catalyst.
+    return text.top_tokens(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", k=50
+    )
+
+
 def _q_range_join(spark, sf_dir):
     # point-in-interval: for each 'error' event, count the same user's
     # events inside the following 5 minutes (operators/joins.range_join —
@@ -672,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": _q_curation,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "top_tokens": _q_top_tokens,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -906,5 +915,11 @@ def oracle_sql() -> dict[str, str]:
             "from iv join events p on p.user_id = iv.user_id "
             "and p.ts >= iv.s and p.ts < iv.e "
             "group by iv.anchor_id"
+        ),
+        "top_tokens": (
+            f"with ex as (select doc_id, unnest({_TOKENS_SQL}) as token "
+            "from documents) "
+            "select token, count(*) as tf, count(distinct doc_id) as dfreq "
+            "from ex group by token order by tf desc, token asc limit 50"
         ),
     }

@@ -183,3 +183,32 @@ def fingerprint(text) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, tok: (acc * _FP_MULT + _token_code(tok)) % _FP_MOD,
     )
+
+
+def vocabulary(df, text_col, id_col) -> "DataFrame":
+    """Corpus vocabulary: one row per distinct token with ``tf`` (total
+    occurrences) and ``dfreq`` (distinct documents containing it) — the
+    first step of tokenizer/vocab induction over a training corpus.
+
+    Plan: explode(tokens) → hash-agg keyed by token. ``count(*)`` is
+    map-side partial (shuffle volume is bounded by per-partition vocab
+    size, not corpus size); ``count(distinct id)`` plans as Spark's
+    two-phase distinct-aggregate Expand. Stopword-class tokens make the
+    token key Zipf-skewed — AQE's skew handling applies to the exchange,
+    and the partial aggregation has already collapsed each partition's
+    duplicates before it.
+    """
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token"))
+    return ex.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("__id").alias("dfreq"),
+    )
+
+
+def top_tokens(df, text_col, id_col, k: int = 100) -> "DataFrame":
+    """Top-``k`` vocabulary rows by total occurrences, deterministically
+    tie-broken by token text. orderBy+limit plans as
+    TakeOrderedAndProject: per-partition partial top-k, no global sort."""
+    return vocabulary(df, text_col, id_col).orderBy(
+        F.desc("tf"), F.asc("token")
+    ).limit(k)

@@ -36,6 +36,24 @@ class TestText:
         grams = df.select(text.char_ngrams("t", 3).alias("g")).collect()[0].g
         assert grams == ["abc", "bcd", "cde", "def"]
 
+    def test_vocabulary_tf_and_dfreq(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c"), (3, "")], "doc_id bigint, text string"
+        )
+        got = {
+            r.token: (r.tf, r.dfreq)
+            for r in text.vocabulary(df, "text", "doc_id").collect()
+        }
+        assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+    def test_top_tokens_deterministic_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [(1, "z y z"), (2, "y x")], "doc_id bigint, text string"
+        )
+        rows = text.top_tokens(df, "text", "doc_id", k=2).collect()
+        # tf: y=2, z=2, x=1 -> top-2 is (y, z) by token-asc tie order
+        assert [(r.token, r.tf) for r in rows] == [("y", 2), ("z", 2)]
+
     def test_word_ngrams(self, spark):
         df = spark.createDataFrame([("a b c d",)], "t string")
         grams = df.select(text.word_ngrams("t", 2).alias("g")).collect()[0].g
