@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import datafusion_functions_json_spark as jsonf  # noqa: E402
 from datafusion_functions_json_spark.operators import (  # noqa: E402
     dedup,
+    graph,
     joins,
     multimodal,
     pipeline,
@@ -513,6 +514,33 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_dedup_cc(spark, sf_dir):
+    # connected components over a deterministic near-dup edge set
+    # (adjacent-id token-Jaccard >= 0.8, same kernel jaccard_adjacent
+    # anchors) — the transitive-closure clustering that one-shot pair
+    # removal approximates. Oracle: DuckDB recursive-CTE reachability.
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("src"), F.col("text").alias("ta"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("src"),
+        F.col("doc_id").alias("dst"),
+        F.col("text").alias("tb"),
+    )
+    edges = (
+        a.join(b, "src")
+        .withColumn(
+            "jac",
+            dedup.jaccard_tokens(
+                F.array_distinct(text.tokens(F.col("ta"))),
+                F.array_distinct(text.tokens(F.col("tb"))),
+            ),
+        )
+        .filter(F.col("jac") >= 0.8)
+        .select("src", "dst")
+    )
+    return graph.connected_components(edges, "src", "dst")
+
+
 def _q_top_tokens(spark, sf_dir):
     # corpus vocabulary induction: explode -> hash agg -> partial top-k
     # (TakeOrderedAndProject). Unspread: explode+agg is pure Catalyst.
@@ -681,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "top_tokens": _q_top_tokens,
+        "dedup_cc": _q_dedup_cc,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -921,5 +950,20 @@ def oracle_sql() -> dict[str, str]:
             "from documents) "
             "select token, count(*) as tf, count(distinct doc_id) as dfreq "
             "from ex group by token order by tf desc, token asc limit 50"
+        ),
+        "dedup_cc": (
+            "with recursive "
+            f"toks as (select doc_id, list_distinct({_TOKENS_SQL}) as tk "
+            "from documents), "
+            "edges as (select a.doc_id as u, b.doc_id as v "
+            "from toks a join toks b on b.doc_id = a.doc_id + 1 "
+            "where case when len(list_distinct(list_concat(a.tk, b.tk))) > 0 "
+            "then len(list_intersect(a.tk, b.tk))::double / "
+            "len(list_distinct(list_concat(a.tk, b.tk))) else 0.0 end >= 0.8), "
+            "und as (select u, v from edges union select v, u from edges), "
+            "reach(a, b) as (select u, u from und "
+            "union "
+            "select r.a, und.v from reach r join und on und.u = r.b) "
+            "select a as node, min(b) as comp from reach group by a"
         ),
     }

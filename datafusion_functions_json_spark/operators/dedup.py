@@ -379,13 +379,27 @@ def minhash_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    *,
+    method: str = "pairs",
     **kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates, keeping the smallest id of each duplicate
-    pair-component (single-link by pairs; a full connected-components
-    pass would iterate — at pipeline scale, pair-wise removal of the
-    larger id is the standard one-shot approximation)."""
+    """Drop near-duplicates.
+
+    ``method="pairs"`` (default): one-shot removal of the larger id of
+    each verified pair — the standard single-pass approximation (over-
+    deletes on chains: A~B, B~C removes C even if A,C were never
+    compared, but never under-deletes a true duplicate edge).
+
+    ``method="components"``: exact single-link clustering — connected
+    components (O(log n) alternating-star rounds, operators/graph.py)
+    over the pair graph, keeping the minimum id per component."""
     pairs = minhash_dup_pairs(df, id_col, text_col, **kwargs)
+    if method == "components":
+        from .graph import dedup_by_components
+
+        return dedup_by_components(df, id_col, pairs)
+    if method != "pairs":
+        raise ValueError(f"unknown dedup method: {method!r}")
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 

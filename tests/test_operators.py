@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from datafusion_functions_json_spark.operators import (
     dedup,
+    graph,
     multimodal,
     similarity,
     text,
@@ -120,6 +121,19 @@ class TestMinhash:
         kept = dedup.minhash_dedup(df, "id", "text", num_perm=32, bands=8)
         assert sorted(r.id for r in kept.collect()) == [1, 3]
 
+    def test_minhash_dedup_components_method(self, spark):
+        rows = [(1, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+                (2, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+                (3, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+                (4, "unrelated content entirely")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        kept = dedup.minhash_dedup(
+            df, "id", "text", num_perm=32, bands=8, method="components"
+        )
+        assert sorted(r.id for r in kept.collect()) == [1, 4]
+        with pytest.raises(ValueError):
+            dedup.minhash_dedup(df, "id", "text", method="nope")
+
     def test_documents_near_dups_verified(self, documents):
         pairs = dedup.minhash_dup_pairs(
             documents, "doc_id", "text", num_perm=32, bands=8, threshold=0.8
@@ -154,6 +168,67 @@ class TestNgramJaccard:
         df = spark.createDataFrame(rows, "id long, text string")
         pairs = dedup.ngram_jaccard_pairs(df, "id", "text", n=2, threshold=0.9).collect()
         assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def _uf_components(edges):
+    """Brute-force union-find oracle: {node: min-id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+class TestConnectedComponents:
+    def _run(self, spark, edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.comp
+            for r in graph.connected_components(df, "src", "dst").collect()
+        }
+        assert got == _uf_components(edges)
+
+    def test_chain_merges_transitively(self, spark):
+        # a pure chain: one-shot pair removal would keep 1..5 distinct
+        self._run(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)])
+
+    def test_reversed_dup_and_self_edges(self, spark):
+        self._run(spark, [(2, 1), (1, 2), (3, 3), (3, 2), (7, 9), (9, 7)])
+
+    def test_random_graph_matches_union_find(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(90)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        self._run(spark, edges)
+
+    def test_empty(self, spark):
+        df = spark.createDataFrame([], "src long, dst long")
+        assert graph.connected_components(df).count() == 0
+
+    def test_dedup_by_components_keeps_min_per_component(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"doc{i}") for i in range(6)], "id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r.id for r in graph.dedup_by_components(df, "id", pairs).collect()
+        )
+        assert kept == [0, 1, 4]
 
 
 class TestSimilarity:
