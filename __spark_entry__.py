@@ -514,6 +514,12 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_tf_idf(spark, sf_dir):
+    # per-(doc, token) TF-IDF with smoothed idf — explode, two hash aggs,
+    # token-keyed join, 1-row broadcast corpus count. Pure Catalyst.
+    return text.tf_idf(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def _q_dedup_cc(spark, sf_dir):
     # connected components over a deterministic near-dup edge set
     # (adjacent-id token-Jaccard >= 0.8, same kernel jaccard_adjacent
@@ -709,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "top_tokens": _q_top_tokens,
+        "tf_idf": _q_tf_idf,
         "dedup_cc": _q_dedup_cc,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
@@ -950,6 +957,18 @@ def oracle_sql() -> dict[str, str]:
             "from documents) "
             "select token, count(*) as tf, count(distinct doc_id) as dfreq "
             "from ex group by token order by tf desc, token asc limit 50"
+        ),
+        "tf_idf": (
+            f"with ex as (select doc_id, unnest({_TOKENS_SQL}) as token "
+            "from documents), "
+            "tf as (select doc_id, token, count(*) as tf from ex "
+            "group by doc_id, token), "
+            "dfq as (select token, count(*) as dfreq from tf group by token), "
+            "n as (select count(*) as n from documents) "
+            "select tf.doc_id, tf.token, tf.tf, "
+            "round(tf.tf * (ln((1 + n.n)::double / (1 + dfq.dfreq)) + 1), 6) "
+            "as tfidf "
+            "from tf join dfq using(token) cross join n"
         ),
         "dedup_cc": (
             "with recursive "

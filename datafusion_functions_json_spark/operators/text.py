@@ -27,6 +27,9 @@ __all__ = [
     "quality_features",
     "quality_score",
     "fingerprint",
+    "vocabulary",
+    "top_tokens",
+    "tf_idf",
     "STOPWORDS",
 ]
 
@@ -202,6 +205,38 @@ def vocabulary(df, text_col, id_col) -> "DataFrame":
     return ex.groupBy("token").agg(
         F.count("*").alias("tf"),
         F.countDistinct("__id").alias("dfreq"),
+    )
+
+
+def tf_idf(df, text_col, id_col) -> "DataFrame":
+    """Per-(document, token) TF-IDF weights: ``(id, token, tf, tfidf)``
+    with the smoothed idf ``ln((1+N)/(1+df)) + 1`` (never zero, so rare
+    tokens always outrank absent ones).
+
+    Plan: explode → (id, token) hash-agg (map-side partial) → token-keyed
+    shuffle join against the document-frequency table (vocab-sized — can
+    be millions of tokens at corpus scale, so an equi-join keyed on
+    token, not a broadcast) → single-row corpus count joined in via
+    cross join (Spark plans a 1-row broadcast nested loop — no shuffle).
+    No Python workers anywhere.
+    """
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token"))
+    tf = ex.groupBy("__id", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("_dfreq"))
+    n = df.agg(F.count("*").alias("_n"))
+    return (
+        tf.join(dfq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("__id").alias(id_col),
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((1 + F.col("_n")) / (1 + F.col("_dfreq"))) + 1),
+                6,
+            ).alias("tfidf"),
+        )
     )
 
 

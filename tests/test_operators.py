@@ -47,6 +47,22 @@ class TestText:
         }
         assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
 
+    def test_tf_idf_values(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c")], "doc_id bigint, text string"
+        )
+        got = {
+            (r.doc_id, r.token): (r.tf, r.tfidf)
+            for r in text.tf_idf(df, "text", "doc_id").collect()
+        }
+        idf = lambda dfreq: math.log((1 + 2) / (1 + dfreq)) + 1
+        assert got[(1, "a")] == (2, round(2 * idf(2), 6))
+        assert got[(1, "b")] == (1, round(1 * idf(1), 6))
+        assert got[(2, "c")] == (1, round(1 * idf(1), 6))
+        assert got[(2, "a")] == (1, round(1 * idf(2), 6))
+
     def test_top_tokens_deterministic_tiebreak(self, spark):
         df = spark.createDataFrame(
             [(1, "z y z"), (2, "y x")], "doc_id bigint, text string"
