@@ -136,6 +136,16 @@ class TestDictsTableValues:
         ).count()
         assert n == 2
 
+    def test_haystack_is_not_null_filter(self, dicts_df):
+        # reference: tests/main.rs:1848-1864 (dict_haystack_filter) —
+        # `json_get(json_data,'foo') is not null` keeps exactly the one
+        # row whose 'foo' value exists, and returns the raw document
+        # (surrounding whitespace preserved)
+        rows = dicts_df.filter(
+            ~jsonf.json_get("json_data", "foo").isNull()
+        ).select("json_data").collect()
+        assert [r.json_data for r in rows] == [' {"foo": {"bar": [0]}} ']
+
     def test_nested_get_through_dict_values(self, dicts_df):
         # reference: tests/main.rs:1761-1807 (dict_haystack)
         u = jsonf.json_get("json_data", "foo")
@@ -173,6 +183,25 @@ class TestDataTableValues:
         ]
         assert vals == [
             None, "fizz", None, "abcd", None, "fizz", "fizz", "fizz", "fizz", None,
+        ]
+
+    def test_get_union_kind_rendering(self, data_df):
+        # reference: tests/main.rs:1809-1846 (dict_get_no_null_values) —
+        # json_get(x,'baz') yields the {str=...} union arm exactly where
+        # a value exists, and a fully-null union (never a masked
+        # non-null dictionary value) elsewhere
+        rows = data_df.select(jsonf.json_get("x", "baz").alias("u")).collect()
+        assert [r.u.str if r.u is not None else None for r in rows] == [
+            None, "fizz", None, "abcd", None, "fizz", "fizz", "fizz", "fizz", None,
+        ]
+        # union_to_text serializes the str arm as JSON (quoted) — same
+        # rendering union_roundtrip pins
+        texts = data_df.select(
+            jsonf.json_union_to_text(jsonf.json_get("x", "baz")).alias("t")
+        ).collect()
+        assert [r.t for r in texts] == [
+            None, '"fizz"', None, '"abcd"', None,
+            '"fizz"', '"fizz"', '"fizz"', '"fizz"', None,
         ]
 
     def test_is_not_null_filter(self, data_df):
