@@ -61,6 +61,36 @@ class TestSinks:
         assert "Exchange" not in explain_str(agg)
         spark.sql("drop table if exists ev_bucketed")
 
+    def test_cobucketed_join_zero_shuffle(self, spark):
+        # the 100 TB fact-fact join story: both sides bucketed on the
+        # join key with the same bucket count → co-located join, no
+        # Exchange on either side (the shuffle was paid once at write
+        # time and amortizes over every subsequent join)
+        from datafusion_functions_json_spark.plans import explain_str
+
+        cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+        orders = load_table(spark, SF_DIR, "orders").select(
+            "o_custkey", "o_totalprice"
+        )
+        write_bucketed(cust, "cust_b", bucket_by=["c_custkey"], num_buckets=4)
+        write_bucketed(orders, "ord_b", bucket_by=["o_custkey"], num_buckets=4)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force the sort-merge path (a broadcast would also avoid a
+            # shuffle here, but only because sf0.001 is tiny — the
+            # co-bucketed plan is the one that holds at 100 TB)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = spark.table("ord_b").join(
+                spark.table("cust_b"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            assert "Exchange" not in explain_str(j)
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("drop table if exists cust_b")
+            spark.sql("drop table if exists ord_b")
+
 
 class TestPreparedArgs:
     def test_sql_named_args_with_json_functions(self, spark, test_df):
