@@ -514,6 +514,42 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_hash_split(spark, sf_dir):
+    # reproducible train/val/test assignment: pure projection (md5 →
+    # u32 fraction → threshold case), zero shuffles — scan-speed at any
+    # scale. Counts per split keep the oracle output compact.
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    lab = split_ops.hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="r2"
+    )
+    return lab.groupBy("split").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
+def _q_pack_batches(spark, sf_dir):
+    # token-budget batch packing: shard-local window prefix sum (mod
+    # shard key for cross-engine determinism; xxhash64 default at scale)
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = split_ops.pack_batches(
+        docs,
+        "doc_id",
+        text.token_count(F.col("text")),
+        budget=2000,
+        shards=8,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return packed.groupBy("shard", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tok"),
+        F.min("doc_id").alias("first_id"),
+    )
+
+
 def _q_tf_idf(spark, sf_dir):
     # per-(doc, token) TF-IDF with smoothed idf — explode, two hash aggs,
     # token-keyed join, 1-row broadcast corpus count. Pure Catalyst.
@@ -717,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _q_top_tokens,
         "tf_idf": _q_tf_idf,
         "dedup_cc": _q_dedup_cc,
+        "hash_split": _q_hash_split,
+        "pack_batches": _q_pack_batches,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -957,6 +995,30 @@ def oracle_sql() -> dict[str, str]:
             "from documents) "
             "select token, count(*) as tf, count(distinct doc_id) as dfreq "
             "from ex group by token order by tf desc, token asc limit 50"
+        ),
+        "hash_split": (
+            "with f as (select doc_id, "
+            "try_cast(('0x' || substr(md5('r2:' || doc_id::varchar), 1, 8)) "
+            "as bigint) / 4294967296.0 as b from documents), "
+            "lab as (select doc_id, case when b < 0.9 then 'train' "
+            "when b < 0.95 then 'val' else 'test' end as split from f) "
+            "select split, count(*) as n, min(doc_id) as min_id "
+            "from lab group by split"
+        ),
+        "pack_batches": (
+            f"with t as (select doc_id, len({_TOKENS_SQL})::bigint as nt, "
+            "(doc_id % 8)::int as shard from documents), "
+            "c as (select doc_id, shard, nt, coalesce(sum(nt) over ("
+            "partition by shard order by doc_id "
+            "rows between unbounded preceding and 1 preceding), 0)::bigint as cb "
+            "from t) "
+            # ::bigint everywhere integer aggregation happens — DuckDB
+            # sum(BIGINT) returns HUGEINT and the driver hash is
+            # type-aware (the round-1 json_agg lesson)
+            "select shard, (cb // 2000)::bigint as batch_id, "
+            "count(*) as n_docs, "
+            "sum(nt)::bigint as tok, min(doc_id) as first_id "
+            "from c group by shard, cb // 2000"
         ),
         "tf_idf": (
             f"with ex as (select doc_id, unnest({_TOKENS_SQL}) as token "

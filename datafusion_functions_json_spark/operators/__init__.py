@@ -9,6 +9,15 @@ where vectorized numerics genuinely win (embedding math), ``mapInPandas``
 for opaque binary payloads.
 """
 
-from . import dedup, joins, multimodal, pipeline, similarity, text
+from . import dedup, graph, joins, multimodal, pipeline, similarity, split, text
 
-__all__ = ["dedup", "joins", "similarity", "text", "multimodal", "pipeline"]
+__all__ = [
+    "dedup",
+    "graph",
+    "joins",
+    "similarity",
+    "split",
+    "text",
+    "multimodal",
+    "pipeline",
+]

@@ -1,0 +1,107 @@
+"""Dataset splitting and batch packing for training-data pipelines.
+
+* ``hash_split`` — reproducible train/val/test assignment from a salted
+  content hash. Stateless and shuffle-free: the split label is a pure
+  projection over the id (scan-speed at 100 TB, no sampling pass, stable
+  across reruns/engines — the property random ``df.sample`` lacks).
+* ``pack_batches`` — assign documents to fixed-token-budget batches.
+  Packing is inherently sequential, so a *global* greedy pack would be a
+  single-partition bottleneck; instead documents are sharded and packed
+  shard-locally (one window per shard, all shards in parallel). The
+  token budget is respected per batch boundary in prefix-sum terms:
+  ``batch = floor(prefix_tokens_before / budget)`` — the standard
+  deterministic approximation (a doc can straddle a boundary rather
+  than open a fresh batch; over-long docs never stall packing).
+
+Reference scope note: the reference engine has no pipeline operators —
+this belongs to the LLM-pipeline extension suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_split", "split_fraction", "pack_batches"]
+
+_U32 = float(1 << 32)
+
+
+def split_fraction(id_col, salt: str = "") -> Column:
+    """Deterministic uniform-[0,1) fraction from a salted md5 of the id —
+    the assignment primitive behind ``hash_split``. md5 (not xxhash64)
+    so any engine can reproduce the exact split from the same ids."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(_U32)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    *,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a ``split`` label column assigning each row to one of the
+    named fractions (dict order fixes the threshold order). Fractions
+    must sum to 1 (±1e-9). Reproducible: same ids + salt ⇒ same split,
+    on any engine, at any scale, regardless of partitioning."""
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    frac = split_fraction(id_col, salt)
+    expr = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def pack_batches(
+    df: DataFrame,
+    id_col: str,
+    n_tokens: Column | str,
+    *,
+    budget: int,
+    shards: int = 32,
+    shard_expr: Column | None = None,
+) -> DataFrame:
+    """Assign each row to ``(shard, batch_id)`` with ~``budget`` tokens
+    per batch, packing shard-locally in id order.
+
+    One hash shuffle keyed by shard, then a per-shard window prefix sum —
+    ``shards`` bounds both the parallelism and the largest window
+    partition (corpus_tokens / shards per task at 100 TB; raise
+    ``shards`` with cluster size). Default shard key is
+    ``pmod(xxhash64(id), shards)`` to decorrelate from id locality;
+    pass ``shard_expr`` (e.g. ``pmod(id, shards)``) for cross-engine
+    reproducibility.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    tok = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    shard = (
+        shard_expr
+        if shard_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    )
+    out = df.withColumn("shard", shard.cast("int")).withColumn(
+        "n_tokens", tok.cast("bigint")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return out.withColumn(
+        "batch_id", F.floor(prefix / F.lit(budget)).cast("bigint")
+    )

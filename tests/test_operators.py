@@ -9,6 +9,7 @@ from datafusion_functions_json_spark.operators import (
     graph,
     multimodal,
     similarity,
+    split,
     text,
 )
 from datafusion_functions_json_spark.sources import load_table
@@ -245,6 +246,60 @@ class TestConnectedComponents:
             r.id for r in graph.dedup_by_components(df, "id", pairs).collect()
         )
         assert kept == [0, 1, 4]
+
+
+class TestSplit:
+    def test_fraction_matches_hashlib(self, spark):
+        import hashlib
+
+        expected = int(hashlib.md5(b"s:42").hexdigest()[:8], 16) / 2**32
+        got = (
+            spark.range(42, 43)
+            .select(split.split_fraction("id", "s").alias("f"))
+            .collect()[0]
+            .f
+        )
+        assert abs(got - expected) < 1e-12
+
+    def test_hash_split_proportions_and_determinism(self, spark):
+        df = spark.range(4000)
+        lab = split.hash_split(
+            df, "id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="r2"
+        )
+        counts = {r.split: r.n for r in lab.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert 0.85 < counts["train"] / 4000 < 0.95
+        again = split.hash_split(
+            df, "id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="r2"
+        )
+        assert lab.exceptAll(again).count() == 0
+
+    def test_hash_split_bad_fractions(self, spark):
+        with pytest.raises(ValueError):
+            split.hash_split(spark.range(2), "id", {"a": 0.5, "b": 0.1})
+
+    def test_pack_batches_prefix_sum_assignment(self, spark):
+        df = spark.createDataFrame(
+            [(i, 40) for i in range(10)], "id long, nt int"
+        )
+        out = split.pack_batches(
+            df, "id", "nt", budget=100, shards=1,
+            shard_expr=F.lit(0),
+        ).collect()
+        got = {r.id: r.batch_id for r in out}
+        # prefix before id i = 40*i; batch = floor(40*i/100)
+        assert got == {i: (40 * i) // 100 for i in range(10)}
+        with pytest.raises(ValueError):
+            split.pack_batches(df, "id", "nt", budget=0)
+
+    def test_pack_batches_sharded_parallel(self, spark):
+        df = spark.createDataFrame(
+            [(i, 10 + i % 3) for i in range(60)], "id long, nt int"
+        )
+        out = split.pack_batches(df, "id", "nt", budget=50, shards=4)
+        assert out.count() == 60
+        # every (shard, batch) holds >= 1 row; shards bounded
+        assert out.select("shard").distinct().count() <= 4
 
 
 class TestSimilarity:
