@@ -19,6 +19,7 @@ from ..functions import api as jsonf
 __all__ = [
     "extract_json_stream",
     "windowed_json_counts",
+    "dedup_stream",
     "sessionize",
     "sessionize_tws",
 ]
@@ -67,6 +68,29 @@ def windowed_json_counts(
         F.window(F.col(ts_col), window).alias("win"), F.col("_key")
     ).agg(F.count("*").alias("n"))
 
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` expires each key from the state
+    store once the watermark passes it, so state size is O(keys per
+    watermark window) — a plain ``dropDuplicates`` on a stream stores
+    every key ever seen and grows without bound (the thing that kills a
+    long-running 100 TB ingest). Duplicates arriving farther apart than
+    the watermark delay are deliberately kept: that is the documented
+    within-watermark contract; pair with a batch `operators.dedup` pass
+    for full-corpus exactness."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
 
 
 def _session_frame(pd, rows):

@@ -61,6 +61,38 @@ class TestStreaming:
         # invalid json -> NULL key still counted in its window
         assert got == {(0, "a"): 2, (1, "b"): 1, (1, None): 1}
 
+    def test_dedup_stream_drops_within_watermark(self, spark, tmp_path):
+        rows = [
+            {"ts": "2024-01-01T00:00:05", "payload": '{"user": "a", "n": 1}'},
+            {"ts": "2024-01-01T00:00:10", "payload": '{"user": "a", "n": 1}'},  # dup key
+            {"ts": "2024-01-01T00:00:20", "payload": '{"user": "b", "n": 2}'},
+        ]
+        p = tmp_path / "dedup_in"
+        p.mkdir()
+        with open(p / "part-0.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+        stream = spark.readStream.schema(SCHEMA).json(str(p))
+        extracted = js.extract_json_stream(
+            stream, "payload", {"user": ("str", "user")}, ts_col="ts"
+        )
+        deduped = js.dedup_stream(
+            extracted, "user", ts_col="ts", watermark="10 minutes"
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r.user for r in spark.sql("select * from dedup_out").collect()
+        )
+        assert got == ["a", "b"]
+
     def test_sessionize_stateful(self, spark, tmp_path):
         # two users; user a has an in-batch gap > 60s => one CLOSED session
         # emitted; trailing open sessions stay in state
