@@ -514,6 +514,18 @@ def _q_asof_join(spark, sf_dir):
     )
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # context-window chunking: sequence + posexplode + slice, zero
+    # shuffles, scan-shaped fan-out
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_tokens=64,
+        overlap=16,
+    )
+
+
 def _q_hash_split(spark, sf_dir):
     # reproducible train/val/test assignment: pure projection (md5 →
     # u32 fraction → threshold case), zero shuffles — scan-speed at any
@@ -755,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc": _q_dedup_cc,
         "hash_split": _q_hash_split,
         "pack_batches": _q_pack_batches,
+        "chunk_documents": _q_chunk_documents,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -995,6 +1008,18 @@ def oracle_sql() -> dict[str, str]:
             "from documents) "
             "select token, count(*) as tf, count(distinct doc_id) as dfreq "
             "from ex group by token order by tf desc, token asc limit 50"
+        ),
+        "chunk_documents": (
+            f"with t as (select doc_id, {_TOKENS_SQL} as tk from documents), "
+            "nz as (select * from t where len(tk) > 0), "
+            "idx as (select doc_id, tk, "
+            "unnest(generate_series(1, greatest(len(tk) - 16, 1), 48)) as st "
+            "from nz), "
+            "ch as (select doc_id, st, list_slice(tk, st, st + 63) as c "
+            "from idx) "
+            "select doc_id, ((st - 1) // 48)::int as chunk_id, "
+            "st::int as tok_start, len(c)::int as n_tokens, "
+            "array_to_string(c, ' ') as chunk_text from ch"
         ),
         "hash_split": (
             "with f as (select doc_id, "

@@ -27,6 +27,7 @@ __all__ = [
     "quality_features",
     "quality_score",
     "fingerprint",
+    "chunk_documents",
     "vocabulary",
     "top_tokens",
     "tf_idf",
@@ -205,6 +206,54 @@ def vocabulary(df, text_col, id_col) -> "DataFrame":
     return ex.groupBy("token").agg(
         F.count("*").alias("tf"),
         F.countDistinct("__id").alias("dfreq"),
+    )
+
+
+def chunk_documents(
+    df,
+    id_col,
+    text_col,
+    *,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> "DataFrame":
+    """Split documents into overlapping token-window chunks — the
+    context-window prep step of a training pipeline. Returns one row per
+    chunk: ``(id, chunk_id, tok_start, n_tokens, chunk_text)`` with
+    1-based ``tok_start`` and stride ``chunk_tokens - overlap``.
+
+    Pure Catalyst: tokens → `sequence` of window starts (bounded by
+    ``len - overlap`` so a fully-covered tail never re-emits) →
+    `posexplode` → `slice`. Fan-out is rows × ceil(len/stride) with no
+    shuffle at all — chunking stays scan-shaped at 100 TB and the
+    output inherits the input partitioning. Empty/whitespace-only
+    documents produce no chunks.
+    """
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("_tk")
+    ).filter(F.size("_tk") > 0)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("_tk") - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
+    sl = F.slice(F.col("tok_start_arr"), F.col("tok_start"), chunk_tokens)
+    return (
+        base.select(
+            id_col,
+            F.col("_tk").alias("tok_start_arr"),
+            F.posexplode(starts).alias("chunk_id", "tok_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "tok_start",
+            F.size(sl).alias("n_tokens"),
+            F.array_join(sl, " ").alias("chunk_text"),
+        )
     )
 
 

@@ -48,6 +48,27 @@ class TestText:
         }
         assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
 
+    def test_chunk_documents_windows(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, ""), (3, "x")],
+            "doc_id bigint, text string",
+        )
+        rows = text.chunk_documents(
+            df, "doc_id", "text", chunk_tokens=4, overlap=1
+        ).collect()
+        got = {
+            (r.doc_id, r.chunk_id): (r.tok_start, r.n_tokens, r.chunk_text)
+            for r in rows
+        }
+        # len 7, window 4, stride 3, starts bounded by len-overlap=6
+        assert got == {
+            (1, 0): (1, 4, "a b c d"),
+            (1, 1): (4, 4, "d e f g"),
+            (3, 0): (1, 1, "x"),
+        }
+        with pytest.raises(ValueError):
+            text.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
     def test_tf_idf_values(self, spark):
         import math
 
