@@ -468,6 +468,19 @@ def _q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, "embedding", _query_vector(sf_dir), k=10)
 
 
+def _q_embed_quantize(spark, sf_dir):
+    # embedding hygiene ops: L2 norm (rounded — cross-engine float sums
+    # differ past ~1e-12) and symmetric int8 quantization of the RAW
+    # float32 values (floor(x*127+0.5): element-wise on exact inputs, so
+    # the tinyint arrays are hash-identical across engines)
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.round(similarity.l2_norm("embedding"), 4).alias("norm"),
+        similarity.quantize_int8("embedding").alias("q"),
+    )
+
+
 def _q_media_meta(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
@@ -758,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "jaccard_adjacent": _q_jaccard_adjacent,
         "cosine_topk": _q_cosine_topk,
+        "embed_quantize": _q_embed_quantize,
         "media_meta": _q_media_meta,
         "curation": _q_curation,
         "asof_join": _q_asof_join,
@@ -1008,6 +1022,14 @@ def oracle_sql() -> dict[str, str]:
             "from documents) "
             "select token, count(*) as tf, count(distinct doc_id) as dfreq "
             "from ex group by token order by tf desc, token asc limit 50"
+        ),
+        "embed_quantize": (
+            "select vec_id, "
+            "round(sqrt(list_dot_product(embedding::DOUBLE[], "
+            "embedding::DOUBLE[])), 4) as norm, "
+            "list_transform(embedding::DOUBLE[], x -> "
+            "greatest(least(floor(x * 127 + 0.5), 127), -127)::tinyint) as q "
+            "from embeddings"
         ),
         "chunk_documents": (
             f"with t as (select doc_id, {_TOKENS_SQL} as tk from documents), "

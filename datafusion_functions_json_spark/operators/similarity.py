@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "dot",
     "l2_norm",
+    "l2_normalize",
+    "quantize_int8",
+    "dequantize_int8",
     "cosine_to_query",
     "cosine_to_query_np",
     "cosine_topk",
@@ -72,6 +75,41 @@ def l2_norm(a) -> Column:
             lambda acc, x: acc + x,
         )
     )
+
+
+def l2_normalize(a) -> Column:
+    """Unit-normalize an embedding (array<double> out). Zero vectors pass
+    through unchanged (divide-by-1 guard) rather than yielding NaNs.
+    Per-element division is an interpreted HOF — fine at dim≲100; for
+    hot loops over wide embeddings use the numpy tier
+    (:func:`cosine_to_query_np` pattern)."""
+    n = l2_norm(a)
+    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    return F.transform(_dvec(a), lambda x: x / safe)
+
+
+def quantize_int8(a, *, scale: float = 127.0) -> Column:
+    """Symmetric int8 quantization of a unit-scale embedding:
+    ``clamp(floor(x*scale + 0.5), -127, 127)`` per element
+    (array<tinyint>). 4× storage cut for ANN candidate stages; pair with
+    :func:`dequantize_int8`. Values outside [-1, 1] saturate (ANSI-safe:
+    clamp happens BEFORE the tinyint cast, so overflow can't throw).
+    ``floor(x+0.5)`` rather than ``round`` pins one rounding mode across
+    engines (half-to-even/half-away ambiguity on exact .5)."""
+    s = F.lit(float(scale))
+    return F.transform(
+        _dvec(a),
+        lambda x: F.least(
+            F.greatest(F.floor(x * s + F.lit(0.5)), F.lit(-127).cast("bigint")),
+            F.lit(127).cast("bigint"),
+        ).cast("tinyint"),
+    )
+
+
+def dequantize_int8(a, *, scale: float = 127.0) -> Column:
+    """Inverse of :func:`quantize_int8` (array<double>, lossy)."""
+    s = F.lit(float(scale))
+    return F.transform(_col(a), lambda x: x.cast("double") / s)
 
 
 def cosine_to_query(vec_col, query: Sequence[float]) -> Column:

@@ -323,6 +323,28 @@ class TestSplit:
         assert out.select("shard").distinct().count() <= 4
 
 
+class TestQuantize:
+    def test_l2_normalize_unit_norm_and_zero_guard(self, spark):
+        df = spark.createDataFrame(
+            [([3.0, 4.0],), ([0.0, 0.0],)], "v array<double>"
+        )
+        rows = df.select(
+            similarity.l2_normalize("v").alias("n")
+        ).collect()
+        assert rows[0].n == [0.6, 0.8]
+        assert rows[1].n == [0.0, 0.0]
+
+    def test_quantize_roundtrip_and_saturation(self, spark):
+        df = spark.createDataFrame([([0.5, -1.0, 2.0, -2.0],)], "v array<double>")
+        q = df.select(similarity.quantize_int8("v").alias("q")).collect()[0].q
+        # floor(0.5*127+0.5)=64; -1 -> floor(-126.5)=-127; +-2 saturate
+        assert q == [64, -127, 127, -127]
+        d = df.select(
+            similarity.dequantize_int8(similarity.quantize_int8("v")).alias("d")
+        ).collect()[0].d
+        assert abs(d[0] - 0.5) < 1 / 127 and d[2] == 1.0
+
+
 class TestSimilarity:
     def test_cosine_topk_self_query(self, embeddings):
         # querying with row 0's own embedding must return row 0 first
