@@ -566,12 +566,34 @@ def _q_pack_batches(spark, sf_dir):
         text.token_count(F.col("text")),
         budget=2000,
         shards=8,
-        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)),
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)).cast("int"),
     )
     return packed.groupBy("shard", "batch_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("tok"),
         F.min("doc_id").alias("first_id"),
+    )
+
+
+def _q_training_prep(spark, sf_dir):
+    # flagship composition: curate → hash_split → chunk → pack, all
+    # deterministic (near-dedup off; mod sharding) so DuckDB can twin it
+    prep = pipeline.training_prep(
+        _docs(spark, sf_dir),
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="r2",
+        chunk_tokens=64,
+        overlap=16,
+        batch_budget=512,
+        shards=4,
+        deterministic_shard=True,
+        min_tokens=10,
+        languages=("en",),
+        quality_threshold=0.0,
+        near_dedup=False,
+    )
+    return prep.select(
+        "doc_id", "chunk_id", "tok_start", "n_tokens", "split", "shard", "batch_id"
     )
 
 
@@ -782,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "pack_batches": _q_pack_batches,
         "chunk_documents": _q_chunk_documents,
+        "training_prep": _q_training_prep,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -796,6 +819,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     jx = "json_extract(props, '$.k')"
     nested = _NESTED_SQL
+    # curation CTE prefix (shared by `curation` and `training_prep`):
+    # lang-id + token gate + exact dedup keeping min doc_id per text
+    curated_ctes = (
+        "with enriched as (select doc_id, text, "
+        + ", ".join(
+            f"len(list_intersect(list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')), {_STOP_SQL[lang]})) as s_{lang}"
+            for lang in sorted(text.STOPWORDS)
+        )
+        + f", len({_TOKENS_SQL})::int as n_tokens from documents), "
+        "scored as (select doc_id, text, n_tokens, case "
+        "when s_de = 0 and s_en = 0 and s_es = 0 and s_fr = 0 then 'und' "
+        "when s_fr >= s_es and s_fr >= s_en and s_fr >= s_de then 'fr' "
+        "when s_es >= s_en and s_es >= s_de then 'es' "
+        "when s_en >= s_de then 'en' else 'de' end as lang from enriched), "
+        "f as (select * from scored where n_tokens >= 10 and lang = 'en'), "
+        "keep as (select text, min(doc_id) as kid from f group by text), "
+        "curated as (select f.doc_id, f.text, f.lang, f.n_tokens from f "
+        "join keep on f.text = keep.text and f.doc_id = keep.kid)"
+    )
     return {
         "json_get_int": f"select event_id, try_cast({jx} as bigint) as k from events",
         "json_get_float": f"select event_id, try_cast({jx} as double) as kf from events",
@@ -988,21 +1030,30 @@ def oracle_sql() -> dict[str, str]:
             "from documents"
         ),
         "curation": (
-            "with enriched as (select doc_id, text, "
-            + ", ".join(
-                f"len(list_intersect(list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')), {_STOP_SQL[lang]})) as s_{lang}"
-                for lang in sorted(text.STOPWORDS)
-            )
-            + f", len({_TOKENS_SQL})::int as n_tokens from documents), "
-            "scored as (select doc_id, text, n_tokens, case "
-            "when s_de = 0 and s_en = 0 and s_es = 0 and s_fr = 0 then 'und' "
-            "when s_fr >= s_es and s_fr >= s_en and s_fr >= s_de then 'fr' "
-            "when s_es >= s_en and s_es >= s_de then 'es' "
-            "when s_en >= s_de then 'en' else 'de' end as lang from enriched), "
-            "f as (select * from scored where n_tokens >= 10 and lang = 'en'), "
-            "keep as (select text, min(doc_id) as kid from f group by text) "
-            "select f.doc_id, f.lang, f.n_tokens from f "
-            "join keep on f.text = keep.text and f.doc_id = keep.kid"
+            curated_ctes + " select doc_id, lang, n_tokens from curated"
+        ),
+        "training_prep": (
+            curated_ctes + ", "
+            f"tk as (select doc_id, {_TOKENS_SQL} as tkl from curated), "
+            "idx as (select doc_id, tkl, "
+            "unnest(generate_series(1, greatest(len(tkl) - 16, 1), 48)) as st "
+            "from tk where len(tkl) > 0), "
+            "ch as (select doc_id, ((st - 1) // 48)::int as chunk_id, "
+            "st::int as tok_start, "
+            "len(list_slice(tkl, st, st + 63))::bigint as n_tokens from idx), "
+            "lab as (select ch.*, case when b < 0.9 then 'train' "
+            "when b < 0.95 then 'val' else 'test' end as split from "
+            "(select ch.*, try_cast(('0x' || substr(md5('r2:' || "
+            "doc_id::varchar), 1, 8)) as bigint) / 4294967296.0 as b "
+            "from ch) ch), "
+            "sh as (select doc_id, chunk_id, tok_start, n_tokens, split, "
+            "split || '#' || (doc_id % 4)::varchar as shard from lab), "
+            "cb as (select *, coalesce(sum(n_tokens) over ("
+            "partition by shard order by doc_id, chunk_id "
+            "rows between unbounded preceding and 1 preceding), 0)::bigint "
+            "as cbv from sh) "
+            "select doc_id, chunk_id, tok_start, n_tokens, split, shard, "
+            "(cbv // 512)::bigint as batch_id from cb"
         ),
         "asof_join": (
             "select e.event_id, e.user_id, o.o_orderdate as last_order_ts "

@@ -20,9 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from . import dedup, text
+from . import dedup, split as split_ops, text
 
-__all__ = ["curate", "curation_stats"]
+__all__ = ["curate", "curation_stats", "training_prep"]
 
 
 def curate(
@@ -66,6 +66,64 @@ def curate(
         kept = dedup.minhash_dedup(kept, id_col, text_col, **kw)
 
     return kept.withColumn("fingerprint", text.fingerprint(text_col))
+
+
+def training_prep(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: dict | None = None,
+    salt: str = "",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    batch_budget: int | None = None,
+    shards: int = 32,
+    deterministic_shard: bool = False,
+    **curate_kwargs,
+) -> DataFrame:
+    """The full prep a pretraining corpus needs, composed end-to-end:
+
+    curate (quality/lang gate + dedup) → :func:`split.hash_split`
+    (reproducible train/val/test) → :func:`text.chunk_documents`
+    (context windows) → :func:`split.pack_batches` (token-budget
+    batches, split-pure shards).
+
+    Composition notes that matter at 100 TB:
+
+    * The split label is recomputed from the doc id AFTER chunking — a
+      pure projection — instead of joining chunk rows back to a label
+      table (that join would shuffle the whole chunk set).
+    * Batch shards embed the split name (``train#7``), so every batch
+      is split-pure while one window pass packs all splits at once.
+    * ``deterministic_shard`` uses ``id % shards`` (cross-engine
+      reproducible, used by the oracle); default is xxhash64 sharding.
+
+    Returns one row per chunk: id, chunk_id, tok_start, n_tokens,
+    chunk_text, split (+ shard, batch_id when ``batch_budget`` is set).
+    """
+    kept = curate(docs, id_col=id_col, text_col=text_col, **curate_kwargs)
+    chunks = text.chunk_documents(
+        kept, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    lab = split_ops.hash_split(chunks, id_col, splits, salt=salt)
+    if batch_budget is None:
+        return lab
+    idx = (
+        F.pmod(F.col(id_col), F.lit(shards))
+        if deterministic_shard
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+    )
+    shard = F.concat(F.col("split"), F.lit("#"), idx.cast("string"))
+    return split_ops.pack_batches(
+        lab,
+        id_col,
+        "n_tokens",
+        budget=batch_budget,
+        shards=shards,
+        shard_expr=shard,
+        order_by=[id_col, "chunk_id"],
+    )
 
 
 def curation_stats(docs: DataFrame, kept: DataFrame) -> DataFrame:

@@ -73,6 +73,7 @@ def pack_batches(
     budget: int,
     shards: int = 32,
     shard_expr: Column | None = None,
+    order_by: list | None = None,
 ) -> DataFrame:
     """Assign each row to ``(shard, batch_id)`` with ~``budget`` tokens
     per batch, packing shard-locally in id order.
@@ -83,22 +84,27 @@ def pack_batches(
     ``shards`` with cluster size). Default shard key is
     ``pmod(xxhash64(id), shards)`` to decorrelate from id locality;
     pass ``shard_expr`` (e.g. ``pmod(id, shards)``) for cross-engine
-    reproducibility.
+    reproducibility. ``order_by`` (default ``[id_col]``) must be a
+    unique key within each shard — a tie would make batch assignment
+    nondeterministic (pass e.g. ``[doc_id, chunk_id]`` for chunked
+    rows).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     tok = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    # caller-supplied shard keys keep their type (e.g. split-pure string
+    # labels like 'train#7'); only the default hash shard is an int
     shard = (
         shard_expr
         if shard_expr is not None
-        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards))
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int")
     )
-    out = df.withColumn("shard", shard.cast("int")).withColumn(
+    out = df.withColumn("shard", shard).withColumn(
         "n_tokens", tok.cast("bigint")
     )
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*(order_by or [id_col]))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))

@@ -423,6 +423,33 @@ class TestPipeline:
         stats = pipeline.curation_stats(documents, kept).collect()[0]
         assert stats.n_out == len(rows) and 0 < stats.survival_rate <= 1
 
+    def test_training_prep_end_to_end(self, spark, documents):
+        from datafusion_functions_json_spark.operators import pipeline
+
+        prep = pipeline.training_prep(
+            documents,
+            splits={"train": 0.8, "val": 0.2},
+            salt="t",
+            chunk_tokens=32,
+            overlap=8,
+            batch_budget=128,
+            shards=4,
+            deterministic_shard=True,
+            min_tokens=5,
+            quality_threshold=0.0,
+            near_dedup=False,
+        )
+        rows = prep.collect()
+        assert len(rows) > 0
+        assert {"chunk_id", "tok_start", "split", "shard", "batch_id"} <= set(
+            prep.columns
+        )
+        # batches are split-pure: the shard label embeds the split
+        for r in rows:
+            assert r.shard.startswith(r.split + "#")
+        # chunks never exceed the window
+        assert max(r.n_tokens for r in rows) <= 32
+
     def test_identical_corpus_skew(self, spark):
         # degenerate skew: ALL documents identical -> one LSH mega-bucket;
         # must still complete and keep exactly one
