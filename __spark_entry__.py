@@ -575,6 +575,37 @@ def _q_pack_batches(spark, sf_dir):
     )
 
 
+def _q_ann_recall(spark, sf_dir):
+    # ANN acceptance gate: recall@10 of the multiprobe LSH tier vs the
+    # exact top-k (rows-only: hyperplanes are seeded-random, not SQL)
+    emb = _emb(spark, sf_dir)
+    q = _query_vector(sf_dir)
+    exact = similarity.cosine_topk(emb, "embedding", q, k=10)
+    # 2^4 buckets + 11-of-16 probed: sized to the sf0.01-0.1 corpus
+    # (bucket count should track corpus size; at 100 TB raise n_planes
+    # with the log of the row count)
+    approx = similarity.ann_topk(
+        emb, "embedding", q, k=10, n_planes=4, multiprobe=2
+    )
+    return similarity.recall_at_k(approx, exact, k=10)
+
+
+def _q_percentiles(spark, sf_dir):
+    # grouped exact percentiles (linear interpolation — same definition
+    # as DuckDB quantile_cont): Spark's percentile is a single-pass
+    # typed-imperative aggregate; partial state merges map-side
+    return (
+        _lineitem(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def _q_training_prep(spark, sf_dir):
     # flagship composition: curate → hash_split → chunk → pack, all
     # deterministic (near-dedup off; mod sharding) so DuckDB can twin it
@@ -805,10 +836,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_batches": _q_pack_batches,
         "chunk_documents": _q_chunk_documents,
         "training_prep": _q_training_prep,
+        "percentiles": _q_percentiles,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
+        "ann_recall": _q_ann_recall,
         "ivf_topk": _q_ivf_topk,
         "embedding_dups": _q_embedding_dups,
         "audio_features": _q_audio_features,
@@ -1073,6 +1106,13 @@ def oracle_sql() -> dict[str, str]:
             "from documents) "
             "select token, count(*) as tf, count(distinct doc_id) as dfreq "
             "from ex group by token order by tf desc, token asc limit 50"
+        ),
+        "percentiles": (
+            "select l_returnflag, "
+            "round(quantile_cont(l_extendedprice, 0.5), 4) as p50, "
+            "round(quantile_cont(l_extendedprice, 0.9), 4) as p90, "
+            "round(avg(l_extendedprice), 4) as mean, count(*) as n "
+            "from lineitem group by l_returnflag"
         ),
         "embed_quantize": (
             "select vec_id, "

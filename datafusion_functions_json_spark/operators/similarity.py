@@ -40,6 +40,7 @@ __all__ = [
     "lsh_bucket",
     "add_lsh_buckets",
     "ann_topk",
+    "recall_at_k",
     "ivf_build",
     "ivf_topk",
     "embedding_dup_pairs",
@@ -239,6 +240,28 @@ def ann_topk(
     bucketed = add_lsh_buckets(df, vec_col, dim, n_planes=n_planes, seed=seed)
     cand = bucketed.filter(F.col("lsh_bucket").isin(*sorted(probes)))
     return cosine_topk(cand, vec_col, query, k, id_cols=id_cols)
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Evaluate an ANN result against the exact top-k: one row
+    ``(k, hits, recall)``. Pure DataFrame (semi-join + count agg — both
+    inputs are k rows, so this is a driver-free broadcast join however
+    large the underlying corpus was). The standard acceptance gate for a
+    tuned (n_planes, multiprobe, nprobe) operating point."""
+    hits = approx.select(id_col).join(
+        F.broadcast(exact.select(id_col)), id_col, "left_semi"
+    )
+    return hits.agg(
+        F.lit(k).alias("k"),
+        F.count("*").alias("hits"),
+        (F.count("*") / F.lit(float(k))).alias("recall"),
+    )
 
 
 def ivf_build(

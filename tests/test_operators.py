@@ -407,6 +407,22 @@ class TestSimilarity:
         assert pairs.count() >= 2  # each duplicated vector pairs with itself
 
 
+class TestRecall:
+    def test_recall_full_probe_is_one(self, spark, embeddings):
+        import pyarrow.parquet as pq
+
+        q = [float(x) for x in pq.read_table(
+            SF_DIR + "/embeddings.parquet"
+        ).slice(0, 1).column("embedding").to_pylist()[0]]
+        exact = similarity.cosine_topk(embeddings, "embedding", q, k=5)
+        # n_planes=2 + multiprobe=2 covers all 4 buckets -> exact result
+        approx = similarity.ann_topk(
+            embeddings, "embedding", q, k=5, n_planes=2, multiprobe=2
+        )
+        r = similarity.recall_at_k(approx, exact, k=5).collect()[0]
+        assert (r.k, r.hits, r.recall) == (5, 5, 1.0)
+
+
 class TestPipeline:
     def test_curate_end_to_end(self, spark, documents):
         from datafusion_functions_json_spark.operators import pipeline
