@@ -1,0 +1,104 @@
+"""Fourth-pass parity: behaviors flagged by a line-citation audit of
+tests/main.rs that had no explicit pin yet — string-parse scalar
+coercions, union casts, double-nested union chaining with column keys,
+operator filters, and the ->> cast (which must NOT elide)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import datafusion_functions_json_spark as jsonf
+
+
+class TestStringParseScalars:
+    """reference: tests/main.rs:346-387 — JSON *string* payloads parse
+    into the requested scalar type; unparseable strings yield NULL."""
+
+    def test_float_from_string(self, spark):
+        df = spark.createDataFrame(
+            [('{"a": "1.5", "b": "42", "c": "abc"}',)], "j string"
+        )
+        r = df.select(
+            jsonf.json_get_float("j", "a").alias("a"),
+            jsonf.json_get_float("j", "b").alias("b"),
+            jsonf.json_get_float("j", "c").alias("c"),
+        ).collect()[0]
+        assert (r.a, r.b, r.c) == (1.5, 42.0, None)
+
+    def test_bool_from_string(self, spark):
+        df = spark.createDataFrame(
+            [('{"a": "true", "b": "false", "c": "abc"}',)], "j string"
+        )
+        r = df.select(
+            jsonf.json_get_bool("j", "a").alias("a"),
+            jsonf.json_get_bool("j", "b").alias("b"),
+            jsonf.json_get_bool("j", "c").alias("c"),
+        ).collect()[0]
+        assert (r.a, r.b, r.c) == (True, False, None)
+
+    def test_int_from_string(self, spark):
+        # reference: tests/main.rs:320-345 (json_get_int string parse)
+        df = spark.createDataFrame([('{"a": "99", "b": "x"}',)], "j string")
+        r = df.select(
+            jsonf.json_get_int("j", "a").alias("a"),
+            jsonf.json_get_int("j", "b").alias("b"),
+        ).collect()[0]
+        assert (r.a, r.b) == (99, None)
+
+
+class TestUnionCasts:
+    """reference: tests/main.rs:449-485, 1754-1760 — casting the union
+    result of json_get elides into the typed getter."""
+
+    def test_cast_float_scientific(self, spark):
+        df = spark.createDataFrame([('{"foo": 4.2e2}',)], "j string")
+        jc = jsonf.col("j")
+        assert df.select(jc["foo"].cast("double").alias("v")).collect()[0].v == 420.0
+
+    def test_cast_bool(self, spark):
+        df = spark.createDataFrame([('{"foo": true}',)], "j string")
+        jc = jsonf.col("j")
+        assert df.select(jc["foo"].cast("boolean").alias("v")).collect()[0].v is True
+
+    def test_cast_numeric_equals_literal(self, spark):
+        # (json_get(...)::numeric = 420) -> true
+        df = spark.createDataFrame([('{"foo": 420}',)], "j string")
+        jc = jsonf.col("j")
+        assert (
+            df.select((jc["foo"].cast("bigint") == 420).alias("v")).collect()[0].v
+            is True
+        )
+
+
+class TestMoreNestedDoubleSkip:
+    def test_union_array_skip_double_nested(self, more_nested_df):
+        # reference: tests/main.rs:1139-1159 — three chained json_get
+        # calls with COLUMN keys; [1] at index 0 under key 'spam' and a
+        # JSON null both yield NULL, only the real [0] row resolves
+        u1 = jsonf.json_get("json_data", F.col("str_key1"))
+        u2 = jsonf.json_get(u1, F.col("str_key2"))
+        rows = more_nested_df.select(
+            jsonf.json_get_int(u2, F.col("int_key")).alias("v")
+        ).collect()
+        assert [r.v for r in rows] == [0, None, None]
+
+
+class TestOperatorFilters:
+    def test_question_filter_sql(self, spark, test_df):
+        # reference: tests/main.rs:1591-1611 — `?` inside a WHERE clause
+        jsonf.register_all(spark)
+        rows = jsonf.sql(
+            spark, "select name from test where json_data ? 'foo'"
+        ).collect()
+        assert [r.name for r in rows] == [
+            "object_foo", "object_foo_array", "object_foo_obj", "object_foo_null",
+        ]
+
+    def test_long_arrow_cast_values(self, spark, other_df):
+        # reference: tests/main.rs:1732-1753 — (j->>'foo')::int casts the
+        # TEXT result (no elision into json_get_int; the object rows hold
+        # 42, the array rows miss the key)
+        jsonf.register_all(spark)
+        rows = jsonf.sql(
+            spark, "select (json_data->>'foo')::int as v from other"
+        ).collect()
+        assert [r.v for r in rows] == [42, 42, None, None]
