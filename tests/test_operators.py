@@ -407,6 +407,47 @@ class TestSimilarity:
         assert pairs.count() >= 2  # each duplicated vector pairs with itself
 
 
+class TestNewOperatorPlans:
+    """Plan-shape assertions for the round-2 pipeline operators: what
+    must NOT shuffle doesn't, and scans stay pruned."""
+
+    def test_chunk_documents_no_exchange(self, documents):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        plan = explain_str(
+            text.chunk_documents(
+                documents, "doc_id", "text", chunk_tokens=64, overlap=16
+            )
+        )
+        assert "Exchange" not in plan
+        # column pruning reaches the scan: only doc_id + text read
+        assert "title" not in plan.split("ReadSchema")[-1]
+
+    def test_hash_split_no_exchange(self, documents):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        plan = explain_str(split.hash_split(documents, "doc_id"))
+        assert "Exchange" not in plan
+
+    def test_pack_batches_single_shuffle(self, spark):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        df = spark.createDataFrame([(i, 10) for i in range(50)], "id long, nt int")
+        plan = explain_str(split.pack_batches(df, "id", "nt", budget=100, shards=4))
+        # exactly one hash exchange (the shard key), no range/global sort
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "rangepartitioning" not in plan
+
+    def test_tf_idf_two_aggregate_shuffles_only(self, documents):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        plan = explain_str(text.tf_idf(documents, "text", "doc_id"))
+        # no ArrowEvalPython (pure Catalyst) and the 1-row corpus count
+        # arrives by broadcast, not a shuffle join
+        assert "ArrowEvalPython" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+
+
 class TestRecall:
     def test_recall_full_probe_is_one(self, spark, embeddings):
         import pyarrow.parquet as pq
