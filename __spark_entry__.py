@@ -590,6 +590,28 @@ def _q_ann_recall(spark, sf_dir):
     return similarity.recall_at_k(approx, exact, k=10)
 
 
+def _q_pii_redact(spark, sf_dir):
+    # PII scrubbing with planted, id-derived PII so the check is
+    # falsifiable (the synthetic corpus contains none naturally)
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".7"),
+    )
+    c = text.pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        text.redact_pii(planted).alias("redacted"),
+        c.email.alias("email_n"),
+        c.ipv4.alias("ipv4_n"),
+        c.phone.alias("phone_n"),
+    )
+
+
 def _q_percentiles(spark, sf_dir):
     # grouped exact percentiles (linear interpolation — same definition
     # as DuckDB quantile_cont): Spark's percentile is a single-pass
@@ -837,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "training_prep": _q_training_prep,
         "percentiles": _q_percentiles,
+        "pii_redact": _q_pii_redact,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1106,6 +1129,22 @@ def oracle_sql() -> dict[str, str]:
             "from documents) "
             "select token, count(*) as tf, count(distinct doc_id) as dfreq "
             "from ex group by token order by tf desc, token asc limit 50"
+        ),
+        "pii_redact": (
+            "with p as (select doc_id, text || ' contact user' || "
+            "doc_id::varchar || '@example.com at 10.0.' || "
+            "(doc_id % 256)::varchar || '.7' as t from documents) "
+            "select doc_id, "
+            r"regexp_replace(regexp_replace(regexp_replace(t, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'), "
+            r"'\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') as redacted, "
+            r"len(regexp_extract_all(t, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::int as email_n, "
+            r"len(regexp_extract_all(t, "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::int as ipv4_n, "
+            r"len(regexp_extract_all(t, '\+?\d[\d\- ]{7,}\d'))::int as phone_n "
+            "from p"
         ),
         "percentiles": (
             "select l_returnflag, "

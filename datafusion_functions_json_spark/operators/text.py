@@ -27,6 +27,9 @@ __all__ = [
     "quality_features",
     "quality_score",
     "fingerprint",
+    "redact_pii",
+    "pii_counts",
+    "PII_PATTERNS",
     "chunk_documents",
     "vocabulary",
     "top_tokens",
@@ -206,6 +209,39 @@ def vocabulary(df, text_col, id_col) -> "DataFrame":
     return ex.groupBy("token").agg(
         F.count("*").alias("tf"),
         F.countDistinct("__id").alias("dfreq"),
+    )
+
+
+#: PII redaction patterns, written to the common subset of Java regex
+#: (Spark) and RE2 (DuckDB/ripgrep): no lookarounds, no backrefs —
+#: identical matches on any engine a pipeline might re-run them on.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,}\d",
+}
+
+
+def redact_pii(text, kinds: tuple = ("email", "ipv4", "phone")) -> Column:
+    """Replace each PII match with ``<KIND>`` (applied in ``kinds``
+    order, so earlier patterns shadow later ones — emails before phones,
+    or the digits of a phone-like substring inside an email would
+    double-redact). Pure ``regexp_replace`` chain: scan-speed, no
+    shuffle, no Python."""
+    out = _col(text)
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text, kinds: tuple = ("email", "ipv4", "phone")) -> Column:
+    """Struct of per-kind match counts (audit column for a redaction
+    pass). ``regexp_count`` is codegen'd JVM regex."""
+    return F.struct(
+        *[
+            F.regexp_count(_col(text), F.lit(PII_PATTERNS[k])).alias(k)
+            for k in kinds
+        ]
     )
 
 

@@ -48,6 +48,25 @@ class TestText:
         }
         assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
 
+    def test_redact_pii(self, spark):
+        df = spark.createDataFrame(
+            [("mail a.b+c@foo.org, ip 10.0.0.1, call +1 555-867-5309 ok",)],
+            "t string",
+        )
+        r = df.select(
+            text.redact_pii("t").alias("r"),
+            text.pii_counts("t").alias("c"),
+        ).collect()[0]
+        assert r.r == "mail <EMAIL>, ip <IPV4>, call <PHONE> ok"
+        assert (r.c.email, r.c.ipv4, r.c.phone) == (1, 1, 1)
+
+    def test_redact_pii_clean_text_unchanged(self, spark):
+        df = spark.createDataFrame([("no secrets here",)], "t string")
+        assert (
+            df.select(text.redact_pii("t").alias("r")).collect()[0].r
+            == "no secrets here"
+        )
+
     def test_chunk_documents_windows(self, spark):
         df = spark.createDataFrame(
             [(1, "a b c d e f g"), (2, ""), (3, "x")],
