@@ -590,6 +590,16 @@ def _q_ann_recall(spark, sf_dir):
     return similarity.recall_at_k(approx, exact, k=10)
 
 
+def _q_sessionize_batch(spark, sf_dir):
+    # batch gap sessionization: lag + running-sum windows and the
+    # session agg all over ONE user-keyed exchange (unspread: window
+    # shuffles anyway, a pre-spread would just add an exchange)
+    from datafusion_functions_json_spark import streaming as js
+
+    ev = load_table(spark, sf_dir, "events")
+    return js.sessionize_batch(ev, "user_id", "ts", gap_seconds=600)
+
+
 def _q_pii_redact(spark, sf_dir):
     # PII scrubbing with planted, id-derived PII so the check is
     # falsifiable (the synthetic corpus contains none naturally)
@@ -860,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": _q_training_prep,
         "percentiles": _q_percentiles,
         "pii_redact": _q_pii_redact,
+        "sessionize_batch": _q_sessionize_batch,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1129,6 +1140,20 @@ def oracle_sql() -> dict[str, str]:
             "from documents) "
             "select token, count(*) as tf, count(distinct doc_id) as dfreq "
             "from ex group by token order by tf desc, token asc limit 50"
+        ),
+        "sessionize_batch": (
+            "with e as (select user_id as user, "
+            "epoch_ns(ts) // 1000000000 as s from events), "
+            "g as (select user, s, case when lag(s) over "
+            "(partition by user order by s) is null or "
+            "s - lag(s) over (partition by user order by s) > 600 "
+            "then 1 else 0 end as ns from e), "
+            "x as (select user, s, sum(ns) over (partition by user "
+            "order by s rows between unbounded preceding and current row"
+            ")::bigint as session_idx from g) "
+            "select user, session_idx, count(*) as n_events, "
+            "min(s) as start_s, max(s) as end_s "
+            "from x group by user, session_idx"
         ),
         "pii_redact": (
             "with p as (select doc_id, text || ' contact user' || "

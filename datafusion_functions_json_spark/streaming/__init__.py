@@ -21,6 +21,7 @@ __all__ = [
     "windowed_json_counts",
     "dedup_stream",
     "sessionize",
+    "sessionize_batch",
     "sessionize_tws",
 ]
 
@@ -68,6 +69,43 @@ def windowed_json_counts(
         F.window(F.col(ts_col), window).alias("win"), F.col("_key")
     ).agg(F.count("*").alias("n"))
 
+
+
+def sessionize_batch(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    gap_seconds: int = 600,
+) -> DataFrame:
+    """Batch twin of the streaming sessionizers: gap sessionization as
+    two window passes over (user, ts) — ``lag`` marks gap starts,
+    a running sum numbers the sessions. ONE shuffle keyed by user (both
+    windows share the partitioning; Spark reuses the exchange and sorts
+    once). Returns one row per session: ``(user, session_idx, n_events,
+    start_s, end_s)`` with epoch-second bounds.
+
+    Backfill runs this over the historical table; the live path runs
+    `sessionize`/`sessionize_tws` with the same gap — the classic
+    lambda pairing, with identical session semantics.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(user_col).alias("user"), F.col(ts_col).cast("long").alias("_s")
+    )
+    w = Window.partitionBy("user").orderBy("_s")
+    prev = F.lag("_s").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("_s") - prev) > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_idx = base.withColumn("session_idx", F.sum(new_sess).over(wsum))
+    return with_idx.groupBy("user", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("_s").alias("start_s"),
+        F.max("_s").alias("end_s"),
+    )
 
 
 def dedup_stream(

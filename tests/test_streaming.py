@@ -61,6 +61,34 @@ class TestStreaming:
         # invalid json -> NULL key still counted in its window
         assert got == {(0, "a"): 2, (1, "b"): 1, (1, None): 1}
 
+    def test_sessionize_batch_gap_split(self, spark):
+        rows = [
+            ("a", 0), ("a", 30), ("a", 700),   # gap > 600 -> two sessions
+            ("b", 100),
+        ]
+        df = spark.createDataFrame(rows, "user string, sec long").select(
+            "user", F.col("sec").cast("timestamp").alias("ts")
+        )
+        got = {
+            (r.user, r.session_idx): (r.n_events, r.start_s, r.end_s)
+            for r in js.sessionize_batch(df, "user", "ts", gap_seconds=600).collect()
+        }
+        assert got == {
+            ("a", 1): (2, 0, 30),
+            ("a", 2): (1, 700, 700),
+            ("b", 1): (1, 100, 100),
+        }
+
+    def test_sessionize_batch_single_exchange(self, spark):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        df = spark.createDataFrame([("a", 0)], "user string, sec long").select(
+            "user", F.col("sec").cast("timestamp").alias("ts")
+        )
+        plan = explain_str(js.sessionize_batch(df, "user", "ts"))
+        # both windows + the session agg ride ONE hash exchange on user
+        assert plan.count("Exchange hashpartitioning") == 1
+
     def test_dedup_stream_drops_within_watermark(self, spark, tmp_path):
         rows = [
             {"ts": "2024-01-01T00:00:05", "payload": '{"user": "a", "n": 1}'},
