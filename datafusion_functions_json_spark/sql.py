@@ -361,6 +361,46 @@ def _validate_path_args(fn: str, args: List[str]):
             )
 
 
+_CAST_KEY_TYPES = {"text", "varchar", "string", "int", "integer", "bigint"}
+
+
+def _collapse_cast_keys(toks) -> None:
+    """In place: after an ``->``/``->>`` operator, rewrite the token span
+    ``( <literal> )`` or ``( <literal> :: type )`` to the bare literal."""
+    i = 0
+    while i < len(toks):
+        if toks[i].kind in ("arrow", "longarrow"):
+            j = _next(toks, i)
+            if j >= 0 and toks[j].kind == "punct" and toks[j].text == "(":
+                k = _next(toks, j)
+                if k >= 0 and (toks[k].kind == "string" or _is_int_literal(toks[k])):
+                    m = _next(toks, k)
+                    # optional ::type
+                    if (
+                        m >= 0
+                        and toks[m].kind == "punct"
+                        and toks[m].text == ":"
+                    ):
+                        m2 = _next(toks, m)
+                        m3 = _next(toks, m2) if m2 >= 0 else -1
+                        if (
+                            m2 >= 0
+                            and toks[m2].kind == "punct"
+                            and toks[m2].text == ":"
+                            and m3 >= 0
+                            and toks[m3].kind == "ident"
+                            and toks[m3].text.lower() in _CAST_KEY_TYPES
+                        ):
+                            m = _next(toks, m3)
+                        else:
+                            i += 1
+                            continue
+                    if m >= 0 and toks[m].kind == "punct" and toks[m].text == ")":
+                        lit = toks[k]
+                        toks[j:m + 1] = [lit]
+        i += 1
+
+
 def rewrite_sql(query: str) -> str:
     """Rewrite ``->``/``->>``/``?`` into registered JSON function calls.
 
@@ -368,6 +408,14 @@ def rewrite_sql(query: str) -> str:
     :func:`sql`.
     """
     toks = _tokenize(query)
+
+    # -- parenthesized/cast literal keys ---------------------------------
+    # `j->('foo'::text)` and `j->('foo')` mean `j->'foo'` (reference:
+    # tests/main.rs test_arrow_cast_key_text — the planner sees through
+    # the cast of a literal). Collapse the group ONLY directly after an
+    # operator, where the parens are pure grouping — `in ('a')` etc. are
+    # untouched.
+    _collapse_cast_keys(toks)
 
     # -- operator rewriting, left-to-right until fixpoint ---------------
     while True:

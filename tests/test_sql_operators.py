@@ -158,6 +158,45 @@ class TestRewrite:
         )
 
 
+class TestCastKeyOperands:
+    def test_cast_text_key_collapses(self):
+        # reference: tests/main.rs:1278-1296 (test_arrow_cast_key_text) —
+        # ('foo'::text) as a path operand is the literal
+        assert rewrite_sql("select j->('foo'::text) from t") == (
+            "select json_get(j, 'foo') AS `j -> 'foo'` from t"
+        )
+        assert rewrite_sql("select j->>('foo'::varchar) from t") == (
+            "select json_as_text(j, 'foo') AS `j ->> 'foo'` from t"
+        )
+
+    def test_plain_paren_literal_collapses(self):
+        assert rewrite_sql("select j->(0) from t") == (
+            "select json_get(j, 0) AS `j -> 0` from t"
+        )
+
+    def test_in_list_and_lambda_untouched(self):
+        assert rewrite_sql("select x from t where a in ('a')") == (
+            "select x from t where a in ('a')"
+        )
+        assert rewrite_sql("select transform(arr, x -> (x)) from t") == (
+            "select transform(arr, x -> (x)) from t"
+        )
+
+    def test_unsupported_cast_type_untouched(self):
+        assert rewrite_sql("select j->('foo'::date) from t") == (
+            "select j->('foo'::date) from t"
+        )
+
+    def test_cast_key_executes(self, spark, test_df):
+        import datafusion_functions_json_spark as jsonf
+
+        jsonf.register_all(spark)
+        rows = jsonf.sql(
+            spark, "select name, json_data->>('foo'::text) as v from test"
+        ).collect()
+        assert [r.v for r in rows][:2] == ["abc", "[1]"]
+
+
 class TestOperatorExecution:
     """Ported reference expectations over the shared `test` table."""
 
