@@ -7,12 +7,22 @@ this module adds the small amount of glue the shared testdata needs and
 scale-aware defaults.
 """
 
-from .io import SCALE_CONF, TABLES, load_table, load_tables, session_defaults
+from .io import (
+    SCALE_CONF,
+    TABLES,
+    load_table,
+    load_tables,
+    read_csv,
+    read_jsonl,
+    session_defaults,
+)
 from .sinks import estimate_files, write_bucketed, write_partitioned
 
 __all__ = [
     "load_table",
     "load_tables",
+    "read_jsonl",
+    "read_csv",
     "session_defaults",
     "TABLES",
     "SCALE_CONF",

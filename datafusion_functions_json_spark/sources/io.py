@@ -122,3 +122,32 @@ def load_table(
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """NDJSON reader (the host-engine format DataFusion also ingests;
+    the reference inherits IO from its host the same way we inherit
+    Spark's). Pass an explicit ``schema`` in production: schema
+    inference is a FULL extra pass over the data at 100 TB. Fields that
+    hold JSON documents must be JSON-*encoded strings* in the NDJSON
+    (`"props": "{\\"k\\": 1}"`) — our functions parse them from there;
+    a raw nested object would need a struct schema instead.
+    Malformed lines land in ``_corrupt_record`` (PERMISSIVE default)
+    instead of failing the job."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema=None, *, header: bool = True
+) -> DataFrame:
+    """CSV reader with the same explicit-schema guidance as
+    :func:`read_jsonl` (inference = extra full pass)."""
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)

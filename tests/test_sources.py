@@ -92,6 +92,40 @@ class TestSinks:
             spark.sql("drop table if exists ord_b")
 
 
+class TestTextFormats:
+    def test_jsonl_roundtrip_with_json_column(self, spark, tmp_path):
+        import json as _json
+
+        from datafusion_functions_json_spark.sources import read_jsonl
+
+        p = tmp_path / "in"
+        p.mkdir()
+        rows = [
+            {"id": 1, "props": '{"k": 7}'},
+            {"id": 2, "props": "not json"},
+        ]
+        with open(p / "a.jsonl", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        df = read_jsonl(spark, str(p), schema="id bigint, props string")
+        got = {
+            r.id: r.v
+            for r in df.select(
+                "id", jsonf.json_get_int("props", "k").alias("v")
+            ).collect()
+        }
+        assert got == {1: 7, 2: None}
+
+    def test_csv_roundtrip(self, spark, tmp_path):
+        from datafusion_functions_json_spark.sources import read_csv
+
+        p = tmp_path / "c"
+        p.mkdir()
+        (p / "a.csv").write_text("id,name\n1,x\n2,y\n")
+        df = read_csv(spark, str(p), schema="id bigint, name string")
+        assert {(r.id, r.name) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
 class TestPreparedArgs:
     def test_sql_named_args_with_json_functions(self, spark, test_df):
         # reference: prepared-statement params (tests/utils/mod.rs:249-256)
