@@ -693,6 +693,14 @@ def _q_dedup_cc(spark, sf_dir):
     return graph.connected_components(edges, "src", "dst")
 
 
+def _q_token_stats(spark, sf_dir):
+    # repetition-class quality signals: single-pass entropy identity
+    # H = ln(N) - sum(c ln c)/N over (doc, token) counts
+    return text.token_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def _q_top_tokens(spark, sf_dir):
     # corpus vocabulary induction: explode -> hash agg -> partial top-k
     # (TakeOrderedAndProject). Unspread: explode+agg is pure Catalyst.
@@ -862,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "top_tokens": _q_top_tokens,
+        "token_stats": _q_token_stats,
         "tf_idf": _q_tf_idf,
         "dedup_cc": _q_dedup_cc,
         "hash_split": _q_hash_split,
@@ -1221,6 +1230,18 @@ def oracle_sql() -> dict[str, str]:
             "count(*) as n_docs, "
             "sum(nt)::bigint as tok, min(doc_id) as first_id "
             "from c group by shard, cb // 2000"
+        ),
+        "token_stats": (
+            f"with ex as (select doc_id, unnest({_TOKENS_SQL}) as token "
+            "from documents), "
+            "tf as (select doc_id, token, count(*) as c from ex "
+            "group by doc_id, token), "
+            "a as (select doc_id, sum(c)::bigint as n, "
+            "sum(c * ln(c)) as s, max(c)::bigint as m from tf "
+            "group by doc_id) "
+            "select doc_id, n as n_tokens, "
+            "round(ln(n) - s / n, 6) as entropy, "
+            "round(m / n::double, 6) as top_token_frac from a"
         ),
         "tf_idf": (
             f"with ex as (select doc_id, unnest({_TOKENS_SQL}) as token "

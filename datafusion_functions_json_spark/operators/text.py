@@ -32,6 +32,7 @@ __all__ = [
     "PII_PATTERNS",
     "chunk_documents",
     "vocabulary",
+    "token_stats",
     "top_tokens",
     "tf_idf",
     "STOPWORDS",
@@ -189,6 +190,37 @@ def fingerprint(text) -> Column:
         tokens(_col(text)),
         F.lit(0).cast("bigint"),
         lambda acc, tok: (acc * _FP_MULT + _token_code(tok)) % _FP_MOD,
+    )
+
+
+def token_stats(df, id_col, text_col) -> "DataFrame":
+    """Per-document token distribution stats — the repetition-class
+    quality signals LLM curation rules key on (repetitive junk has low
+    entropy / a dominant token): ``(id, n_tokens, entropy,
+    top_token_frac)``.
+
+    Shannon entropy via the single-pass identity ``H = ln(N) − Σ c·ln c
+    / N`` over per-(doc, token) counts, so the whole thing is explode →
+    (id, token) hash-agg → id-keyed agg: two map-side-partial shuffles,
+    no window, no Python. Empty documents produce no row.
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = ex.groupBy("__id", "token").agg(F.count("*").alias("c"))
+    return (
+        tf.groupBy("__id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("s"),
+            F.max("c").alias("m"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n").alias("n_tokens"),
+            F.round(F.log("n") - F.col("s") / F.col("n"), 6).alias("entropy"),
+            F.round(F.col("m") / F.col("n"), 6).alias("top_token_frac"),
+        )
     )
 
 

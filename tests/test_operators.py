@@ -104,6 +104,23 @@ class TestText:
         assert got[(2, "c")] == (1, round(1 * idf(1), 6))
         assert got[(2, "a")] == (1, round(1 * idf(2), 6))
 
+    def test_token_stats_entropy_and_repetition(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "a a a a"), (2, "a b c d"), (3, "")],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.entropy, r.top_token_frac)
+            for r in text.token_stats(df, "doc_id", "text").collect()
+        }
+        # all-same tokens: H=0, top_frac=1; all-distinct: H=ln(4), 0.25
+        assert got == {
+            1: (4, 0.0, 1.0),
+            2: (4, round(math.log(4), 6), 0.25),
+        }
+
     def test_top_tokens_deterministic_tiebreak(self, spark):
         df = spark.createDataFrame(
             [(1, "z y z"), (2, "y x")], "doc_id bigint, text string"
