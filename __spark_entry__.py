@@ -805,7 +805,9 @@ def _q_audio_features(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    docs = _docs(spark, sf_dir).limit(50).select(
+    # deterministic subset (an unordered limit picks arbitrary rows and
+    # would wobble the rows-only count across runs)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
@@ -820,6 +822,40 @@ def _q_media_features(spark, sf_dir):
     return multimodal.decode_image(docs, fake=True).select(
         "media_id", "height", "width", F.element_at("features", 1).alias("f0")
     )
+
+
+def _q_video_features(spark, sf_dir):
+    # video leg of the multimodal trio: frame-plan fan-out + fake frame
+    # decode (rows-only; frame counts are duration-derived and checked
+    # against the fan-out by count)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.pmod(F.col("doc_id"), F.lit(4)) * 1000 + 500).alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return multimodal.extract_video_features(
+        docs, every_ms=1000, fake=True
+    ).select("media_id", "frame_ts_ms", F.element_at("features", 1).alias("f0"))
+
+
+def _q_ivf_recall(spark, sf_dir):
+    # recall gate for the IVF tier (rows-only: centroids are k-means on
+    # a sampled fraction, not SQL-reproducible)
+    emb = _emb(spark, sf_dir)
+    q = _query_vector(sf_dir)
+    exact = similarity.cosine_topk(emb, "embedding", q, k=10)
+    assigned, cents = similarity.ivf_build(
+        emb, "embedding", dim=64, n_clusters=8, sample=512
+    )
+    approx = similarity.ivf_topk(assigned, cents, "embedding", q, k=10, nprobe=4)
+    return similarity.recall_at_k(approx, exact, k=10)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -886,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_recall": _q_ann_recall,
         "ivf_topk": _q_ivf_topk,
+        "ivf_recall": _q_ivf_recall,
+        "video_features": _q_video_features,
         "embedding_dups": _q_embedding_dups,
         "audio_features": _q_audio_features,
         "media_features": _q_media_features,

@@ -35,6 +35,7 @@ __all__ = [
     "decode_image",
     "image_features",
     "extract_audio_features",
+    "extract_video_features",
     "frame_sample_plan",
 ]
 
@@ -173,6 +174,63 @@ def extract_audio_features(
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
+
+
+def extract_video_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    every_ms: int = 1000,
+    fake: bool = False,
+) -> DataFrame:
+    """Per-sampled-frame feature extraction — the video leg of the
+    multimodal trio (images: :func:`decode_image`, audio:
+    :func:`extract_audio_features`). Composes :func:`frame_sample_plan`
+    (cheap JVM fan-out of (media_id, frame_ts_ms) rows, which rebalances
+    BEFORE the expensive decode) with an Arrow-batched ``mapInPandas``
+    frame decoder.
+
+    Real decoding requires a video codec library not present in this
+    environment — STUB: raises ``NotImplementedError`` unless
+    ``fake=True`` (deterministic features derived from (payload hash,
+    frame ts); the fan-out, schema, and batching are real and tested).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires a codec library (e.g. PyAV/ffmpeg) "
+            "not available in this environment; pass fake=True to "
+            "exercise the pipeline with deterministic stand-in features"
+        )
+    frames = frame_sample_plan(df, every_ms).join(
+        df.select("media_id", payload_col), "media_id"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), True),
+            T.StructField("frame_ts_ms", T.LongType(), True),
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "features": [
+                        None
+                        if b is None
+                        else _fake_feature_vector(
+                            b + int(ts).to_bytes(8, "big")
+                        )
+                        for b, ts in zip(pdf[payload_col], pdf["frame_ts_ms"])
+                    ],
+                }
+            )
+            yield out
+
+    return frames.mapInPandas(batches, out_schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

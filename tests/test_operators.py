@@ -589,6 +589,28 @@ class TestMultimodal:
         plan = multimodal.frame_sample_plan(self._media_df(spark), every_ms=1000)
         assert [r.frame_ts_ms for r in plan.collect()] == [0, 1000, 2000, 3000]
 
+    def test_video_stub_raises_without_fake(self, spark):
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_video_features(self._media_df(spark))
+
+    def test_fake_video_features_per_frame(self, spark):
+        rows = [
+            (3, "video", bytearray(b"\x00mp4 fake"), "video/mp4", (None, None, 3500, None)),
+            (4, "video", None, "video/mp4", (None, None, 1500, None)),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = multimodal.extract_video_features(df, every_ms=1000, fake=True)
+        rows_out = out.collect()
+        # media 3: frames 0..3000, media 4: 0..1000
+        assert sorted(
+            (r.media_id, r.frame_ts_ms) for r in rows_out
+        ) == [(3, 0), (3, 1000), (3, 2000), (3, 3000), (4, 0), (4, 1000)]
+        by_key = {(r.media_id, r.frame_ts_ms): r.features for r in rows_out}
+        # deterministic and frame-dependent; null payload -> null features
+        assert by_key[(3, 0)] != by_key[(3, 1000)]
+        assert len(by_key[(3, 0)]) == 16
+        assert by_key[(4, 0)] is None
+
     def test_audio_stub_raises_without_fake(self, spark):
         with pytest.raises(NotImplementedError):
             multimodal.extract_audio_features(self._media_df(spark))
