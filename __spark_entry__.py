@@ -663,7 +663,7 @@ def _q_training_prep(spark, sf_dir):
 def _q_tf_idf(spark, sf_dir):
     # per-(doc, token) TF-IDF with smoothed idf — explode, two hash aggs,
     # token-keyed join, 1-row broadcast corpus count. Pure Catalyst.
-    return text.tf_idf(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    return text.tf_idf(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def _q_dedup_cc(spark, sf_dir):
@@ -705,7 +705,7 @@ def _q_top_tokens(spark, sf_dir):
     # corpus vocabulary induction: explode -> hash agg -> partial top-k
     # (TakeOrderedAndProject). Unspread: explode+agg is pure Catalyst.
     return text.top_tokens(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", k=50
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=50
     )
 
 

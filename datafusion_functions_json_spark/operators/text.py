@@ -224,7 +224,7 @@ def token_stats(df, id_col, text_col) -> "DataFrame":
     )
 
 
-def vocabulary(df, text_col, id_col) -> "DataFrame":
+def vocabulary(df, id_col, text_col) -> "DataFrame":
     """Corpus vocabulary: one row per distinct token with ``tf`` (total
     occurrences) and ``dfreq`` (distinct documents containing it) — the
     first step of tokenizer/vocab induction over a training corpus.
@@ -325,7 +325,7 @@ def chunk_documents(
     )
 
 
-def tf_idf(df, text_col, id_col) -> "DataFrame":
+def tf_idf(df, id_col, text_col) -> "DataFrame":
     """Per-(document, token) TF-IDF weights: ``(id, token, tf, tfidf)``
     with the smoothed idf ``ln((1+N)/(1+df)) + 1`` (never zero, so rare
     tokens always outrank absent ones).
@@ -357,10 +357,10 @@ def tf_idf(df, text_col, id_col) -> "DataFrame":
     )
 
 
-def top_tokens(df, text_col, id_col, k: int = 100) -> "DataFrame":
+def top_tokens(df, id_col, text_col, k: int = 100) -> "DataFrame":
     """Top-``k`` vocabulary rows by total occurrences, deterministically
     tie-broken by token text. orderBy+limit plans as
     TakeOrderedAndProject: per-partition partial top-k, no global sort."""
-    return vocabulary(df, text_col, id_col).orderBy(
+    return vocabulary(df, id_col, text_col).orderBy(
         F.desc("tf"), F.asc("token")
     ).limit(k)

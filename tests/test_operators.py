@@ -44,7 +44,7 @@ class TestText:
         )
         got = {
             r.token: (r.tf, r.dfreq)
-            for r in text.vocabulary(df, "text", "doc_id").collect()
+            for r in text.vocabulary(df, "doc_id", "text").collect()
         }
         assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
 
@@ -96,7 +96,7 @@ class TestText:
         )
         got = {
             (r.doc_id, r.token): (r.tf, r.tfidf)
-            for r in text.tf_idf(df, "text", "doc_id").collect()
+            for r in text.tf_idf(df, "doc_id", "text").collect()
         }
         idf = lambda dfreq: math.log((1 + 2) / (1 + dfreq)) + 1
         assert got[(1, "a")] == (2, round(2 * idf(2), 6))
@@ -125,7 +125,7 @@ class TestText:
         df = spark.createDataFrame(
             [(1, "z y z"), (2, "y x")], "doc_id bigint, text string"
         )
-        rows = text.top_tokens(df, "text", "doc_id", k=2).collect()
+        rows = text.top_tokens(df, "doc_id", "text", k=2).collect()
         # tf: y=2, z=2, x=1 -> top-2 is (y, z) by token-asc tie order
         assert [(r.token, r.tf) for r in rows] == [("y", 2), ("z", 2)]
 
@@ -477,7 +477,7 @@ class TestNewOperatorPlans:
     def test_tf_idf_two_aggregate_shuffles_only(self, documents):
         from datafusion_functions_json_spark.plans import explain_str
 
-        plan = explain_str(text.tf_idf(documents, "text", "doc_id"))
+        plan = explain_str(text.tf_idf(documents, "doc_id", "text"))
         # no ArrowEvalPython (pure Catalyst) and the 1-row corpus count
         # arrives by broadcast, not a shuffle join
         assert "ArrowEvalPython" not in plan
