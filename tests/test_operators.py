@@ -292,6 +292,28 @@ class TestConnectedComponents:
         df = spark.createDataFrame([], "src long, dst long")
         assert graph.connected_components(df).count() == 0
 
+    def test_string_vertex_ids(self, spark):
+        # min-id representative works for any orderable type
+        df = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")], "src string, dst string"
+        )
+        got = {
+            r.node: r.comp
+            for r in graph.connected_components(df).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_larger_random_graphs_multiple_seeds(self, spark):
+        import random
+
+        for seed in (1, 23):
+            rng = random.Random(seed)
+            edges = [
+                (rng.randrange(200), rng.randrange(200)) for _ in range(300)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            self._run(spark, edges)
+
     def test_dedup_by_components_keeps_min_per_component(self, spark):
         df = spark.createDataFrame(
             [(i, f"doc{i}") for i in range(6)], "id long, text string"
