@@ -554,6 +554,25 @@ def _q_hash_split(spark, sf_dir):
     )
 
 
+def _q_mixture_sample(spark, sf_dir):
+    # training-mix composition: per-source sampling rates decided by a
+    # pure hash projection — reproducible on any engine, no shuffle
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    mix = split_ops.mixture_sample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        salt="mix",
+        default=0.1,
+    )
+    return mix.groupBy("source").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
 def _q_pack_batches(spark, sf_dir):
     # token-budget batch packing: shard-local window prefix sum (mod
     # shard key for cross-engine determinism; xxhash64 default at scale)
@@ -910,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf": _q_tf_idf,
         "dedup_cc": _q_dedup_cc,
         "hash_split": _q_hash_split,
+        "mixture_sample": _q_mixture_sample,
         "pack_batches": _q_pack_batches,
         "chunk_documents": _q_chunk_documents,
         "training_prep": _q_training_prep,
@@ -1253,6 +1273,16 @@ def oracle_sql() -> dict[str, str]:
             "when b < 0.95 then 'val' else 'test' end as split from f) "
             "select split, count(*) as n, min(doc_id) as min_id "
             "from lab group by split"
+        ),
+        "mixture_sample": (
+            "with f as (select doc_id, source, "
+            "try_cast(('0x' || substr(md5('mix:' || doc_id::varchar), 1, 8)) "
+            "as bigint) / 4294967296.0 as b from documents), "
+            "kept as (select * from f where b < case source "
+            "when 'src0' then 1.0 when 'src1' then 0.5 "
+            "when 'src2' then 0.25 else 0.1 end) "
+            "select source, count(*) as n, min(doc_id) as min_id "
+            "from kept group by source"
         ),
         "pack_batches": (
             f"with t as (select doc_id, len({_TOKENS_SQL})::bigint as nt, "

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_fraction", "pack_batches"]
+__all__ = ["hash_split", "split_fraction", "mixture_sample", "pack_batches"]
 
 _U32 = float(1 << 32)
 
@@ -63,6 +63,40 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Compose a training mixture: keep each row with its source's
+    sampling rate (``weights[source]``; unlisted sources keep
+    ``default``). Deterministic — the keep/drop decision is
+    ``split_fraction(id, salt) < rate``, a pure projection — so the
+    same corpus + salt reproduces the same mixture on any engine, and
+    re-runs (or a resumed 100 TB job) never re-roll the dice. Rates >
+    1 are clamped (use duplication-free upsampling downstream).
+
+    One broadcast map lookup + one filter: scan-speed, no shuffle.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    rate = None
+    for name, w in weights.items():
+        cond = F.col(source_col) == name
+        w = min(float(w), 1.0)
+        rate = (
+            F.when(cond, F.lit(w))
+            if rate is None
+            else rate.when(cond, F.lit(w))
+        )
+    rate = rate.otherwise(F.lit(float(default)))
+    return df.filter(split_fraction(id_col, salt) < rate)
 
 
 def pack_batches(

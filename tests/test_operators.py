@@ -357,6 +357,30 @@ class TestSplit:
         with pytest.raises(ValueError):
             split.hash_split(spark.range(2), "id", {"a": 0.5, "b": 0.1})
 
+    def test_mixture_sample_rates_and_determinism(self, spark):
+        rows = [(i, "web" if i % 2 else "code") for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, source string")
+        mix = split.mixture_sample(
+            df, "id", "source", {"web": 0.5, "code": 1.0}, salt="m"
+        )
+        counts = {
+            r.source: r.n
+            for r in mix.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts["code"] == 1000  # rate 1.0 keeps everything
+        assert 400 < counts["web"] < 600
+        again = split.mixture_sample(
+            df, "id", "source", {"web": 0.5, "code": 1.0}, salt="m"
+        )
+        assert mix.exceptAll(again).count() == 0
+        # unlisted source drops by default
+        other = spark.createDataFrame([(1, "junk")], "id long, source string")
+        assert split.mixture_sample(
+            other, "id", "source", {"web": 0.5}
+        ).count() == 0
+        with pytest.raises(ValueError):
+            split.mixture_sample(df, "id", "source", {})
+
     def test_pack_batches_prefix_sum_assignment(self, spark):
         df = spark.createDataFrame(
             [(i, 40) for i in range(10)], "id long, nt int"
