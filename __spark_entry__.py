@@ -573,6 +573,25 @@ def _q_mixture_sample(spark, sf_dir):
     )
 
 
+def _q_mixture_resample(spark, sf_dir):
+    # upsampling mixture: rate>1 duplicates rows deterministically
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    mix = split_ops.mixture_resample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 2.5, "src1": 1.0, "src2": 0.5},
+        salt="up",
+    )
+    return mix.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max("copy").alias("max_copy"),
+    )
+
+
 def _q_pack_batches(spark, sf_dir):
     # token-budget batch packing: shard-local window prefix sum (mod
     # shard key for cross-engine determinism; xxhash64 default at scale)
@@ -930,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc": _q_dedup_cc,
         "hash_split": _q_hash_split,
         "mixture_sample": _q_mixture_sample,
+        "mixture_resample": _q_mixture_resample,
         "pack_batches": _q_pack_batches,
         "chunk_documents": _q_chunk_documents,
         "training_prep": _q_training_prep,
@@ -1283,6 +1303,21 @@ def oracle_sql() -> dict[str, str]:
             "when 'src2' then 0.25 else 0.1 end) "
             "select source, count(*) as n, min(doc_id) as min_id "
             "from kept group by source"
+        ),
+        "mixture_resample": (
+            "with f as (select doc_id, source, "
+            "try_cast(('0x' || substr(md5('up:' || doc_id::varchar), 1, 8)) "
+            "as bigint) / 4294967296.0 as b from documents), "
+            "r as (select *, case source when 'src0' then 2.5 "
+            "when 'src1' then 1.0 when 'src2' then 0.5 else 0.0 end as rate "
+            "from f), "
+            "k as (select doc_id, source, (floor(rate) + case when "
+            "b < rate - floor(rate) then 1 else 0 end)::bigint as nc from r), "
+            "e as (select doc_id, source, "
+            "unnest(generate_series(1, nc)) as copy from k where nc >= 1) "
+            "select source, count(*) as n, "
+            "count(distinct doc_id) as n_docs, max(copy) as max_copy "
+            "from e group by source"
         ),
         "pack_batches": (
             f"with t as (select doc_id, len({_TOKENS_SQL})::bigint as nt, "

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_fraction", "mixture_sample", "pack_batches"]
+__all__ = [
+    "hash_split",
+    "split_fraction",
+    "mixture_sample",
+    "mixture_resample",
+    "pack_batches",
+]
 
 _U32 = float(1 << 32)
 
@@ -86,17 +92,48 @@ def mixture_sample(
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    rate = _rate_expr(source_col, weights, default, clamp=True)
+    return df.filter(split_fraction(id_col, salt) < rate)
+
+
+def _rate_expr(source_col: str, weights: dict, default: float, clamp: bool):
     rate = None
     for name, w in weights.items():
+        w = float(w)
+        if clamp:
+            w = min(w, 1.0)
         cond = F.col(source_col) == name
-        w = min(float(w), 1.0)
         rate = (
-            F.when(cond, F.lit(w))
-            if rate is None
-            else rate.when(cond, F.lit(w))
+            F.when(cond, F.lit(w)) if rate is None else rate.when(cond, F.lit(w))
         )
-    rate = rate.otherwise(F.lit(float(default)))
-    return df.filter(split_fraction(id_col, salt) < rate)
+    return rate.otherwise(F.lit(float(default)))
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """:func:`mixture_sample` with UPSAMPLING: rates above 1 duplicate
+    rows — each row is emitted ``floor(rate)`` or ``ceil(rate)`` times
+    (the salted hash fraction decides, so expected multiplicity equals
+    the rate exactly and reruns are identical). Adds a 1-based ``copy``
+    column so downstream exact-dedup can distinguish intentional
+    duplicates. Zero-copy rows drop. Fan-out is a `sequence`+`explode`
+    projection — no shuffle, no Python."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    rate = _rate_expr(source_col, weights, default, clamp=False)
+    frac = split_fraction(id_col, salt)
+    n = F.floor(rate) + (frac < (rate - F.floor(rate))).cast("bigint")
+    copies = F.when(n >= 1, F.sequence(F.lit(1).cast("bigint"), n)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return df.withColumn("copy", F.explode(copies))
 
 
 def pack_batches(

@@ -381,6 +381,33 @@ class TestSplit:
         with pytest.raises(ValueError):
             split.mixture_sample(df, "id", "source", {})
 
+    def test_mixture_resample_upsamples(self, spark):
+        rows = [(i, "rare" if i % 2 else "common") for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, source string")
+        mix = split.mixture_resample(
+            df, "id", "source", {"rare": 2.5, "common": 1.0}, salt="u"
+        )
+        counts = {
+            r.source: r.n
+            for r in mix.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts["common"] == 500  # rate 1.0: exactly one copy each
+        assert 1150 < counts["rare"] < 1350  # 500 * 2.5 = 1250 expected
+        # copy indices are 1..k per id
+        copies = [
+            r.copy
+            for r in mix.filter(F.col("source") == "rare")
+            .filter(F.col("id") == 1)
+            .collect()
+        ]
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+        assert len(copies) in (2, 3)
+        # determinism
+        again = split.mixture_resample(
+            df, "id", "source", {"rare": 2.5, "common": 1.0}, salt="u"
+        )
+        assert mix.exceptAll(again).count() == 0
+
     def test_pack_batches_prefix_sum_assignment(self, spark):
         df = spark.createDataFrame(
             [(i, 40) for i in range(10)], "id long, nt int"
