@@ -554,6 +554,27 @@ def _q_hash_split(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    # exact-count per-stratum sample: rank over the md5 hash fraction —
+    # one shuffle on the stratum key; selection reproducible from ids
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_ops.stratified_sample(
+        docs, "doc_id", "source", 20, salt="strat"
+    ).select("doc_id", "source")
+
+
+def _q_decontam(spark, sf_dir):
+    # benchmark decontamination: distinct word-4-gram overlap between
+    # the training slice and a held-out eval slice; bench grams are
+    # broadcast, so the only exchange is the per-doc count aggregation
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return text.decontaminate(train, "doc_id", "text", bench, n=4)
+
+
 def _q_mixture_sample(spark, sf_dir):
     # training-mix composition: per-source sampling rates decided by a
     # pure hash projection — reproducible on any engine, no shuffle
@@ -948,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf": _q_tf_idf,
         "dedup_cc": _q_dedup_cc,
         "hash_split": _q_hash_split,
+        "stratified_sample": _q_stratified_sample,
+        "decontam": _q_decontam,
         "mixture_sample": _q_mixture_sample,
         "mixture_resample": _q_mixture_resample,
         "pack_batches": _q_pack_batches,
@@ -1293,6 +1316,26 @@ def oracle_sql() -> dict[str, str]:
             "when b < 0.95 then 'val' else 'test' end as split from f) "
             "select split, count(*) as n, min(doc_id) as min_id "
             "from lab group by split"
+        ),
+        "stratified_sample": (
+            "with f as (select doc_id, source, "
+            "try_cast(('0x' || substr(md5('strat:' || doc_id::varchar), 1, 8)) "
+            "as bigint) / 4294967296.0 as b from documents), "
+            "r as (select doc_id, source, row_number() over "
+            "(partition by source order by b, doc_id) as rn from f) "
+            "select doc_id, source from r where rn <= 20"
+        ),
+        "decontam": (
+            "with tok as (select doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') as toks from documents), "
+            "idx as (select doc_id, toks, "
+            "unnest(generate_series(1, greatest(len(toks) - 3, 1))) as i from tok), "
+            "ng as (select distinct doc_id, "
+            "array_to_string(list_slice(toks, i, i + 3), ' ') as g from idx), "
+            "bench as (select distinct g from ng where doc_id % 20 = 0) "
+            "select ng.doc_id, count(*)::bigint as contaminated_ngrams "
+            "from ng join bench using (g) "
+            "where ng.doc_id % 20 <> 0 group by ng.doc_id"
         ),
         "mixture_sample": (
             "with f as (select doc_id, source, "

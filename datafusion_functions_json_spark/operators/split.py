@@ -4,6 +4,9 @@
   content hash. Stateless and shuffle-free: the split label is a pure
   projection over the id (scan-speed at 100 TB, no sampling pass, stable
   across reruns/engines — the property random ``df.sample`` lacks).
+* ``stratified_sample`` — exact-count deterministic per-stratum sample
+  (rank over the hash fraction; optional scan-side prefilter so huge
+  strata never sort their full population).
 * ``pack_batches`` — assign documents to fixed-token-budget batches.
   Packing is inherently sequential, so a *global* greedy pack would be a
   single-partition bottleneck; instead documents are sharded and packed
@@ -28,6 +31,7 @@ __all__ = [
     "mixture_sample",
     "mixture_resample",
     "pack_batches",
+    "stratified_sample",
 ]
 
 _U32 = float(1 << 32)
@@ -182,3 +186,53 @@ def pack_batches(
     return out.withColumn(
         "batch_id", F.floor(prefix / F.lit(budget)).cast("bigint")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n_per_stratum: int | dict,
+    *,
+    salt: str = "",
+    prefilter_fraction: float | None = None,
+) -> DataFrame:
+    """Exact-count deterministic sample: the ``n`` rows per stratum with
+    the smallest salted hash fractions (ties broken by id). Unlike
+    ``df.sampleBy`` this is (a) an exact count, not an expected rate,
+    and (b) reproducible on any engine from ids alone — the selection
+    is a rank over :func:`split_fraction`, no RNG state.
+
+    ``n_per_stratum`` is an int (same budget everywhere) or a
+    ``{stratum: n}`` dict (unlisted strata are dropped).
+
+    Plan shape: one hash shuffle on the stratum key + a per-stratum
+    rank. At 100 TB the sort-within-stratum dominates; for big strata
+    pass ``prefilter_fraction`` (≳ several × n/|stratum|) to cut rows
+    by the pure hash projection BEFORE the shuffle — the window then
+    ranks only the surviving sliver. The filter is over the same
+    fraction the rank orders by, so any row it drops could never be
+    selected: results are identical as long as each stratum keeps ≥ n
+    rows (too-small a prefilter under-fills silently — size it
+    generously; it is a pure scan-side projection, overshoot is cheap).
+    """
+    frac = split_fraction(id_col, salt)
+    if prefilter_fraction is not None:
+        df = df.filter(frac < float(prefilter_fraction))
+    w = Window.partitionBy(strata_col).orderBy(
+        frac.asc(), F.col(id_col).asc()
+    )
+    ranked = df.withColumn("_rank", F.row_number().over(w))
+    if isinstance(n_per_stratum, dict):
+        budget = None
+        for name, n in n_per_stratum.items():
+            cond = F.col(strata_col) == name
+            budget = (
+                F.when(cond, F.lit(int(n)))
+                if budget is None
+                else budget.when(cond, F.lit(int(n)))
+            )
+        budget = budget.otherwise(F.lit(0))
+    else:
+        budget = F.lit(int(n_per_stratum))
+    return ranked.filter(F.col("_rank") <= budget).drop("_rank")

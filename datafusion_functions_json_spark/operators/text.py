@@ -35,6 +35,8 @@ __all__ = [
     "token_stats",
     "top_tokens",
     "tf_idf",
+    "decontaminate",
+    "decontaminate_filter",
     "STOPWORDS",
 ]
 
@@ -364,3 +366,69 @@ def top_tokens(df, id_col, text_col, k: int = 100) -> "DataFrame":
     return vocabulary(df, id_col, text_col).orderBy(
         F.desc("tf"), F.asc("token")
     ).limit(k)
+
+
+def decontaminate(
+    df,
+    id_col: str,
+    text_col: str,
+    benchmark,
+    bench_text_col: str | None = None,
+    *,
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> "DataFrame":
+    """Benchmark decontamination: per-document count of distinct word
+    ``n``-grams that also appear in ``benchmark`` (the eval set a
+    training corpus must not leak). Returns ``(id_col,
+    contaminated_ngrams)`` — only documents with at least one hit; the
+    usual next step is :func:`decontaminate_filter`.
+
+    100 TB plan shape: eval benchmarks are tiny (MBs) next to a training
+    corpus, so the distinct benchmark-gram set is **broadcast** — the
+    exploded training grams stream through a broadcast-hash semi-join
+    with no shuffle; the only exchange is the per-doc count's hash
+    aggregation, and partial (map-side) aggregation collapses most of it
+    because a document's grams are co-located within its scan partition.
+    Grams are distinct per side (``word_ngrams`` dedups), so the count
+    is "distinct contaminated grams", stable under doc repetition.
+
+    Reference scope note: the reference engine has no pipeline
+    operators — this belongs to the LLM-pipeline extension suite.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(bench_text_col, n)).alias("_gram")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("_gram")
+    )
+    return (
+        doc_grams.join(bench_grams, "_gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contaminated_ngrams"))
+    )
+
+
+def decontaminate_filter(
+    df,
+    id_col: str,
+    text_col: str,
+    benchmark,
+    bench_text_col: str | None = None,
+    *,
+    n: int = 8,
+    max_hits: int = 0,
+) -> "DataFrame":
+    """Drop documents with more than ``max_hits`` benchmark n-gram
+    overlaps (default: any overlap). Anti-join on the id keeps the
+    document payload out of the decontamination shuffle — only
+    ``(id, gram)`` pairs move."""
+    hits = decontaminate(
+        df, id_col, text_col, benchmark, bench_text_col, n=n
+    ).filter(F.col("contaminated_ngrams") > max_hits)
+    return df.join(hits.select(id_col), id_col, "left_anti")

@@ -165,6 +165,68 @@ class TestText:
         assert rows[1].f1 != rows[1].f2
 
 
+class TestDecontaminate:
+    def test_known_overlap(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated text with no overlap at all here"),
+                (3, "quick brown fox jumps again and again and again"),
+            ],
+            "doc_id bigint, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "a quick brown fox jumps into the benchmark")],
+            "doc_id bigint, text string",
+        )
+        hits = {
+            r.doc_id: r.contaminated_ngrams
+            for r in text.decontaminate(
+                train, "doc_id", "text", bench, n=3
+            ).collect()
+        }
+        # doc 1 shares 'quick brown fox' + 'brown fox jumps'; doc 3 the same 2
+        assert hits == {1: 2, 3: 2}
+        clean = text.decontaminate_filter(train, "doc_id", "text", bench, n=3)
+        assert sorted(r.doc_id for r in clean.collect()) == [2]
+
+    def test_matches_python_ground_truth(self, documents):
+        bench = documents.filter(F.col("doc_id") % 20 == 0)
+        train = documents.filter(F.col("doc_id") % 20 != 0)
+        got = {
+            r.doc_id: r.contaminated_ngrams
+            for r in text.decontaminate(train, "doc_id", "text", bench, n=4).collect()
+        }
+
+        def grams(t, n=4):
+            toks = t.split()
+            if len(toks) <= n:
+                return {" ".join(toks[:n])}
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+        rows = documents.select("doc_id", "text").collect()
+        bench_g = set()
+        for r in rows:
+            if r.doc_id % 20 == 0:
+                bench_g |= grams(r.text)
+        want = {}
+        for r in rows:
+            if r.doc_id % 20 != 0:
+                k = len(grams(r.text) & bench_g)
+                if k:
+                    want[r.doc_id] = k
+        assert got == want
+
+    def test_benchmark_side_is_broadcast(self, documents):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        bench = documents.filter(F.col("doc_id") % 20 == 0)
+        plan = explain_str(
+            text.decontaminate(documents, "doc_id", "text", bench, n=4)
+        )
+        assert "BroadcastHashJoin" in plan
+
+
 class TestExactDedup:
     def test_dup_groups_on_documents(self, documents):
         dups = dedup.exact_dup_groups(documents, "text", "doc_id")
@@ -430,6 +492,45 @@ class TestSplit:
         assert out.count() == 60
         # every (shard, batch) holds >= 1 row; shards bounded
         assert out.select("shard").distinct().count() <= 4
+
+    def test_stratified_sample_exact_counts(self, spark):
+        rows = [(i, "web" if i % 2 else "code") for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, source string")
+        got = split.stratified_sample(df, "id", "source", 25, salt="s")
+        counts = {
+            r.source: r.n
+            for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"web": 25, "code": 25}
+        # deterministic: selection is a pure function of (id, salt)
+        again = split.stratified_sample(df, "id", "source", 25, salt="s")
+        assert got.exceptAll(again).count() == 0
+        # matches the python-side md5 rank ground truth
+        import hashlib
+
+        def frac(i):
+            return int(hashlib.md5(f"s:{i}".encode()).hexdigest()[:8], 16)
+
+        web_ids = sorted((i for i in range(1000) if i % 2), key=lambda i: (frac(i), i))[:25]
+        got_web = sorted(r.id for r in got.filter(F.col("source") == "web").collect())
+        assert got_web == sorted(web_ids)
+
+    def test_stratified_sample_dict_budgets_and_prefilter(self, spark):
+        rows = [(i, "web" if i % 2 else "code") for i in range(1000)]
+        df = spark.createDataFrame(rows, "id long, source string")
+        got = split.stratified_sample(
+            df, "id", "source", {"web": 10}, salt="s"
+        )
+        counts = {
+            r.source: r.n
+            for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"web": 10}  # unlisted stratum dropped
+        # a generous prefilter changes nothing (selected fracs ≪ cutoff)
+        pre = split.stratified_sample(
+            df, "id", "source", {"web": 10}, salt="s", prefilter_fraction=0.5
+        )
+        assert got.exceptAll(pre).count() == 0 and pre.count() == 10
 
 
 class TestQuantize:
