@@ -554,6 +554,24 @@ def _q_hash_split(spark, sf_dir):
     )
 
 
+def _q_class_centroids(spark, sf_dir):
+    # per-label mean embedding: explode + (label,pos) hash agg — partial
+    # aggregation collapses each partition to labels×dim rows pre-shuffle;
+    # round(6) pins engine-dependent float summation order
+    return similarity.class_centroids(_emb(spark, sf_dir), "label", "embedding")
+
+
+def _q_centroid_assign(spark, sf_dir):
+    # nearest-centroid assignment: broadcast centroid table, map-side
+    # scoring, argmin via min(struct) partial agg; label tie-break.
+    # dist column dropped: its last-ulp sum order is engine-dependent
+    emb = _emb(spark, sf_dir)
+    cent = similarity.class_centroids(emb, "label", "embedding")
+    return similarity.centroid_assign(emb, "vec_id", "embedding", cent).select(
+        "vec_id", "pred_label"
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     # exact-count per-stratum sample: rank over the md5 hash fraction —
     # one shuffle on the stratum key; selection reproducible from ids
@@ -969,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf": _q_tf_idf,
         "dedup_cc": _q_dedup_cc,
         "hash_split": _q_hash_split,
+        "class_centroids": _q_class_centroids,
+        "centroid_assign": _q_centroid_assign,
         "stratified_sample": _q_stratified_sample,
         "decontam": _q_decontam,
         "mixture_sample": _q_mixture_sample,
@@ -1316,6 +1336,29 @@ def oracle_sql() -> dict[str, str]:
             "when b < 0.95 then 'val' else 'test' end as split from f) "
             "select split, count(*) as n, min(doc_id) as min_id "
             "from lab group by split"
+        ),
+        "class_centroids": (
+            "with per as (select label, pos, avg(x) as m from ("
+            "select label, unnest(embedding) as x, "
+            "generate_subscripts(embedding, 1) as pos from embeddings) "
+            "group by label, pos) "
+            "select label, list(round(m, 6) order by pos) as centroid "
+            "from per group by label"
+        ),
+        "centroid_assign": (
+            "with per as (select label, pos, avg(x) as m from ("
+            "select label, unnest(embedding) as x, "
+            "generate_subscripts(embedding, 1) as pos from embeddings) "
+            "group by label, pos), "
+            "cvec as (select label, list(round(m, 6) order by pos) as centroid "
+            "from per group by label), "
+            "dist as (select vec_id, label, sum((x - m) * (x - m)) as d2 from ("
+            "select e.vec_id, c.label, unnest(e.embedding) as x, "
+            "unnest(c.centroid) as m from embeddings e cross join cvec c) "
+            "group by vec_id, label), "
+            "r as (select vec_id, label, row_number() over "
+            "(partition by vec_id order by d2, label) as rn from dist) "
+            "select vec_id, label as pred_label from r where rn = 1"
         ),
         "stratified_sample": (
             "with f as (select doc_id, source, "

@@ -44,6 +44,8 @@ __all__ = [
     "ivf_build",
     "ivf_topk",
     "embedding_dup_pairs",
+    "class_centroids",
+    "centroid_assign",
 ]
 
 
@@ -380,4 +382,88 @@ def embedding_dup_pairs(
         .withColumn("cosine", F.round(pair_cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def class_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    *,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """Per-label mean embedding: ``(label, centroid array<double>)``.
+
+    Plan shape: posexplode to ``(label, pos, x)`` then hash-aggregate on
+    ``(label, pos)`` — the explode fans out N×dim rows, but partial
+    (map-side) aggregation collapses each scan partition to at most
+    labels×dim rows before the exchange, so the shuffle moves
+    O(labels × dim × partitions), never O(N). A second tiny aggregation
+    (labels rows) reassembles the arrays in ``pos`` order via
+    ``array_sort(collect_list(struct(pos, m)))``.
+
+    ``round_decimals`` pins the float summation's last-ulp wobble
+    (summation order is engine/partitioning-dependent) so centroids are
+    reproducible across runs and engines; pass ``None`` for raw doubles.
+    """
+    d = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_dvec(vec_col)).alias("pos", "x"),
+    )
+    per = d.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    return per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: (
+                F.round(s.getField("m"), round_decimals)
+                if round_decimals is not None
+                else s.getField("m")
+            ),
+        ).alias("centroid")
+    )
+
+
+def centroid_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    *,
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment (the classify/cluster-assign step of
+    k-means or a prototype classifier): ``(id, pred_label, dist)`` with
+    squared-L2 distance, ties broken by smallest label.
+
+    The centroid table is broadcast (labels × dim is KBs even at 4096
+    dims × 10k classes), so scoring is a map-side cross join — no
+    shuffle of the N-row side; the argmin is a ``min(struct(dist,
+    label))`` aggregation whose partial phase collapses each partition
+    to one row per id before any exchange. With upstream data already
+    keyed by id (one vector per id), Catalyst turns it into a
+    scan-shaped pass.
+    """
+    cent = F.broadcast(
+        centroids.select(
+            F.col(label_col).alias("_clabel"), F.col(centroid_col).alias("_cvec")
+        )
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            _dvec(vec_col), _dvec("_cvec"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = df.crossJoin(cent).select(
+        F.col(id_col), F.col("_clabel"), diff2.alias("_d2")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("_d2"), F.col("_clabel"))).alias("_best")
+    )
+    return best.select(
+        id_col,
+        F.col("_best").getField("_clabel").alias("pred_label"),
+        F.col("_best").getField("_d2").alias("dist"),
     )

@@ -585,6 +585,47 @@ class TestSimilarity:
         ).collect()
         assert ann and ann[0].vec_id == 7  # own bucket always contains self
 
+    def test_class_centroids_match_numpy(self, embeddings):
+        import numpy as np
+
+        got = {
+            r.label: r.centroid
+            for r in similarity.class_centroids(
+                embeddings, "label", "embedding"
+            ).collect()
+        }
+        rows = embeddings.select("label", "embedding").collect()
+        by_label = {}
+        for r in rows:
+            by_label.setdefault(r.label, []).append(r.embedding)
+        for lab, vecs in by_label.items():
+            want = np.mean(np.array(vecs, dtype="float64"), axis=0)
+            assert len(got[lab]) == 64
+            assert np.allclose(got[lab], np.round(want, 6), atol=1e-6)
+
+    def test_centroid_assign_nearest_and_broadcast(self, embeddings):
+        import numpy as np
+
+        cent = similarity.class_centroids(embeddings, "label", "embedding")
+        assigned = similarity.centroid_assign(
+            embeddings, "vec_id", "embedding", cent
+        )
+        from datafusion_functions_json_spark.plans import explain_str
+
+        plan = explain_str(assigned)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        got = {r.vec_id: (r.pred_label, r.dist) for r in assigned.collect()}
+        # numpy ground truth for a handful of ids
+        crows = cent.collect()
+        C = np.array([r.centroid for r in crows], dtype="float64")
+        labs = [r.label for r in crows]
+        rows = embeddings.select("vec_id", "embedding").limit(20).collect()
+        for r in rows:
+            d2 = ((np.array(r.embedding, dtype="float64") - C) ** 2).sum(axis=1)
+            best = min(zip(d2, labs))
+            assert got[r.vec_id][0] == best[1]
+            assert abs(got[r.vec_id][1] - best[0]) < 1e-9
+
     def test_ivf_recall_of_self(self, embeddings):
         assigned, centroids = similarity.ivf_build(
             embeddings, "embedding", dim=64, n_clusters=8, sample=500
