@@ -572,6 +572,18 @@ def _q_centroid_assign(spark, sf_dir):
     )
 
 
+def _q_kmeans(spark, sf_dir):
+    # distributed Lloyd k-means, 2 deterministic iterations: md5-ranked
+    # seeds, broadcast-scored assignment, partial-agg-capped mean
+    # recompute; cluster ids are engine-reproducible ints
+    assigned, _ = similarity.kmeans_fit(
+        _emb(spark, sf_dir), "vec_id", "embedding", k=8, iters=2, salt="km"
+    )
+    return assigned.select(
+        "vec_id", F.col("pred_label").cast("bigint").alias("cluster")
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     # exact-count per-stratum sample: rank over the md5 hash fraction —
     # one shuffle on the stratum key; selection reproducible from ids
@@ -989,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "class_centroids": _q_class_centroids,
         "centroid_assign": _q_centroid_assign,
+        "kmeans": _q_kmeans,
         "stratified_sample": _q_stratified_sample,
         "decontam": _q_decontam,
         "mixture_sample": _q_mixture_sample,
@@ -1359,6 +1372,35 @@ def oracle_sql() -> dict[str, str]:
             "r as (select vec_id, label, row_number() over "
             "(partition by vec_id order by d2, label) as rn from dist) "
             "select vec_id, label as pred_label from r where rn = 1"
+        ),
+        "kmeans": (
+            "with f as (select vec_id, embedding, "
+            "try_cast(('0x' || substr(md5('km:' || vec_id::varchar), 1, 8)) "
+            "as bigint) / 4294967296.0 as b from embeddings), "
+            "sr as (select vec_id, embedding, "
+            "row_number() over (order by b, vec_id) - 1 as label from f), "
+            "seeds as (select label, embedding as centroid from sr "
+            "where label < 8), "
+            "d1 as (select vec_id, label, sum((x - m) * (x - m)) as dd from ("
+            "select e.vec_id, s.label, unnest(e.embedding)::double as x, "
+            "unnest(s.centroid)::double as m "
+            "from embeddings e cross join seeds s) group by vec_id, label), "
+            "a1 as (select vec_id, label from (select vec_id, label, "
+            "row_number() over (partition by vec_id order by dd, label) as rn "
+            "from d1) where rn = 1), "
+            "c1 as (select label, list(round(m, 6) order by pos) as centroid "
+            "from (select a1.label as label, t.pos, avg(t.x) as m from ("
+            "select vec_id, unnest(embedding)::double as x, "
+            "generate_subscripts(embedding, 1) as pos from embeddings) t "
+            "join a1 using (vec_id) group by a1.label, t.pos) group by label), "
+            "d2 as (select vec_id, label, sum((x - m) * (x - m)) as dd from ("
+            "select e.vec_id, c.label, unnest(e.embedding)::double as x, "
+            "unnest(c.centroid) as m "
+            "from embeddings e cross join c1 c) group by vec_id, label), "
+            "a2 as (select vec_id, label from (select vec_id, label, "
+            "row_number() over (partition by vec_id order by dd, label) as rn "
+            "from d2) where rn = 1) "
+            "select vec_id, label as cluster from a2"
         ),
         "stratified_sample": (
             "with f as (select doc_id, source, "

@@ -25,7 +25,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -46,6 +46,7 @@ __all__ = [
     "embedding_dup_pairs",
     "class_centroids",
     "centroid_assign",
+    "kmeans_fit",
 ]
 
 
@@ -421,6 +422,69 @@ def class_centroids(
             ),
         ).alias("centroid")
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    *,
+    iters: int = 5,
+    salt: str = "kmeans",
+) -> tuple:
+    """Distributed Lloyd k-means over an embedding column. Returns
+    ``(assignments, centroids)`` — ``(id, pred_label, dist)`` after the
+    final assignment and the ``(label, centroid)`` table that produced
+    it.
+
+    Deterministic and engine-reproducible: seeds are the ``k`` vectors
+    with the smallest salted md5 id-fractions (labels 0..k-1 in rank
+    order, ties by id), assignment ties break toward the smallest
+    label, and recomputed means are rounded (via
+    :func:`class_centroids`) to pin summation-order wobble — the same
+    corpus + salt yields the same model on any engine.
+
+    Scale shape (the MLlib pattern): per iteration one full pass —
+    broadcast centroids, map-side scoring, argmin partial agg, then the
+    centroid recompute's shuffle is capped at k×dim rows per partition
+    by partial aggregation. Centroids (k×dim doubles, KBs) are
+    collected to the driver between iterations to keep the lineage
+    flat — bounded driver state, never O(N). Clusters that lose all
+    members drop out (standard Lloyd alternative to re-seeding,
+    chosen for cross-engine determinism).
+    """
+    if k <= 0 or iters <= 0:
+        raise ValueError("k and iters must be positive")
+    from .split import split_fraction
+
+    spark = df.sparkSession
+    seeds = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            _dvec(vec_col).alias("centroid"),
+            split_fraction(id_col, salt).alias("_f"),
+        )
+        .orderBy("_f", "_id")
+        .limit(k)
+    )
+    w = Window.orderBy("_f", "_id")
+    cent = seeds.withColumn("label", F.row_number().over(w) - 1).select(
+        "label", "centroid"
+    )
+    assigned = None
+    for i in range(iters):
+        assigned = centroid_assign(df, id_col, vec_col, cent)
+        if i < iters - 1:
+            members = df.join(
+                assigned.select(id_col, "pred_label"), id_col
+            )
+            cent = class_centroids(members, "pred_label", vec_col)
+            # k×dim doubles — bounded driver state keeps lineage flat
+            cent = spark.createDataFrame(
+                cent.collect(), "label int, centroid array<double>"
+            )
+    return assigned, cent
 
 
 def centroid_assign(

@@ -626,6 +626,49 @@ class TestSimilarity:
             assert got[r.vec_id][0] == best[1]
             assert abs(got[r.vec_id][1] - best[0]) < 1e-9
 
+    def test_kmeans_matches_numpy_lloyd(self, embeddings):
+        import hashlib
+
+        import numpy as np
+
+        assigned, cent = similarity.kmeans_fit(
+            embeddings, "vec_id", "embedding", k=4, iters=2, salt="t"
+        )
+        got = {r.vec_id: r.pred_label for r in assigned.collect()}
+
+        rows = embeddings.select("vec_id", "embedding").collect()
+        ids = [r.vec_id for r in rows]
+        X = np.array([r.embedding for r in rows], dtype="float64")
+
+        def frac(i):
+            return int(hashlib.md5(f"t:{i}".encode()).hexdigest()[:8], 16)
+
+        seed_ids = sorted(ids, key=lambda i: (frac(i), i))[:4]
+        C = np.array(
+            [X[ids.index(i)] for i in seed_ids], dtype="float64"
+        )
+        labels = list(range(4))
+        lab = None
+        for it in range(2):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # argmin picks the first (smallest) label on ties, matching
+            # the operator's min(struct(dist, label)) tie-break
+            lab = [labels[i] for i in d2.argmin(axis=1)]
+            if it < 1:
+                present = sorted(set(lab))
+                arr = np.array(lab)
+                C = np.array(
+                    [np.round(X[arr == j].mean(axis=0), 6) for j in present]
+                )
+                labels = present
+        want = dict(zip(ids, (int(x) for x in lab)))
+        assert got == want
+        assert cent.count() <= 4
+
+    def test_kmeans_rejects_bad_args(self, embeddings):
+        with pytest.raises(ValueError):
+            similarity.kmeans_fit(embeddings, "vec_id", "embedding", k=0)
+
     def test_ivf_recall_of_self(self, embeddings):
         assigned, centroids = similarity.ivf_build(
             embeddings, "embedding", dim=64, n_clusters=8, sample=500
