@@ -367,6 +367,23 @@ def _q_events_hourly(spark, sf_dir):
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
 
 
+def _q_salted_join(spark, sf_dir):
+    # skew-resistant manual salting: left rows hash into 8 sub-keys,
+    # the dim side replicates 8×; output is row-identical to the plain
+    # join (which is exactly what the DuckDB twin runs)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = joins.salted_join(
+        orders, cust, [("o_custkey", "c_custkey")], salts=8,
+        salt_on=["o_orderkey"],
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.min("o_orderkey").alias("min_key")
+    )
+
+
 def _q_orders_join(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -981,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "events_hourly": _q_events_hourly,
         "orders_join": _q_orders_join,
+        "salted_join": _q_salted_join,
         "dedup_exact": _q_dedup_exact,
         "dedup_stats": _q_dedup_stats,
         "token_count": _q_token_count,
@@ -1173,6 +1191,11 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(o_totalprice), 2) as total "
             "from orders join customer on o_custkey = c_custkey "
             "group by o_orderpriority"
+        ),
+        "salted_join": (
+            "select c_mktsegment, count(*) as n, min(o_orderkey) as min_key "
+            "from orders join customer on o_custkey = c_custkey "
+            "group by c_mktsegment"
         ),
         "dedup_exact": (
             "select text, count(*) as dup_count, min(doc_id) as min_id "

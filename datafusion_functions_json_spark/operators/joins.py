@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "salted_join"]
 
 
 def _normalize_on(on):
@@ -232,3 +232,66 @@ def range_join(
         *[pts[c] for c in points.columns],
         *[iv["__pay"][c].alias(prefix + c) for c in payload],
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    *,
+    how: str = "inner",
+    salts: int = 16,
+    salt_on: list | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: ``left`` (the big, possibly skewed side)
+    is salted into ``salts`` sub-keys and ``right`` is replicated once
+    per salt, so a hot join key fans out across ``salts`` reducers
+    instead of melting one. Output is row-for-row identical to
+    ``left.join(right, on, how)``.
+
+    This is the classic manual salting pattern for when AQE's skew-join
+    split cannot help: AQE only splits SORT-MERGE join partitions after
+    seeing runtime sizes, and cannot split an aggregation-fed exchange
+    or help a shuffle-hash join executor that OOMs before AQE sees it.
+    Cost model: right side is materialized ``salts`` times into the
+    shuffle (size_right × salts bytes) — use it when right is too big
+    to broadcast but small enough to replicate; keep ``salts`` at the
+    hot-key multiplicity you need to flatten, not higher.
+
+    The salt must be DETERMINISTIC per left row across task retries —
+    a random salt inside a shuffle can lose/duplicate rows when a stage
+    partially recomputes. Default salt hashes all left columns; pass
+    ``salt_on`` (e.g. a unique id) to make it a cheap single-column
+    hash.
+
+    ``how`` is restricted to left-preserving joins (``inner``, ``left``,
+    ``left_semi``, ``left_anti``): the replicated right side would emit
+    ``salts`` copies of every unmatched right row under right/full
+    joins.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r}"
+        )
+    if salts < 2:
+        raise ValueError("salts must be >= 2")
+    pairs = _normalize_on(on)
+    salt_cols = [F.col(c) for c in (salt_on or left.columns)]
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salts)).cast("int")
+    )
+    r = right.withColumn(
+        "__rsalt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    cond = l["__salt"] == r["__rsalt"]
+    for lc, rc in pairs:
+        cond = cond & (l[lc] == r[rc])
+    out = l.join(r, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return out.drop("__salt")
+    out = out.drop(l["__salt"]).drop(r["__rsalt"])
+    # same-named keys: keep only the left side's copy, like join(on=str)
+    for lc, rc in pairs:
+        if lc == rc:
+            out = out.drop(r[rc])
+    return out

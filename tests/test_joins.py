@@ -303,3 +303,70 @@ class TestAsofOracleParity:
             ).fetchall()
         }
         assert got == want
+
+
+class TestSaltedJoin:
+    def _tables(self, spark):
+        # skewed left: key 1 holds half the rows
+        left = spark.createDataFrame(
+            [(i, 1 if i % 2 == 0 else i % 7) for i in range(400)],
+            "id long, k long",
+        )
+        right = spark.createDataFrame(
+            [(k, f"dim{k}") for k in range(7)], "k long, name string"
+        )
+        return left, right
+
+    def test_inner_matches_plain_join(self, spark):
+        left, right = self._tables(spark)
+        plain = left.join(right, "k", "inner").select("id", "k", "name")
+        salted = joins.salted_join(
+            left, right, "k", salts=8, salt_on=["id"]
+        ).select("id", "k", "name")
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+    def test_left_join_preserves_unmatched(self, spark):
+        left, right = self._tables(spark)
+        lonely = spark.createDataFrame([(9999, 99)], "id long, k long")
+        left2 = left.union(lonely)
+        out = joins.salted_join(
+            left2, right, "k", how="left", salts=4, salt_on=["id"]
+        )
+        assert out.count() == 401
+        row = out.filter(F.col("id") == 9999).collect()[0]
+        assert row.name is None
+
+    def test_renamed_keys_and_anti(self, spark):
+        left = spark.createDataFrame([(1, 10), (2, 20)], "id long, lk long")
+        right = spark.createDataFrame([(10, "x")], "rk long, v string")
+        semi = joins.salted_join(
+            left, right, [("lk", "rk")], how="left_semi", salts=2, salt_on=["id"]
+        )
+        assert [r.id for r in semi.collect()] == [1]
+        anti = joins.salted_join(
+            left, right, [("lk", "rk")], how="left_anti", salts=2, salt_on=["id"]
+        )
+        assert [r.id for r in anti.collect()] == [2]
+
+    def test_rejects_right_joins_and_tiny_salts(self, spark):
+        left, right = self._tables(spark)
+        with pytest.raises(ValueError):
+            joins.salted_join(left, right, "k", how="full")
+        with pytest.raises(ValueError):
+            joins.salted_join(left, right, "k", salts=1)
+
+    def test_salt_widens_key_distribution(self, spark):
+        left, right = self._tables(spark)
+        out = joins.salted_join(left, right, "k", salts=8, salt_on=["id"])
+        # pre-drop plan joins on (salt, k): the hot key's rows hash to
+        # multiple (k, salt) combinations — observable via the salted
+        # left side itself
+        l = left.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("id")), F.lit(8)).cast("int")
+        )
+        n_sub = (
+            l.filter(F.col("k") == 1).select("__salt").distinct().count()
+        )
+        assert n_sub > 1  # hot key split across sub-keys
+        assert out.count() == left.join(right, "k").count()
