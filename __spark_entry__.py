@@ -367,6 +367,27 @@ def _q_events_hourly(spark, sf_dir):
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
 
 
+def _q_events_sliding(spark, sf_dir):
+    # sliding-window aggregation (1h window, 15min slide): each event
+    # lands in exactly 4 epoch-aligned windows; F.window's generate +
+    # partial agg keeps it one exchange, and the same operator is the
+    # streaming tier's window (streaming/windowed_json_counts)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes")["start"].alias("win_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+def _q_events_rollup(spark, sf_dir):
+    # ROLLUP grouping-set aggregation: per (type, day), per type, and
+    # grand total in ONE pass — Expand + single hash agg, no re-scan
+    ev = load_table(spark, sf_dir, "events")
+    return ev.rollup(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+
+
 def _q_salted_join(spark, sf_dir):
     # skew-resistant manual salting: left rows hash into 8 sub-keys,
     # the dim side replicates 8×; output is row-identical to the plain
@@ -997,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_operators": _q_sql_operators,
         "tpch_q1": _q_tpch_q1,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
+        "events_rollup": _q_events_rollup,
         "orders_join": _q_orders_join,
         "salted_join": _q_salted_join,
         "dedup_exact": _q_dedup_exact,
@@ -1185,6 +1208,19 @@ def oracle_sql() -> dict[str, str]:
             "select time_bucket(interval 1 hour, ts)::timestamp as hour_start, "
             "event_type, count(*) as n, round(sum(value), 4) as sum_value "
             "from events group by 1, 2"
+        ),
+        "events_sliding": (
+            "select (time_bucket(interval 15 minutes, ts) "
+            "- j.j * interval 15 minutes)::timestamp as win_start, "
+            "event_type, count(*) as n, round(sum(value), 4) as sum_value "
+            "from events cross join "
+            "(select unnest(generate_series(0, 3)) as j) j "
+            "group by 1, 2"
+        ),
+        "events_rollup": (
+            "select event_type, ts::date as day, count(*) as n, "
+            "round(sum(value), 4) as sum_value "
+            "from events group by rollup(event_type, day)"
         ),
         "orders_join": (
             "select o_orderpriority, count(*) as n_orders, "
