@@ -9,7 +9,17 @@ where vectorized numerics genuinely win (embedding math), ``mapInPandas``
 for opaque binary payloads.
 """
 
-from . import dedup, graph, joins, multimodal, pipeline, similarity, split, text
+from . import (
+    dedup,
+    graph,
+    joins,
+    metrics,
+    multimodal,
+    pipeline,
+    similarity,
+    split,
+    text,
+)
 
 __all__ = [
     "dedup",
@@ -20,4 +30,5 @@ __all__ = [
     "text",
     "multimodal",
     "pipeline",
+    "metrics",
 ]

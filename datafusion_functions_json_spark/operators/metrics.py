@@ -1,0 +1,94 @@
+"""Zero-extra-pass pipeline telemetry via Spark ``Observation``.
+
+A 100 TB curation job needs run metrics — rows in/out per stage, null
+rates, drop ratios — but every ``df.count()`` is a full extra pass over
+the input (the exact defect class a ``count()``-based sink sizing has).
+``df.observe`` attaches aggregate expressions to the SAME action that
+materializes the data: the metrics ride the job's existing scan as
+accumulator-style partial aggregates, costing ~nothing, and are read
+off the driver after the action completes.
+
+Usage::
+
+    from datafusion_functions_json_spark.operators import metrics
+
+    df, obs = metrics.observe_stats(df, "curated", null_cols=["text"])
+    df.write.parquet(path)          # one pass: data AND metrics
+    m = obs.get                     # {'n_rows': ..., 'null_text': ...}
+
+    stages = metrics.StageMetrics()
+    df1 = stages.track(df1, "raw")
+    df2 = stages.track(curate(df1), "curated")
+    df2.write.parquet(path)
+    stages.report()                 # {'raw': {...}, 'curated': {...}}
+
+Batch-only (Spark's ``Observation.get`` blocks on the next action;
+streaming queries expose the same metrics through
+``StreamingQueryListener`` instead). Each Observation instance is
+single-use — consistent with one metrics row per materialization.
+
+Reference scope note: the reference engine has no pipeline operators —
+this belongs to the LLM-pipeline extension suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+__all__ = ["observe_stats", "StageMetrics"]
+
+
+def observe_stats(
+    df: DataFrame,
+    name: str,
+    *,
+    null_cols: list | None = None,
+    extra: dict | None = None,
+) -> tuple:
+    """Attach row-count + per-column null-count metrics to ``df``'s next
+    action. Returns ``(df, observation)``; read ``observation.get``
+    (a dict) AFTER an action has materialized the DataFrame.
+
+    ``extra`` maps metric names to aggregate Columns (e.g.
+    ``{"tokens": F.sum("n_tokens")}``) evaluated in the same pass.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in null_cols or []:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+    for metric_name, col in (extra or {}).items():
+        if not isinstance(col, Column):
+            raise TypeError(f"extra[{metric_name!r}] must be a Column")
+        aggs.append(col.alias(metric_name))
+    obs = Observation(name)
+    return df.observe(obs, *aggs), obs
+
+
+class StageMetrics:
+    """Collects one :func:`observe_stats` observation per pipeline stage
+    so a multi-stage job (curate → split → chunk → pack) reports every
+    stage's row counts from its single materializing action."""
+
+    def __init__(self):
+        self._stages: dict[str, object] = {}
+
+    def track(
+        self,
+        df: DataFrame,
+        stage: str,
+        *,
+        null_cols: list | None = None,
+        extra: dict | None = None,
+    ) -> DataFrame:
+        if stage in self._stages:
+            raise ValueError(f"stage {stage!r} already tracked")
+        df, obs = observe_stats(df, stage, null_cols=null_cols, extra=extra)
+        self._stages[stage] = obs
+        return df
+
+    def report(self) -> dict:
+        """Metrics for all stages whose action has run (blocking on
+        ``Observation.get`` for each)."""
+        return {stage: obs.get for stage, obs in self._stages.items()}
