@@ -35,8 +35,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join", "range_join", "salted_join"]
+
+
+def _epoch_seconds(df: DataFrame, colname: str) -> "F.Column":
+    """``colname`` as epoch seconds (double). Numeric columns cast
+    directly; TIMESTAMP/DATE go through a TIMESTAMP cast first (Spark
+    forbids TIMESTAMP_NTZ→DOUBLE; NTZ→TIMESTAMP interprets in the
+    session time zone — a fixed offset per session, so the bucketing
+    and the refine predicate stay mutually consistent, and ordering
+    matches a native NTZ comparison under any fixed-offset zone)."""
+    dt = df.schema[colname].dataType
+    c = F.col(colname)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        c = c.cast("timestamp")
+    return c.cast("double")
 
 
 def _normalize_on(on):
@@ -197,8 +212,8 @@ def range_join(
     w = float(bucket_seconds)
 
     isel = [F.col(rc).alias(lc) for lc, rc in pairs]
-    isel.append(F.col(start_ts).cast("double").alias("__s"))
-    isel.append(F.col(end_ts).cast("double").alias("__e"))
+    isel.append(_epoch_seconds(intervals, start_ts).alias("__s"))
+    isel.append(_epoch_seconds(intervals, end_ts).alias("__e"))
     isel.append(F.struct(*[F.col(c) for c in payload]).alias("__pay"))
     iv = intervals.select(*isel)
     cond = F.col("__s").isNotNull() & F.col("__e").isNotNull() & (
@@ -218,7 +233,7 @@ def range_join(
         ),
     )
 
-    pts = points.withColumn("__p", F.col(point_ts).cast("double")).withColumn(
+    pts = points.withColumn("__p", _epoch_seconds(points, point_ts)).withColumn(
         "__bucket", F.floor(F.col("__p") / w).cast("long")
     )
 
