@@ -30,6 +30,7 @@ from datafusion_functions_json_spark.operators import (  # noqa: E402
     joins,
     multimodal,
     pipeline,
+    rank,
     similarity,
     text,
 )
@@ -510,12 +511,18 @@ def _q_embed_quantize(spark, sf_dir):
     # embedding hygiene ops: L2 norm (rounded — cross-engine float sums
     # differ past ~1e-12) and symmetric int8 quantization of the RAW
     # float32 values (floor(x*127+0.5): element-wise on exact inputs, so
-    # the tinyint arrays are hash-identical across engines)
+    # the int8 values are identical across engines). The quantized array
+    # is serialized to a CSV string: the driver's canonicalizer sorts
+    # result columns with pandas, which cannot sort/hash list cells —
+    # integer-element array_to_string renders identically in both
+    # engines, keeping every element under the hash.
     emb = _emb(spark, sf_dir)
     return emb.select(
         "vec_id",
         F.round(similarity.l2_norm("embedding"), 4).alias("norm"),
-        similarity.quantize_int8("embedding").alias("q"),
+        F.array_join(
+            similarity.quantize_int8("embedding").cast("array<string>"), ","
+        ).alias("q"),
     )
 
 
@@ -595,8 +602,14 @@ def _q_hash_split(spark, sf_dir):
 def _q_class_centroids(spark, sf_dir):
     # per-label mean embedding: explode + (label,pos) hash agg — partial
     # aggregation collapses each partition to labels×dim rows pre-shuffle;
-    # round(6) pins engine-dependent float summation order
-    return similarity.class_centroids(_emb(spark, sf_dir), "label", "embedding")
+    # round(6) pins engine-dependent float summation order. Output is
+    # exploded to (label, pos, m) scalar rows: the driver's pandas-based
+    # canonicalizer cannot sort/hash array cells, and the exploded form
+    # checks every element (1-based pos to match SQL subscripts).
+    cent = similarity.class_centroids(_emb(spark, sf_dir), "label", "embedding")
+    return cent.select(
+        "label", F.posexplode("centroid").alias("pos0", "m")
+    ).select("label", (F.col("pos0") + 1).cast("bigint").alias("pos"), "m")
 
 
 def _q_centroid_assign(spark, sf_dir):
@@ -858,6 +871,115 @@ def _q_range_join(spark, sf_dir):
     )
 
 
+def _q_repetition(spark, sf_dir):
+    # Gopher-style line-repetition gate with planted boilerplate (the
+    # synthetic corpus is single-line prose, so dup lines are planted on
+    # doc_id%3==0 to make the check falsifiable): pure Column folds over
+    # the line array — scan-speed, zero shuffle
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\nRepeated boilerplate line.\nRepeated boilerplate line."
+                "\nUnique tail "
+            ),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    r = text.repetition_stats(planted)
+    return docs.select(
+        "doc_id",
+        r["n_lines"].alias("n_lines"),
+        r["dup_line_frac"].alias("dup_line_frac"),
+        r["dup_line_char_frac"].alias("dup_line_char_frac"),
+    )
+
+
+def _q_domains(spark, sf_dir):
+    # web-corpus source-mix view: planted, id-derived URLs (mixed case to
+    # exercise host lowercasing) → regexp extract → explode → domain
+    # hash-agg with map-side partials; count(distinct) plans as the
+    # two-phase Expand
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Site"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.org/page and http://cdn.example.net/x"),
+        ).alias("t"),
+    )
+    return text.domain_counts(planted, "doc_id", "t")
+
+
+def _q_top_events_per_type(spark, sf_dir):
+    # grouped top-k: row_number window under a <=k filter plans a
+    # WindowGroupLimit (partial per-partition top-k BEFORE the exchange);
+    # total order (value desc, event_id) makes membership deterministic
+    ev = load_table(spark, sf_dir, "events")
+    return rank.top_k_per_group(
+        ev,
+        "event_type",
+        [F.col("value").desc_nulls_last(), F.col("event_id").asc()],
+        3,
+        rank_col="rk",
+    ).select("event_type", "event_id", "value", "rk")
+
+
+def _q_tpch_q6(spark, sf_dir):
+    # TPC-H Q6 forecast-revenue: pure Catalyst scan+filter+agg — the
+    # filters push to the parquet scan and the single global agg is a
+    # partial/final pair (one exchange of one row per partition)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue")
+    )
+
+
+def _q_tpch_q3(spark, sf_dir):
+    # TPC-H Q3 shipping-priority: broadcast the segment-filtered customer
+    # dim into the orders join (explicit hint — at 100 TB the filtered
+    # dim is still small), shuffle join to lineitem on the orderkey, one
+    # hash agg, then global top-10 via TakeOrderedAndProject (partial
+    # per-partition top-k, no full sort). Tie-break on l_orderkey pins
+    # the limit set.
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    j = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
 # -- rows-only (hash-function-dependent → no SQL oracle; driver records a
 # weaker check, the judge sees which)
 
@@ -1053,6 +1175,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "pii_redact": _q_pii_redact,
         "sessionize_batch": _q_sessionize_batch,
+        "repetition": _q_repetition,
+        "domains": _q_domains,
+        "top_events_per_type": _q_top_events_per_type,
+        "tpch_q6": _q_tpch_q6,
+        "tpch_q3": _q_tpch_q3,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1380,12 +1507,67 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(l_extendedprice), 4) as mean, count(*) as n "
             "from lineitem group by l_returnflag"
         ),
+        "repetition": (
+            "with p as (select doc_id, case when doc_id % 3 = 0 then "
+            "text || chr(10) || 'Repeated boilerplate line.' || chr(10) || "
+            "'Repeated boilerplate line.' || chr(10) || 'Unique tail ' || "
+            "doc_id::varchar else text end as t from documents), "
+            "l as (select doc_id, list_filter(list_transform("
+            "string_split(t, chr(10)), x -> trim(x)), x -> x <> '') as ls "
+            "from p), "
+            "m as (select doc_id, ls, list_distinct(ls) as ds, "
+            "coalesce(list_sum(list_transform(ls, x -> length(x))), 0) as ch, "
+            "coalesce(list_sum(list_transform(list_distinct(ls), "
+            "x -> length(x))), 0) as dch from l) "
+            "select doc_id, len(ls)::int as n_lines, "
+            "round((len(ls) - len(ds)) / greatest(len(ls), 1), 6) "
+            "as dup_line_frac, "
+            "round((ch - dch) / greatest(ch, 1), 6) as dup_line_char_frac "
+            "from m"
+        ),
+        "domains": (
+            "with p as (select doc_id, text || ' see https://Site' || "
+            "(doc_id % 7)::varchar || "
+            "'.example.org/page and http://cdn.example.net/x' as t "
+            "from documents), "
+            "ex as (select doc_id, lower(unnest(regexp_extract_all(t, "
+            "'https?://([A-Za-z0-9.-]+)', 1))) as domain from p) "
+            "select domain, count(*) as n_urls, "
+            "count(distinct doc_id) as n_docs from ex group by domain"
+        ),
+        "top_events_per_type": (
+            "select event_type, event_id, value, rk::int as rk from ("
+            "select event_type, event_id, value, row_number() over ("
+            "partition by event_type order by value desc nulls last, "
+            "event_id asc) as rk from events) t where rk <= 3"
+        ),
+        "tpch_q6": (
+            "select round(sum(l_extendedprice * l_discount), 2) as revenue "
+            "from lineitem "
+            "where l_shipdate >= timestamp '1994-01-01' "
+            "and l_shipdate < timestamp '1995-01-01' "
+            "and l_discount >= 0.05 and l_discount <= 0.07 "
+            "and l_quantity < 24"
+        ),
+        "tpch_q3": (
+            "select l_orderkey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, "
+            "o_orderdate, o_orderpriority "
+            "from customer join orders on c_custkey = o_custkey "
+            "join lineitem on l_orderkey = o_orderkey "
+            "where c_mktsegment = 'BUILDING' "
+            "and o_orderdate < timestamp '1995-03-15' "
+            "and l_shipdate > timestamp '1995-03-15' "
+            "group by l_orderkey, o_orderdate, o_orderpriority "
+            "order by revenue desc, l_orderkey asc limit 10"
+        ),
         "embed_quantize": (
             "select vec_id, "
             "round(sqrt(list_dot_product(embedding::DOUBLE[], "
             "embedding::DOUBLE[])), 4) as norm, "
-            "list_transform(embedding::DOUBLE[], x -> "
-            "greatest(least(floor(x * 127 + 0.5), 127), -127)::tinyint) as q "
+            "array_to_string(list_transform(embedding::DOUBLE[], x -> "
+            "greatest(least(floor(x * 127 + 0.5), 127), -127)::tinyint), "
+            "',') as q "
             "from embeddings"
         ),
         "chunk_documents": (
@@ -1414,8 +1596,7 @@ def oracle_sql() -> dict[str, str]:
             "select label, unnest(embedding) as x, "
             "generate_subscripts(embedding, 1) as pos from embeddings) "
             "group by label, pos) "
-            "select label, list(round(m, 6) order by pos) as centroid "
-            "from per group by label"
+            "select label, pos::bigint as pos, round(m, 6) as m from per"
         ),
         "centroid_assign": (
             "with per as (select label, pos, avg(x) as m from ("

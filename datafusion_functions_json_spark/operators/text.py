@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "lines",
+    "repetition_stats",
+    "url_domains",
+    "domain_counts",
+    "URL_PATTERN",
     "char_ngrams",
     "word_ngrams",
     "stopword_hits",
@@ -54,6 +59,86 @@ def tokens(text) -> Column:
 def token_count(text) -> Column:
     """Whitespace token count (0 for empty/blank, NULL for NULL)."""
     return F.size(tokens(text))
+
+
+def lines(text) -> Column:
+    """Non-empty trimmed lines: array<string> (split on ``\\n``)."""
+    t = _col(text)
+    return F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def repetition_stats(text) -> Column:
+    """Gopher-style line-repetition signals as a struct:
+    ``n_lines``, ``dup_line_frac`` (lines beyond the first occurrence of
+    their value / all lines), ``dup_line_char_frac`` (characters in those
+    repeat occurrences / all line characters). Boilerplate-heavy scrapes
+    (nav bars, cookie banners repeated per page section) score high and
+    get gated; clean prose scores 0.
+
+    Pure Column expressions over the line array — ``array_distinct`` +
+    two linear ``aggregate`` folds, all JVM-side, scan-speed, no shuffle
+    (per-doc line counts are small; the token-level analogs with
+    unbounded per-doc cardinality live in :func:`token_stats`, which
+    uses the exploded hash-agg shape instead)."""
+    ls = lines(text)
+    dls = F.array_distinct(ls)
+    chars = F.aggregate(
+        F.transform(ls, lambda x: F.length(x)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    dchars = F.aggregate(
+        F.transform(dls, lambda x: F.length(x)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    n = F.size(ls)
+    return F.struct(
+        n.alias("n_lines"),
+        F.round(
+            (n - F.size(dls)) / F.greatest(n, F.lit(1)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            (chars - dchars) / F.greatest(chars, F.lit(1)), 6
+        ).alias("dup_line_char_frac"),
+    )
+
+
+#: URL pattern on the common Java-regex/RE2 subset (no lookarounds):
+#: scheme + host captured up to the first path/query/space delimiter.
+URL_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_domains(text) -> Column:
+    """All URL host names in the text (array<string>, lowercased, in
+    document order, duplicates kept — callers aggregate). Scan-speed
+    ``regexp_extract_all``; no shuffle."""
+    return F.transform(
+        F.regexp_extract_all(_col(text), F.lit(URL_PATTERN), F.lit(1)),
+        lambda d: F.lower(d),
+    )
+
+
+def domain_counts(df, id_col, text_col) -> "DataFrame":
+    """Corpus-level domain frequency: ``(domain, n_urls, n_docs)`` — the
+    source-mix / blocklist view a web-scrape curation pass starts from.
+
+    Plan: explode(url_domains) → domain-keyed hash agg. ``count(*)`` is
+    map-side partial; ``count(distinct id)`` plans as the two-phase
+    distinct Expand. Domain keys are Zipf-skewed at corpus scale — the
+    partial aggregation collapses per-partition duplicates before the
+    exchange and AQE skew handling covers the rest.
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(url_domains(text_col)).alias("domain"),
+    )
+    return ex.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("__id").alias("n_docs"),
+    )
 
 
 def char_ngrams(text, n: int = 5) -> Column:

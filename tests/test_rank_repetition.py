@@ -1,0 +1,159 @@
+"""Round-4 operators: grouped top-k (rank.py), line-repetition stats,
+URL/domain extraction (text.py), and the range_join timestamp-type
+regression (joins accept TIMESTAMP_NTZ inputs, which is how newer Spark
+builds surface the testdata's TIMESTAMP(NANOS) parquet)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_json_spark.operators import joins, rank, text
+
+
+class TestTopKPerGroup:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        rows = [
+            ("a", 1, 10.0),
+            ("a", 2, 30.0),
+            ("a", 3, 20.0),
+            ("a", 4, 30.0),
+            ("b", 5, 5.0),
+            ("b", 6, None),
+        ]
+        return spark.createDataFrame(rows, "g string, id int, v double")
+
+    def test_row_number_exact_k(self, df):
+        out = rank.top_k_per_group(
+            df, "g", [F.col("v").desc_nulls_last(), F.col("id").asc()], 2
+        )
+        got = {(r.g, r.id) for r in out.collect()}
+        # group a: v=30 twice, tie broken by id -> ids 2,4; group b: all
+        assert got == {("a", 2), ("a", 4), ("b", 5), ("b", 6)}
+
+    def test_rank_keeps_boundary_ties(self, df):
+        out = rank.top_k_per_group(
+            df.filter(F.col("v").isNotNull()),
+            "g",
+            [F.col("v").desc()],
+            1,
+            mode="rank",
+        )
+        got = {(r.g, r.id) for r in out.collect()}
+        # both v=30 rows rank 1 — rank mode keeps the tie
+        assert got == {("a", 2), ("a", 4), ("b", 5)}
+
+    def test_rank_col_exposed(self, df):
+        out = rank.top_k_per_group(
+            df, "g", [F.col("v").desc_nulls_last(), F.col("id")], 3,
+            rank_col="rk",
+        )
+        rks = {r.id: r.rk for r in out.collect()}
+        assert rks[2] == 1 and rks[4] == 2 and rks[3] == 3
+
+    def test_bad_args(self, df):
+        with pytest.raises(ValueError):
+            rank.top_k_per_group(df, "g", "v", 0)
+        with pytest.raises(ValueError):
+            rank.top_k_per_group(df, "g", "v", 1, mode="ntile")
+
+    def test_partial_topk_before_exchange(self, df):
+        # row_number under <=k filter should plan a WindowGroupLimit
+        # (partial per-partition top-k before the shuffle)
+        out = rank.top_k_per_group(
+            df, "g", [F.col("v").desc_nulls_last(), F.col("id")], 2
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+class TestRepetitionStats:
+    def _one(self, spark, s):
+        df = spark.createDataFrame([(s,)], "t string")
+        return df.select(text.repetition_stats("t").alias("r")).collect()[0].r
+
+    def test_no_repeats(self, spark):
+        r = self._one(spark, "alpha\nbeta\ngamma")
+        assert r.n_lines == 3
+        assert r.dup_line_frac == 0.0
+        assert r.dup_line_char_frac == 0.0
+
+    def test_duplicate_lines(self, spark):
+        # 4 lines, "xx" appears 3 times -> 2 repeats of 2 chars each;
+        # chars = 2+2+2+4 = 10, repeat chars = 4
+        r = self._one(spark, "xx\nxx\nxx\nyyyy")
+        assert r.n_lines == 4
+        assert r.dup_line_frac == pytest.approx(0.5)
+        assert r.dup_line_char_frac == pytest.approx(0.4)
+
+    def test_blank_and_whitespace_lines_dropped(self, spark):
+        r = self._one(spark, "a\n\n   \na")
+        assert r.n_lines == 2
+        assert r.dup_line_frac == pytest.approx(0.5)
+
+    def test_empty_text(self, spark):
+        r = self._one(spark, "")
+        assert r.n_lines == 0
+        assert r.dup_line_frac == 0.0
+        assert r.dup_line_char_frac == 0.0
+
+
+class TestDomains:
+    def test_url_domains_lowercased_in_order(self, spark):
+        df = spark.createDataFrame(
+            [("see https://A.Example.org/x and http://b.example.net, done",)],
+            "t string",
+        )
+        got = df.select(text.url_domains("t").alias("d")).collect()[0].d
+        # trailing ',' is not a host char; path stripped
+        assert got == ["a.example.org", "b.example.net"]
+
+    def test_no_urls(self, spark):
+        df = spark.createDataFrame([("plain text",)], "t string")
+        assert df.select(text.url_domains("t").alias("d")).collect()[0].d == []
+
+    def test_domain_counts(self, spark):
+        rows = [
+            (1, "x https://a.org/1 y https://a.org/2"),
+            (2, "z http://a.org/3 w https://b.net/"),
+        ]
+        df = spark.createDataFrame(rows, "id int, t string")
+        got = {
+            r.domain: (r.n_urls, r.n_docs)
+            for r in text.domain_counts(df, "id", "t").collect()
+        }
+        assert got == {"a.org": (3, 2), "b.net": (1, 1)}
+
+
+class TestRangeJoinTimestampTypes:
+    def test_ntz_timestamps(self, spark):
+        # regression: TIMESTAMP_NTZ cannot cast straight to DOUBLE —
+        # range_join must route timestamp-like columns through an epoch
+        # conversion (round-3 driver failure on the natively-read NANOS
+        # testdata)
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+        pts = spark.createDataFrame(
+            [(m, t0 + dt.timedelta(minutes=m)) for m in (0, 2, 7)],
+            "pid int, ts timestamp_ntz",
+        )
+        iv = spark.createDataFrame(
+            [(100, t0, t0 + dt.timedelta(minutes=5))],
+            "iid int, s timestamp_ntz, e timestamp_ntz",
+        )
+        out = joins.range_join(
+            pts, iv, "ts", "s", "e", ["iid"], bucket_seconds=60.0
+        )
+        got = sorted((r.pid, r.iid) for r in out.collect())
+        # half-open [s, e): minutes 0 and 2 match, 7 does not
+        assert got == [(0, 100), (2, 100)]
+
+    def test_numeric_ordering_still_works(self, spark):
+        pts = spark.createDataFrame([(1, 5.0), (2, 99.0)], "pid int, ts double")
+        iv = spark.createDataFrame([(7, 0.0, 10.0)], "iid int, s double, e double")
+        out = joins.range_join(
+            pts, iv, "ts", "s", "e", ["iid"], bucket_seconds=10.0
+        )
+        assert [(r.pid, r.iid) for r in out.collect()] == [(1, 7)]
