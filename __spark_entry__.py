@@ -28,6 +28,7 @@ from datafusion_functions_json_spark.operators import (  # noqa: E402
     dedup,
     graph,
     joins,
+    layout,
     multimodal,
     pipeline,
     rank,
@@ -929,6 +930,27 @@ def _q_top_events_per_type(spark, sf_dir):
     ).select("event_type", "event_id", "value", "rk")
 
 
+def _q_zorder(spark, sf_dir):
+    # Z-order layout key over (user bucket, minute bucket): unrolled
+    # JVM bit math, scan-speed, no shuffle in the key itself — the
+    # write-side clustering (cluster_by_zorder) adds exactly one range
+    # exchange; the key math here is what the DuckDB twin reproduces
+    ev = load_table(spark, sf_dir, "events")
+    minute = F.floor(
+        F.col("ts").cast("timestamp").cast("double") / 60
+    ).cast("long")
+    return ev.select(
+        "event_id",
+        layout.zorder_key(
+            [
+                F.pmod(F.col("user_id"), F.lit(1 << 16)),
+                F.pmod(minute, F.lit(1 << 16)),
+            ],
+            bits=16,
+        ).alias("zkey"),
+    )
+
+
 def _q_tpch_q6(spark, sf_dir):
     # TPC-H Q6 forecast-revenue: pure Catalyst scan+filter+agg — the
     # filters push to the parquet scan and the single global agg is a
@@ -1178,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "domains": _q_domains,
         "top_events_per_type": _q_top_events_per_type,
+        "zorder": _q_zorder,
         "tpch_q6": _q_tpch_q6,
         "tpch_q3": _q_tpch_q3,
         # rows-only (no oracle): hash-dependent candidate generation
@@ -1540,6 +1563,13 @@ def oracle_sql() -> dict[str, str]:
             "select event_type, event_id, value, row_number() over ("
             "partition by event_type order by value desc nulls last, "
             "event_id asc) as rk from events) t where rk <= 3"
+        ),
+        "zorder": (
+            "with b as (select event_id, user_id % 65536 as u, "
+            "((epoch_ns(ts) // 1000000000) // 60) % 65536 as m from events) "
+            "select event_id, "
+            + layout.zorder_key_sql(["u", "m"], bits=16)
+            + "::bigint as zkey from b"
         ),
         "tpch_q6": (
             "select round(sum(l_extendedprice * l_discount), 2) as revenue "

@@ -90,9 +90,18 @@ def sessionize_batch(
     lambda pairing, with identical session semantics.
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
+    # TIMESTAMP_NTZ (how newer Spark reads the testdata's NANOS parquet)
+    # cannot cast straight to LONG — route timestamp-like columns
+    # through a TIMESTAMP cast (session-tz epoch; one fixed offset per
+    # session, so gaps and session bounds are unaffected)
+    ts_dt = df.schema[ts_col].dataType
+    tcol = F.col(ts_col)
+    if isinstance(ts_dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        tcol = tcol.cast("timestamp")
     base = df.select(
-        F.col(user_col).alias("user"), F.col(ts_col).cast("long").alias("_s")
+        F.col(user_col).alias("user"), tcol.cast("long").alias("_s")
     )
     w = Window.partitionBy("user").orderBy("_s")
     prev = F.lag("_s").over(w)

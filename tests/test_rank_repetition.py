@@ -157,3 +157,78 @@ class TestRangeJoinTimestampTypes:
             pts, iv, "ts", "s", "e", ["iid"], bucket_seconds=10.0
         )
         assert [(r.pid, r.iid) for r in out.collect()] == [(1, 7)]
+
+
+class TestZorder:
+    def test_key_interleaves_bits(self, spark):
+        from datafusion_functions_json_spark.operators import layout
+
+        df = spark.createDataFrame([(1, 0), (0, 1), (3, 3)], "x long, y long")
+        got = [
+            r.z
+            for r in df.select(
+                layout.zorder_key(["x", "y"], bits=2).alias("z")
+            ).collect()
+        ]
+        # bit i of dim j -> position i*2+j: (1,0)->1, (0,1)->2, (3,3)->15
+        assert got == [1, 2, 15]
+
+    def test_sql_twin_matches(self, spark):
+        import duckdb
+
+        from datafusion_functions_json_spark.operators import layout
+
+        rows = [(a, b) for a in range(8) for b in range(8)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        s = sorted(
+            r.z
+            for r in df.select(
+                layout.zorder_key(["x", "y"], bits=4).alias("z")
+            ).collect()
+        )
+        expr = layout.zorder_key_sql(["x", "y"], bits=4)
+        d = sorted(
+            v[0]
+            for v in duckdb.sql(
+                "select "
+                + expr
+                + " from (select unnest(range(8)) as x) a, "
+                "(select unnest(range(8)) as y) b"
+            ).fetchall()
+        )
+        assert s == d
+
+    def test_mask_wraps_out_of_range(self, spark):
+        from datafusion_functions_json_spark.operators import layout
+
+        df = spark.createDataFrame([(5 + 16,)], "x long")
+        got = df.select(layout.zorder_key(["x"], bits=4).alias("z")).collect()
+        assert got[0].z == 5
+
+    def test_cluster_sorts_within_range_partitions(self, spark):
+        from datafusion_functions_json_spark.operators import layout
+
+        rows = [(i % 7, (i * 3) % 11) for i in range(200)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        out = layout.cluster_by_zorder(
+            df, ["x", "y"], bits=4, num_partitions=4, key_col="zk"
+        )
+        # partitions hold disjoint, internally-sorted key ranges
+        parts = out.select("zk").rdd.glom().collect()
+        ranges = []
+        for p in parts:
+            ks = [r.zk for r in p]
+            assert ks == sorted(ks)
+            if ks:
+                ranges.append((ks[0], ks[-1]))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2
+
+    def test_bad_args(self, spark):
+        from datafusion_functions_json_spark.operators import layout
+
+        with pytest.raises(ValueError):
+            layout.zorder_key([], bits=4)
+        with pytest.raises(ValueError):
+            layout.zorder_key(["a", "b"], bits=32)
