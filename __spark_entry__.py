@@ -930,6 +930,23 @@ def _q_top_events_per_type(spark, sf_dir):
     ).select("event_type", "event_id", "value", "rk")
 
 
+def _q_unigram_lm(spark, sf_dir):
+    # CCNet-style self-trained unigram LM quality score; vocab_size=50
+    # deliberately truncates (corpus vocab is larger) so the OOV
+    # smoothing path is exercised under the oracle
+    return text.unigram_lm_score(
+        _docs(spark, sf_dir), "doc_id", "text", vocab_size=50
+    )
+
+
+def _q_bm25(spark, sf_dir):
+    # Okapi BM25 against a fixed query bag: token-array filter BEFORE
+    # the explode, broadcast corpus stats, one id-keyed agg
+    return text.bm25_scores(
+        _docs(spark, sf_dir), "doc_id", "text", ("join", "scan", "vector")
+    )
+
+
 def _q_zorder(spark, sf_dir):
     # Z-order layout key over (user bucket, minute bucket): unrolled
     # JVM bit math, scan-speed, no shuffle in the key itself — the
@@ -1201,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domains": _q_domains,
         "top_events_per_type": _q_top_events_per_type,
         "zorder": _q_zorder,
+        "unigram_lm": _q_unigram_lm,
+        "bm25": _q_bm25,
         "tpch_q6": _q_tpch_q6,
         "tpch_q3": _q_tpch_q3,
         # rows-only (no oracle): hash-dependent candidate generation
@@ -1563,6 +1582,39 @@ def oracle_sql() -> dict[str, str]:
             "select event_type, event_id, value, row_number() over ("
             "partition by event_type order by value desc nulls last, "
             "event_id asc) as rk from events) t where rk <= 3"
+        ),
+        "unigram_lm": (
+            f"with tok as (select doc_id, unnest({_TOKENS_SQL}) as token "
+            "from documents), "
+            "voc as (select token, count(*) as tf from tok group by token), "
+            "topv as (select token, tf from voc "
+            "order by tf desc, token asc limit 50), "
+            "tot as (select sum(tf) as n_total from voc), "
+            "sc as (select t.doc_id, case when v.tf is not null "
+            "then ln(v.tf / s.n_total) "
+            "else ln(1.0 / (s.n_total + 1)) end as logp "
+            "from tok t left join topv v using (token) cross join tot s), "
+            "per as (select doc_id, count(*)::bigint as n_tokens, "
+            "round(avg(logp), 6) as avg_logp from sc group by doc_id) "
+            "select doc_id, n_tokens, avg_logp, "
+            "round(exp(-avg_logp), 4) as ppl from per"
+        ),
+        "bm25": (
+            f"with d as (select doc_id, {_TOKENS_SQL} as tk from documents), "
+            "base as (select doc_id, len(tk)::bigint as dl, tk from d), "
+            "stats as (select count(*) as n, avg(dl) as avgdl from base), "
+            "hits as (select doc_id, dl, unnest(list_filter(tk, "
+            "t -> t in ('join', 'scan', 'vector'))) as token from base), "
+            "tf as (select doc_id, dl, token, count(*) as tf from hits "
+            "group by doc_id, dl, token), "
+            "dfq as (select token, count(*) as dfreq from tf group by token) "
+            "select tf.doc_id, round(sum("
+            "ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5)) * "
+            "(tf.tf * (1.2 + 1)) / "
+            "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))"
+            "), 6) as score "
+            "from tf join dfq d using (token) cross join stats s "
+            "group by tf.doc_id"
         ),
         "zorder": (
             "with b as (select event_id, user_id % 65536 as u, "

@@ -40,6 +40,8 @@ __all__ = [
     "token_stats",
     "top_tokens",
     "tf_idf",
+    "unigram_lm_score",
+    "bm25_scores",
     "decontaminate",
     "decontaminate_filter",
     "STOPWORDS",
@@ -451,6 +453,118 @@ def top_tokens(df, id_col, text_col, k: int = 100) -> "DataFrame":
     return vocabulary(df, id_col, text_col).orderBy(
         F.desc("tf"), F.asc("token")
     ).limit(k)
+
+
+def unigram_lm_score(
+    df,
+    id_col,
+    text_col,
+    *,
+    vocab_size: int = 50000,
+    round_decimals: int = 6,
+) -> "DataFrame":
+    """CCNet-style unigram language-model quality score: per-document
+    mean token log-probability under a top-``vocab_size`` unigram model
+    trained on the corpus itself — gibberish and boilerplate score far
+    below fluent in-domain text. Returns ``(id, n_tokens, avg_logp,
+    ppl)``; ``ppl`` is ``exp(-avg_logp)`` of the ROUNDED mean so both
+    engines of an oracle pair derive it from identical bits. Documents
+    with zero tokens produce no row.
+
+    Two passes over the token stream (train + score), like the
+    reference CCNet pipeline; production trains once and reuses. Scale
+    shape: the vocabulary is a token-keyed hash agg (map-side partials;
+    Zipf skew collapsed per-partition before the exchange) truncated
+    with a deterministic total order (tf desc, token asc) via
+    TakeOrdered — vocab ≪ corpus, so it BROADCASTS to the scoring join;
+    the per-doc mean is one more keyed agg. No driver-side loop, no
+    collect. OOV tokens get probability ``1/(n_total+1)``.
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("token")
+    )
+    voc = ex.groupBy("token").agg(F.count("*").alias("tf"))
+    topv = voc.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(
+        vocab_size
+    )
+    totals = voc.agg(F.sum("tf").alias("__n_total"))
+    scored = (
+        ex.join(F.broadcast(topv), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__logp",
+            F.when(
+                F.col("tf").isNotNull(),
+                F.log(F.col("tf") / F.col("__n_total")),
+            ).otherwise(F.log(F.lit(1.0) / (F.col("__n_total") + 1))),
+        )
+    )
+    per = scored.groupBy("__id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("__logp"), round_decimals).alias("avg_logp"),
+    )
+    return per.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "avg_logp",
+        F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+    )
+
+
+def bm25_scores(
+    df,
+    id_col,
+    text_col,
+    query_tokens,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_decimals: int = 6,
+) -> "DataFrame":
+    """Okapi BM25 relevance of every document to a bag of query tokens
+    (Lucene's non-negative idf variant:
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``): ``(id, score)`` for
+    documents matching at least one query token.
+
+    Plan shape: per-doc term frequencies restrict to the query bag
+    BEFORE the explode (a higher-order ``filter`` on the token array —
+    the exploded stream carries only query-term hits, not the corpus);
+    corpus stats ``N``/``avgdl`` are a 1-row aggregate and per-term
+    ``df`` a ``len(query)``-row aggregate, both broadcast into the
+    scoring join; one final id-keyed agg sums the term contributions.
+    At 100 TB: two tiny broadcasts + two keyed hash aggs, shuffle
+    volume bounded by documents-with-hits, never corpus tokens.
+    """
+    qs = [str(q) for q in query_tokens]
+    if not qs:
+        raise ValueError("query_tokens must be non-empty")
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    ).withColumn("dl", F.size("__toks"))
+    stats = base.agg(
+        F.count("*").alias("__N"), F.avg("dl").alias("__avgdl")
+    )
+    hits = base.select(
+        "__id",
+        "dl",
+        F.explode(
+            F.filter(F.col("__toks"), lambda t: t.isin(qs))
+        ).alias("token"),
+    )
+    tf = hits.groupBy("__id", "dl", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    j = tf.join(F.broadcast(dfreq), "token").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    contrib = idf * (F.col("tf") * (k1 + 1)) / denom
+    return (
+        j.groupBy("__id")
+        .agg(F.round(F.sum(contrib), round_decimals).alias("score"))
+        .select(F.col("__id").alias(id_col), "score")
+    )
 
 
 def decontaminate(

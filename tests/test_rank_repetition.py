@@ -232,3 +232,59 @@ class TestZorder:
             layout.zorder_key([], bits=4)
         with pytest.raises(ValueError):
             layout.zorder_key(["a", "b"], bits=32)
+
+
+class TestUnigramLM:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        df = spark.createDataFrame([(1, "a a b"), (2, "c")], "id int, t string")
+        out = {
+            r.id: r
+            for r in text.unigram_lm_score(
+                df, "id", "t", vocab_size=2
+            ).collect()
+        }
+        # corpus: a:2 b:1 c:1, total 4; top-2 vocab = a, b (tie b/c broken
+        # by token asc) -> c is OOV with p = 1/(4+1)
+        exp1 = round((2 * math.log(2 / 4) + math.log(1 / 4)) / 3, 6)
+        exp2 = round(math.log(1 / 5), 6)
+        assert out[1].avg_logp == pytest.approx(exp1)
+        assert out[2].avg_logp == pytest.approx(exp2)
+        assert out[1].n_tokens == 3 and out[2].n_tokens == 1
+        assert out[1].ppl == pytest.approx(round(math.exp(-exp1), 4))
+
+    def test_empty_doc_absent(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "   ")], "id int, t string")
+        got = {r.id for r in text.unigram_lm_score(df, "id", "t").collect()}
+        assert got == {1}
+
+
+class TestBM25:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "x x y"), (2, "y z"), (3, "q")], "id int, t string"
+        )
+        out = {
+            r.id: r.score
+            for r in text.bm25_scores(df, "id", "t", ("x", "y")).collect()
+        }
+        k1, b = 1.2, 0.75
+        n, avgdl = 3, (3 + 2 + 1) / 3.0
+
+        def term(tf, dfreq, dl):
+            idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        assert set(out) == {1, 2}  # doc 3 has no query terms
+        assert out[1] == pytest.approx(
+            round(term(2, 1, 3) + term(1, 2, 3), 6), abs=2e-6
+        )
+        assert out[2] == pytest.approx(round(term(1, 2, 2), 6), abs=2e-6)
+
+    def test_empty_query_raises(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id int, t string")
+        with pytest.raises(ValueError):
+            text.bm25_scores(df, "id", "t", ())
