@@ -19,6 +19,7 @@ from ..functions import api as jsonf
 __all__ = [
     "extract_json_stream",
     "windowed_json_counts",
+    "enrich_stream",
     "dedup_stream",
     "sessionize",
     "sessionize_batch",
@@ -69,6 +70,45 @@ def windowed_json_counts(
         F.window(F.col(ts_col), window).alias("win"), F.col("_key")
     ).agg(F.count("*").alias("n"))
 
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    *,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live stream (events → user/account/document metadata) — the
+    streaming twin of the batch broadcast join (`orders_join`).
+
+    Stream-static joins are STATELESS on the stream side: each
+    micro-batch joins against the static plan with no state store, no
+    watermark requirement, and unbounded-stream safety (contrast with
+    stream-stream joins, which buffer both sides). ``broadcast=True``
+    hints the dim side — at 100 TB of stream the alternative is a
+    per-micro-batch shuffle of the batch's rows against the dim, which
+    is exactly the hot-path cost you don't want; drop the hint only
+    when the dim is too big to broadcast (Spark then plans a
+    shuffle-hash/sort-merge per micro-batch).
+
+    Note file-source dims are re-listed per micro-batch by Spark, so a
+    dim path that gets rewritten between batches is picked up — the
+    standard slowly-changing-dimension refresh pattern.
+
+    ``how`` is restricted to stream-preserving joins: ``inner`` and
+    ``left`` (left = keep stream rows with no dim match, nulls for dim
+    columns). Right/full joins would need the unmatched STATIC side,
+    which is unknowable mid-stream.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"enrich_stream supports inner/left joins only, got {how!r}"
+        )
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on, how)
 
 
 def sessionize_batch(

@@ -254,3 +254,36 @@ class TestStreaming:
             ("a", 2),
             ("b", 3),
         ]
+
+
+class TestEnrichStream:
+    def test_stream_static_broadcast_join(self, spark, json_dir):
+        stream = spark.readStream.schema(SCHEMA).json(json_dir)
+        ex = js.extract_json_stream(
+            stream, "payload", {"user": ("str", "user"), "n": ("int", "n")}
+        )
+        dim = spark.createDataFrame(
+            [("a", "alpha"), ("b", "beta")], "user string, tier string"
+        )
+        out = js.enrich_stream(ex, dim, "user", how="left")
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("enriched")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.n, r.tier)
+            for r in spark.sql("select n, tier from enriched").collect()
+        }
+        # invalid-json row survives the left join with a null tier
+        assert got == {(1, "alpha"), (2, "alpha"), (3, "beta"), (None, None)}
+
+    def test_rejects_right_joins(self, spark, json_dir):
+        stream = spark.readStream.schema(SCHEMA).json(json_dir)
+        dim = spark.createDataFrame([("a", 1)], "user string, x int")
+        with pytest.raises(ValueError):
+            js.enrich_stream(stream, dim, "user", how="full")
