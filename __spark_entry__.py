@@ -1038,6 +1038,30 @@ def _q_minhash_pairs(spark, sf_dir):
     )
 
 
+def _q_minhash_incremental(spark, sf_dir):
+    # daily-increment workflow: corpus index built once (one text pass),
+    # new batch joins it on band keys — O(batch) per increment. Planted
+    # near-copies of indexed docs make the rows-only check falsifiable.
+    docs = _docs(spark, sf_dir)
+    idx_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    index = dedup.minhash_index(
+        idx_docs, "doc_id", "text", num_perm=32, mode="word", n=3
+    )
+    planted = idx_docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended tail token")).alias("text"),
+    )
+    newb = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return dedup.minhash_dup_pairs_against(
+        newb, index, "doc_id", "text",
+        num_perm=32, bands=8, mode="word", n=3, threshold=0.8,
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_dup_pairs(
         _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
@@ -1224,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_incremental": _q_minhash_incremental,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_recall": _q_ann_recall,

@@ -36,6 +36,8 @@ __all__ = [
     "minhash_signature",
     "lsh_bands",
     "minhash_dup_pairs",
+    "minhash_index",
+    "minhash_dup_pairs_against",
     "minhash_dedup",
     "simhash",
     "simhash_dup_pairs",
@@ -373,6 +375,91 @@ def minhash_dup_pairs(
         pairs.count()  # force: pairs (small) cached, base releasable
         base.unpersist()
     return pairs
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    seed: int = 42,
+    mode: str = "char",
+    n: int = 5,
+) -> DataFrame:
+    """Persistable near-dup index: ``(id, sig, hashes)`` — the one
+    expensive text pass (shingle + signature) materialized so
+    INCREMENTAL dedup never re-reads corpus text. Write it out once
+    (parquet; bucket by ``id`` for the verification joins), then run
+    :func:`minhash_dup_pairs_against` per new batch. At 100 TB this is
+    the difference between O(corpus) and O(batch) per increment: the
+    index is ~``num_perm + |shingle set|`` ints per doc, and each
+    increment touches the index via one keyed band join."""
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        _signature_with_hashes(
+            text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
+        ).alias("_s"),
+    ).filter(F.col("_s.sig").isNotNull())
+    return base.select(
+        "id", F.col("_s.sig").alias("sig"), F.col("_s.hashes").alias("hashes")
+    )
+
+
+def minhash_dup_pairs_against(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "char",
+    n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental near-dup detection: verified pairs ``(new_id,
+    index_id, jaccard)`` between a NEW batch and an existing
+    :func:`minhash_index` (built with the SAME num_perm/seed/mode/n —
+    signatures are only comparable under one permutation family).
+
+    Plan shape: the batch pays the text pass (signature map, no
+    shuffle); both sides explode to band keys and meet in ONE
+    ``(band_id, band_hash)``-keyed equi-join — the index side ships
+    only ``(band, id)`` pairs into that shuffle, with hash sets joined
+    back by id afterwards, so shuffle volume stays bands×ids, not
+    bands×shingle-sets. Batch-vs-batch duplicates are NOT reported
+    (run :func:`minhash_dup_pairs` on the batch for those); rows whose
+    ids already appear in the index are not matched to themselves.
+    """
+    rows = num_perm // bands
+    newx = minhash_index(
+        new_df, id_col, text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
+    )
+    nb = newx.withColumn(
+        "_band", F.explode(lsh_bands(F.col("sig"), bands=bands, rows=rows))
+    ).select(F.col("_band"), F.col("id").alias("new_id"))
+    ib = index.withColumn(
+        "_band", F.explode(lsh_bands(F.col("sig"), bands=bands, rows=rows))
+    ).select(F.col("_band"), F.col("id").alias("index_id"))
+    cand = (
+        nb.join(ib, "_band")
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    nh = newx.select(F.col("id").alias("_nid"), F.col("hashes").alias("ha"))
+    ih = index.select(F.col("id").alias("_iid"), F.col("hashes").alias("hb"))
+    return (
+        cand.join(nh, cand.new_id == nh._nid)
+        .drop("_nid")
+        .join(ih, cand.index_id == ih._iid)
+        .drop("_iid")
+        .withColumn("jaccard", jaccard_tokens(F.col("ha"), F.col("hb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", "jaccard")
+    )
 
 
 def minhash_dedup(

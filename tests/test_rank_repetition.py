@@ -288,3 +288,47 @@ class TestBM25:
         df = spark.createDataFrame([(1, "x")], "id int, t string")
         with pytest.raises(ValueError):
             text.bm25_scores(df, "id", "t", ())
+
+
+class TestIncrementalMinhash:
+    def test_new_batch_matches_index(self, spark):
+        from datafusion_functions_json_spark.operators import dedup
+
+        corpus = [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different content about spark partitions and shuffles"),
+            (3, "a third unrelated document mentioning parquet footers and stats"),
+        ]
+        base = spark.createDataFrame(corpus, "id long, t string")
+        idx = dedup.minhash_index(base, "id", "t", num_perm=32, mode="word", n=2)
+        new = spark.createDataFrame(
+            [
+                # near-copy of doc 1 (one word appended)
+                (101, "the quick brown fox jumps over the lazy dog again and again today"),
+                # unrelated
+                (102, "nothing shared with anything in the corpus whatsoever truly"),
+            ],
+            "id long, t string",
+        )
+        pairs = dedup.minhash_dup_pairs_against(
+            new, idx, "id", "t",
+            num_perm=32, bands=8, mode="word", n=2, threshold=0.5,
+        ).collect()
+        got = {(r.new_id, r.index_id) for r in pairs}
+        assert (101, 1) in got
+        assert all(nid != 102 for nid, _ in got)
+        for r in pairs:
+            assert 0.5 <= r.jaccard <= 1.0
+
+    def test_identical_ids_not_self_matched(self, spark):
+        from datafusion_functions_json_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "same text body for the self match exclusion test case here")],
+            "id long, t string",
+        )
+        idx = dedup.minhash_index(df, "id", "t", num_perm=32, mode="word", n=2)
+        pairs = dedup.minhash_dup_pairs_against(
+            df, idx, "id", "t", num_perm=32, bands=8, mode="word", n=2
+        ).collect()
+        assert pairs == []
