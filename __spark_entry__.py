@@ -974,8 +974,8 @@ def _q_tpch_q6(spark, sf_dir):
     # partial/final pair (one exchange of one row per partition)
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -997,10 +997,10 @@ def _q_tpch_q3(spark, sf_dir):
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
     )
     j = (
         orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
@@ -1016,6 +1016,54 @@ def _q_tpch_q3(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def _q_tpch_q5(spark, sf_dir):
+    # TPC-H Q5 local-supplier-volume, 6-table join tree with honest
+    # 100 TB join strategies: region→nation and supplier (true dims)
+    # broadcast; orders⋈customer and lineitem⋈orders are fact-fact —
+    # shuffle hash/sort-merge joins on their keys (AQE handles skew and
+    # post-filter size surprises; broadcasting a year of orders would
+    # OOM a real cluster). Projections prune every scan to the join
+    # keys + measures; one tiny hash agg on n_name finishes it.
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asia_nations = nation.join(
+        F.broadcast(region),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    oc = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_nationkey"
+    )
+    j = (
+        li.join(oc, li["l_orderkey"] == oc["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
     )
 
 
@@ -1246,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         "tpch_q6": _q_tpch_q6,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "minhash_incremental": _q_minhash_incremental,
@@ -1651,10 +1700,23 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": (
             "select round(sum(l_extendedprice * l_discount), 2) as revenue "
             "from lineitem "
-            "where l_shipdate >= timestamp '1994-01-01' "
-            "and l_shipdate < timestamp '1995-01-01' "
+            "where l_shipdate >= timestamp '1996-01-01' "
+            "and l_shipdate < timestamp '1997-01-01' "
             "and l_discount >= 0.05 and l_discount <= 0.07 "
             "and l_quantity < 24"
+        ),
+        "tpch_q5": (
+            "select n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue "
+            "from customer join orders on c_custkey = o_custkey "
+            "join lineitem on l_orderkey = o_orderkey "
+            "join supplier on l_suppkey = s_suppkey "
+            "join nation on s_nationkey = n_nationkey "
+            "join region on n_regionkey = r_regionkey "
+            "where r_name = 'ASIA' and c_nationkey = s_nationkey "
+            "and o_orderdate >= timestamp '1996-01-01' "
+            "and o_orderdate < timestamp '1997-01-01' "
+            "group by n_name"
         ),
         "tpch_q3": (
             "select l_orderkey, "
@@ -1663,8 +1725,8 @@ def oracle_sql() -> dict[str, str]:
             "from customer join orders on c_custkey = o_custkey "
             "join lineitem on l_orderkey = o_orderkey "
             "where c_mktsegment = 'BUILDING' "
-            "and o_orderdate < timestamp '1995-03-15' "
-            "and l_shipdate > timestamp '1995-03-15' "
+            "and o_orderdate < timestamp '1997-03-15' "
+            "and l_shipdate > timestamp '1997-03-15' "
             "group by l_orderkey, o_orderdate, o_orderpriority "
             "order by revenue desc, l_orderkey asc limit 10"
         ),

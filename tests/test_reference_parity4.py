@@ -102,3 +102,51 @@ class TestOperatorFilters:
             spark, "select (json_data->>'foo')::int as v from other"
         ).collect()
         assert [r.v for r in rows] == [42, 42, None, None]
+
+
+class TestDictNullMasking:
+    """reference: tests/main.rs:1781-1845 (test_dict_get_no_null_values
+    + check_for_null_dictionary_values) — the reference asserts that no
+    non-null dictionary KEY points at a null VALUE, i.e. a missing path
+    must surface as a null RESULT, never as a present union whose arms
+    are null. Dictionary encoding is Arrow-physical (no Spark logical
+    analog), so the portable invariant is value-level: the union struct
+    is null exactly on miss rows, and on hit rows exactly the matched
+    arm is populated (union.py's whole-struct-NULL masking)."""
+
+    # the reference's build_dict_schema values (tests/main.rs:1970-1982)
+    ROWS = [
+        '{"foo": "bar"}',
+        '{"baz": "fizz"}',
+        "nah",
+        '{"baz": "abcd"}',
+        None,
+        '{"baz": "fizz"}',
+        '{"baz": "fizz"}',
+        '{"baz": "fizz"}',
+        '{"baz": "fizz"}',
+        None,
+    ]
+
+    def test_get_masks_misses_entirely(self, spark):
+        df = spark.createDataFrame([(i, x) for i, x in enumerate(self.ROWS)], "i int, x string")
+        out = (
+            df.select(
+                "i",
+                jsonf.json_get("x", "baz").alias("v"),
+                jsonf.json_get_str("x", "baz").alias("s"),
+            )
+            .orderBy("i")
+            .collect()
+        )
+        expect_str = [None, "fizz", None, "abcd", None, "fizz", "fizz", "fizz", "fizz", None]
+        assert [r.s for r in out] == expect_str
+        for r, want in zip(out, expect_str):
+            if want is None:
+                # masking invariant: whole union NULL, not a husk struct
+                assert r.v is None
+            else:
+                assert r.v is not None and r.v.str == want
+                # exactly one arm set
+                arms = [f for f in r.v.asDict() if f != "type_id" and r.v[f] is not None]
+                assert arms == ["str"]
