@@ -33,6 +33,7 @@ from datafusion_functions_json_spark.operators import (  # noqa: E402
     pipeline,
     rank,
     similarity,
+    stats,
     text,
 )
 from datafusion_functions_json_spark.sources import load_table  # noqa: E402
@@ -1086,6 +1087,22 @@ def _q_minhash_pairs(spark, sf_dir):
     )
 
 
+def _q_percentiles_approx(spark, sf_dir):
+    # sketch-tier twin of `percentiles`: Greenwald-Khanna mergeable
+    # partial aggregates — bounded state per group, the only memory-safe
+    # quantile at 100 TB group sizes. Sketch outputs are
+    # implementation-specific → rows-only check (the exact tier's oracle
+    # anchors the semantics; a pytest pins the rank-error envelope).
+    return stats.grouped_percentiles(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        (0.5, 0.9),
+        exact=False,
+        accuracy=10000,
+    )
+
+
 def _q_minhash_incremental(spark, sf_dir):
     # daily-increment workflow: corpus index built once (one text pass),
     # new batch joins it on band keys — O(batch) per increment. Planted
@@ -1297,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
+        "percentiles_approx": _q_percentiles_approx,
         "minhash_incremental": _q_minhash_incremental,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,

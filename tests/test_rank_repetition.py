@@ -332,3 +332,62 @@ class TestIncrementalMinhash:
             df, idx, "id", "t", num_perm=32, bands=8, mode="word", n=2
         ).collect()
         assert pairs == []
+
+
+class TestGroupedPercentiles:
+    def test_exact_matches_duckdb_quantile_cont(self, spark):
+        import duckdb
+
+        from datafusion_functions_json_spark.operators import stats
+
+        rows = [("a", float(i)) for i in range(101)] + [
+            ("b", float(i * i)) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r.g: (r.p5, r.p9, r.n)
+            for r in stats.grouped_percentiles(
+                df, "g", "v", (0.5, 0.9)
+            ).collect()
+        }
+        want = {
+            g: (p5, p9, n)
+            for g, p5, p9, n in duckdb.sql(
+                "select g, round(quantile_cont(v, 0.5), 4),"
+                " round(quantile_cont(v, 0.9), 4), count(v) from ("
+                "select 'a' as g, unnest(range(101))::double as v union all "
+                "select 'b', (x*x)::double from (select unnest(range(50)) x))"
+                " group by g"
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_approx_within_rank_error(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        rows = [("a", float(i)) for i in range(10000)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = stats.grouped_percentiles(
+            df, "g", "v", (0.5,), exact=False, accuracy=1000
+        ).collect()[0]
+        # rank error <= 1/accuracy -> value error <= 10 on 0..9999
+        assert abs(r.p5 - 4999.5) <= 11
+        assert r.n == 10000
+
+
+class TestZorderRoundtrip:
+    def test_deinterleave_recovers_inputs(self, spark):
+        from datafusion_functions_json_spark.operators import layout
+
+        rows = [(a * 37 % 256, a * 91 % 256) for a in range(300)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = df.select(
+            "x", "y", layout.zorder_key(["x", "y"], bits=8).alias("z")
+        ).collect()
+
+        def deinterleave(z, n, j, bits):
+            return sum(((z >> (i * n + j)) & 1) << i for i in range(bits))
+
+        for r in got:
+            assert deinterleave(r.z, 2, 0, 8) == r.x
+            assert deinterleave(r.z, 2, 1, 8) == r.y
