@@ -418,11 +418,18 @@ def minhash_dup_pairs_against(
     mode: str = "char",
     n: int = 5,
     threshold: float = 0.7,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental near-dup detection: verified pairs ``(new_id,
     index_id, jaccard)`` between a NEW batch and an existing
     :func:`minhash_index` (built with the SAME num_perm/seed/mode/n —
     signatures are only comparable under one permutation family).
+
+    ``materialize=True`` (default) caches the batch's signatures while
+    the pairs compute (the signature UDF otherwise re-runs in the band
+    branch AND both verification joins — a plan-audit finding), then
+    unpersists before returning; ``materialize=False`` returns a fully
+    lazy plan and persists nothing.
 
     Plan shape: the batch pays the text pass (signature map, no
     shuffle); both sides explode to band keys and meet in ONE
@@ -437,6 +444,8 @@ def minhash_dup_pairs_against(
     newx = minhash_index(
         new_df, id_col, text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
     )
+    if materialize:
+        newx = newx.persist()
     nb = newx.withColumn(
         "_band", F.explode(lsh_bands(F.col("sig"), bands=bands, rows=rows))
     ).select(F.col("_band"), F.col("id").alias("new_id"))
@@ -451,7 +460,7 @@ def minhash_dup_pairs_against(
     )
     nh = newx.select(F.col("id").alias("_nid"), F.col("hashes").alias("ha"))
     ih = index.select(F.col("id").alias("_iid"), F.col("hashes").alias("hb"))
-    return (
+    pairs = (
         cand.join(nh, cand.new_id == nh._nid)
         .drop("_nid")
         .join(ih, cand.index_id == ih._iid)
@@ -460,6 +469,11 @@ def minhash_dup_pairs_against(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "index_id", "jaccard")
     )
+    if materialize:
+        pairs = pairs.persist()
+        pairs.count()  # force: pairs (small) cached, batch sigs releasable
+        newx.unpersist()
+    return pairs
 
 
 def minhash_dedup(
