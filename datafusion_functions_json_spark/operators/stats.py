@@ -43,7 +43,8 @@ def grouped_percentiles(
     v = F.col(value_col)
     aggs = []
     for p in probs:
-        name = f"p{str(p).replace('0.', '').rstrip('0') or '0'}"
+        frac = str(p).replace("0.", "").rstrip("0") or "0"
+        name = f"p{frac.replace('.', '_')}"  # p=1.0 -> p1_, never a dotted name
         c = (
             F.percentile(v, F.lit(float(p)))
             if exact
