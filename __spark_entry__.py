@@ -1068,6 +1068,85 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_tpch_q4(spark, sf_dir):
+    # TPC-H Q4 shape (EXISTS → left-semi join; adapted: this lineitem
+    # has no commitdate/receiptdate, so "late" = shipped >90 days after
+    # order). The semi join is an equi-join on the orderkey with the
+    # inequality as a join-side predicate — hash semi join, no
+    # correlated per-row subquery execution.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > orders["o_orderdate"] + F.expr("interval 90 days")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+def _q_tpch_q12(spark, sf_dir):
+    # TPC-H Q12 shape (join + conditional aggregation; adapted: grouped
+    # by l_returnflag since this schema has no shipmode): one shuffle
+    # join on the orderkey, CASE partials fold map-side
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def _q_tpch_q14(spark, sf_dir):
+    # TPC-H Q14 promotion-revenue share: part dim broadcast into the
+    # month's lineitem slice; the percentage is one conditional-sum /
+    # sum pair in a single partial/final agg
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def _q_cohort_retention(spark, sf_dir):
+    # activation/decay over the event stream: first-seen keyed agg +
+    # one user-keyed join + two-phase distinct count. DAILY periods —
+    # the synthetic stream spans one month, so weekly cohorts would
+    # collapse to a single row group
+    return stats.cohort_retention(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        period_seconds=86400,
+        max_offset=7,
+    )
+
+
 # -- rows-only (hash-function-dependent → no SQL oracle; driver records a
 # weaker check, the judge sees which)
 
@@ -1312,6 +1391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q14": _q_tpch_q14,
+        "cohort_retention": _q_cohort_retention,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "percentiles_approx": _q_percentiles_approx,
@@ -1735,6 +1818,49 @@ def oracle_sql() -> dict[str, str]:
             "and o_orderdate >= timestamp '1996-01-01' "
             "and o_orderdate < timestamp '1997-01-01' "
             "group by n_name"
+        ),
+        "tpch_q4": (
+            "select o_orderpriority, count(*) as n from orders o "
+            "where o_orderdate >= timestamp '1996-01-01' "
+            "and o_orderdate < timestamp '1996-04-01' "
+            "and exists (select 1 from lineitem l "
+            "where l.l_orderkey = o.o_orderkey "
+            "and l.l_shipdate > o.o_orderdate + interval 90 day) "
+            "group by o_orderpriority"
+        ),
+        "tpch_q12": (
+            "select l_returnflag, "
+            "sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') "
+            "then 1 else 0 end)::bigint as high_line_count, "
+            "sum(case when o_orderpriority in ('1-URGENT', '2-HIGH') "
+            "then 0 else 1 end)::bigint as low_line_count "
+            "from lineitem join orders on l_orderkey = o_orderkey "
+            "where l_shipdate >= timestamp '1996-01-01' "
+            "and l_shipdate < timestamp '1997-01-01' "
+            "group by l_returnflag"
+        ),
+        "tpch_q14": (
+            "select round(100.0 * "
+            "sum(case when p_type = 'PROMO' "
+            "then l_extendedprice * (1 - l_discount) else 0 end) / "
+            "sum(l_extendedprice * (1 - l_discount)), 4) "
+            "as promo_revenue_pct "
+            "from lineitem join part on l_partkey = p_partkey "
+            "where l_shipdate >= timestamp '1996-09-01' "
+            "and l_shipdate < timestamp '1996-10-01'"
+        ),
+        "cohort_retention": (
+            "with e as (select user_id as user, "
+            "((epoch_ns(ts) // 1000000000) // 86400)::bigint as w "
+            "from events where user_id is not null and ts is not null), "
+            "f as (select user, min(w) as cohort_period from e "
+            "group by user), "
+            "j as (select e.user, f.cohort_period, "
+            "e.w - f.cohort_period as period_offset "
+            "from e join f using (user)) "
+            "select cohort_period, period_offset, "
+            "count(distinct user) as n_users from j "
+            "where period_offset <= 7 group by cohort_period, period_offset"
         ),
         "tpch_q3": (
             "select l_orderkey, "

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_percentiles"]
+__all__ = ["grouped_percentiles", "cohort_retention"]
 
 
 def grouped_percentiles(
@@ -55,3 +55,45 @@ def grouped_percentiles(
         aggs.append(c.alias(name))
     aggs.append(F.count(v).alias("n"))
     return df.groupBy(*groups).agg(*aggs)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    period_seconds: int = 604800,
+    max_offset: int = 3,
+) -> DataFrame:
+    """Cohort retention: ``(cohort_period, period_offset, n_users)`` —
+    users grouped by the period of their FIRST event, counted as
+    retained in each later period they appear in (offset 0 is the
+    cohort size itself). The standard activation/decay view over an
+    event stream, epoch-aligned periods (default weekly) so results are
+    engine-reproducible.
+
+    Plan shape: one user-keyed hash agg for first-seen (map-side
+    partial), one shuffle join back on the user key (both sides hash on
+    ``user`` — with AQE the exchange is reused), then a distinct-count
+    agg on (cohort, offset) — Spark's two-phase distinct Expand. No
+    window, no per-user loop; at 100 TB every step is a keyed
+    partial-agg shuffle."""
+    from pyspark.sql import types as T
+
+    ts_dt = df.schema[ts_col].dataType
+    tcol = F.col(ts_col)
+    if isinstance(ts_dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        tcol = tcol.cast("timestamp")
+    period = F.floor(tcol.cast("double") / float(period_seconds)).cast("long")
+    ev = df.select(F.col(user_col).alias("user"), period.alias("w")).filter(
+        F.col("user").isNotNull() & F.col("w").isNotNull()
+    )
+    first = ev.groupBy("user").agg(F.min("w").alias("cohort_period"))
+    j = ev.join(first, "user").withColumn(
+        "period_offset", F.col("w") - F.col("cohort_period")
+    )
+    return (
+        j.filter(F.col("period_offset") <= max_offset)
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.countDistinct("user").alias("n_users"))
+    )

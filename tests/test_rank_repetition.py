@@ -391,3 +391,37 @@ class TestZorderRoundtrip:
         for r in got:
             assert deinterleave(r.z, 2, 0, 8) == r.x
             assert deinterleave(r.z, 2, 1, 8) == r.y
+
+
+class TestCohortRetention:
+    def test_hand_built_cohorts(self, spark):
+        import datetime as dtm
+
+        from datafusion_functions_json_spark.operators import stats
+
+        d0 = dtm.datetime(2024, 1, 1)
+        day = dtm.timedelta(days=1)
+        rows = [
+            # user A: first day 0, returns day 1 and 2 (twice on day 1)
+            ("a", d0), ("a", d0 + day), ("a", d0 + day), ("a", d0 + 2 * day),
+            # user B: first day 0, never returns
+            ("b", d0),
+            # user C: first day 2
+            ("c", d0 + 2 * day),
+            # null user dropped
+            (None, d0),
+        ]
+        df = spark.createDataFrame(rows, "u string, ts timestamp")
+        got = {
+            (r.cohort_period, r.period_offset): r.n_users
+            for r in stats.cohort_retention(
+                df, "u", "ts", period_seconds=86400, max_offset=7
+            ).collect()
+        }
+        base = int(d0.timestamp()) // 86400
+        assert got == {
+            (base, 0): 2,      # a, b
+            (base, 1): 1,      # a
+            (base, 2): 1,      # a
+            (base + 2, 0): 1,  # c
+        }
