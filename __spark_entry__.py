@@ -1133,6 +1133,63 @@ def _q_tpch_q14(spark, sf_dir):
     )
 
 
+def _q_pagerank(spark, sf_dir):
+    # PageRank over the documents' token-transition graph (distinct
+    # consecutive-token pairs): one lead() window builds the edges, then
+    # 3 power-iteration rounds — each ONE keyed join + ONE partial-agg
+    # shuffle, lineage-checkpointed (operators/graph.pagerank). The
+    # DuckDB twin unrolls the same 3 iterations as CTEs.
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.posexplode(text.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    edges = (
+        ex.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
+        .select(F.col("tok").alias("src"), F.col("nxt").alias("dst"))
+        .distinct()
+    )
+    return graph.pagerank(edges, iters=3)
+
+
+def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85) -> str:
+    head = (
+        f"with d as (select doc_id, {_TOKENS_SQL} as tk from documents), "
+        "tk as (select doc_id, unnest(tk) as tok, "
+        "generate_subscripts(tk, 1) as pos from d), "
+        "nx as (select doc_id, tok, lead(tok) over ("
+        "partition by doc_id order by pos) as nxt from tk), "
+        "edges as (select distinct tok as src, nxt as dst from nx "
+        "where nxt is not null and tok <> nxt), "
+        "nodes as (select src as node from edges "
+        "union select dst from edges), "
+        "nn as (select count(*) as n from nodes), "
+        "deg as (select src, count(*) as d from edges group by src), "
+        "r0 as (select node, 1.0 / (select n from nn) as rank from nodes)"
+    )
+    parts = [head]
+    for i in range(1, iters + 1):
+        p, q = f"r{i - 1}", f"r{i}"
+        parts.append(
+            f", c{i} as (select e.dst as node, sum(r.rank / d.d) as ir "
+            f"from edges e join deg d using (src) "
+            f"join {p} r on r.node = e.src group by e.dst), "
+            f"p{i} as (select n.node, (1 - {damping}) / (select n from nn) "
+            f"+ {damping} * coalesce(c{i}.ir, 0) as rank "
+            f"from nodes n left join c{i} using (node)), "
+            f"t{i} as (select sum(rank) as t from p{i}), "
+            f"{q} as (select node, rank / (select t from t{i}) as rank "
+            f"from p{i})"
+        )
+    parts.append(
+        f" select node, round(rank, 6) as rank from r{iters}"
+    )
+    return "".join(parts)
+
+
 def _q_cohort_retention(spark, sf_dir):
     # activation/decay over the event stream: first-seen keyed agg +
     # one user-keyed join + two-phase distinct count. DAILY periods —
@@ -1395,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": _q_tpch_q12,
         "tpch_q14": _q_tpch_q14,
         "cohort_retention": _q_cohort_retention,
+        "pagerank": _q_pagerank,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "percentiles_approx": _q_percentiles_approx,
@@ -1849,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
             "where l_shipdate >= timestamp '1996-09-01' "
             "and l_shipdate < timestamp '1996-10-01'"
         ),
+        "pagerank": _pagerank_oracle_sql(iters=3),
         "cohort_retention": (
             "with e as (select user_id as user, "
             "((epoch_ns(ts) // 1000000000) // 86400)::bigint as w "

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_by_components"]
+__all__ = ["connected_components", "dedup_by_components", "pagerank"]
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -136,3 +136,77 @@ def dedup_by_components(
         F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """PageRank over a directed edge DataFrame: ``(node, rank)``.
+
+    Power iteration, normalized to sum≈1: each round distributes every
+    node's rank over its out-edges (one join keyed on ``src``),
+    aggregates contributions by target (one hash agg keyed on ``dst``),
+    and applies the damping teleport. Dangling nodes' (no out-edges)
+    rank re-enters through the teleport term uniformly — the standard
+    simplification; ranks are renormalized each round so the total
+    stays 1 regardless.
+
+    Scale shape per round: ONE shuffle join (ranks ⋈ out-degree edges,
+    both keyed on the node) + ONE keyed hash agg with map-side partials
+    — the same cost profile as the connected-components rounds, with
+    ``localCheckpoint`` truncating lineage per iteration. A hot page
+    (high in-degree) is a skewed AGGREGATION key, which partial
+    aggregation flattens before the exchange — not a join hot spot.
+    Fixed ``iters`` keeps the plan deterministic (no convergence test
+    action per round beyond the checkpoint); ``round_decimals`` pins
+    float summation order so results are engine-reproducible.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    out = e.join(deg, "src")  # (src, dst, _deg)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contrib = (
+            out.join(ranks, out["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / n_nodes
+                    + damping * F.coalesce(F.col("in_rank"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        # renormalize (dangling mass) and truncate lineage
+        total = ranks.agg(F.sum("rank")).collect()[0][0]
+        ranks = ranks.withColumn(
+            "rank", F.col("rank") / F.lit(float(total))
+        ).localCheckpoint()
+    if round_decimals is not None:
+        ranks = ranks.withColumn("rank", F.round("rank", round_decimals))
+    return ranks

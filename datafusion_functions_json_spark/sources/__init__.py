@@ -14,7 +14,9 @@ from .io import (
     load_tables,
     read_csv,
     read_jsonl,
+    read_orc,
     session_defaults,
+    write_orc,
 )
 from .sinks import estimate_files, write_bucketed, write_partitioned
 
@@ -23,6 +25,8 @@ __all__ = [
     "load_tables",
     "read_jsonl",
     "read_csv",
+    "read_orc",
+    "write_orc",
     "session_defaults",
     "TABLES",
     "SCALE_CONF",

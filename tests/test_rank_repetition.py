@@ -425,3 +425,51 @@ class TestCohortRetention:
             (base, 2): 1,      # a
             (base + 2, 0): 1,  # c
         }
+
+
+class TestPageRank:
+    def _py_pagerank(self, edges, iters=10, damping=0.85):
+        nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+        n = len(nodes)
+        deg = {}
+        for a, _ in edges:
+            deg[a] = deg.get(a, 0) + 1
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(iters):
+            contrib = {v: 0.0 for v in nodes}
+            for a, b in edges:
+                contrib[b] += r[a] / deg[a]
+            r = {v: (1 - damping) / n + damping * contrib[v] for v in nodes}
+            t = sum(r.values())
+            r = {v: x / t for v, x in r.items()}
+        return r
+
+    def test_matches_python_reference(self, spark):
+        from datafusion_functions_json_spark.operators import graph
+
+        edges = [(1, 2), (2, 3), (3, 1), (4, 3), (2, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.rank
+            for r in graph.pagerank(df, iters=10).collect()
+        }
+        want = self._py_pagerank(edges, iters=10)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(round(want[v], 6), abs=2e-6)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+    def test_hub_outranks_leaf(self, spark):
+        from datafusion_functions_json_spark.operators import graph
+
+        # star pointing at node 0
+        edges = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.rank for r in graph.pagerank(df, iters=5).collect()}
+        assert got[0] == max(got.values())
+
+    def test_empty_graph(self, spark):
+        from datafusion_functions_json_spark.operators import graph
+
+        df = spark.createDataFrame([], "src long, dst long")
+        assert graph.pagerank(df, iters=2).collect() == []

@@ -141,3 +141,25 @@ class TestPreparedArgs:
             args={"k": "foo", "v": "abc"},
         ).collect()
         assert [r.name for r in rows] == ["object_foo"]
+
+
+class TestOrc:
+    def test_orc_roundtrip_with_json_functions(self, spark, tmp_path):
+        from datafusion_functions_json_spark.sources import read_orc, write_orc
+
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id", "event_type", "props"
+        )
+        out = str(tmp_path / "events_orc")
+        write_orc(ev, out, partition_by=["event_type"], max_records_per_file=400)
+        back = read_orc(spark, out)
+        assert back.count() == 1000
+        # JSON functions work unchanged on the ORC-sourced strings
+        n = back.select(jsonf.json_get_int("props", "k").alias("k")).filter(
+            F.col("k").isNotNull()
+        ).count()
+        assert n > 0
+        # partition pruning applies to the hive layout
+        one = back.filter(F.col("event_type") == "click")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "click" in plan
