@@ -1133,6 +1133,21 @@ def _q_tpch_q14(spark, sf_dir):
     )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    # deterministic weighted sampling without replacement (A-ES
+    # exponential sort; weight = token count): pure projection for the
+    # key + TakeOrderedAndProject partial top-k — no full sort, no
+    # shuffle; the salted-md5 draw makes the exact selection
+    # reproducible on any engine (DuckDB twin picks identical rows)
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    wdf = docs.select(
+        "doc_id", text.token_count(F.col("text")).cast("double").alias("w")
+    )
+    return split_ops.weighted_sample(wdf, "doc_id", "w", 40, salt="r4")
+
+
 def _q_pagerank(spark, sf_dir):
     # PageRank over the documents' token-transition graph (distinct
     # consecutive-token pairs): one lead() window builds the edges, then
@@ -1453,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": _q_tpch_q14,
         "cohort_retention": _q_cohort_retention,
         "pagerank": _q_pagerank,
+        "weighted_sample": _q_weighted_sample,
         # rows-only (no oracle): hash-dependent candidate generation
         "minhash_pairs": _q_minhash_pairs,
         "percentiles_approx": _q_percentiles_approx,
@@ -1908,6 +1924,15 @@ def oracle_sql() -> dict[str, str]:
             "and l_shipdate < timestamp '1996-10-01'"
         ),
         "pagerank": _pagerank_oracle_sql(iters=3),
+        "weighted_sample": (
+            f"with t as (select doc_id, len({_TOKENS_SQL})::double as w "
+            "from documents), "
+            "k as (select doc_id, w, "
+            "pow(try_cast(('0x' || substr(md5('r4:' || doc_id::varchar), "
+            "1, 8)) as bigint) / 4294967296.0, 1.0 / w) as key "
+            "from t where w > 0) "
+            "select doc_id, w from k order by key desc, doc_id asc limit 40"
+        ),
         "cohort_retention": (
             "with e as (select user_id as user, "
             "((epoch_ns(ts) // 1000000000) // 86400)::bigint as w "

@@ -32,6 +32,7 @@ __all__ = [
     "mixture_resample",
     "pack_batches",
     "stratified_sample",
+    "weighted_sample",
 ]
 
 _U32 = float(1 << 32)
@@ -236,3 +237,44 @@ def stratified_sample(
     else:
         budget = F.lit(int(n_per_stratum))
     return ranked.filter(F.col("_rank") <= budget).drop("_rank")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col,
+    k: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of exactly ``k`` rows
+    (fewer if the eligible input is smaller): the A-ES exponential-sort
+    scheme (Efraimidis & Spirakis) — every row draws a key
+    ``u^(1/w)`` with ``u`` uniform-[0,1), and the k largest keys win.
+    Inclusion probability is proportional to weight, and because ``u``
+    comes from :func:`split_fraction`'s salted md5 of the id, the
+    selection is fully DETERMINISTIC: same ids + weights + salt pick
+    the same rows on any engine, at any scale, under any partitioning —
+    reproducible corpus subsampling you can re-derive years later.
+
+    Plan shape: a pure projection computes the key, then a global
+    top-k — ``TakeOrderedAndProject`` (per-partition partial top-k, no
+    full sort, no shuffle of the data — only k rows per partition reach
+    the driver-side merge). Rows with NULL, zero, or negative weight
+    are excluded (their inclusion probability is 0).
+
+    Ties (astronomically unlikely on continuous keys) break by id so
+    the result stays total-ordered and reproducible.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = split_fraction(id_col, salt)
+    key = F.pow(u, 1.0 / w.cast("double"))
+    eligible = df.filter(w.isNotNull() & (w.cast("double") > 0))
+    return (
+        eligible.withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__wkey")
+    )

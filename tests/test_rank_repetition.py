@@ -473,3 +473,55 @@ class TestPageRank:
 
         df = spark.createDataFrame([], "src long, dst long")
         assert graph.pagerank(df, iters=2).collect() == []
+
+
+class TestWeightedSample:
+    def test_deterministic_and_weight_biased(self, spark):
+        from datafusion_functions_json_spark.operators import split as sp
+
+        # 200 rows; ids 0..99 weight 1, ids 100..199 weight 20
+        rows = [(i, 1.0 if i < 100 else 20.0) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got1 = sorted(r.id for r in sp.weighted_sample(df, "id", "w", 50, salt="s").collect())
+        got2 = sorted(r.id for r in sp.weighted_sample(df, "id", "w", 50, salt="s").collect())
+        assert got1 == got2 and len(got1) == 50
+        heavy = sum(1 for i in got1 if i >= 100)
+        # heavy rows are 20x more likely — expect the sample dominated
+        assert heavy > 35
+
+    def test_matches_duckdb_selection(self, spark):
+        import duckdb
+
+        from datafusion_functions_json_spark.operators import split as sp
+
+        rows = [(i, float(1 + i % 7)) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got = sorted(r.id for r in sp.weighted_sample(df, "id", "w", 25, salt="x").collect())
+        want = sorted(
+            v[0]
+            for v in duckdb.sql(
+                "with t as (select unnest(range(300)) as id), "
+                "k as (select id, (1 + id % 7)::double as w, "
+                "pow(try_cast(('0x' || substr(md5('x:' || id::varchar), 1, 8)) "
+                "as bigint) / 4294967296.0, 1.0 / ((1 + id % 7)::double)) as key "
+                "from t) "
+                "select id from k order by key desc, id asc limit 25"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_zero_and_null_weights_excluded(self, spark):
+        from datafusion_functions_json_spark.operators import split as sp
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, None), (3, 5.0)], "id long, w double"
+        )
+        got = [r.id for r in sp.weighted_sample(df, "id", "w", 10).collect()]
+        assert got == [3]
+
+    def test_bad_k(self, spark):
+        from datafusion_functions_json_spark.operators import split as sp
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, w double")
+        with pytest.raises(ValueError):
+            sp.weighted_sample(df, "id", "w", 0)
