@@ -1278,6 +1278,17 @@ def _q_minhash_incremental(spark, sf_dir):
     )
 
 
+def _q_knn_graph(spark, sf_dir):
+    # hard-negative-mining primitive: multi-table SRP-LSH candidate
+    # join + exact cosine re-rank + WindowGroupLimit top-k per vector
+    # (bucket-hash-dependent candidates → rows-only check)
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.knn_graph(
+        emb, "vec_id", "embedding", dim, k=5, n_planes=8, n_tables=4
+    )
+
+
 def _q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_dup_pairs(
         _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
@@ -1473,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "percentiles_approx": _q_percentiles_approx,
         "minhash_incremental": _q_minhash_incremental,
+        "knn_graph": _q_knn_graph,
         "simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_recall": _q_ann_recall,

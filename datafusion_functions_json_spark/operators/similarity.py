@@ -44,6 +44,7 @@ __all__ = [
     "ivf_build",
     "ivf_topk",
     "embedding_dup_pairs",
+    "knn_graph",
     "class_centroids",
     "centroid_assign",
     "kmeans_fit",
@@ -530,4 +531,84 @@ def centroid_assign(
         id_col,
         F.col("_best").getField("_clabel").alias("pred_label"),
         F.col("_best").getField("_d2").alias("dist"),
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    *,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph: ``(id, nbr_id, cosine)``
+    with up to ``k`` neighbors per vector — the hard-negative-mining /
+    contrastive-pair primitive of embedding training pipelines.
+
+    Multi-table LSH: each of ``n_tables`` independent hyperplane sets
+    buckets every vector once, candidates meet in a ``(table, bucket)``
+    keyed equi-join — NEVER an all-pairs product — and a vector's
+    recall misses in one table are caught by another (standard
+    multi-table SRP trade: recall grows with ``n_tables``, candidate
+    volume with ``n_tables / 2^n_planes``). Exact cosine re-ranks the
+    union of candidates, and ``row_number <= k`` plans a
+    WindowGroupLimit (partial per-partition top-k BEFORE the id-keyed
+    exchange). Deterministic output: ties break by neighbor id.
+
+    At 100 TB: shuffle volume is bounded by bucket-collision pairs;
+    skewed buckets (dense regions) are aggregation/window keys that AQE
+    and the partial top-k flatten. For repeated mining runs, persist
+    the bucketed base once (:func:`add_lsh_buckets` note).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    base = df.select(F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v"))
+    tables = []
+    for t in range(n_tables):
+        tables.append(
+            base.withColumn(
+                "_b", lsh_bucket("_v", dim, n_planes=n_planes, seed=seed + t)
+            ).withColumn("_t", F.lit(t))
+        )
+    cand = tables[0]
+    for t in tables[1:]:
+        cand = cand.unionByName(t)
+    pairs = (
+        cand.alias("L")
+        .join(
+            cand.alias("R"),
+            (F.col("L._t") == F.col("R._t"))
+            & (F.col("L._b") == F.col("R._b"))
+            & (F.col("L._id") != F.col("R._id")),
+        )
+        .select(
+            F.col("L._id").alias("id"),
+            F.col("R._id").alias("nbr_id"),
+            F.col("L._v").alias("va"),
+            F.col("R._v").alias("vb"),
+        )
+        .dropDuplicates(["id", "nbr_id"])
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    )
+    scored = pairs.withColumn("cosine", F.round(cos, 6)).select(
+        "id", "nbr_id", "cosine"
+    )
+    from .rank import top_k_per_group
+
+    return top_k_per_group(
+        scored,
+        "id",
+        [F.col("cosine").desc(), F.col("nbr_id").asc()],
+        k,
     )

@@ -525,3 +525,53 @@ class TestWeightedSample:
         df = spark.createDataFrame([(1, 1.0)], "id long, w double")
         with pytest.raises(ValueError):
             sp.weighted_sample(df, "id", "w", 0)
+
+
+class TestKnnGraph:
+    def test_neighbors_stay_in_cluster(self, spark):
+        from datafusion_functions_json_spark.operators import similarity
+
+        # two tight clusters in 8-dim space
+        import random
+
+        rnd = random.Random(7)
+        rows = []
+        for i in range(20):
+            base = [1.0] * 4 + [0.0] * 4
+            rows.append((i, [x + rnd.uniform(-0.01, 0.01) for x in base]))
+        for i in range(20, 40):
+            base = [0.0] * 4 + [1.0] * 4
+            rows.append((i, [x + rnd.uniform(-0.01, 0.01) for x in base]))
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        g = similarity.knn_graph(df, "id", "v", 8, k=3, n_planes=6, n_tables=4)
+        got = g.collect()
+        assert len(got) > 0
+        for r in got:
+            same_cluster = (r.id < 20) == (r.nbr_id < 20)
+            assert same_cluster, (r.id, r.nbr_id, r.cosine)
+            assert r.cosine > 0.9
+
+    def test_k_bound_and_determinism(self, spark):
+        from datafusion_functions_json_spark.operators import similarity
+
+        rows = [(i, [float(i % 3 == j) for j in range(3)]) for i in range(12)]
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        g1 = similarity.knn_graph(df, "id", "v", 3, k=2, n_planes=4, n_tables=3)
+        c1 = {(r.id, r.nbr_id) for r in g1.collect()}
+        g2 = similarity.knn_graph(df, "id", "v", 3, k=2, n_planes=4, n_tables=3)
+        assert c1 == {(r.id, r.nbr_id) for r in g2.collect()}
+        from collections import Counter
+
+        per_id = Counter(a for a, _ in c1)
+        assert all(n <= 2 for n in per_id.values())
+
+    def test_bad_args(self, spark):
+        from datafusion_functions_json_spark.operators import similarity
+
+        df = spark.createDataFrame([(1, [1.0])], "id long, v array<double>")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            similarity.knn_graph(df, "id", "v", 1, k=0)
+        with _pt.raises(ValueError):
+            similarity.knn_graph(df, "id", "v", 1, k=1, n_tables=0)
