@@ -575,3 +575,71 @@ class TestKnnGraph:
             similarity.knn_graph(df, "id", "v", 1, k=0)
         with _pt.raises(ValueError):
             similarity.knn_graph(df, "id", "v", 1, k=1, n_tables=0)
+
+
+class TestPropertyDifferentials:
+    """Hypothesis differentials: the pure-Column implementations must
+    match straightforward Python references on arbitrary inputs."""
+
+    def test_repetition_stats_matches_python(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        lines_st = st.lists(
+            st.text(alphabet="ab \t", max_size=5), min_size=0, max_size=8
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(lines_st)
+        def check(parts):
+            s = "\n".join(parts)
+            df = spark.createDataFrame([(s,)], "t string")
+            r = df.select(text.repetition_stats("t").alias("r")).collect()[0].r
+            # python reference: trimmed (spaces only, like SQL trim),
+            # non-empty lines
+            ls = [x.strip(" ") for x in s.split("\n")]
+            ls = [x for x in ls if x != ""]
+            n = len(ls)
+            d = list(dict.fromkeys(ls))
+            chars = sum(len(x) for x in ls)
+            dchars = sum(len(x) for x in d)
+            assert r.n_lines == n
+            assert r.dup_line_frac == pytest.approx(
+                round((n - len(d)) / max(n, 1), 6), abs=1e-6
+            )
+            assert r.dup_line_char_frac == pytest.approx(
+                round((chars - dchars) / max(chars, 1), 6), abs=1e-6
+            )
+
+        check()
+
+    def test_url_domains_matches_python(self, spark):
+        import re as _re
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        frag = st.lists(
+            st.one_of(
+                st.just("http://Abc.example.COM/x"),
+                st.just("https://z9-b.ORG"),
+                st.just("plain words"),
+                st.just("http:/broken"),
+                st.text(alphabet="ab ./:", max_size=8),
+            ),
+            max_size=5,
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(frag)
+        def check(parts):
+            s = " ".join(parts)
+            df = spark.createDataFrame([(s,)], "t string")
+            got = df.select(text.url_domains("t").alias("d")).collect()[0].d
+            want = [
+                m.lower()
+                for m in _re.findall(r"https?://([A-Za-z0-9.-]+)", s)
+            ]
+            assert got == want
+
+        check()
