@@ -287,3 +287,59 @@ class TestEnrichStream:
         dim = spark.createDataFrame([("a", 1)], "user string, x int")
         with pytest.raises(ValueError):
             js.enrich_stream(stream, dim, "user", how="full")
+
+
+class TestStreamingCuration:
+    def test_extract_quality_dedup_enrich_pipeline(self, spark, tmp_path):
+        """The streaming twin of pipeline.curate's cheap stages composed
+        end-to-end: JSON extract → token-count quality gate →
+        bounded-state exact dedup (dropDuplicatesWithinWatermark) →
+        stream-static enrichment — every stage stateless or
+        watermark-bounded, so the composed query runs forever on an
+        unbounded stream."""
+        import json as _json
+
+        from datafusion_functions_json_spark.operators import text as t_ops
+
+        rows = [
+            {"ts": "2024-01-01T00:00:01", "payload": _json.dumps(
+                {"doc": "d1", "text": "alpha beta gamma delta epsilon zeta"})},
+            {"ts": "2024-01-01T00:00:02", "payload": _json.dumps(
+                {"doc": "d1", "text": "alpha beta gamma delta epsilon zeta"})},  # dup
+            {"ts": "2024-01-01T00:00:03", "payload": _json.dumps(
+                {"doc": "d2", "text": "short"})},  # fails gate
+            {"ts": "2024-01-01T00:00:04", "payload": _json.dumps(
+                {"doc": "d3", "text": "one two three four five six seven"})},
+            {"ts": "2024-01-01T00:00:05", "payload": "not json"},  # extract -> nulls
+        ]
+        p = tmp_path / "cur_in"
+        p.mkdir()
+        with open(p / "a.jsonl", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+        stream = spark.readStream.schema(SCHEMA).json(str(p))
+        ex = js.extract_json_stream(
+            stream, "payload", {"doc": ("str", "doc"), "text": ("str", "text")}
+        )
+        gated = ex.filter(t_ops.token_count(F.col("text")) >= 5)
+        deduped = js.dedup_stream(gated, ["doc"])  # sets its own watermark
+        dim = spark.createDataFrame(
+            [("d1", "web"), ("d3", "books")], "doc string, source string"
+        )
+        out = js.enrich_stream(deduped, dim, "doc", how="left")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("curated_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.doc, r.source)
+            for r in spark.sql("select doc, source from curated_stream").collect()
+        }
+        # d1 once (dup dropped), d2 gated out, d3 enriched, junk row
+        # null-extracted then gated out
+        assert got == {("d1", "web"), ("d3", "books")}
