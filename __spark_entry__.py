@@ -1403,57 +1403,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the driver verifies the FIRST 50 entries each round.
+    # Entries that have never appeared in a CORRECTNESS_r*.json come first
+    # (27 oracle-twinned, then 12 rows-only), followed by entries touched by
+    # this round's changes; entries already driver-green in rounds 1-4 and
+    # untouched this round rotate to the back.
     return {
-        "json_get_int": _q_json_get_int,
-        "json_get_float": _q_json_get_float,
-        "json_get_str": _q_json_get_str,
-        "json_get_bool": _q_json_get_bool,
-        "json_as_text": _q_json_as_text,
-        "json_get_json": _q_json_get_json,
-        "json_contains": _q_json_contains,
-        "json_length": _q_json_length,
-        "json_object_keys": _q_json_object_keys,
-        "json_agg": _q_json_agg,
-        "json_get_int_variant": _q_json_get_int_variant,
-        "json_as_text_native": _q_json_as_text_native,
-        "nested_get_int": _q_nested_get_int,
-        "nested_get_str": _q_nested_get_str,
-        "nested_contains": _q_nested_contains,
-        "nested_length_keys": _q_nested_length_keys,
-        "nested_as_text_null": _q_nested_as_text_null,
-        "get_array_csv": _q_get_array_csv,
-        "operator_chain": _q_operator_chain,
-        "multi_extract": _q_multi_extract,
-        "union_roundtrip": _q_union_roundtrip,
-        "from_scalar": _q_from_scalar,
-        "column_key": _q_column_key,
-        "sql_operators": _q_sql_operators,
-        "tpch_q1": _q_tpch_q1,
-        "events_hourly": _q_events_hourly,
-        "events_sliding": _q_events_sliding,
-        "events_rollup": _q_events_rollup,
-        "orders_join": _q_orders_join,
-        "salted_join": _q_salted_join,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_stats": _q_dedup_stats,
-        "token_count": _q_token_count,
-        "quality": _q_quality,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        "jaccard_adjacent": _q_jaccard_adjacent,
-        "cosine_topk": _q_cosine_topk,
-        "embed_quantize": _q_embed_quantize,
-        "media_meta": _q_media_meta,
-        "curation": _q_curation,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "top_tokens": _q_top_tokens,
-        "token_stats": _q_token_stats,
-        "tf_idf": _q_tf_idf,
-        "dedup_cc": _q_dedup_cc,
-        "hash_split": _q_hash_split,
-        "class_centroids": _q_class_centroids,
-        "centroid_assign": _q_centroid_assign,
+        # -- never driver-checked before round 5: oracle-twinned --
         "kmeans": _q_kmeans,
         "stratified_sample": _q_stratified_sample,
         "decontam": _q_decontam,
@@ -1480,7 +1436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "pagerank": _q_pagerank,
         "weighted_sample": _q_weighted_sample,
-        # rows-only (no oracle): hash-dependent candidate generation
+        "audio_features": _q_audio_features,
+        # -- never driver-checked: rows-only (no oracle; hash-dependent
+        #    candidate generation or stubbed decode) --
         "minhash_pairs": _q_minhash_pairs,
         "percentiles_approx": _q_percentiles_approx,
         "minhash_incremental": _q_minhash_incremental,
@@ -1492,8 +1450,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": _q_ivf_recall,
         "video_features": _q_video_features,
         "embedding_dups": _q_embedding_dups,
-        "audio_features": _q_audio_features,
         "media_features": _q_media_features,
+        # -- previously driver-green, re-checked because round 5 touches
+        #    their code paths (scalar NaN arm, SQL registration, multimodal
+        #    decode, multi-kernel fast path) --
+        "from_scalar": _q_from_scalar,
+        "sql_operators": _q_sql_operators,
+        "media_meta": _q_media_meta,
+        "nested_get_str": _q_nested_get_str,
+        "union_roundtrip": _q_union_roundtrip,
+        "multi_extract": _q_multi_extract,
+        "json_get_json": _q_json_get_json,
+        "get_array_csv": _q_get_array_csv,
+        "column_key": _q_column_key,
+        "json_agg": _q_json_agg,
+        "curation": _q_curation,
+        # -- driver-green rounds 1-4, untouched: rotate behind the window --
+        "json_get_int": _q_json_get_int,
+        "json_get_float": _q_json_get_float,
+        "json_get_str": _q_json_get_str,
+        "json_get_bool": _q_json_get_bool,
+        "json_as_text": _q_json_as_text,
+        "json_contains": _q_json_contains,
+        "json_length": _q_json_length,
+        "json_object_keys": _q_json_object_keys,
+        "json_get_int_variant": _q_json_get_int_variant,
+        "json_as_text_native": _q_json_as_text_native,
+        "nested_get_int": _q_nested_get_int,
+        "nested_contains": _q_nested_contains,
+        "nested_length_keys": _q_nested_length_keys,
+        "nested_as_text_null": _q_nested_as_text_null,
+        "operator_chain": _q_operator_chain,
+        "tpch_q1": _q_tpch_q1,
+        "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
+        "events_rollup": _q_events_rollup,
+        "orders_join": _q_orders_join,
+        "salted_join": _q_salted_join,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_stats": _q_dedup_stats,
+        "token_count": _q_token_count,
+        "quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "jaccard_adjacent": _q_jaccard_adjacent,
+        "cosine_topk": _q_cosine_topk,
+        "embed_quantize": _q_embed_quantize,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "top_tokens": _q_top_tokens,
+        "token_stats": _q_token_stats,
+        "tf_idf": _q_tf_idf,
+        "dedup_cc": _q_dedup_cc,
+        "hash_split": _q_hash_split,
+        "class_centroids": _q_class_centroids,
+        "centroid_assign": _q_centroid_assign,
     }
 
 
