@@ -8,12 +8,22 @@ hooks (SURVEY.md §2.2), so SQL users call the named functions:
     SELECT json_get_str(props, 'k'), count(*)
     FROM events WHERE json_contains(props, 'k') GROUP BY 1
 
+The functions are Arrow UDFs so the reference's argument checks hold on
+this surface too (see ``_check_path_args``): an untyped NULL path literal
+(Arrow ``null`` type) or a non-string/int path argument raises the
+reference's planning message (reference: tests/main.rs:291-298), and >1
+path element with a per-row column raises "More than 1 path element is
+not supported when querying JSON using an array." (reference:
+src/common.rs:129-133). Both surface as PythonException at execution —
+Spark has no plan-time hook for Python functions, but the message and the
+accepted/rejected inputs match.
+
 Deltas from the Python API, inherent to the SQL boundary (documented,
 SURVEY.md §7.4):
 
-* literal-vs-column path elements can't be told apart inside a UDF, so a
-  NULL path literal yields NULL rows rather than the reference's plan
-  error, and the one-column-path-element restriction is not enforced;
+* a path *column* that is constant and non-null within every Arrow batch
+  is indistinguishable from a literal, so the >1-path-element error can
+  miss it (a varying or nullable column is always caught);
 * ``json_get`` returns the union struct with ``type_id = 0`` null-arm
   rows (no JVM-side rewrap around a SQL UDF call site); use
   ``json_is_null``/``json_union_to_text`` which treat it as NULL.
@@ -24,6 +34,7 @@ from __future__ import annotations
 import itertools
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -61,6 +72,70 @@ def _elem(v):
         return None
 
 
+# Arrow field types of the union struct (must mirror union.UNION_DDL).
+_UNION_ARROW_FIELDS = (
+    ("type_id", "int8"),
+    ("bool", "bool"),
+    ("int", "int64"),
+    ("float", "float64"),
+    ("str", "string"),
+    ("array", "string"),
+    ("object", "string"),
+)
+
+# DataFusion-style names for the argument-type error message (reference:
+# src/common.rs:106-141 rejects non-string/int path args at plan time with
+# the DataType debug name; tests/main.rs:291-298 pins the Null wording).
+_DF_TYPE_NAMES = {
+    "null": "Null",
+    "bool": "Boolean",
+    "float": "Float32",
+    "double": "Float64",
+    "date32[day]": "Date32",
+    "timestamp[us]": "Timestamp(Microsecond, None)",
+}
+
+
+def _check_path_args(fn_key, key_cols):
+    """Reference arg validation, applied per Arrow batch.
+
+    * A path argument whose Arrow type is ``null`` (Spark's untyped NULL
+      literal, VOID) or any non-string/int type is rejected with the
+      reference's planning message (reference: src/common.rs:106-141,
+      tests/main.rs:291-298). A *typed* null — ``cast(null as string)`` or
+      a nullable column — passes, and null values yield null rows, exactly
+      like the reference's ``ScalarValue::Utf8(None) => JsonPath::None``.
+    * With more than one path element, any argument that is demonstrably a
+      per-row column (≥2 distinct values, or any null, in the batch —
+      a literal is always constant and non-null) raises the reference's
+      execution error (reference: src/common.rs:129-133,
+      tests/main.rs:1095-1103). A column that is constant within every
+      batch is indistinguishable from a literal here and passes — the one
+      remaining (documented) delta on this surface.
+    """
+    import pyarrow.compute as pc
+
+    for i, k in enumerate(key_cols):
+        t = k.type
+        if not (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or (pa.types.is_integer(t) and not pa.types.is_boolean(t))
+        ):
+            name = _DF_TYPE_NAMES.get(str(t), str(t).capitalize())
+            raise ValueError(
+                f"Unexpected argument type to '{fn_key}' at position {i + 2}, "
+                f"expected string or int, got {name}."
+            )
+    if len(key_cols) > 1:
+        for k in key_cols:
+            if len(k) > 1 and (k.null_count > 0 or len(pc.unique(k)) > 1):
+                raise ValueError(
+                    "More than 1 path element is not supported when "
+                    "querying JSON using an array."
+                )
+
+
 def _make_sql_udf(fn_key: str):
     kernel = _SQL_KERNELS[fn_key]
     ret = RETURN_TYPES[fn_key]
@@ -69,11 +144,13 @@ def _make_sql_udf(fn_key: str):
     # workers without this package on sys.path.
     wrap = udfs._wrap_result
     elem = _elem
+    check = _check_path_args
+    union_fields = _UNION_ARROW_FIELDS
 
     def _paths(key_cols):
         if not key_cols:
             return itertools.repeat(())
-        cols = [[elem(v) for v in k] for k in key_cols]
+        cols = [[elem(v) for v in k.to_pandas()] for k in key_cols]
         return list(zip(*cols))
 
     def _json_text(js):
@@ -82,22 +159,49 @@ def _make_sql_udf(fn_key: str):
         # container members, like the reference's nested_json_array
         # (reference: src/common_union.rs:49-57). Scalar members => NULL
         # => nested lookup misses.
-        if isinstance(js, pd.DataFrame):
-            return js["array"].combine_first(js["object"])
-        return js
+        if pa.types.is_struct(js.type):
+            text = js.field("array").to_pandas().combine_first(
+                js.field("object").to_pandas()
+            )
+            if js.null_count:
+                # Arrow struct children can hold garbage under null parent
+                # slots; mask by parent validity.
+                import pyarrow.compute as pc
+
+                text = text.where(pc.is_valid(js).to_pandas(), None)
+            return text
+        return js.to_pandas()
 
     if fn_key == "json_get":
 
-        def fn(js: pd.Series, *key_cols: pd.Series) -> pd.DataFrame:
-            return wrap(fn_key, kernel(_json_text(js), _paths(key_cols)))
+        def fn(js: pa.Array, *key_cols: pa.Array) -> pa.Array:
+            check(fn_key, key_cols)
+            out = wrap(fn_key, kernel(_json_text(js), _paths(key_cols)))
+            return pa.StructArray.from_arrays(
+                [
+                    pa.Array.from_pandas(out[name], type=pa.type_for_alias(t))
+                    for name, t in union_fields
+                ],
+                names=[name for name, _ in union_fields],
+            )
 
     else:
+        _RET_ARROW = {
+            "string": pa.string(),
+            "bigint": pa.int64(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+            "array<string>": pa.list_(pa.string()),
+        }
+        ret_arrow = _RET_ARROW[ret]
 
-        def fn(js: pd.Series, *key_cols: pd.Series) -> pd.Series:
-            return wrap(fn_key, kernel(_json_text(js), _paths(key_cols)))
+        def fn(js: pa.Array, *key_cols: pa.Array) -> pa.Array:
+            check(fn_key, key_cols)
+            out = wrap(fn_key, kernel(_json_text(js), _paths(key_cols)))
+            return pa.Array.from_pandas(out, type=ret_arrow)
 
     fn.__name__ = fn_key
-    return F.pandas_udf(fn, ret)
+    return F.arrow_udf(fn, ret)
 
 
 def _from_scalar_udf():

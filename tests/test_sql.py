@@ -98,3 +98,64 @@ class TestSqlSurface:
             spark.sql("select json_get_int(j, 'a', 'b', 0L) v from deep").collect()[0].v
             == 9
         )
+
+
+class TestSqlPlanErrors:
+    """The reference's argument checks, enforced on the registered SQL
+    surface via Arrow argument types (reference: tests/main.rs:291-298,
+    src/common.rs:106-141)."""
+
+    def test_null_literal_path_raises(self, spark, test_df):
+        # reference tests/main.rs:291-298 — untyped NULL literal path is
+        # rejected with the planning message (here at execution: Spark has
+        # no plan hook for Python functions, but Arrow's `null` type still
+        # identifies the VOID literal exactly).
+        with pytest.raises(Exception, match=r"Unexpected argument type to 'json_get_str' at position 2, expected string or int, got Null\."):
+            spark.sql("select json_get_str(json_data, null) from test").collect()
+
+    def test_typed_null_path_is_not_an_error(self, spark, test_df):
+        # cast(null as string) has DataType Utf8 in the reference too:
+        # planning passes, lookup yields NULL rows (ScalarValue::Utf8(None)
+        # => JsonPath::None, reference src/common.rs:120-127).
+        rows = spark.sql(
+            "select json_get_str(json_data, cast(null as string)) v from test"
+        ).collect()
+        assert all(r.v is None for r in rows)
+
+    def test_non_string_int_path_raises(self, spark, test_df):
+        with pytest.raises(Exception, match="expected string or int"):
+            spark.sql("select json_get_str(json_data, 1.5) from test").collect()
+
+    def test_multi_path_with_column_raises(self, spark):
+        # reference tests/main.rs:1095-1103 test_multiple_lookup_arrays.
+        # Single partition so the varying key columns share one Arrow batch
+        # (detection is batch-local; a 1-row batch can't prove column-ness).
+        df = spark.createDataFrame(
+            [('{"a":{"aa":"x"}}', "a", "aa"), ('{"b":{"bb":"y"}}', "b", "bb")],
+            "j string, k1 string, k2 string",
+        ).coalesce(1)
+        df.createOrReplaceTempView("multi_col_path")
+        with pytest.raises(Exception, match="More than 1 path element is not supported when querying JSON using an array\\."):
+            spark.sql("select json_get_str(j, k1, k2) from multi_col_path").collect()
+
+    def test_nested_get_is_the_sanctioned_alternative(self, spark):
+        # reference tests/main.rs:1105+ test_json_get_union_array_nested —
+        # chaining single-column lookups stays legal.
+        df = spark.createDataFrame(
+            [('{"a":{"aa":"x"}}', "a", "aa"), ('{"b":{"bb":"y"}}', "b", "bb")],
+            "j string, k1 string, k2 string",
+        ).coalesce(1)
+        df.createOrReplaceTempView("nested_col_path")
+        rows = spark.sql(
+            "select json_union_to_text(json_get(json_get(j, k1), k2)) v "
+            "from nested_col_path"
+        ).collect()
+        assert sorted(r.v for r in rows) == ['"x"', '"y"']
+
+    def test_single_column_path_still_per_row(self, spark, other_df):
+        # one column path element remains fully supported (reference
+        # src/common.rs:113-118 split_first array arm).
+        rows = spark.sql(
+            "select json_get_int(json_data, str_key) v from other"
+        ).collect()
+        assert any(r.v is not None for r in rows)
