@@ -205,37 +205,53 @@ def _make_sql_udf(fn_key: str):
 
 
 def _from_scalar_udf():
-    """SQL-surface json_from_scalar: per-value python-type dispatch (the
-    SQL boundary erases static types; the reference dispatches on the
-    Arrow type at plan time — same arms, reference:
-    src/json_from_scalar.rs:48-68)."""
-    import numpy as _np
+    """SQL-surface json_from_scalar: the Arrow argument type drives the
+    dispatch, mirroring the reference's plan-time DataType match
+    (reference: src/json_from_scalar.rs:48-68). Because Arrow keeps
+    NaN/±Infinity as *values* (validity bit set) distinct from nulls,
+    non-finite floats land in the float arm exactly like the reference
+    (tests/main.rs:2550-2577); typed NULLs of any accepted type → null
+    arm. Unsupported types raise the reference's message
+    (src/json_from_scalar.rs:65)."""
 
-    def classify(v):
-        none7 = (None, None, None, None, None, None)
-        if v is None:
-            return (None,) + none7[:6]
-        if isinstance(v, (bool, _np.bool_)):
-            return (1, bool(v), None, None, None, None, None)
-        if isinstance(v, (int, _np.integer)):
-            return (2, None, int(v), None, None, None, None)
-        if isinstance(v, (float, _np.floating)):
-            if v != v:  # NaN from a nullable int column means NULL
-                return (None,) + none7[:6]
-            return (3, None, None, float(v), None, None, None)
-        if isinstance(v, str):
-            return (4, None, None, None, v, None, None)
-        return (None,) + none7[:6]
+    def fn(s: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
 
-    def fn(s: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame(
-            [classify(v) for v in s],
-            columns=["type_id", "bool", "int", "float", "str", "array", "object"],
-            dtype=object,
+        n = len(s)
+        t = s.type
+        cols = {
+            "bool": pa.nulls(n, pa.bool_()),
+            "int": pa.nulls(n, pa.int64()),
+            "float": pa.nulls(n, pa.float64()),
+            "str": pa.nulls(n, pa.string()),
+            "array": pa.nulls(n, pa.string()),
+            "object": pa.nulls(n, pa.string()),
+        }
+        if pa.types.is_null(t):
+            tid = pa.nulls(n, pa.int8())
+        else:
+            if pa.types.is_boolean(t):
+                arm, cols["bool"] = 1, s
+            elif pa.types.is_integer(t):
+                arm, cols["int"] = 2, s.cast(pa.int64())
+            elif pa.types.is_floating(t):
+                arm, cols["float"] = 3, s.cast(pa.float64())
+            elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                arm, cols["str"] = 4, s.cast(pa.string())
+            else:
+                raise ValueError(
+                    f"Unsupported type for json_from_scalar: {t}."
+                )
+            tid = pc.if_else(
+                pc.is_valid(s), pa.scalar(arm, pa.int8()), pa.scalar(None, pa.int8())
+            )
+        return pa.StructArray.from_arrays(
+            [tid] + [cols[name] for name, _ in _UNION_ARROW_FIELDS[1:]],
+            names=[name for name, _ in _UNION_ARROW_FIELDS],
         )
 
     fn.__name__ = "json_from_scalar"
-    return F.pandas_udf(fn, UNION_DDL)
+    return F.arrow_udf(fn, UNION_DDL)
 
 
 def _union_is_null_udf():

@@ -150,3 +150,58 @@ class TestDictNullMasking:
                 # exactly one arm set
                 arms = [f for f in r.v.asDict() if f != "type_id" and r.v[f] is not None]
                 assert arms == ["str"]
+
+
+class TestSqlFromScalarNonFinite:
+    """reference: tests/main.rs:2550-2577 — NaN/±Infinity stay in the
+    float arm through the *registered SQL* json_from_scalar too (the
+    Arrow argument type distinguishes NaN-as-value from null, so the
+    SQL boundary no longer collapses NaN to the null arm)."""
+
+    @pytest.fixture(autouse=True)
+    def _reg(self, spark):
+        jsonf.register_all(spark)
+        df = spark.createDataFrame(
+            [(float("nan"),), (float("inf",),), (float("-inf"),), (None,), (1.5,)],
+            "f double",
+        )
+        df.createOrReplaceTempView("nonfinite")
+
+    def test_float_arm_preserved(self, spark):
+        rows = spark.sql(
+            "select f, json_from_scalar(f) u from nonfinite"
+        ).collect()
+        got = {repr(r.f): jsonf.format_union_value(r.u) for r in rows}
+        assert got["nan"] == "{float=NaN}"
+        assert got["inf"] == "{float=inf}"
+        assert got["-inf"] == "{float=-inf}"
+        assert got["None"] == "{null=}"
+        assert got["1.5"] == "{float=1.5}"
+
+    def test_to_text_renders_serde_null(self, spark):
+        # serde_json writes non-finite floats as JSON null
+        rows = spark.sql(
+            "select f, json_union_to_text(json_from_scalar(f)) t from nonfinite"
+        ).collect()
+        got = {repr(r.f): r.t for r in rows}
+        assert got["nan"] == "null"
+        assert got["inf"] == "null"
+        assert got["1.5"] == "1.5"
+        assert got["None"] is None
+
+    def test_nullable_int_column_stays_int_arm(self, spark):
+        # the old pandas boundary turned int-with-nulls into float NaN;
+        # Arrow keeps int64 validity, so values stay in the int arm
+        df = spark.createDataFrame([(7,), (None,)], "i long")
+        df.createOrReplaceTempView("nullable_ints")
+        rows = spark.sql(
+            "select i, json_from_scalar(i) u from nullable_ints"
+        ).collect()
+        got = {r.i: jsonf.format_union_value(r.u) for r in rows}
+        assert got[7] == "{int=7}"
+        assert got[None] == "{null=}"
+
+    def test_unsupported_type_raises(self, spark):
+        # reference: src/json_from_scalar.rs:65 plan error
+        with pytest.raises(Exception, match="Unsupported type for json_from_scalar"):
+            spark.sql("select json_from_scalar(date'2020-01-01')").collect()
