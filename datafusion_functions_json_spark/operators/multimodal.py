@@ -1,12 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (this container ships no image/audio
-codecs): ``decode_image``/``extract_audio_features`` raise
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic hash-derived stand-in with the REAL schema/batching/
-partitioning — so the Spark-side plumbing (what actually matters at
-100 TB) is fully exercised and tested.
+Image and audio decode are REAL: ``decode_image`` uses PIL when
+importable and falls back to pure-stdlib decoders (PNG via zlib+
+unfilter, binary PPM/PGM, JPEG/GIF header sniff — see
+:mod:`._codecs`); ``extract_audio_features`` parses WAV/PCM with the
+stdlib ``wave`` module. Undecodable payloads yield NULL fields per row —
+never a task failure. ``fake=True`` remains the deterministic
+hash-derived stand-in used by reproducible oracle queries.
+
+Only VIDEO decode is still stubbed (frame extraction requires an
+ffmpeg-class codec this container doesn't ship):
+``extract_video_features`` raises ``NotImplementedError`` unless
+``fake=True`` — the frame-plan fan-out, schema, and batching are real
+and tested.
 
 Scale notes:
 
@@ -22,12 +29,16 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import io
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ._codecs import decode_image_bytes, decode_wav_bytes, image_grid_features
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -83,21 +94,35 @@ def _fake_feature_vector(payload: bytes) -> list:
     return [b / 255.0 for b in dig[:_FEATURE_DIM]]
 
 
+def _pil_decode(image_module, b):
+    """Decode via PIL → (h, w, ch, pixels) or None to fall through to the
+    stdlib decoders. Palette images convert to RGB (wider than the
+    stdlib path, which reports palette dims only)."""
+    try:
+        img = image_module.open(io.BytesIO(bytes(b)))
+        if img.mode == "P":
+            img = img.convert("RGB")
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.dtype != np.uint8:
+            return (img.height, img.width, arr.shape[2], None)
+        return (arr.shape[0], arr.shape[1], arr.shape[2], arr)
+    except Exception:
+        return None
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload", *, fake: bool = False) -> DataFrame:
-    """Decode image payloads to (height, width, channels) + feature
-    vector via Arrow-batched ``mapInPandas``.
+    """Decode image payloads to (height, width, channels) + a 16-dim
+    4×4-luma-grid feature vector via Arrow-batched ``mapInPandas``.
 
-    Real decoding requires an image codec library not present in this
-    environment — STUB: raises ``NotImplementedError`` unless
-    ``fake=True`` (deterministic hash-derived features, real plumbing).
+    Real decode chain: PIL when importable on the worker, else the
+    pure-stdlib decoders in :mod:`._codecs` (PNG, PPM/PGM full decode;
+    JPEG/GIF dimension sniff → NULL features). Undecodable payloads →
+    NULL fields for that row. ``fake=True`` keeps the deterministic
+    hash-derived stand-in (same schema/batching) for reproducible
+    oracle queries.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires a codec library (e.g. PIL/cv2) not "
-            "available in this environment; pass fake=True to exercise "
-            "the pipeline with deterministic stand-in features"
-        )
-
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -109,15 +134,38 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, fake: bool = Fa
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            try:
+                from PIL import Image  # optional dependency
+            except ImportError:
+                Image = None
         for pdf in it:
             payloads = pdf[payload_col]
             pdf = pdf.copy()
-            # deterministic fake "decode": dimensions derived from size
-            sizes = payloads.map(lambda b: len(b) if b is not None else None)
-            pdf["height"] = sizes.map(lambda s: None if s is None else 16 + s % 16)
-            pdf["width"] = sizes.map(lambda s: None if s is None else 16 + (s // 16) % 16)
-            pdf["channels"] = sizes.map(lambda s: None if s is None else 3)
-            pdf["features"] = payloads.map(_fake_feature_vector)
+            if fake:
+                # deterministic fake "decode": dimensions derived from size
+                sizes = payloads.map(lambda b: len(b) if b is not None else None)
+                pdf["height"] = sizes.map(lambda s: None if s is None else 16 + s % 16)
+                pdf["width"] = sizes.map(lambda s: None if s is None else 16 + (s // 16) % 16)
+                pdf["channels"] = sizes.map(lambda s: None if s is None else 3)
+                pdf["features"] = payloads.map(_fake_feature_vector)
+            else:
+                heights, widths, chans, feats = [], [], [], []
+                for b in payloads:
+                    got = None
+                    if b is not None and Image is not None:
+                        got = _pil_decode(Image, b)
+                    if got is None:
+                        got = decode_image_bytes(b)
+                    h, w, c, px = got
+                    heights.append(h)
+                    widths.append(w)
+                    chans.append(c)
+                    feats.append(image_grid_features(px) if px is not None else None)
+                pdf["height"] = pd.Series(heights, index=pdf.index, dtype=object)
+                pdf["width"] = pd.Series(widths, index=pdf.index, dtype=object)
+                pdf["channels"] = pd.Series(chans, index=pdf.index, dtype=object)
+                pdf["features"] = pd.Series(feats, index=pdf.index, dtype=object)
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
@@ -132,22 +180,16 @@ def image_features(df: DataFrame, payload_col: str = "payload", *, fake: bool = 
 def extract_audio_features(
     df: DataFrame, payload_col: str = "payload", *, fake: bool = False
 ) -> DataFrame:
-    """Extract audio features (sample rate, sample count, fixed-width
-    feature vector) via Arrow-batched ``mapInPandas`` — the audio twin of
+    """Extract audio features (sample rate, sample count, 16 RMS-energy
+    bins) via Arrow-batched ``mapInPandas`` — the audio twin of
     :func:`decode_image`.
 
-    Real decoding requires an audio codec library not present in this
-    environment — STUB: raises ``NotImplementedError`` unless
-    ``fake=True`` (deterministic hash-derived features; the Spark-side
-    schema/batching/partitioning is real and tested).
+    Real decode: WAV/PCM via the stdlib ``wave`` module (no third-party
+    codec needed — :func:`._codecs.decode_wav_bytes`); non-WAV or
+    malformed payloads → NULL fields for that row. ``fake=True`` keeps
+    the deterministic size-derived stand-in for reproducible oracle
+    queries.
     """
-    if not fake:
-        raise NotImplementedError(
-            "audio decoding requires a codec library (e.g. soundfile/"
-            "librosa) not available in this environment; pass fake=True "
-            "to exercise the pipeline with deterministic stand-in features"
-        )
-
     out_schema = T.StructType(
         df.schema.fields
         + [
@@ -161,16 +203,28 @@ def extract_audio_features(
         for pdf in it:
             payloads = pdf[payload_col]
             pdf = pdf.copy()
-            sizes = payloads.map(lambda b: len(b) if b is not None else None)
-            # deterministic fake "decode": 16-bit mono at a size-derived
-            # standard rate
-            pdf["sample_rate"] = sizes.map(
-                lambda s: None if s is None else (16000 if s % 2 else 44100)
-            )
-            pdf["n_samples"] = sizes.map(
-                lambda s: None if s is None else s // 2
-            )
-            pdf["features"] = payloads.map(_fake_feature_vector)
+            if fake:
+                sizes = payloads.map(lambda b: len(b) if b is not None else None)
+                # deterministic fake "decode": 16-bit mono at a
+                # size-derived standard rate
+                pdf["sample_rate"] = sizes.map(
+                    lambda s: None if s is None else (16000 if s % 2 else 44100)
+                )
+                pdf["n_samples"] = sizes.map(
+                    lambda s: None if s is None else s // 2
+                )
+                pdf["features"] = payloads.map(_fake_feature_vector)
+            else:
+                decoded = [decode_wav_bytes(b) for b in payloads]
+                pdf["sample_rate"] = pd.Series(
+                    [d[0] for d in decoded], index=pdf.index, dtype=object
+                )
+                pdf["n_samples"] = pd.Series(
+                    [d[1] for d in decoded], index=pdf.index, dtype=object
+                )
+                pdf["features"] = pd.Series(
+                    [d[2] for d in decoded], index=pdf.index, dtype=object
+                )
             yield pdf
 
     return df.mapInPandas(batches, out_schema)

@@ -824,10 +824,45 @@ class TestMultimodal:
         ]
         return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
 
-    def test_decode_stub_raises_without_fake(self, spark):
+    def test_real_decode_undecodable_rows_are_null(self, spark):
+        # fake bytes aren't a decodable image: real path yields NULL
+        # fields per row, never a task failure
         df = self._media_df(spark)
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(df)
+        rows = {r.media_id: r for r in multimodal.decode_image(df).collect()}
+        assert rows[1].height is None and rows[1].features is None
+        assert rows[3].height is None  # null payload
+
+    def test_real_decode_png_through_spark(self, spark):
+        from test_codecs import _checker, encode_png
+
+        px1, px2 = _checker(12, 8, 3), _checker(6, 6, 1)
+        rows = [
+            (1, "image", bytearray(encode_png(px1, 4)), "image/png", (None, None, None, None)),
+            (2, "image", bytearray(encode_png(px2, 2)), "image/png", (None, None, None, None)),
+            (3, "image", bytearray(b"garbage"), "image/png", (None, None, None, None)),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = {r.media_id: r for r in multimodal.decode_image(df).collect()}
+        assert (got[1].height, got[1].width, got[1].channels) == (12, 8, 3)
+        assert (got[2].height, got[2].width, got[2].channels) == (6, 6, 1)
+        assert len(got[1].features) == 16 and all(0 <= v <= 1 for v in got[1].features)
+        assert got[3].height is None and got[3].features is None
+
+    def test_real_audio_wav_through_spark(self, spark):
+        import numpy as np
+        from test_codecs import encode_wav
+
+        samples = (np.sin(np.linspace(0, 20 * np.pi, 1600)) * 16000).astype(np.int16)
+        rows = [
+            (10, "audio", bytearray(encode_wav(samples, 16000)), "audio/wav", (None, None, None, None)),
+            (11, "audio", bytearray(b"not audio"), "audio/wav", (None, None, None, None)),
+            (12, "audio", None, "audio/wav", (None, None, None, None)),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = {r.media_id: r for r in multimodal.extract_audio_features(df).collect()}
+        assert got[10].sample_rate == 16000 and got[10].n_samples == 1600
+        assert len(got[10].features) == 16
+        assert got[11].sample_rate is None and got[12].sample_rate is None
 
     def test_fake_decode_deterministic(self, spark):
         df = self._media_df(spark)
@@ -869,9 +904,12 @@ class TestMultimodal:
         assert len(by_key[(3, 0)]) == 16
         assert by_key[(4, 0)] is None
 
-    def test_audio_stub_raises_without_fake(self, spark):
-        with pytest.raises(NotImplementedError):
-            multimodal.extract_audio_features(self._media_df(spark))
+    def test_audio_real_path_non_wav_is_null(self, spark):
+        got = {
+            r.media_id: r
+            for r in multimodal.extract_audio_features(self._media_df(spark)).collect()
+        }
+        assert all(r.sample_rate is None and r.features is None for r in got.values())
 
     def test_fake_audio_features_deterministic(self, spark):
         rows = [
