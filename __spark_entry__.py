@@ -900,10 +900,10 @@ def _q_repetition(spark, sf_dir):
 
 
 def _q_domains(spark, sf_dir):
-    # web-corpus source-mix view: planted, id-derived URLs (mixed case to
-    # exercise host lowercasing) → regexp extract → explode → domain
-    # hash-agg with map-side partials; count(distinct) plans as the
-    # two-phase Expand
+    # web-corpus source-mix view: planted, id-derived URLs (mixed-case
+    # host AND scheme — HTTP:// exercises the case-insensitive scheme
+    # classes) → regexp extract → explode → domain hash-agg with
+    # map-side partials; count(distinct) plans as the two-phase Expand
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.select(
         "doc_id",
@@ -911,7 +911,7 @@ def _q_domains(spark, sf_dir):
             F.col("text"),
             F.lit(" see https://Site"),
             F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
-            F.lit(".example.org/page and http://cdn.example.net/x"),
+            F.lit(".example.org/page and HTTP://cdn.example.net/x"),
         ).alias("t"),
     )
     return text.domain_counts(planted, "doc_id", "t")
@@ -1386,7 +1386,11 @@ def _q_video_features(spark, sf_dir):
 
 def _q_ivf_recall(spark, sf_dir):
     # recall gate for the IVF tier (rows-only: centroids are k-means on
-    # a sampled fraction, not SQL-reproducible)
+    # a sampled fraction, not SQL-reproducible). The assert_true column
+    # PINS recall >= 0.55 (observed 0.8 at the driver's sf0.01 and 0.6
+    # at the tiny sf0.001, nprobe=4 of 8 lists): a silent ANN regression
+    # (bucketing/centroid bug collapses recall toward k/n) now errors
+    # the row red instead of reporting a quietly-worse number.
     emb = _emb(spark, sf_dir)
     q = _query_vector(sf_dir)
     exact = similarity.cosine_topk(emb, "embedding", q, k=10)
@@ -1394,7 +1398,15 @@ def _q_ivf_recall(spark, sf_dir):
         emb, "embedding", dim=64, n_clusters=8, sample=512
     )
     approx = similarity.ivf_topk(assigned, cents, "embedding", q, k=10, nprobe=4)
-    return similarity.recall_at_k(approx, exact, k=10)
+    r = similarity.recall_at_k(approx, exact, k=10)
+    return r.select(
+        "k",
+        "hits",
+        "recall",
+        F.assert_true(
+            F.col("recall") >= 0.55, F.lit("IVF recall regression: below pinned 0.55")
+        ).alias("recall_gate"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1842,10 +1854,10 @@ def oracle_sql() -> dict[str, str]:
         "domains": (
             "with p as (select doc_id, text || ' see https://Site' || "
             "(doc_id % 7)::varchar || "
-            "'.example.org/page and http://cdn.example.net/x' as t "
+            "'.example.org/page and HTTP://cdn.example.net/x' as t "
             "from documents), "
             "ex as (select doc_id, lower(unnest(regexp_extract_all(t, "
-            "'https?://([A-Za-z0-9.-]+)', 1))) as domain from p) "
+            "'[Hh][Tt][Tt][Pp][Ss]?://([A-Za-z0-9.-]+)', 1))) as domain from p) "
             "select domain, count(*) as n_urls, "
             "count(distinct doc_id) as n_docs from ex group by domain"
         ),
@@ -1951,8 +1963,8 @@ def oracle_sql() -> dict[str, str]:
             f"with t as (select doc_id, len({_TOKENS_SQL})::double as w "
             "from documents), "
             "k as (select doc_id, w, "
-            "pow(try_cast(('0x' || substr(md5('r4:' || doc_id::varchar), "
-            "1, 8)) as bigint) / 4294967296.0, 1.0 / w) as key "
+            "round(pow(try_cast(('0x' || substr(md5('r4:' || doc_id::varchar), "
+            "1, 8)) as bigint) / 4294967296.0, 1.0 / w), 12) as key "
             "from t where w > 0) "
             "select doc_id, w from k order by key desc, doc_id asc limit 40"
         ),

@@ -300,6 +300,20 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _band_rows(num_perm: int, bands: int) -> int:
+    """rows-per-band, validating divisibility: a remainder would make
+    banding silently ignore the trailing signature elements — degraded
+    candidate recall with no error, the worst failure mode for a dedup
+    pass you trust at corpus scale."""
+    if bands < 1 or num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of "
+            f"bands ({bands}); a remainder would drop trailing signature "
+            "elements from banding and silently degrade recall"
+        )
+    return num_perm // bands
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -333,7 +347,7 @@ def minhash_dup_pairs(
     per branch; Spark still reuses the shuffle files where plans share
     exchanges) — for callers composing further before executing.
     """
-    rows = num_perm // bands
+    rows = _band_rows(num_perm, bands)
     df = _spread(df)
     # One pandas pass computes BOTH the signature (for banding) and the
     # distinct shingle-hash set (for verification) — the expensive map
@@ -394,7 +408,12 @@ def minhash_index(
     :func:`minhash_dup_pairs_against` per new batch. At 100 TB this is
     the difference between O(corpus) and O(batch) per increment: the
     index is ~``num_perm + |shingle set|`` ints per doc, and each
-    increment touches the index via one keyed band join."""
+    increment touches the index via one keyed band join.
+
+    The permutation-family parameters ride along as column metadata on
+    ``sig`` (survives a parquet round-trip), so
+    :func:`minhash_dup_pairs_against` can reject an index built under a
+    different family instead of silently losing recall."""
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         _signature_with_hashes(
@@ -402,7 +421,12 @@ def minhash_index(
         ).alias("_s"),
     ).filter(F.col("_s.sig").isNotNull())
     return base.select(
-        "id", F.col("_s.sig").alias("sig"), F.col("_s.hashes").alias("hashes")
+        "id",
+        F.col("_s.sig").alias(
+            "sig",
+            metadata={"num_perm": num_perm, "seed": seed, "mode": mode, "n": n},
+        ),
+        F.col("_s.hashes").alias("hashes"),
     )
 
 
@@ -439,8 +463,30 @@ def minhash_dup_pairs_against(
     bands×shingle-sets. Batch-vs-batch duplicates are NOT reported
     (run :func:`minhash_dup_pairs` on the batch for those); rows whose
     ids already appear in the index are not matched to themselves.
+
+    If the index carries :func:`minhash_index`'s permutation-family
+    metadata, a num_perm/seed/mode/n mismatch raises instead of
+    silently comparing incomparable signatures (an index written by
+    other tooling, without the metadata, is trusted as-is).
     """
-    rows = num_perm // bands
+    rows = _band_rows(num_perm, bands)
+    try:
+        idx_meta = dict(index.schema["sig"].metadata or {})
+    except (KeyError, TypeError):
+        idx_meta = {}
+    want = {"num_perm": num_perm, "seed": seed, "mode": mode, "n": n}
+    mismatch = {
+        k: (idx_meta[k], v) for k, v in want.items() if k in idx_meta and idx_meta[k] != v
+    }
+    if mismatch:
+        detail = ", ".join(
+            f"{k}: index={a!r} vs requested={b!r}" for k, (a, b) in sorted(mismatch.items())
+        )
+        raise ValueError(
+            "minhash index was built under a different permutation family "
+            f"({detail}); signatures are not comparable — rebuild the index "
+            "or match its parameters"
+        )
     newx = minhash_index(
         new_df, id_col, text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
     )

@@ -163,9 +163,11 @@ def pagerank(
     ``localCheckpoint`` truncating lineage per iteration. A hot page
     (high in-degree) is a skewed AGGREGATION key, which partial
     aggregation flattens before the exchange — not a join hot spot.
-    Fixed ``iters`` keeps the plan deterministic (no convergence test
-    action per round beyond the checkpoint); ``round_decimals`` pins
-    float summation order so results are engine-reproducible.
+    Fixed ``iters`` keeps the plan deterministic, and the dangling-mass
+    renormalization folds into the plan as a broadcast 1-row total — the
+    eager ``localCheckpoint`` is the only action per round;
+    ``round_decimals`` pins float summation order so results are
+    engine-reproducible.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
@@ -202,11 +204,15 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # renormalize (dangling mass) and truncate lineage
-        total = ranks.agg(F.sum("rank")).collect()[0][0]
-        ranks = ranks.withColumn(
-            "rank", F.col("rank") / F.lit(float(total))
-        ).localCheckpoint()
+        # renormalize (dangling mass) via a broadcast 1-row total —
+        # stays in-plan, so the eager localCheckpoint is the round's
+        # ONLY action (no separate driver collect round-trip)
+        total = ranks.agg(F.sum("rank").alias("_total"))
+        ranks = (
+            ranks.crossJoin(F.broadcast(total))
+            .select("node", (F.col("rank") / F.col("_total")).alias("rank"))
+            .localCheckpoint()
+        )
     if round_decimals is not None:
         ranks = ranks.withColumn("rank", F.round("rank", round_decimals))
     return ranks

@@ -263,14 +263,19 @@ def weighted_sample(
     the driver-side merge). Rows with NULL, zero, or negative weight
     are excluded (their inclusion probability is 0).
 
-    Ties (astronomically unlikely on continuous keys) break by id so
-    the result stays total-ordered and reproducible.
+    The sort key is rounded to 12 decimals before ordering: ``pow`` may
+    differ in the last ulp across libm implementations, and an unrounded
+    key would let that reorder near-tied rows at the k-th boundary on a
+    different engine. After rounding, genuinely-close keys compare EQUAL
+    everywhere and fall through to the deterministic id tie-break —
+    that's what makes the "identical rows on any engine" guarantee hold
+    (the oracle twin rounds identically).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = split_fraction(id_col, salt)
-    key = F.pow(u, 1.0 / w.cast("double"))
+    key = F.round(F.pow(u, 1.0 / w.cast("double")), 12)
     eligible = df.filter(w.isNotNull() & (w.cast("double") > 0))
     return (
         eligible.withColumn("__wkey", key)

@@ -43,8 +43,17 @@ def grouped_percentiles(
     v = F.col(value_col)
     aggs = []
     for p in probs:
-        frac = str(p).replace("0.", "").rstrip("0") or "0"
-        name = f"p{frac.replace('.', '_')}"  # p=1.0 -> p1_, never a dotted name
+        # Deterministic, SQL-safe column names: fixed-decimal formatting
+        # (never scientific notation — 1e-05 -> p00001) with float repr
+        # artifacts truncated (0.30000000000000004 -> p3). 0.5 -> p5,
+        # 0.99 -> p99, 1.0 -> p1_ (suffix keeps it distinct from 0.1's p1).
+        s = f"{float(p):.10f}".rstrip("0").rstrip(".")
+        if s.startswith("0."):
+            name = "p" + s[2:]
+        elif s == "0":
+            name = "p0"
+        else:
+            name = "p" + s.replace(".", "_") + "_"
         c = (
             F.percentile(v, F.lit(float(p)))
             if exact

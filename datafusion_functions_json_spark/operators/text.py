@@ -110,7 +110,10 @@ def repetition_stats(text) -> Column:
 
 #: URL pattern on the common Java-regex/RE2 subset (no lookarounds):
 #: scheme + host captured up to the first path/query/space delimiter.
-URL_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+#: The scheme is case-insensitive via explicit classes (HTTP:// appears
+#: in real web corpora; inline (?i) flags are avoided to stay on the
+#: subset every engine the oracles run on supports identically).
+URL_PATTERN = r"[Hh][Tt][Tt][Pp][Ss]?://([A-Za-z0-9.-]+)"
 
 
 def url_domains(text) -> Column:

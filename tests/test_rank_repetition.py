@@ -104,11 +104,12 @@ class TestRepetitionStats:
 class TestDomains:
     def test_url_domains_lowercased_in_order(self, spark):
         df = spark.createDataFrame(
-            [("see https://A.Example.org/x and http://b.example.net, done",)],
+            [("see https://A.Example.org/x and HTTP://b.example.net, done",)],
             "t string",
         )
         got = df.select(text.url_domains("t").alias("d")).collect()[0].d
-        # trailing ',' is not a host char; path stripped
+        # trailing ',' is not a host char; path stripped; scheme may be
+        # any case
         assert got == ["a.example.org", "b.example.net"]
 
     def test_no_urls(self, spark):
@@ -332,6 +333,55 @@ class TestIncrementalMinhash:
             df, idx, "id", "t", num_perm=32, bands=8, mode="word", n=2
         ).collect()
         assert pairs == []
+
+    def test_indivisible_bands_raise(self, spark):
+        from datafusion_functions_json_spark.operators import dedup
+
+        df = spark.createDataFrame([(1, "some text")], "id long, t string")
+        with pytest.raises(ValueError, match="multiple of"):
+            dedup.minhash_dup_pairs(df, "id", "t", num_perm=32, bands=7)
+        idx = dedup.minhash_index(df, "id", "t", num_perm=30)
+        with pytest.raises(ValueError, match="multiple of"):
+            dedup.minhash_dup_pairs_against(
+                df, idx, "id", "t", num_perm=30, bands=8
+            )
+
+    def test_incompatible_index_family_raises(self, spark):
+        from datafusion_functions_json_spark.operators import dedup
+
+        df = spark.createDataFrame([(1, "some text body here")], "id long, t string")
+        idx = dedup.minhash_index(df, "id", "t", num_perm=32, seed=7, mode="word", n=2)
+        with pytest.raises(ValueError, match="different permutation family"):
+            dedup.minhash_dup_pairs_against(
+                df, idx, "id", "t", num_perm=32, bands=8, seed=42, mode="word", n=2
+            )
+        with pytest.raises(ValueError, match="different permutation family"):
+            dedup.minhash_dup_pairs_against(
+                df, idx, "id", "t", num_perm=64, bands=8, seed=7, mode="word", n=2
+            )
+
+    def test_index_metadata_survives_parquet(self, spark, tmp_path):
+        from datafusion_functions_json_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "text that round trips through parquet for the metadata check")],
+            "id long, t string",
+        )
+        path = str(tmp_path / "mh_index")
+        dedup.minhash_index(df, "id", "t", num_perm=32, mode="word", n=2).write.parquet(path)
+        idx = spark.read.parquet(path)
+        # mismatched family detected even on the re-read index
+        with pytest.raises(ValueError, match="different permutation family"):
+            dedup.minhash_dup_pairs_against(
+                df, idx, "id", "t", num_perm=32, bands=8, seed=99, mode="word", n=2
+            )
+        # matching family passes validation (self-match excluded => empty)
+        assert (
+            dedup.minhash_dup_pairs_against(
+                df, idx, "id", "t", num_perm=32, bands=8, mode="word", n=2
+            ).collect()
+            == []
+        )
 
 
 class TestGroupedPercentiles:
@@ -623,6 +673,8 @@ class TestPropertyDifferentials:
             st.one_of(
                 st.just("http://Abc.example.COM/x"),
                 st.just("https://z9-b.ORG"),
+                st.just("HTTP://Upper.Scheme.net/q"),
+                st.just("HtTpS://mixed.example.io"),
                 st.just("plain words"),
                 st.just("http:/broken"),
                 st.text(alphabet="ab ./:", max_size=8),
@@ -638,7 +690,9 @@ class TestPropertyDifferentials:
             got = df.select(text.url_domains("t").alias("d")).collect()[0].d
             want = [
                 m.lower()
-                for m in _re.findall(r"https?://([A-Za-z0-9.-]+)", s)
+                for m in _re.findall(
+                    r"[Hh][Tt][Tt][Pp][Ss]?://([A-Za-z0-9.-]+)", s
+                )
             ]
             assert got == want
 
