@@ -330,6 +330,86 @@ def find_scalar(s, path):
     return OBJECT, doc
 
 
+def _constant_missing(_s):
+    return MISSING, None
+
+
+def make_find_scalar(path):
+    """Specialized :func:`find_scalar` for a CONSTANT path — the
+    literal-path UDF shape, which dominates real workloads. The per-path
+    work ``find_scalar`` re-derives on every row (guard needles via
+    ``'"%s"' % p`` formatting, isinstance dispatch, negative-index
+    checks) is precompiled once per batch; rows then pay only the
+    guards, one C-speed ``loads``, and a typed walk. Behavior is
+    row-for-row identical to ``find_scalar(s, path)``
+    (hypothesis-differential pinned in tests/test_property.py)."""
+    path = tuple(path)
+    ops = []
+    for p in path:
+        # constant-MISSING paths: null / bool / negative / non-int
+        # elements miss on every row (reference: src/common.rs:118-127)
+        if p is None or isinstance(p, bool):
+            return _constant_missing
+        if isinstance(p, str):
+            ops.append((True, p))
+        else:
+            try:
+                i = int(p)
+            except (TypeError, ValueError):
+                return _constant_missing
+            if i < 0:
+                return _constant_missing
+            ops.append((False, i))
+    needles = tuple('"%s"' % p for is_key, p in ops if is_key)
+    fallback = find
+    loads = _loads
+    big = _BIG_DIGITS.search if _IS_ORJSON else None
+
+    def find_scalar_const(s):
+        if s is None:
+            return MISSING, None
+        if "\\" in s:
+            return fallback(s, path)
+        for nd in needles:
+            if s.count(nd) > 1:
+                return fallback(s, path)
+        if big is not None and big(s) is not None:
+            return fallback(s, path)
+        try:
+            doc = loads(s)
+        except Exception:
+            return fallback(s, path)
+        try:
+            for is_key, p in ops:
+                if is_key:
+                    if type(doc) is dict:
+                        doc = doc[p]  # KeyError -> MISSING
+                    else:
+                        return MISSING, None
+                else:
+                    if type(doc) is not list:
+                        return MISSING, None
+                    doc = doc[p]  # IndexError -> MISSING
+        except (KeyError, IndexError):
+            return MISSING, None
+        if doc is None:
+            return NULL, None
+        if doc is True or doc is False:
+            return BOOL, doc
+        t = type(doc)
+        if t is int:
+            return INT, doc
+        if t is float:
+            return FLOAT, doc
+        if t is str:
+            return STR, doc
+        if t is list:
+            return ARRAY, doc
+        return OBJECT, doc
+
+    return find_scalar_const
+
+
 def find_raw(s, path):
     """Like :func:`find` but preserving the document's exact bytes.
 

@@ -184,3 +184,28 @@ def test_never_raises_on_json_shaped_garbage(junk, path):
     core.length_at(junk, tuple(path))
     core.keys_at(junk, tuple(path))
     core.items_at(junk, tuple(path))
+
+
+@settings(max_examples=400, deadline=None)
+@given(value=json_values, path=paths, pre=ws, post=ws)
+def test_make_find_scalar_matches_find_scalar(value, path, pre, post):
+    """The constant-path specialization must agree with per-row
+    find_scalar on every (document, path) pair — same kinds, same
+    values, same fallback decisions."""
+    s = pre + json.dumps(value) + post
+    p = tuple(path)
+    fs = core.make_find_scalar(p)
+    kind_c, got_c = fs(s)
+    kind_r, got_r = core.find_scalar(s, p)
+    assert kind_c == kind_r
+    if kind_c == core.FLOAT:
+        assert got_c == got_r or (math.isnan(got_c) and math.isnan(got_r))
+    else:
+        assert got_c == got_r
+
+
+@settings(max_examples=200, deadline=None)
+@given(junk=st.text(alphabet='{}[]",:0123456789.eE+- \n\ttrufalsn', max_size=40), path=paths)
+def test_make_find_scalar_never_raises(junk, path):
+    core.make_find_scalar(tuple(path))(junk)
+    core.make_find_scalar(tuple(path))(None)
