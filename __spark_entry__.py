@@ -165,6 +165,44 @@ def _q_json_as_text_native(spark, sf_dir):
     )
 
 
+def _q_json_json_variant(spark, sf_dir):
+    # variant tier for json_get_json/json_length at a path: parse once
+    # into VariantType, re-serialize with to_json — all JVM, zero Python
+    # hops. Envelope: minified re-serialization matches DuckDB's
+    # json_extract rendering on int/string/container values (no floats,
+    # no raw-slice fidelity); pinned vs the exact tier in test_native.py
+    from datafusion_functions_json_spark.functions import native
+
+    li = _lineitem(spark, sf_dir).withColumn("j", _nested_json_col())
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        native.json_get_json_variant("j", "a").alias("a_json"),
+        native.json_get_json_variant("j", "a", "b").alias("b_json"),
+        native.json_length_variant("j", "a").alias("a_len"),
+        native.json_length_variant("j", "a", "b").alias("b_len"),
+    )
+
+
+def _q_get_array_variant(spark, sf_dir):
+    # variant tier for json_get_array/json_object_keys at a path —
+    # element texts CSV-joined (the driver's canonicalizer cannot sort
+    # list cells, same workaround as get_array_csv / embed_quantize)
+    from datafusion_functions_json_spark.functions import native
+
+    li = _lineitem(spark, sf_dir).withColumn("j", _nested_json_col())
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join(
+            native.json_get_array_variant("j", "a", "b"), "|"
+        ).alias("b_elems"),
+        F.array_join(
+            native.json_object_keys_variant("j", "a"), "|"
+        ).alias("a_keys"),
+    )
+
+
 def _q_json_agg(spark, sf_dir):
     # flagship composition: JSON predicate + extraction + aggregation.
     # Written as conditional aggregation rather than filter-then-agg:
@@ -1463,6 +1501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": _q_video_features,
         "embedding_dups": _q_embedding_dups,
         "media_features": _q_media_features,
+        # -- NEW in round 5: variant-tier json/array getters --
+        "json_json_variant": _q_json_json_variant,
+        "get_array_variant": _q_get_array_variant,
         # -- previously driver-green, re-checked because round 5 touches
         #    their code paths (scalar NaN arm, SQL registration, multimodal
         #    decode, multi-kernel fast path) --
@@ -1578,6 +1619,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "json_as_text_native": (
             "select event_id, json_extract_string(props,'$.k') as kt from events"
+        ),
+        "json_json_variant": (
+            f"select l_orderkey, l_linenumber, "
+            f"json_extract({nested}, '$.a')::varchar as a_json, "
+            f"json_extract({nested}, '$.a.b')::varchar as b_json, "
+            f"len(json_keys({nested}, '$.a'))::bigint as a_len, "
+            f"json_array_length({nested}, '$.a.b')::bigint as b_len "
+            f"from lineitem"
+        ),
+        "get_array_variant": (
+            f"select l_orderkey, l_linenumber, "
+            f"json_extract({nested}, '$.a.b[0]')::varchar || '|' || "
+            f"json_extract({nested}, '$.a.b[1]')::varchar as b_elems, "
+            f"array_to_string(json_keys({nested}, '$.a'), '|') as a_keys "
+            f"from lineitem"
         ),
         "json_agg": (
             "select event_type, sum(try_cast(json_extract(props,'$.k') as bigint))::bigint as sum_k, "

@@ -44,6 +44,11 @@ __all__ = [
     "json_get_int_variant",
     "json_get_str_variant",
     "json_get_float_variant",
+    "json_get_bool_variant",
+    "json_get_json_variant",
+    "json_get_array_variant",
+    "json_object_keys_variant",
+    "json_length_variant",
 ]
 
 
@@ -134,3 +139,51 @@ def json_get_str_variant(json_col, *path) -> Column:
 
 def json_get_float_variant(json_col, *path) -> Column:
     return variant_extract(json_col, path, "double")
+
+
+def _try_variant(json_col, path, dtype: str) -> Column:
+    """try_variant_get: NULL (not an error) when the value at ``path``
+    can't cast to ``dtype`` — the null-on-mismatch contract of the exact
+    tier's typed getters."""
+    return F.try_variant_get(parse_variant(json_col), jsonpath(path), dtype)
+
+
+def json_get_bool_variant(json_col, *path) -> Column:
+    return _try_variant(json_col, path, "boolean")
+
+
+def json_get_json_variant(json_col, *path) -> Column:
+    """``json_get_json`` on the variant tier: JSON text of the value at
+    ``path``, any type. Envelope: the document is RE-SERIALIZED from the
+    variant encoding (minified, Jackson rules) — ints/strings/bools/null
+    and containers round-trip byte-identically to DuckDB's json_extract
+    rendering, but raw-slice fidelity is lost (`4.2e-1` → `0.42`, object
+    whitespace dropped); the exact tier keeps the verbatim bytes."""
+    return F.to_json(_try_variant(json_col, path, "variant"))
+
+
+def json_get_array_variant(json_col, *path) -> Column:
+    """``json_get_array`` on the variant tier: array<string> of the
+    element JSON texts at ``path`` (literal ``null`` elements render as
+    'null', like the exact tier). Same re-serialization envelope as
+    :func:`json_get_json_variant`; non-arrays/missing → NULL."""
+    return F.transform(
+        _try_variant(json_col, path, "array<variant>"),
+        lambda e: F.to_json(e),
+    )
+
+
+def json_object_keys_variant(json_col, *path) -> Column:
+    """``json_object_keys`` WITH path support on the variant tier (the
+    non-variant native twin is path-less): keys in document order;
+    non-objects/missing → NULL."""
+    return F.map_keys(_try_variant(json_col, path, "map<string,variant>"))
+
+
+def json_length_variant(json_col, *path) -> Column:
+    """``json_length`` WITH path support on the variant tier: array
+    element count or object key count; scalars/missing → NULL."""
+    return F.coalesce(
+        F.size(_try_variant(json_col, path, "array<variant>")).cast("bigint"),
+        F.size(_try_variant(json_col, path, "map<string,variant>")).cast("bigint"),
+    )

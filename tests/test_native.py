@@ -107,3 +107,82 @@ class TestPlanQuality:
             F.col("id") > 5
         )
         assert has_pushed_filter(q, "GreaterThan(id,5)")
+
+
+class TestVariantJsonArrayTier:
+    """Round-5 widening: json_get_json / json_get_array / object_keys /
+    length on the variant tier (native.py) — agreements with the exact
+    tier inside the envelope, divergences pinned."""
+
+    @pytest.fixture()
+    def docs_df(self, spark):
+        rows = [
+            ("nested", '{"a": {"b": [5, {"c": "R"}]}, "d": null}'),
+            ("flat_int", '{"a": 1}'),
+            ("empty_arr", '{"a": {"b": []}}'),
+            ("arr_null", '["x", 7, null]'),
+            ("invalid", "{"),
+            ("null_doc", None),
+        ]
+        return spark.createDataFrame(rows, "name string, j string")
+
+    def test_get_json_agrees_minified(self, docs_df):
+        rows = {
+            r.name: r
+            for r in docs_df.select(
+                "name",
+                jsonf.json_get_json("j", "a").alias("exact"),
+                native.json_get_json_variant("j", "a").alias("nat"),
+            ).collect()
+        }
+        # the nested fixture has NO interior whitespace inside $.a beyond
+        # what minification removes deterministically
+        assert rows["flat_int"].exact == rows["flat_int"].nat == "1"
+        assert rows["empty_arr"].nat == '{"b":[]}'
+        assert rows["invalid"].exact is None and rows["invalid"].nat is None
+        assert rows["null_doc"].nat is None
+        # divergence: exact keeps the verbatim slice (with spaces)
+        assert rows["nested"].exact == '{"b": [5, {"c": "R"}]}'
+        assert rows["nested"].nat == '{"b":[5,{"c":"R"}]}'
+
+    def test_get_array_elements_and_null_literal(self, docs_df):
+        rows = {
+            r.name: r
+            for r in docs_df.select(
+                "name",
+                jsonf.json_get_array("j").alias("exact"),
+                native.json_get_array_variant("j").alias("nat"),
+            ).collect()
+        }
+        # literal null element renders as 'null' on both tiers
+        assert rows["arr_null"].exact == ['"x"', "7", "null"]
+        assert rows["arr_null"].nat == ['"x"', "7", "null"]
+        # non-arrays -> NULL on both
+        assert rows["flat_int"].exact is None and rows["flat_int"].nat is None
+        assert rows["invalid"].nat is None
+
+    def test_object_keys_and_length_with_path(self, docs_df):
+        rows = {
+            r.name: r
+            for r in docs_df.select(
+                "name",
+                native.json_object_keys_variant("j", "a").alias("keys"),
+                native.json_length_variant("j", "a").alias("alen"),
+                native.json_length_variant("j", "a", "b").alias("blen"),
+            ).collect()
+        }
+        assert rows["nested"].keys == ["b"]
+        assert rows["nested"].alen == 1 and rows["nested"].blen == 2
+        assert rows["empty_arr"].blen == 0
+        # scalar / missing / invalid -> NULL
+        assert rows["flat_int"].keys is None and rows["flat_int"].alen is None
+        assert rows["invalid"].alen is None
+
+    def test_variant_tier_has_no_python_stage(self, docs_df):
+        df = docs_df.select(
+            native.json_get_json_variant("j", "a"),
+            native.json_get_array_variant("j", "a", "b"),
+            native.json_object_keys_variant("j", "a"),
+            native.json_length_variant("j", "a"),
+        )
+        assert arrow_eval_count(df) == 0
