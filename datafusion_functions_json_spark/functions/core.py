@@ -81,17 +81,33 @@ INT64_MIN = -(2**63)
 INT64_MAX = 2**63 - 1
 
 _WS = " \t\n\r"
+def _reject_nonfinite_token(tok):
+    """jiter parity: the reference's parser is strict JSON — a bare
+    ``NaN``/``Infinity``/``-Infinity`` token makes the DOCUMENT invalid
+    (all getters null/false for the row), unlike Python's tolerant
+    default which parses them as floats (reference: jiter strictness,
+    tests/main.rs invalid-input rows; closes the last documented
+    tolerance delta in COVERAGE.md)."""
+    raise ValueError(f"invalid JSON constant {tok!r}")
+
+
 # Fast-path parser: orjson (Rust, ~3× stdlib) when available, stdlib
 # otherwise. Semantics-neutral under find_scalar's guard: docs with
 # duplicate path keys or escapes never reach it, and orjson's stricter
-# failures (>i64 ints, NaN/Infinity literals, trailing garbage) raise
-# into the same streaming-scanner fallback the stdlib path uses.
+# failures (>i64 ints, trailing garbage) raise into the same
+# streaming-scanner fallback the stdlib path uses. Both arms reject
+# NaN/Infinity tokens like the reference's jiter (orjson natively;
+# stdlib via parse_constant).
 try:  # pragma: no cover - environment-dependent
     from orjson import loads as _loads
 
     _IS_ORJSON = True
 except ImportError:  # pragma: no cover
-    _loads = json.loads
+    import functools
+
+    _loads = functools.partial(
+        json.loads, parse_constant=_reject_nonfinite_token
+    )
     _IS_ORJSON = False
 
 # orjson parses integers OUTSIDE [i64::MIN, u64::MAX] as lossy floats
@@ -114,7 +130,11 @@ def _raw_decode(s: str, i: int):
     """
     rd = getattr(json, "_dfjs_raw_decode", None)
     if rd is None:
-        rd = json.JSONDecoder().raw_decode
+        # parse_constant: reject NaN/Infinity tokens like jiter (the
+        # reference treats such documents as invalid JSON)
+        rd = json.JSONDecoder(
+            parse_constant=_reject_nonfinite_token
+        ).raw_decode
         json._dfjs_raw_decode = rd
     return rd(s, i)
 

@@ -18,6 +18,7 @@ so results are IDENTICAL to N separate calls.
 
 from __future__ import annotations
 
+import functools
 import json
 import re
 from typing import Mapping, Sequence, Tuple
@@ -222,7 +223,12 @@ def json_extract_multi(
             )
         specs.append((name, kind, tuple(path)))
     ret = "struct<" + ",".join(f"`{n}`:{FIELD_KINDS[k]}" for n, k, _ in specs) + ">"
-    loads = json.loads
+    # parse_constant: reject NaN/Infinity tokens like the reference's
+    # jiter — such documents are invalid, every field takes the fallback
+    # row (core._reject_nonfinite_token; orjson rejects them natively)
+    loads = functools.partial(
+        json.loads, parse_constant=core._reject_nonfinite_token
+    )
     try:  # orjson (Rust): ~6× the hooked stdlib path; guarded below
         from orjson import loads as fast_loads
 
@@ -230,7 +236,7 @@ def json_extract_multi(
         # digit run routes to the stdlib path (see core._BIG_DIGITS)
         big_digits = re.compile(r"[0-9]{19}").search
     except ImportError:  # pragma: no cover
-        fast_loads = json.loads
+        fast_loads = loads
         big_digits = None
 
     def first_wins(pairs):

@@ -297,3 +297,39 @@ class TestCanonicalText:
         assert f(STR, 'a"b\n') == '"a\\"b\\n"'
         assert f(ARRAY, "[1, 2]") == "[1, 2]"
         assert f(OBJECT, '{"a": 1}') == '{"a": 1}'
+
+
+class TestNonFiniteTokensRejected:
+    """jiter parity (closed round 5): bare NaN/Infinity/-Infinity tokens
+    make the document INVALID JSON — Python's tolerant default would
+    parse them as floats, the reference's parser errors and every getter
+    yields null/false for the row."""
+
+    CASES = ['{"k": NaN}', '{"k": Infinity}', '{"k": -Infinity}', "[NaN]", "NaN"]
+
+    def test_all_parse_arms_reject(self):
+        for s in self.CASES:
+            assert core.find(s, ("k",)) == (MISSING, None), s
+            assert core.find_scalar(s, ("k",)) == (MISSING, None), s
+            assert core.make_find_scalar(("k",))(s) == (MISSING, None), s
+            assert core.exists_at(s, ("k",)) is False, s
+            assert core.length_at(s, ()) is None, s
+
+    def test_skipping_past_a_bad_token_rejects(self):
+        # navigating to "b" must SKIP the NaN value -> lexes it -> invalid
+        assert core.find('{"a": NaN, "b": 1}', ("b",)) == (MISSING, None)
+        assert core.find_scalar('{"a": NaN, "b": 1}', ("b",)) == (MISSING, None)
+
+    def test_lazy_scan_before_bad_token_still_finds(self):
+        # jiter is lazy: a value located BEFORE the bad token resolves
+        # without ever lexing it — both tiers agree
+        assert core.find('{"b": 1, "a": NaN}', ("b",)) == (INT, 1)
+        assert core.find_scalar('{"b": 1, "a": NaN}', ("b",)) == (INT, 1)
+
+    def test_string_nan_values_unaffected(self):
+        # "NaN" as a STRING value is valid JSON; the float STRING
+        # coercion (parse_float_like_rust) still accepts it
+        assert core.find('{"k": "NaN"}', ("k",)) == (STR, "NaN")
+        import math
+
+        assert math.isnan(core.parse_float_like_rust("NaN"))
