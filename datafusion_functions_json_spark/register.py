@@ -23,10 +23,10 @@ SURVEY.md §7.4):
 
 * a path *column* that is constant and non-null within every Arrow batch
   is indistinguishable from a literal, so the >1-path-element error can
-  miss it (a varying or nullable column is always caught);
-* ``json_get`` returns the union struct with ``type_id = 0`` null-arm
-  rows (no JVM-side rewrap around a SQL UDF call site); use
-  ``json_is_null``/``json_union_to_text`` which treat it as NULL.
+  miss it (a varying or nullable column is always caught).
+
+``json_get``'s null arm surfaces as a whole-struct NULL (Arrow validity
+mask), matching the Python API's rewrap — both surfaces agree.
 """
 
 from __future__ import annotations
@@ -175,14 +175,24 @@ def _make_sql_udf(fn_key: str):
     if fn_key == "json_get":
 
         def fn(js: pa.Array, *key_cols: pa.Array) -> pa.Array:
+            import pyarrow.compute as pc
+
             check(fn_key, key_cols)
             out = wrap(fn_key, kernel(_json_text(js), _paths(key_cols)))
+            arrays = [
+                pa.Array.from_pandas(out[name], type=pa.type_for_alias(t))
+                for name, t in union_fields
+            ]
+            # null-arm rows (type_id 0/absent) -> whole-struct NULL, the
+            # same JVM-side rewrap the Python API applies — SQL and
+            # Python surfaces now agree
+            null_rows = pc.fill_null(
+                pc.equal(arrays[0], pa.scalar(0, pa.int8())), True
+            )
             return pa.StructArray.from_arrays(
-                [
-                    pa.Array.from_pandas(out[name], type=pa.type_for_alias(t))
-                    for name, t in union_fields
-                ],
+                arrays,
                 names=[name for name, _ in union_fields],
+                mask=null_rows,
             )
 
     else:
