@@ -64,7 +64,7 @@ from .functions.api import (
     json_union_to_text,
     scalar_to_json,
 )
-from .register import register_all
+from .register import register_all, register_native
 from .sql import rewrite_sql, sql
 from .union import UNION_DDL, UNION_SCHEMA, format_union_value
 
@@ -90,6 +90,7 @@ __all__ = [
     "json_is_null",
     "json_extract_multi",
     "register_all",
+    "register_native",
     "rewrite_sql",
     "sql",
     "UNION_SCHEMA",

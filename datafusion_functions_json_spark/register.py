@@ -42,7 +42,7 @@ from .functions import kernels, udfs
 from .functions.udfs import RETURN_TYPES
 from .union import UNION_DDL
 
-__all__ = ["register_all"]
+__all__ = ["register_all", "register_native"]
 
 _SQL_KERNELS = {
     "json_get": kernels.kernel_json_get,
@@ -287,3 +287,70 @@ def register_all(spark: SparkSession) -> None:
     names["scalar_to_json"] = names["json_from_scalar"]  # src/json_from_scalar.rs:31
     for name, udf in names.items():
         spark.udf.register(name, udf)
+
+
+# SQL bodies for the JVM-native variant tier (functions/native.py twins).
+# `{p}` expands to the guarded JSONPath expression over parameter `k`.
+_NATIVE_SQL_BODIES = {
+    "json_get_int_variant": (
+        "BIGINT",
+        "try_variant_get(try_parse_json(ltrim(j)), {p}, 'bigint')",
+    ),
+    "json_get_float_variant": (
+        "DOUBLE",
+        "try_variant_get(try_parse_json(ltrim(j)), {p}, 'double')",
+    ),
+    "json_get_bool_variant": (
+        "BOOLEAN",
+        "try_variant_get(try_parse_json(ltrim(j)), {p}, 'boolean')",
+    ),
+    "json_get_str_variant": (
+        "STRING",
+        "try_variant_get(try_parse_json(ltrim(j)), {p}, 'string')",
+    ),
+    "json_get_json_variant": (
+        "STRING",
+        "to_json(try_variant_get(try_parse_json(ltrim(j)), {p}, 'variant'))",
+    ),
+    "json_keys_variant": (
+        "ARRAY<STRING>",
+        "map_keys(try_variant_get(try_parse_json(ltrim(j)), {p}, "
+        "'map<string,variant>'))",
+    ),
+    "json_length_variant": (
+        "BIGINT",
+        "coalesce("
+        "size(try_variant_get(try_parse_json(ltrim(j)), {p}, "
+        "'array<variant>')), "
+        "size(try_variant_get(try_parse_json(ltrim(j)), {p}, "
+        "'map<string,variant>')))",
+    ),
+}
+
+
+def register_native(spark: SparkSession) -> None:
+    """Register the JVM-native VARIANT tier for SQL users: Spark 4 SQL
+    UDFs (``CREATE FUNCTION ... RETURN``) whose bodies inline into
+    Catalyst — whole-stage codegen, ZERO Python hops, ~4× the exact
+    tier's throughput on envelope-conformant data.
+
+    Single path-key arity (SQL UDFs have fixed signatures): ``SELECT
+    json_get_int_variant(props, 'k') FROM events``. A key containing
+    JSONPath syntax characters raises (the same refusal as
+    ``native.jsonpath`` — such keys need the exact tier). Equivalence
+    envelope as functions/native.py: string coercions differ from the
+    exact tier and containers are re-serialized, so the reference-exact
+    ``register_all`` functions remain the default surface.
+    """
+    # keys containing . [ ] ' " $ * are not expressible in JSONPath
+    guard = (
+        "CASE WHEN k RLIKE '[.\\\\[\\\\]''\"$*]' THEN "
+        "raise_error(concat('key ', k, ' is not expressible in JSONPath "
+        "syntax; use the exact tier')) "
+        "ELSE concat('$.', k) END"
+    )
+    for name, (ret, body) in _NATIVE_SQL_BODIES.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(j STRING, k STRING) "
+            f"RETURNS {ret} RETURN " + body.format(p=f"({guard})")
+        )

@@ -186,3 +186,53 @@ class TestVariantJsonArrayTier:
             native.json_length_variant("j", "a"),
         )
         assert arrow_eval_count(df) == 0
+
+
+class TestRegisterNative:
+    """register_native(spark): the variant tier as Spark 4 SQL UDFs —
+    bodies inline into Catalyst (zero Python hops), single path-key
+    arity, native.jsonpath's refusal for JSONPath-syntax keys."""
+
+    @pytest.fixture(autouse=True)
+    def _reg(self, spark):
+        from datafusion_functions_json_spark.register import register_native
+
+        register_native(spark)
+        df = spark.createDataFrame(
+            [
+                ('{"k": 5, "s": "hi", "b": true, "o": {"x": [1, 2]}}',),
+                ("{",),
+                (None,),
+            ],
+            ["j"],
+        )
+        df.createOrReplaceTempView("native_sql_t")
+
+    def test_typed_getters(self, spark):
+        r = spark.sql(
+            "select json_get_int_variant(j,'k') i, "
+            "json_get_str_variant(j,'s') s, "
+            "json_get_bool_variant(j,'b') b, "
+            "json_get_json_variant(j,'o') o, "
+            "json_keys_variant(j,'o') ks, "
+            "json_length_variant(j,'o') n "
+            "from native_sql_t where j is not null and json_get_int_variant(j,'k') is not null"
+        ).collect()[0]
+        assert (r.i, r.s, r.b) == (5, "hi", True)
+        assert r.o == '{"x":[1,2]}' and r.ks == ["x"] and r.n == 1
+
+    def test_invalid_and_null_docs_are_null(self, spark):
+        rows = spark.sql(
+            "select json_get_int_variant(j,'k') i from native_sql_t"
+        ).collect()
+        assert sorted((r.i is None) for r in rows) == [False, True, True]
+
+    def test_jsonpath_syntax_key_raises(self, spark):
+        with pytest.raises(Exception, match="not expressible in JSONPath"):
+            spark.sql(
+                "select json_get_int_variant(j, 'a.b') from native_sql_t"
+            ).collect()
+
+    def test_plan_is_pure_jvm(self, spark):
+        df = spark.sql("select json_get_int_variant(j,'k') from native_sql_t")
+        assert arrow_eval_count(df) == 0
