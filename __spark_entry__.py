@@ -978,6 +978,13 @@ def _q_unigram_lm(spark, sf_dir):
     )
 
 
+def _q_bigram_lm(spark, sf_dir):
+    # interpolated bigram LM quality score (Jelinek-Mercer over
+    # self-trained corpus counts) — the transition-aware rung above
+    # unigram_lm; all counts broadcast back, one per-doc keyed agg
+    return text.bigram_lm_score(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _q_bm25(spark, sf_dir):
     # Okapi BM25 against a fixed query bag: token-array filter BEFORE
     # the explode, broadcast corpus stats, one id-keyed agg
@@ -1501,9 +1508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": _q_video_features,
         "embedding_dups": _q_embedding_dups,
         "media_features": _q_media_features,
-        # -- NEW in round 5: variant-tier json/array getters --
+        # -- NEW in round 5: variant-tier json/array getters + bigram LM --
         "json_json_variant": _q_json_json_variant,
         "get_array_variant": _q_get_array_variant,
+        "bigram_lm": _q_bigram_lm,
         # -- previously driver-green, re-checked because round 5 touches
         #    their code paths (scalar NaN arm, SQL registration, multimodal
         #    decode, multi-kernel fast path) --
@@ -1922,6 +1930,22 @@ def oracle_sql() -> dict[str, str]:
             "select event_type, event_id, value, row_number() over ("
             "partition by event_type order by value desc nulls last, "
             "event_id asc) as rk from events) t where rk <= 3"
+        ),
+        "bigram_lm": (
+            f"with d as (select doc_id, {_TOKENS_SQL} as tk from documents), "
+            "idx as (select doc_id, tk, unnest(range(1, len(tk))) as i from d), "
+            "bg as (select doc_id, tk[i] as w1, tk[i+1] as w2 from idx), "
+            "b12 as (select w1, w2, count(*) as c12 from bg group by w1, w2), "
+            "b1 as (select w1, sum(c12) as c1 from b12 group by w1), "
+            "u as (select w2, count(*) as tf2 from bg group by w2), "
+            "tot as (select sum(tf2) as n_total from u), "
+            "per as (select doc_id, count(*) as n_bigrams, "
+            "round(avg(ln(0.75 * c12 / c1 + 0.25 * tf2 / n_total)), 6) "
+            "as avg_logp "
+            "from bg join b12 using (w1, w2) join b1 using (w1) "
+            "join u using (w2) cross join tot group by doc_id) "
+            "select doc_id, n_bigrams, avg_logp, "
+            "round(exp(-avg_logp), 4) as ppl from per"
         ),
         "unigram_lm": (
             f"with tok as (select doc_id, unnest({_TOKENS_SQL}) as token "

@@ -41,6 +41,7 @@ __all__ = [
     "top_tokens",
     "tf_idf",
     "unigram_lm_score",
+    "bigram_lm_score",
     "bm25_scores",
     "decontaminate",
     "decontaminate_filter",
@@ -509,6 +510,76 @@ def unigram_lm_score(
     return per.select(
         F.col("__id").alias(id_col),
         "n_tokens",
+        "avg_logp",
+        F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+    )
+
+
+def bigram_lm_score(
+    df,
+    id_col,
+    text_col,
+    *,
+    lam: float = 0.75,
+    round_decimals: int = 6,
+) -> "DataFrame":
+    """Interpolated bigram language-model quality score — the next rung
+    above :func:`unigram_lm_score` on the quality ladder: it sees word
+    ORDER, so scrambled or word-salad text built from common tokens
+    (which unigrams score as fluent) scores low on its improbable
+    transitions. Per document: mean ``log P(w2|w1)`` over
+    consecutive token pairs with Jelinek-Mercer interpolation
+    ``P = lam * c(w1,w2)/c(w1,·) + (1-lam) * tf(w2)/N`` — counts
+    trained on the corpus itself, like CCNet's self-trained filtering.
+    Returns ``(id, n_bigrams, avg_logp, ppl)``; documents with <2
+    tokens produce no row. ``ppl`` derives from the ROUNDED mean so
+    engine pairs agree bit-for-bit.
+
+    Scale shape: the bigram stream is a pure projection
+    (``zip_with(slice, slice)`` — no shuffle to build); the bigram and
+    history tables are token-keyed hash aggs with map-side partials
+    (Zipf skew collapses per-partition); both join back BROADCAST
+    (vocab-sized ≪ corpus). One final per-doc keyed agg. No
+    driver-side loop, no collect.
+    """
+    toks = tokens(text_col)
+    # ANSI-safe slice length: empty/1-token docs -> 0-length slices ->
+    # no bigrams -> the doc produces no row
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n_pairs),
+        F.slice(toks, F.lit(2), n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode(pairs).alias("bg")
+    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bigrams = ex.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    history = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    unigrams = ex.groupBy("w2").agg(F.count("*").alias("tf2"))
+    totals = unigrams.agg(F.sum("tf2").alias("__n_total"))
+
+    scored = (
+        ex.join(F.broadcast(bigrams), ["w1", "w2"])
+        .join(F.broadcast(history), "w1")
+        .join(F.broadcast(unigrams), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__logp",
+            F.log(
+                F.lit(float(lam)) * F.col("c12") / F.col("c1")
+                + F.lit(1.0 - float(lam)) * F.col("tf2") / F.col("__n_total")
+            ),
+        )
+    )
+    per = scored.groupBy("__id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("__logp"), round_decimals).alias("avg_logp"),
+    )
+    return per.select(
+        F.col("__id").alias(id_col),
+        "n_bigrams",
         "avg_logp",
         F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
     )

@@ -261,6 +261,41 @@ class TestUnigramLM:
         assert got == {1}
 
 
+class TestBigramLM:
+    def test_hand_computed_interpolated_score(self, spark):
+        import math
+
+        df = spark.createDataFrame([(1, "a b a b"), (2, "b a")], "id int, t string")
+        out = {
+            r.id: r for r in text.bigram_lm_score(df, "id", "t").collect()
+        }
+        # bigram stream: doc1 (a,b) (b,a) (a,b); doc2 (b,a)
+        # c12: (a,b)=2 (b,a)=2; c1: a=2 b=2; tf2 over stream: a=2 b=2; N=4
+        p = 0.75 * 2 / 2 + 0.25 * 2 / 4  # every pair: 0.875
+        exp = round(math.log(p), 6)
+        assert out[1].avg_logp == pytest.approx(exp)
+        assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+        assert out[1].ppl == pytest.approx(round(math.exp(-exp), 4))
+
+    def test_word_order_matters(self, spark):
+        # same token multiset, scrambled order: unigram score identical,
+        # bigram score lower — the signal this operator adds
+        corpus = [(i, "the cat sat on the mat") for i in range(10)]
+        corpus.append((99, "mat the on sat cat the"))
+        df = spark.createDataFrame(corpus, "id int, t string")
+        uni = {r.id: r.avg_logp for r in text.unigram_lm_score(df, "id", "t").collect()}
+        big = {r.id: r.avg_logp for r in text.bigram_lm_score(df, "id", "t").collect()}
+        assert uni[99] == uni[0]
+        assert big[99] < big[0]
+
+    def test_short_docs_absent(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "one"), (3, "  ")], "id int, t string"
+        )
+        got = {r.id for r in text.bigram_lm_score(df, "id", "t").collect()}
+        assert got == {1}
+
+
 class TestBM25:
     def test_hand_computed_scores(self, spark):
         import math
