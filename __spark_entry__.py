@@ -985,6 +985,15 @@ def _q_bigram_lm(spark, sf_dir):
     return text.bigram_lm_score(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_dup_spans(spark, sf_dir):
+    # Gopher-style cross-document duplicated n-gram-window fraction:
+    # shuffle key is md5(window) (digest, not payload); the window table
+    # is corpus-sized so it joins keyed, NOT broadcast
+    return text.duplicated_span_fraction(
+        _docs(spark, sf_dir), "doc_id", "text", n=10
+    )
+
+
 def _q_bm25(spark, sf_dir):
     # Okapi BM25 against a fixed query bag: token-array filter BEFORE
     # the explode, broadcast corpus stats, one id-keyed agg
@@ -1512,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_json_variant": _q_json_json_variant,
         "get_array_variant": _q_get_array_variant,
         "bigram_lm": _q_bigram_lm,
+        "dup_spans": _q_dup_spans,
         # -- previously driver-green, re-checked because round 5 touches
         #    their code paths (scalar NaN arm, SQL registration, multimodal
         #    decode, multi-kernel fast path) --
@@ -1930,6 +1940,18 @@ def oracle_sql() -> dict[str, str]:
             "select event_type, event_id, value, row_number() over ("
             "partition by event_type order by value desc nulls last, "
             "event_id asc) as rk from events) t where rk <= 3"
+        ),
+        "dup_spans": (
+            f"with d as (select doc_id, {_TOKENS_SQL} as tk from documents), "
+            "idx as (select doc_id, tk, "
+            "unnest(range(1, len(tk) - 8)) as i from d), "
+            "w as (select doc_id, array_to_string(tk[i:i+9], ' ') as win "
+            "from idx), "
+            "s as (select win, count(distinct doc_id) as n_docs "
+            "from w group by win) "
+            "select doc_id, count(*) as n_windows, "
+            "round(avg(case when n_docs > 1 then 1.0 else 0.0 end), 6) "
+            "as dup_frac from w join s using (win) group by doc_id"
         ),
         "bigram_lm": (
             f"with d as (select doc_id, {_TOKENS_SQL} as tk from documents), "

@@ -43,6 +43,7 @@ __all__ = [
     "unigram_lm_score",
     "bigram_lm_score",
     "bm25_scores",
+    "duplicated_span_fraction",
     "decontaminate",
     "decontaminate_filter",
     "STOPWORDS",
@@ -582,6 +583,63 @@ def bigram_lm_score(
         "n_bigrams",
         "avg_logp",
         F.round(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+    )
+
+
+def duplicated_span_fraction(
+    df,
+    id_col,
+    text_col,
+    *,
+    n: int = 10,
+    round_decimals: int = 6,
+) -> "DataFrame":
+    """Cross-document repeated-span signal (Gopher/RefinedWeb-style
+    duplicated n-gram fraction, corpus-level): for each document, the
+    fraction of its token n-gram WINDOWS (every position, multiplicity
+    kept) whose exact window text also appears in at least one OTHER
+    document. Boilerplate shared across pages (headers, license blocks,
+    templated paragraphs) lights up; unique prose scores 0. The
+    corpus-level cousin of :func:`repetition_stats` (which only sees
+    within-document repeats). Returns ``(id, n_windows, dup_frac)``;
+    documents with fewer than ``n`` tokens produce no row.
+
+    Scale shape: windows are a pure projection (sequence + slice +
+    concat); the shuffle key is ``md5(window)`` — 32 bytes instead of
+    the window text, the same digest-not-payload trick as
+    ``exact_dup_groups(hash_key=True)``. One hash agg counts distinct
+    docs per window (two-phase Expand), one keyed equi-join back, one
+    per-doc agg. No broadcast of the window table (it is corpus-sized —
+    a broadcast would be the scale mistake).
+    """
+    toks = tokens(text_col)
+    nwin = F.size(toks) - (n - 1)
+    # guard: sequence(1, 0) would generate a DESCENDING range, not empty
+    windows = F.when(
+        nwin >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode(windows).alias("wh")
+    )
+    spans = ex.groupBy("wh").agg(
+        F.countDistinct("__id").alias("__n_docs")
+    )
+    per = (
+        ex.join(spans, "wh")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.round(
+                F.avg((F.col("__n_docs") > 1).cast("double")), round_decimals
+            ).alias("dup_frac"),
+        )
+    )
+    return per.select(
+        F.col("__id").alias(id_col), "n_windows", "dup_frac"
     )
 
 

@@ -732,3 +732,45 @@ class TestPropertyDifferentials:
             assert got == want
 
         check()
+
+
+class TestDuplicatedSpans:
+    def test_cross_doc_shared_window_detected(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "totally unique words nothing shared here"),
+            (4, "tiny doc"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "id int, t string")
+        out = {
+            r.id: r
+            for r in text.duplicated_span_fraction(df, "id", "t", n=5).collect()
+        }
+        # docs 1+2 share the 'alpha..epsilon' 5-window (1 of their 2 windows)
+        assert out[1].dup_frac == 0.5 and out[2].dup_frac == 0.5
+        assert out[1].n_windows == 2
+        assert out[3].dup_frac == 0.0
+        # <n tokens / null -> no row
+        assert set(out) == {1, 2, 3}
+
+    def test_within_doc_repeat_is_not_cross_doc(self, spark):
+        # the same window twice in ONE doc is repetition_stats' job, not
+        # this operator's: n_docs stays 1 -> dup_frac 0
+        df = spark.createDataFrame(
+            [(1, "x y z x y z"), (2, "p q r s t u")], "id int, t string"
+        )
+        out = {
+            r.id: r
+            for r in text.duplicated_span_fraction(df, "id", "t", n=3).collect()
+        }
+        assert out[1].dup_frac == 0.0
+
+    def test_exact_dup_docs_are_fully_duplicated(self, spark):
+        body = "one two three four five six seven"
+        df = spark.createDataFrame(
+            [(1, body), (2, body)], "id int, t string"
+        )
+        out = text.duplicated_span_fraction(df, "id", "t", n=5).collect()
+        assert all(r.dup_frac == 1.0 for r in out)
