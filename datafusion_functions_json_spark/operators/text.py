@@ -539,9 +539,14 @@ def bigram_lm_score(
     Scale shape: the bigram stream is a pure projection
     (``zip_with(slice, slice)`` — no shuffle to build); the bigram and
     history tables are token-keyed hash aggs with map-side partials
-    (Zipf skew collapses per-partition); both join back BROADCAST
-    (vocab-sized ≪ corpus). One final per-doc keyed agg. No
-    driver-side loop, no collect.
+    (Zipf skew collapses per-partition); all three count tables join
+    back KEYED, not broadcast — the distinct-bigram table of a
+    web-scale corpus grows near-linearly with corpus size (billions of
+    rows at 100 TB), so broadcasting it would OOM every executor. Every
+    observed bigram exists in the count tables by construction, so the
+    keyed inner joins are semantics-identical to the broadcast form.
+    Only the 1-row ``totals`` aggregate is broadcast. One final per-doc
+    keyed agg. No driver-side loop, no collect.
     """
     toks = tokens(text_col)
     # ANSI-safe slice length: empty/1-token docs -> 0-length slices ->
@@ -562,9 +567,9 @@ def bigram_lm_score(
     totals = unigrams.agg(F.sum("tf2").alias("__n_total"))
 
     scored = (
-        ex.join(F.broadcast(bigrams), ["w1", "w2"])
-        .join(F.broadcast(history), "w1")
-        .join(F.broadcast(unigrams), "w2")
+        ex.join(bigrams, ["w1", "w2"])
+        .join(history, "w1")
+        .join(unigrams, "w2")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "__logp",
