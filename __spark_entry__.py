@@ -2062,13 +2062,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_oracle_sql(iters=3),
         "weighted_sample": (
+            # log-space A-ES key: u^(1/w) desc == ln(-ln u) - ln w asc,
+            # discriminative at any weight magnitude (split.py)
             f"with t as (select doc_id, len({_TOKENS_SQL})::double as w "
             "from documents), "
             "k as (select doc_id, w, "
-            "round(pow(try_cast(('0x' || substr(md5('r4:' || doc_id::varchar), "
-            "1, 8)) as bigint) / 4294967296.0, 1.0 / w), 12) as key "
+            "round(ln(-ln(greatest("
+            "try_cast(('0x' || substr(md5('r4:' || doc_id::varchar), "
+            "1, 8)) as bigint) / 4294967296.0, 0.5 / 4294967296.0))) "
+            "- ln(w), 12) as key "
             "from t where w > 0) "
-            "select doc_id, w from k order by key desc, doc_id asc limit 40"
+            "select doc_id, w from k order by key asc, doc_id asc limit 40"
         ),
         "cohort_retention": (
             "with e as (select user_id as user, "

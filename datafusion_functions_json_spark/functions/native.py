@@ -82,12 +82,22 @@ def json_as_text_native(json_col, *path) -> Column:
     return F.get_json_object(F.ltrim(_col(json_col)), jsonpath(path))
 
 
+def _size(c: Column) -> Column:
+    """size() that yields NULL for NULL input regardless of the
+    ``spark.sql.ansi.enabled`` setting — with ANSI off, legacy
+    ``sizeOfNull`` makes size(NULL) return -1, which would turn
+    missing/scalar paths into -1 instead of NULL and diverge from the
+    exact tier. -1 is unreachable for a real collection, so nullif is
+    exact."""
+    return F.nullif(F.size(c), F.lit(-1))
+
+
 def json_length_native(json_col) -> Column:
     """Path-less json_length via built-ins."""
     c = F.ltrim(_col(json_col))
     return F.coalesce(
         F.json_array_length(c).cast("bigint"),
-        F.size(F.json_object_keys(c)).cast("bigint"),
+        _size(F.json_object_keys(c)).cast("bigint"),
     )
 
 
@@ -184,6 +194,6 @@ def json_length_variant(json_col, *path) -> Column:
     """``json_length`` WITH path support on the variant tier: array
     element count or object key count; scalars/missing → NULL."""
     return F.coalesce(
-        F.size(_try_variant(json_col, path, "array<variant>")).cast("bigint"),
-        F.size(_try_variant(json_col, path, "map<string,variant>")).cast("bigint"),
+        _size(_try_variant(json_col, path, "array<variant>")).cast("bigint"),
+        _size(_try_variant(json_col, path, "map<string,variant>")).cast("bigint"),
     )

@@ -39,6 +39,9 @@ __all__ = [
 FEATURE_DIM = 16
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# hard ceiling on inflated PNG scanline bytes per row (128 MiB ≈ a
+# 6500×6500 RGBA image) — larger claims are dims-only, never inflated
+_MAX_RAW_BYTES = 128 * 1024 * 1024
 # channels per PNG color type (3 = palette: dims-only, no pixel decode)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
@@ -114,11 +117,22 @@ def _decode_png(b: bytes):
     channels = 3 if color_type == 3 else _PNG_CHANNELS[color_type]
     if bit_depth != 8 or interlace != 0 or color_type == 3 or not idat:
         return (height, width, channels, None)
+    nch = _PNG_CHANNELS[color_type]
+    # Bounded inflate: a crafted IDAT can expand >1000:1, and an
+    # unbounded zlib.decompress on an untrusted row could OOM an
+    # executor. Cap at the exact filtered-scanline size implied by the
+    # header (plus 1 byte to detect overflow); oversized headers and
+    # overflowing streams are treated as failed decodes, never raised.
+    need = height * (width * nch + 1)
+    if need <= 0 or need > _MAX_RAW_BYTES:
+        return (height, width, channels, None)
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), need + 1)
+        if len(raw) > need or d.unconsumed_tail:
+            return (height, width, channels, None)
     except zlib.error:
         return (height, width, channels, None)
-    nch = _PNG_CHANNELS[color_type]
     rows = _png_unfilter(raw, height, width * nch, nch)
     if rows is None:
         return (height, width, channels, None)
@@ -179,7 +193,9 @@ def _sniff_jpeg(b: bytes):
             if pos + 9 > len(b):
                 return None
             height, width = struct.unpack_from(">HH", b, pos + 5)
-            channels = b[pos + 9]
+            # channel byte may be truncated off (pos+9 == len-1 case):
+            # keep the dims we already parsed rather than dropping them
+            channels = b[pos + 9] if pos + 10 <= len(b) else None
             return (height, width, channels, None)
         pos += 2 + seg_len
     return None

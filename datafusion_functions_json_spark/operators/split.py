@@ -263,23 +263,32 @@ def weighted_sample(
     the driver-side merge). Rows with NULL, zero, or negative weight
     are excluded (their inclusion probability is 0).
 
-    The sort key is rounded to 12 decimals before ordering: ``pow`` may
-    differ in the last ulp across libm implementations, and an unrounded
-    key would let that reorder near-tied rows at the k-th boundary on a
-    different engine. After rounding, genuinely-close keys compare EQUAL
-    everywhere and fall through to the deterministic id tie-break —
-    that's what makes the "identical rows on any engine" guarantee hold
-    (the oracle twin rounds identically).
+    The ordering is computed in LOG space: ``u^(1/w)`` descending is
+    equivalent to ``ln(-ln u) - ln w`` ascending, and the log key stays
+    O(1)-magnitude for ANY weight scale — the direct ``pow`` key
+    saturates to 1.0 once ``1 - u^(1/w)`` drops below rounding
+    granularity (w ≳ 1e11), which would silently degrade the sample to
+    id-order. The key is rounded to 12 decimals before ordering:
+    ``log`` may differ in the last ulp across libm implementations, and
+    an unrounded key would let that reorder near-tied rows at the k-th
+    boundary on a different engine. After rounding, genuinely-close
+    keys compare EQUAL everywhere and fall through to the deterministic
+    id tie-break — that's what makes the "identical rows on any engine"
+    guarantee hold (the oracle twin rounds identically).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = split_fraction(id_col, salt)
-    key = F.round(F.pow(u, 1.0 / w.cast("double")), 12)
+    # clamp u away from 0 (md5 prefix 00000000 happens once per ~4e9
+    # ids): ln(0) is NULL on Spark and an error on DuckDB. Half the
+    # u-grid spacing preserves the ordering of every nonzero draw and
+    # gives the zero draw least priority, on both engines.
+    u = F.greatest(split_fraction(id_col, salt), F.lit(0.5 / _U32))
+    key = F.round(F.log(-F.log(u)) - F.log(w.cast("double")), 12)
     eligible = df.filter(w.isNotNull() & (w.cast("double") > 0))
     return (
         eligible.withColumn("__wkey", key)
-        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .orderBy(F.col("__wkey").asc(), F.col(id_col).asc())
         .limit(k)
         .drop("__wkey")
     )

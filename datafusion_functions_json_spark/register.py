@@ -317,13 +317,15 @@ _NATIVE_SQL_BODIES = {
         "map_keys(try_variant_get(try_parse_json(ltrim(j)), {p}, "
         "'map<string,variant>'))",
     ),
+    # nullif(size(x), -1): with ANSI off, legacy sizeOfNull makes
+    # size(NULL) return -1; -1 is unreachable for a real collection
     "json_length_variant": (
         "BIGINT",
         "coalesce("
-        "size(try_variant_get(try_parse_json(ltrim(j)), {p}, "
-        "'array<variant>')), "
-        "size(try_variant_get(try_parse_json(ltrim(j)), {p}, "
-        "'map<string,variant>')))",
+        "nullif(size(try_variant_get(try_parse_json(ltrim(j)), {p}, "
+        "'array<variant>')), -1), "
+        "nullif(size(try_variant_get(try_parse_json(ltrim(j)), {p}, "
+        "'map<string,variant>')), -1))",
     ),
 }
 

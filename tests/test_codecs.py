@@ -123,6 +123,35 @@ class TestPngDecode:
         f = image_grid_features(np.full((2, 2, 1), 255, np.uint8))
         assert len(f) == FEATURE_DIM and f[0] == 1.0
 
+    def test_decompression_bomb_is_dims_only(self):
+        # IDAT inflates to far more than the header-implied scanline
+        # size (a zip-bomb row) -> must NOT inflate unboundedly; the
+        # row degrades to dims-only, never an OOM or exception
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)  # claims 4x4 RGB
+        bomb = zlib.compress(b"\x00" * (50 * 1024 * 1024), 9)  # ~50 MiB raw
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", bomb)
+            + _png_chunk(b"IEND", b"")
+        )
+        assert len(payload) < 1024 * 1024  # the bomb itself is small
+        h, w, c, px = decode_image_bytes(payload)
+        assert (h, w, c, px) == (4, 4, 3, None)
+
+    def test_absurd_dims_never_inflated(self):
+        # header claims 60000x60000 RGBA (~14 GiB of scanlines): the
+        # decoder must refuse to allocate and return dims-only
+        ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 6, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + _png_chunk(b"IEND", b"")
+        )
+        h, w, c, px = decode_image_bytes(payload)
+        assert (h, w, c, px) == (60000, 60000, 4, None)
+
 
 class TestPnm:
     def test_ppm_p6(self):
@@ -147,6 +176,14 @@ class TestHeaderSniff:
         payload = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
         h, w, c, px = decode_image_bytes(payload)
         assert (h, w, c, px) == (480, 640, 3, None)
+
+    def test_jpeg_truncated_before_channel_byte_keeps_dims(self):
+        # SOF parses height/width but the payload ends exactly before
+        # the component-count byte: dims survive, channels is NULL
+        sof = b"\xff\xc0" + struct.pack(">HBHH", 11, 8, 480, 640)
+        payload = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
+        h, w, c, px = decode_image_bytes(payload)
+        assert (h, w, c, px) == (480, 640, None, None)
 
     def test_gif(self):
         payload = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4

@@ -587,13 +587,36 @@ class TestWeightedSample:
             for v in duckdb.sql(
                 "with t as (select unnest(range(300)) as id), "
                 "k as (select id, (1 + id % 7)::double as w, "
-                "pow(try_cast(('0x' || substr(md5('x:' || id::varchar), 1, 8)) "
-                "as bigint) / 4294967296.0, 1.0 / ((1 + id % 7)::double)) as key "
+                "round(ln(-ln(greatest("
+                "try_cast(('0x' || substr(md5('x:' || id::varchar), 1, 8)) "
+                "as bigint) / 4294967296.0, 0.5 / 4294967296.0))) "
+                "- ln((1 + id % 7)::double), 12) as key "
                 "from t) "
-                "select id from k order by key desc, id asc limit 25"
+                "select id from k order by key asc, id asc limit 25"
             ).fetchall()
         )
         assert got == want
+
+    def test_huge_weights_stay_discriminative(self, spark):
+        # scaling every weight by a constant must not change the
+        # selection (the A-ES key shifts by -ln(c) uniformly). The old
+        # pow-based key collapsed to 1.0 for w >~ 1e11, silently
+        # degrading to id-order selection.
+        from datafusion_functions_json_spark.operators import split as sp
+
+        rows = [(i, float(1 + i % 7)) for i in range(300)]
+        small = spark.createDataFrame(rows, "id long, w double")
+        big = spark.createDataFrame(
+            [(i, w * 1e12) for i, w in rows], "id long, w double"
+        )
+        got_small = sorted(
+            r.id for r in sp.weighted_sample(small, "id", "w", 25, salt="x").collect()
+        )
+        got_big = sorted(
+            r.id for r in sp.weighted_sample(big, "id", "w", 25, salt="x").collect()
+        )
+        assert got_small == got_big
+        assert got_big != sorted(range(25))  # not id-order degradation
 
     def test_zero_and_null_weights_excluded(self, spark):
         from datafusion_functions_json_spark.operators import split as sp
