@@ -49,6 +49,8 @@ __all__ = [
     "json_get_array_variant",
     "json_object_keys_variant",
     "json_length_variant",
+    "json_as_text_variant",
+    "json_contains_variant",
 ]
 
 
@@ -188,6 +190,35 @@ def json_object_keys_variant(json_col, *path) -> Column:
     non-variant native twin is path-less): keys in document order;
     non-objects/missing → NULL."""
     return F.map_keys(_try_variant(json_col, path, "map<string,variant>"))
+
+
+def json_as_text_variant(json_col, *path) -> Column:
+    """``->>`` (``json_as_text``) on the variant tier: Spark's variant
+    string cast already implements the operator's rendering — scalars as
+    bare text ('s', '1', 'true'), containers as their JSON text, JSON
+    null and missing paths as SQL NULL. Envelope: containers and floats
+    are RE-SERIALIZED from the variant encoding (minified / Jackson
+    float rules) where the exact tier keeps the verbatim document bytes
+    (reference renders the raw slice, src/common_union.rs:168-190)."""
+    return _try_variant(json_col, path, "string")
+
+
+def json_contains_variant(json_col, *path) -> Column:
+    """``?`` (``json_contains``) on the variant tier. The reference
+    semantics (src/json_contains.rs:19-106) require present-null ⇒ TRUE
+    — and Spark's variant model distinguishes exactly that:
+    ``try_variant_get(.., 'variant')`` is SQL NULL only for MISSING
+    paths (or invalid/NULL documents), while a present JSON null comes
+    back as a non-null variant (testable with ``is_variant_null``). So
+    ``IS NOT NULL`` on the variant extraction is the complete operator:
+    present-null ⇒ true, missing ⇒ false, invalid/NULL doc ⇒ false.
+    No re-serialization is involved, so unlike the getter twins this one
+    has NO envelope caveat beyond JSONPath key-syntax limits."""
+    if not path:
+        raise ValueError(
+            "The 'json_contains' function requires 2 or more arguments."
+        )
+    return _try_variant(json_col, path, "variant").isNotNull()
 
 
 def json_length_variant(json_col, *path) -> Column:

@@ -317,6 +317,17 @@ _NATIVE_SQL_BODIES = {
         "map_keys(try_variant_get(try_parse_json(ltrim(j)), {p}, "
         "'map<string,variant>'))",
     ),
+    "json_as_text_variant": (
+        "STRING",
+        "try_variant_get(try_parse_json(ltrim(j)), {p}, 'string')",
+    ),
+    # present-null => non-null variant => TRUE; missing/invalid => NULL
+    # variant => FALSE (reference json_contains semantics)
+    "json_contains_variant": (
+        "BOOLEAN",
+        "try_variant_get(try_parse_json(ltrim(j)), {p}, 'variant') "
+        "is not null",
+    ),
     # nullif(size(x), -1): with ANSI off, legacy sizeOfNull makes
     # size(NULL) return -1; -1 is unreachable for a real collection
     "json_length_variant": (

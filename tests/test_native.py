@@ -178,12 +178,68 @@ class TestVariantJsonArrayTier:
         assert rows["flat_int"].keys is None and rows["flat_int"].alen is None
         assert rows["invalid"].alen is None
 
+    def test_contains_agrees_including_present_null(self, docs_df):
+        rows = {
+            r.name: r
+            for r in docs_df.select(
+                "name",
+                jsonf.json_contains("j", "d").alias("e_d"),
+                native.json_contains_variant("j", "d").alias("n_d"),
+                jsonf.json_contains("j", "a", "b", 1).alias("e_ab1"),
+                native.json_contains_variant("j", "a", "b", 1).alias("n_ab1"),
+                jsonf.json_contains("j", "a", "x").alias("e_ax"),
+                native.json_contains_variant("j", "a", "x").alias("n_ax"),
+            ).collect()
+        }
+        # present-null => TRUE on BOTH tiers (reference
+        # src/json_contains.rs:19-106 — the case Spark's variant model
+        # gets right via is-SQL-null vs is-variant-null)
+        assert rows["nested"].e_d is True and rows["nested"].n_d is True
+        assert rows["nested"].e_ab1 is True and rows["nested"].n_ab1 is True
+        # missing key / missing in subtree => FALSE on both
+        assert rows["nested"].e_ax is False and rows["nested"].n_ax is False
+        assert rows["flat_int"].e_d is False and rows["flat_int"].n_d is False
+        # invalid / NULL documents => FALSE on both
+        assert rows["invalid"].n_d is False and rows["null_doc"].n_d is False
+        assert rows["invalid"].e_d is False and rows["null_doc"].e_d is False
+
+    def test_contains_variant_requires_path(self):
+        with pytest.raises(ValueError):
+            native.json_contains_variant("j")
+
+    def test_as_text_agrees_and_pins_minification(self, docs_df):
+        rows = {
+            r.name: r
+            for r in docs_df.select(
+                "name",
+                jsonf.json_as_text("j", "a").alias("e_a"),
+                native.json_as_text_variant("j", "a").alias("n_a"),
+                jsonf.json_as_text("j", "d").alias("e_d"),
+                native.json_as_text_variant("j", "d").alias("n_d"),
+                jsonf.json_as_text("j", "a", "b", 1, "c").alias("e_c"),
+                native.json_as_text_variant("j", "a", "b", 1, "c").alias("n_c"),
+            ).collect()
+        }
+        # scalars agree: string rendered bare, int as digits
+        assert rows["nested"].e_c == rows["nested"].n_c == "R"
+        assert rows["flat_int"].e_a == rows["flat_int"].n_a == "1"
+        # JSON null -> SQL NULL on both
+        assert rows["nested"].e_d is None and rows["nested"].n_d is None
+        # invalid / NULL doc -> NULL on both
+        assert rows["invalid"].n_a is None and rows["null_doc"].n_a is None
+        # divergence pinned: containers come back minified on the
+        # variant tier, verbatim slice on the exact tier
+        assert rows["nested"].e_a == '{"b": [5, {"c": "R"}]}'
+        assert rows["nested"].n_a == '{"b":[5,{"c":"R"}]}'
+
     def test_variant_tier_has_no_python_stage(self, docs_df):
         df = docs_df.select(
             native.json_get_json_variant("j", "a"),
             native.json_get_array_variant("j", "a", "b"),
             native.json_object_keys_variant("j", "a"),
             native.json_length_variant("j", "a"),
+            native.json_as_text_variant("j", "a"),
+            native.json_contains_variant("j", "a"),
         )
         assert arrow_eval_count(df) == 0
 
@@ -220,6 +276,22 @@ class TestRegisterNative:
         ).collect()[0]
         assert (r.i, r.s, r.b) == (5, "hi", True)
         assert r.o == '{"x":[1,2]}' and r.ks == ["x"] and r.n == 1
+
+    def test_contains_and_as_text_sql(self, spark):
+        rows = spark.sql(
+            "select json_contains_variant(j,'k') has_k, "
+            "json_contains_variant(j,'zz') has_zz, "
+            "json_as_text_variant(j,'s') s, "
+            "json_as_text_variant(j,'o') o "
+            "from native_sql_t"
+        ).collect()
+        by_valid = sorted(rows, key=lambda r: (r.has_k is not True,))
+        good = by_valid[0]
+        assert good.has_k is True and good.has_zz is False
+        assert good.s == "hi" and good.o == '{"x":[1,2]}'
+        # invalid / NULL docs: contains FALSE (never NULL), text NULL
+        for r in by_valid[1:]:
+            assert r.has_k is False and r.s is None
 
     def test_invalid_and_null_docs_are_null(self, spark):
         rows = spark.sql(
