@@ -7,6 +7,14 @@ Headliners cover the engine's three pillars: JSON extraction (the
 reference's whole surface), relational composition (Catalyst-native),
 and the pipeline operators (dedup/similarity/text) — each timed to
 completion of its terminal action.
+
+PAIRED BASELINE: each twinned query's DuckDB oracle SQL runs inside the
+SAME interleaved passes as the Spark query, so both sides see the same
+host weather and `ratio_paired = spark_total / duckdb_total` is
+weather-proof (rounds 3 and 5 each recorded ~1.5× uniform inflation on
+code-identical rounds from comparing a fresh Spark run against the
+round-1 frozen DuckDB constant). The JSON line reports both sides'
+per-query minima and the paired ratio.
 """
 
 from __future__ import annotations
@@ -118,6 +126,25 @@ def main():
     ).count()
     dedup.simhash_dup_pairs(docs_warm, "doc_id", "text").count()
 
+    # DuckDB side of the pair: same tables as views, oracle SQL from the
+    # same registry the correctness gate uses. fetchall() materializes
+    # fully (the twin of our noop-sink write).
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.sql(
+            f"create view {t} as select * from "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracles = entrymod.oracle_sql()
+    duck_sql = {n: oracles[n] for n in BENCH_QUERIES if n in oracles}
+    for sql in duck_sql.values():  # warm (plan cache, casts, page cache)
+        con.sql(sql).fetchall()
+
     qs = entrymod.queries()
     all_queries = BENCH_QUERIES + UNTWINNED_QUERIES
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
@@ -135,6 +162,7 @@ def main():
     # 2's identical code) the extra passes are exactly the chance for the
     # per-query min to land in a quiet window.
     best = {name: None for name in all_queries}
+    duck_best = {name: None for name in duck_sql}
     bench_t0 = time.time()
     passes = 0
     while passes < runs or (
@@ -151,14 +179,25 @@ def main():
             dt = time.time() - t0
             b = best[name]
             best[name] = dt if b is None else min(b, dt)
+            # paired DuckDB run, back-to-back with the Spark run so both
+            # sides sample the same interference window
+            if name in duck_sql:
+                t0 = time.time()
+                con.sql(duck_sql[name]).fetchall()
+                dt = time.time() - t0
+                b = duck_best[name]
+                duck_best[name] = dt if b is None else min(b, dt)
         passes += 1
     print(f"# passes: {passes}", file=sys.stderr)
     # min over passes: the minimum is the reproducible steady-state cost
     times = {name: round(best[name], 3) for name in all_queries}
+    duck_times = {name: round(duck_best[name], 3) for name in duck_sql}
     for name in all_queries:
-        print(f"# {name}: {times[name]}s", file=sys.stderr)
+        duck = f" (duckdb {duck_times[name]}s)" if name in duck_times else ""
+        print(f"# {name}: {times[name]}s{duck}", file=sys.stderr)
 
     total = round(sum(times[n] for n in BENCH_QUERIES), 3)
+    duck_total = round(sum(duck_times.values()), 3)
     print(
         json.dumps(
             {
@@ -170,6 +209,11 @@ def main():
                 "untwinned_total": round(
                     sum(times[n] for n in UNTWINNED_QUERIES), 3
                 ),
+                "duckdb_queries": duck_times,
+                "duckdb_total": duck_total,
+                "ratio_paired": round(total / duck_total, 3)
+                if duck_total
+                else None,
                 "sf": sf,
             }
         )
