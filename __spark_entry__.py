@@ -1465,24 +1465,59 @@ def _q_media_features(spark, sf_dir):
 
 
 def _q_video_features(spark, sf_dir):
-    # video leg of the multimodal trio: frame-plan fan-out + fake frame
-    # decode (rows-only; frame counts are duration-derived and checked
-    # against the fan-out by count)
+    # video leg of the multimodal trio, REAL decode end-to-end: plant a
+    # deterministic uncompressed-RGB AVI per doc (doc_id%4+1 solid-color
+    # frames at 1 fps), fan out the frame plan, decode through the
+    # stdlib RIFF/AVI parser, and emit each frame's first luma-grid
+    # feature. Solid frames make the luma closed-form, so the DuckDB
+    # twin recomputes it arithmetically — a wrong frame index, a BGR/RGB
+    # swap, or a scanline bug all hash-mismatch.
+    # captured in the closure (NOT imported inside the UDF body): the
+    # package registers _codecs for cloudpickle by-value, so the
+    # function ships inside the closure and workers need no repo on
+    # sys.path — a module-name import on the worker would not resolve
+    from datafusion_functions_json_spark.operators._codecs import encode_avi
+
+    @F.pandas_udf("binary")
+    def _avi_payload(doc_id):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for did in doc_id:
+            did = int(did)
+            frames = [
+                np.full(
+                    (16, 16, 3),
+                    (
+                        (did * 37 + i * 11) % 256,
+                        (did * 59 + i * 23) % 256,
+                        (did * 83 + i * 41) % 256,
+                    ),
+                    np.uint8,
+                )
+                for i in range(did % 4 + 1)
+            ]
+            out.append(encode_avi(frames, fps=1))
+        return pd.Series(out)
+
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40).select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("video/mp4").alias("mime"),
+        _avi_payload(F.col("doc_id")).alias("payload"),
+        F.lit("video/avi").alias("mime"),
         F.struct(
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            F.lit(16).alias("width"),
+            F.lit(16).alias("height"),
             (F.pmod(F.col("doc_id"), F.lit(4)) * 1000 + 500).alias("duration_ms"),
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
-    return multimodal.extract_video_features(
-        docs, every_ms=1000, fake=True
-    ).select("media_id", "frame_ts_ms", F.element_at("features", 1).alias("f0"))
+    return multimodal.extract_video_features(docs, every_ms=1000).select(
+        "media_id",
+        "frame_ts_ms",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
 
 
 def _q_ivf_recall(spark, sf_dir):
@@ -1573,9 +1608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "bigram_lm": _q_bigram_lm,
         "ann_recall": _q_ann_recall,
-        "json_json_variant": _q_json_json_variant,
+        "video_features": _q_video_features,
         "media_meta": _q_media_meta,
         # -- driver-green in round 5, untouched this round: rotate behind the 50-slot window --
+        "json_json_variant": _q_json_json_variant,
         "kmeans": _q_kmeans,
         "stratified_sample": _q_stratified_sample,
         "decontam": _q_decontam,
@@ -1610,7 +1646,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_recall": _q_ivf_recall,
-        "video_features": _q_video_features,
         "embedding_dups": _q_embedding_dups,
         "media_features": _q_media_features,
         "get_array_variant": _q_get_array_variant,
@@ -1697,6 +1732,19 @@ def oracle_sql() -> dict[str, str]:
             f"json_extract({nested}, '$.a.b[1]')::varchar as b_elems, "
             f"array_to_string(json_keys({nested}, '$.a'), '|') as a_keys "
             f"from lineitem"
+        ),
+        "video_features": (
+            # closed-form twin of the planted AVI fixture: frame i of
+            # doc d is solid (d*37+11i, d*59+23i, d*83+41i) % 256, so
+            # every 4x4-luma-grid cell equals the Rec.601 luma of that
+            # color; identical double arithmetic on both engines
+            "with v as (select doc_id, unnest(range((doc_id % 4) + 1)) as i "
+            "from documents where doc_id < 40) "
+            "select doc_id as media_id, (i * 1000)::bigint as frame_ts_ms, "
+            "round((0.299 * ((doc_id * 37 + i * 11) % 256) "
+            "+ 0.587 * ((doc_id * 59 + i * 23) % 256) "
+            "+ 0.114 * ((doc_id * 83 + i * 41) % 256)) / 255.0, 6) as f0 "
+            "from v"
         ),
         "json_contains_variant": (
             f"select l_orderkey, l_linenumber, "

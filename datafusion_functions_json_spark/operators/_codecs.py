@@ -33,6 +33,9 @@ __all__ = [
     "decode_image_bytes",
     "decode_wav_bytes",
     "image_grid_features",
+    "parse_avi",
+    "decode_avi_frame",
+    "encode_avi",
     "FEATURE_DIM",
 ]
 
@@ -254,6 +257,162 @@ def image_grid_features(pixels: Optional[np.ndarray]) -> Optional[list]:
             block = luma[ys[i] : ys[i + 1], xs[j] : xs[j + 1]]
             feats.append(float(block.mean()) / 255.0 if block.size else 0.0)
     return feats
+
+
+_MJPG = struct.unpack("<I", b"MJPG")[0]
+_MAX_AVI_FRAMES = 100_000  # index cap: a crafted chunk list can't balloon
+
+
+def _riff_chunks(b: bytes, pos: int, end: int):
+    """Iterate (fourcc, data_start, data_end) over a RIFF chunk run.
+    Chunks are word-aligned; truncated chunks clamp to the buffer."""
+    while pos + 8 <= end:
+        cc = b[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", b, pos + 4)
+        data_start = pos + 8
+        data_end = min(data_start + sz, end)
+        yield cc, data_start, data_end
+        pos = data_start + sz + (sz & 1)
+
+
+def parse_avi(b: Optional[bytes]):
+    """Parse a RIFF/AVI container WITHOUT decoding pixels: returns
+    ``{width, height, fps, bitcount, compression, top_down, frames}``
+    where ``frames`` is the list of raw video-chunk payload slices
+    ('##db' uncompressed DIB / '##dc' compressed, e.g. MJPEG), or None
+    if ``b`` is not an AVI. Indexing is O(container scan), no pixel
+    work — frame decode happens per-request in
+    :func:`decode_avi_frame`, the skew-buster split the multimodal
+    fan-out relies on."""
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    info = {
+        "width": None,
+        "height": None,
+        "fps": None,
+        "bitcount": None,
+        "compression": None,
+        "top_down": False,
+        "frames": [],
+    }
+
+    def walk(pos, end):
+        for cc, ds, de in _riff_chunks(b, pos, end):
+            if cc in (b"RIFF", b"LIST"):
+                walk(ds + 4, de)  # skip the 4-byte list type
+            elif cc == b"avih" and de - ds >= 40:
+                (micro,) = struct.unpack_from("<I", b, ds)
+                w, h = struct.unpack_from("<II", b, ds + 32)
+                info["width"] = info["width"] or (w or None)
+                info["height"] = info["height"] or (h or None)
+                if micro and info["fps"] is None:
+                    info["fps"] = 1e6 / micro
+            elif cc == b"strh" and de - ds >= 28 and b[ds : ds + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", b, ds + 20)
+                if scale and rate:
+                    info["fps"] = rate / scale
+            elif cc == b"strf" and de - ds >= 20 and info["bitcount"] is None:
+                bw, bh = struct.unpack_from("<ii", b, ds + 4)
+                (bc,) = struct.unpack_from("<H", b, ds + 14)
+                (comp,) = struct.unpack_from("<I", b, ds + 16)
+                info["width"] = info["width"] or abs(bw) or None
+                info["height"] = info["height"] or abs(bh) or None
+                info["top_down"] = bh < 0
+                info["bitcount"] = bc
+                info["compression"] = comp
+            elif (
+                cc[2:4] in (b"db", b"dc")
+                and cc[:2].isdigit()
+                and len(info["frames"]) < _MAX_AVI_FRAMES
+            ):
+                info["frames"].append(b[ds:de])
+
+    try:
+        walk(12, len(b))
+    except (struct.error, IndexError):
+        return None
+    if info["width"] is None or info["height"] is None:
+        return None
+    return info
+
+
+def decode_avi_frame(info: dict, idx: int):
+    """Decode frame ``idx`` of a :func:`parse_avi` result to a
+    (h, w, 3) uint8 RGB array, or None when out of range / unsupported.
+    Full pixel decode for uncompressed BI_RGB 24/32-bit DIB frames
+    (bottom-up rows, BGR order, 4-byte row padding — all per the DIB
+    spec); MJPEG ('MJPG') frame bytes should be routed to the JPEG
+    path by the caller (PIL where importable, header sniff here)."""
+    if info is None or not 0 <= idx < len(info["frames"]):
+        return None
+    w, h = info["width"], info["height"]
+    comp, bits = info["compression"], info["bitcount"]
+    if comp != 0 or bits not in (24, 32) or not w or not h:
+        return None
+    data = info["frames"][idx]
+    bypp = bits // 8
+    stride = ((w * bypp + 3) // 4) * 4
+    if len(data) < stride * h:
+        return None
+    rows = np.frombuffer(data, np.uint8, stride * h).reshape(h, stride)
+    px = rows[:, : w * bypp].reshape(h, w, bypp)
+    if not info["top_down"]:
+        px = px[::-1]  # bottom-up DIB
+    return np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) -> RGB
+
+
+def _avi_chunk(cc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) & 1 else b""
+    return cc + struct.pack("<I", len(data)) + data + pad
+
+
+def encode_avi(frames, fps: int = 1) -> bytes:
+    """Minimal AVI writer: uncompressed 24-bit BI_RGB DIB video frames
+    (bottom-up rows, BGR byte order, 4-byte row padding). The sink-side
+    twin of :func:`parse_avi`/:func:`decode_avi_frame` — used by tests
+    and fixture-planting queries; at scale, a real pipeline would write
+    per-row payloads with this and store them in a binary column."""
+    h, w, _ = frames[0].shape
+    stride = ((w * 3 + 3) // 4) * 4
+
+    def dib(frame):
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = frame[y][:, ::-1].tobytes()  # RGB -> BGR
+            rows.append(row + b"\x00" * (stride - len(row)))
+        return b"".join(rows)
+
+    avih = struct.pack(
+        "<14I", int(1e6 / fps), 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0
+        )
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    hdrl = _avi_chunk(
+        b"LIST",
+        b"hdrl"
+        + _avi_chunk(b"avih", avih)
+        + _avi_chunk(
+            b"LIST",
+            b"strl" + _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf),
+        ),
+    )
+    movi = _avi_chunk(
+        b"LIST",
+        b"movi" + b"".join(_avi_chunk(b"00db", dib(f)) for f in frames),
+    )
+    return _avi_chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
 def decode_wav_bytes(b: Optional[bytes]):

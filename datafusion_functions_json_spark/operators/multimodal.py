@@ -1,19 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
-Image and audio decode are REAL: ``decode_image`` uses PIL when
+All three decode legs are REAL: ``decode_image`` uses PIL when
 importable and falls back to pure-stdlib decoders (PNG via zlib+
 unfilter, binary PPM/PGM, JPEG/GIF header sniff — see
 :mod:`._codecs`); ``extract_audio_features`` parses WAV/PCM with the
-stdlib ``wave`` module. Undecodable payloads yield NULL fields per row —
-never a task failure. ``fake=True`` remains the deterministic
-hash-derived stand-in used by reproducible oracle queries.
-
-Only VIDEO decode is still stubbed (frame extraction requires an
-ffmpeg-class codec this container doesn't ship):
-``extract_video_features`` raises ``NotImplementedError`` unless
-``fake=True`` — the frame-plan fan-out, schema, and batching are real
-and tested.
+stdlib ``wave`` module; ``extract_video_features`` uses PyAV when
+importable (any ffmpeg codec) and falls back to a pure-stdlib
+RIFF/AVI parser — full pixel decode for uncompressed BI_RGB DIB
+frames, MJPEG frames through the JPEG path (PIL where present, header
+sniff otherwise; non-AVI containers need PyAV). Undecodable payloads
+yield NULL fields per row — never a task failure. ``fake=True``
+remains the deterministic hash-derived stand-in available for
+reproducible oracle queries.
 
 Scale notes:
 
@@ -38,7 +37,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ._codecs import decode_image_bytes, decode_wav_bytes, image_grid_features
+from ._codecs import (
+    decode_avi_frame,
+    decode_image_bytes,
+    decode_wav_bytes,
+    image_grid_features,
+    parse_avi,
+)
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -244,17 +249,25 @@ def extract_video_features(
     BEFORE the expensive decode) with an Arrow-batched ``mapInPandas``
     frame decoder.
 
-    Real decoding requires a video codec library not present in this
-    environment — STUB: raises ``NotImplementedError`` unless
-    ``fake=True`` (deterministic features derived from (payload hash,
-    frame ts); the fan-out, schema, and batching are real and tested).
+    Real decode chain (same call-time-optional-import pattern as
+    :func:`decode_image`'s PIL arm):
+
+    1. PyAV when importable on the worker — any ffmpeg codec;
+       sequential scan, each requested timestamp gets the last frame
+       at-or-before it (ffmpeg seek semantics).
+    2. Pure-stdlib RIFF/AVI (:func:`._codecs.parse_avi`): full pixel
+       decode for uncompressed BI_RGB 24/32-bit DIB frames; MJPEG
+       frames route through the JPEG path (PIL where importable, else
+       header sniff → NULL features). Frame index = ``ts * fps / 1000``
+       clamped to the stored frame list.
+    3. Anything else (non-AVI container without PyAV, undecodable
+       payload) → NULL features for that row — never a task failure.
+
+    Per frame: the 16-dim 4×4-luma-grid feature vector
+    (:func:`._codecs.image_grid_features`). ``fake=True`` keeps the
+    deterministic hash-derived stand-in for reproducible oracle
+    queries.
     """
-    if not fake:
-        raise NotImplementedError(
-            "video decoding requires a codec library (e.g. PyAV/ffmpeg) "
-            "not available in this environment; pass fake=True to "
-            "exercise the pipeline with deterministic stand-in features"
-        )
     frames = frame_sample_plan(df, every_ms).join(
         df.select("media_id", payload_col), "media_id"
     )
@@ -266,20 +279,96 @@ def extract_video_features(
         ]
     )
 
+    def _avi_features(payload, ts_list, pil_image):
+        """Stdlib path: parse once per media, decode per requested ts."""
+        info = parse_avi(payload)
+        if info is None or not info["frames"]:
+            return [None] * len(ts_list)
+        fps = info["fps"] or 1000.0 / max(every_ms, 1)
+        out = []
+        for ts in ts_list:
+            idx = min(int(ts * fps / 1000.0), len(info["frames"]) - 1)
+            px = decode_avi_frame(info, idx)
+            if px is None:
+                # compressed frame (e.g. MJPEG): try the image path
+                fb = info["frames"][idx]
+                got = _pil_decode(pil_image, fb) if pil_image else None
+                if got is None:
+                    got = decode_image_bytes(fb)
+                px = got[3]
+            out.append(image_grid_features(px) if px is not None else None)
+        return out
+
+    def _pyav_features(av_mod, payload, ts_list):
+        """PyAV path: one sequential decode pass; each requested ts gets
+        the last frame at-or-before it. Any failure → NULLs (per-row
+        decode failure must never fail the task)."""
+        try:
+            container = av_mod.open(io.BytesIO(bytes(payload)))
+            wanted = sorted(set(int(t) for t in ts_list))
+            got = {}
+            last = None
+            wi = 0
+            for frame in container.decode(video=0):
+                ms = float(frame.time or 0.0) * 1000.0
+                arr = frame.to_ndarray(format="rgb24")
+                while wi < len(wanted) and ms > wanted[wi]:
+                    got[wanted[wi]] = last if last is not None else arr
+                    wi += 1
+                last = arr
+                if wi >= len(wanted):
+                    break
+            while wi < len(wanted):
+                got[wanted[wi]] = last
+                wi += 1
+            return [
+                image_grid_features(got[int(t)]) if got.get(int(t)) is not None else None
+                for t in ts_list
+            ]
+        except Exception:
+            return [None] * len(ts_list)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av_mod = pil_image = None
+        if not fake:
+            try:
+                import av as av_mod  # optional dependency (ffmpeg codecs)
+            except ImportError:
+                av_mod = None
+            try:
+                from PIL import Image as pil_image  # for MJPEG frames
+            except ImportError:
+                pil_image = None
         for pdf in it:
+            if fake:
+                feats = [
+                    None
+                    if b is None
+                    else _fake_feature_vector(b + int(ts).to_bytes(8, "big"))
+                    for b, ts in zip(pdf[payload_col], pdf["frame_ts_ms"])
+                ]
+            else:
+                # parse/open each container once per batch-local media
+                feats = [None] * len(pdf)
+                positions = {}
+                for i, mid in enumerate(pdf["media_id"]):
+                    positions.setdefault(mid, []).append(i)
+                for idxs in positions.values():
+                    payload = pdf[payload_col].iloc[idxs[0]]
+                    if payload is None:
+                        continue
+                    ts_list = [int(pdf["frame_ts_ms"].iloc[i]) for i in idxs]
+                    if av_mod is not None:
+                        fs = _pyav_features(av_mod, payload, ts_list)
+                    else:
+                        fs = _avi_features(payload, ts_list, pil_image)
+                    for i, f in zip(idxs, fs):
+                        feats[i] = f
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "frame_ts_ms": pdf["frame_ts_ms"],
-                    "features": [
-                        None
-                        if b is None
-                        else _fake_feature_vector(
-                            b + int(ts).to_bytes(8, "big")
-                        )
-                        for b, ts in zip(pdf[payload_col], pdf["frame_ts_ms"])
-                    ],
+                    "features": pd.Series(feats, index=pdf.index, dtype=object),
                 }
             )
             yield out

@@ -16,9 +16,12 @@ import pytest
 
 from datafusion_functions_json_spark.operators._codecs import (
     FEATURE_DIM,
+    decode_avi_frame,
     decode_image_bytes,
     decode_wav_bytes,
+    encode_avi,
     image_grid_features,
+    parse_avi,
 )
 
 
@@ -86,6 +89,8 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000, channels: int = 1)
 def _checker(h, w, ch):
     rng = np.random.default_rng(42)
     return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
 
 
 class TestPngDecode:
@@ -232,6 +237,43 @@ class TestWav:
         sr, n, feats = decode_wav_bytes(buf.getvalue())
         assert sr == 8000 and n == 100
         assert all(v == 0.0 for v in feats)
+
+
+class TestAvi:
+    def test_roundtrip_rgb_frames(self):
+        frames = [_checker(6, 5, 3), _checker(6, 5, 3), _checker(6, 5, 3)]
+        info = parse_avi(encode_avi(frames, fps=2))
+        assert info is not None
+        assert (info["width"], info["height"]) == (5, 6)
+        assert info["fps"] == 2.0
+        assert info["compression"] == 0 and info["bitcount"] == 24
+        assert len(info["frames"]) == 3
+        for i, f in enumerate(frames):
+            got = decode_avi_frame(info, i)
+            assert got is not None and np.array_equal(got, f), f"frame {i}"
+
+    def test_odd_width_row_padding(self):
+        # width 3 -> 9-byte rows padded to 12: the stride math must strip
+        # the pad, not shift pixels
+        frames = [_checker(4, 3, 3)]
+        info = parse_avi(encode_avi(frames))
+        assert np.array_equal(decode_avi_frame(info, 0), frames[0])
+
+    def test_out_of_range_and_garbage(self):
+        info = parse_avi(encode_avi([_checker(4, 4, 3)]))
+        assert decode_avi_frame(info, 1) is None
+        assert decode_avi_frame(info, -1) is None
+        assert parse_avi(b"RIFF\x00\x00\x00\x00WAVE") is None
+        assert parse_avi(b"not a container") is None
+        assert parse_avi(None) is None
+
+    def test_truncated_container_is_none_or_partial(self):
+        full = encode_avi([_checker(8, 8, 3), _checker(8, 8, 3)])
+        cut = parse_avi(full[: len(full) // 2])
+        # header may parse (dims known); truncated frames must not crash
+        if cut is not None:
+            for i in range(len(cut["frames"])):
+                decode_avi_frame(cut, i)  # no exception; None is fine
 
 
 class TestPilParity:

@@ -882,9 +882,34 @@ class TestMultimodal:
         plan = multimodal.frame_sample_plan(self._media_df(spark), every_ms=1000)
         assert [r.frame_ts_ms for r in plan.collect()] == [0, 1000, 2000, 3000]
 
-    def test_video_stub_raises_without_fake(self, spark):
-        with pytest.raises(NotImplementedError):
-            multimodal.extract_video_features(self._media_df(spark))
+    def test_real_video_avi_frames_through_spark(self, spark):
+        import numpy as np
+        from test_codecs import encode_avi
+
+        # 4 solid-color 16x16 frames at 1 fps: every luma-grid cell of
+        # frame i equals its closed-form Rec.601 luma, and ts->frame
+        # index mapping (plus the BGR->RGB swap) is falsifiable because
+        # each frame has a distinct, asymmetric (r,g,b)
+        colors = [(200, 10, 30), (10, 200, 30), (30, 10, 200), (120, 130, 140)]
+        frames = [np.full((16, 16, 3), c, np.uint8) for c in colors]
+        rows = [
+            (7, "video", bytearray(encode_avi(frames, fps=1)), "video/avi",
+             (16, 16, 3500, None)),
+            (8, "video", bytearray(b"not a video"), "video/mp4",
+             (None, None, 1500, None)),
+            (9, "video", None, "video/mp4", (None, None, 1500, None)),
+        ]
+        df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        out = multimodal.extract_video_features(df, every_ms=1000)
+        got = {(r.media_id, r.frame_ts_ms): r.features for r in out.collect()}
+        assert len(got) == 4 + 2 + 2
+        for i, (r, g, b) in enumerate(colors):
+            luma = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            feats = got[(7, i * 1000)]
+            assert feats is not None and len(feats) == 16
+            assert all(abs(v - luma) < 1e-9 for v in feats), (i, feats[0], luma)
+        # undecodable / NULL payloads keep their frame rows, NULL features
+        assert got[(8, 0)] is None and got[(9, 1000)] is None
 
     def test_fake_video_features_per_frame(self, spark):
         rows = [
