@@ -614,11 +614,29 @@ def rewrite_sql(query: str) -> str:
                         _validate_path_args(name, call_args)
 
     # -- alias attachment for whole top-level select items --------------
-    out = []
+    # The reference aliases the rewritten EXPRESSION node, so redundant
+    # enclosing parens don't block the operator-spelling column title:
+    # `select ('{"foo": 42}'->>('foo'::text))` still titles
+    # `'{"foo": 42}' ->> 'foo'` (tests/main.rs:1276-1294). Hop outward
+    # through ( ... ) pairs wrapping exactly this call and attach the
+    # alias AFTER the outermost close paren (AS inside parens is
+    # invalid SQL).
+    attach = {}  # token index -> alias appended after that token
     for i, t in enumerate(toks):
         if t.kind == "call" and t.alias:
             p = _prev(toks, i)
             n = _next(toks, i)
+            attach_at = i
+            while (
+                p >= 0
+                and toks[p].kind == "punct"
+                and toks[p].text == "("
+                and n >= 0
+                and toks[n].kind == "punct"
+                and toks[n].text == ")"
+            ):
+                attach_at = n
+                p, n = _prev(toks, p), _next(toks, n)
             prev_ok = p < 0 or (
                 (toks[p].kind == "ident" and toks[p].text.lower() in ("select", "distinct", "all"))
                 or (toks[p].kind == "punct" and toks[p].text == ",")
@@ -628,10 +646,14 @@ def rewrite_sql(query: str) -> str:
                 or (toks[n].kind == "punct" and toks[n].text == ",")
             )
             if prev_ok and next_ok:
-                escaped = t.alias.replace("`", "``")
-                out.append(f"{t.text} AS `{escaped}`")
-                continue
+                attach[attach_at] = t.alias
+    out = []
+    for i, t in enumerate(toks):
         out.append(t.text)
+        alias = attach.get(i)
+        if alias is not None:
+            escaped = alias.replace("`", "``")
+            out.append(f" AS `{escaped}`")
     return "".join(out)
 
 

@@ -126,6 +126,26 @@ class TestRewrite:
         q = "select json_from_scalar(1)"
         assert rewrite_sql(q) == q
 
+    def test_cast_in_key_alias_parity(self):
+        # reference tests/main.rs:1276-1294 (test_arrow_cast_key_text):
+        # a cast in the key is elided from BOTH the call and the
+        # operator-spelling alias, and redundant enclosing parens don't
+        # block the alias (the reference aliases the expression node)
+        got = rewrite_sql("""select ('{"foo": 42}'->>('foo'::text))""")
+        assert got == (
+            """select (json_as_text('{"foo": 42}', 'foo'))"""
+            """ AS `'{"foo": 42}' ->> 'foo'`"""
+        )
+
+    def test_paren_wrapped_chain_keeps_alias(self):
+        got = rewrite_sql("""select ('{"foo": [1]}'->'foo'->0)""")
+        assert got.endswith("AS `'{\"foo\": [1]}' -> 'foo' -> 0`")
+
+    def test_paren_of_function_arg_gets_no_alias(self):
+        # the ( ... ) here belongs to length(), not a redundant wrap
+        got = rewrite_sql("""select length(j->>'a') from t""")
+        assert "AS" not in got
+
     def test_case_end_left_operand_passes_through(self):
         q = "select case when x then j end ->'k' from t"
         assert rewrite_sql(q) == q
