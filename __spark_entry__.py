@@ -359,6 +359,28 @@ def _q_multi_extract(spark, sf_dir):
     )
 
 
+def _q_multi_extract_variant(spark, sf_dir):
+    # round-6 stretch: the SAME 5-field fused extraction as
+    # multi_extract but on the zero-hop variant tier — every field is
+    # a try_variant_get over one shared try_parse_json subtree (codegen
+    # subexpression elimination parses once); no ArrowEvalPython at all
+    li = _lineitem(spark, sf_dir).withColumn("j", _nested_json_col())
+    u = jsonf.json_extract_multi(
+        "j",
+        {
+            "b0": ("int", "a", "b", 0),
+            "flag": ("str", "a", "b", 1, "c"),
+            "d_text": ("text", "d"),
+            "len_ab": ("length", "a", "b"),
+            "has_d": ("exists", "d"),
+        },
+        tier="variant",
+    ).alias("u")
+    return li.select("l_orderkey", "l_linenumber", u).select(
+        "l_orderkey", "l_linenumber", "u.*"
+    )
+
+
 def _q_union_roundtrip(spark, sf_dir):
     # json_get -> union struct -> json_union_to_text + json_is_null,
     # computed via the fused union kinds of json_extract_multi: one parse
@@ -1560,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 6, never driver-checked: variant-tier ? and ->> --
         "json_contains_variant": _q_json_contains_variant,
         "json_as_text_variant": _q_json_as_text_variant,
+        "multi_extract_variant": _q_multi_extract_variant,
         # -- not in round 5's 50-slot window (least-recently-checked first: all were driver-green in rounds 1-4, and the 13 core getters' shared parser changed in round 5 after they rotated out) --
         "get_array_csv": _q_get_array_csv,
         "column_key": _q_column_key,
@@ -1803,6 +1826,16 @@ def oracle_sql() -> dict[str, str]:
             f"json_extract_string({nested}, '$.d') as d_text from lineitem"
         ),
         "multi_extract": (
+            f"select l_orderkey, l_linenumber, "
+            f"try_cast(json_extract({nested}, '$.a.b[0]') as bigint) as b0, "
+            f"json_extract_string({nested}, '$.a.b[1].c') as flag, "
+            f"json_extract_string({nested}, '$.d') as d_text, "
+            f"json_array_length({nested}, '$.a.b')::bigint as len_ab, "
+            f"json_type({nested}, '$.d') is not null as has_d from lineitem"
+        ),
+        # identical twin for the variant tier: every field here sits
+        # inside the variant envelope (no floats/containers re-encoded)
+        "multi_extract_variant": (
             f"select l_orderkey, l_linenumber, "
             f"try_cast(json_extract({nested}, '$.a.b[0]') as bigint) as b0, "
             f"json_extract_string({nested}, '$.a.b[1].c') as flag, "

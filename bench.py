@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "json_as_text_native",   # same via get_json_object
     "nested_get_str",      # 4-level path on synthesized nested docs
     "multi_extract",       # fused 5-field extraction, one parse per doc
+    "multi_extract_variant",  # same 5 fields, zero-hop variant tier
     "union_roundtrip",     # union semantics (fused multi kinds)
     # relational
     "tpch_q1",

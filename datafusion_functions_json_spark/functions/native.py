@@ -192,6 +192,32 @@ def json_object_keys_variant(json_col, *path) -> Column:
     return F.map_keys(_try_variant(json_col, path, "map<string,variant>"))
 
 
+_VARIANT_DTYPES = {
+    "str": "string",
+    "int": "bigint",
+    "float": "double",
+    "bool": "boolean",
+    "text": "string",
+}
+
+
+def variant_field(v: Column, path, kind: str) -> Column:
+    """Build one typed extraction over an ALREADY-PARSED variant value
+    ``v`` (e.g. a lambda-bound variable) — the shared kernel behind the
+    single-field twins and :func:`..multi.json_extract_multi`'s
+    ``tier='variant'`` fused path, where ``v`` is bound once per row so
+    the parse is never repeated per field."""
+    p = jsonpath(path)
+    if kind == "exists":
+        return F.try_variant_get(v, p, "variant").isNotNull()
+    if kind == "length":
+        return F.coalesce(
+            _size(F.try_variant_get(v, p, "array<variant>")).cast("bigint"),
+            _size(F.try_variant_get(v, p, "map<string,variant>")).cast("bigint"),
+        )
+    return F.try_variant_get(v, p, _VARIANT_DTYPES[kind])
+
+
 def json_as_text_variant(json_col, *path) -> Column:
     """``->>`` (``json_as_text``) on the variant tier: Spark's variant
     string cast already implements the operator's rendering — scalars as

@@ -179,3 +179,54 @@ class TestMultiEquivalence:
             .collect()[0]
         )
         assert (r.x, r.has, r.len) == (20, False, 2)
+
+
+class TestVariantTierMulti:
+    """tier='variant': zero-hop JVM fused extraction. Agreement with the
+    exact tier inside the envelope; refusals pinned."""
+
+    def test_agrees_with_exact_on_envelope_fields(self, spark):
+        docs = [
+            ('{"a": {"b": [5, {"c": "R"}]}, "d": null}',),
+            ('{"a": {"b": []}}',),
+            ("{",),
+            (None,),
+        ]
+        df = spark.createDataFrame(docs, "j string")
+        fields = {
+            "b0": ("int", "a", "b", 0),
+            "flag": ("str", "a", "b", 1, "c"),
+            "d_text": ("text", "d"),
+            "len_ab": ("length", "a", "b"),
+            "has_d": ("exists", "d"),
+        }
+        exact = df.select(
+            jsonf.json_extract_multi("j", fields).alias("u")
+        ).select("u.*").collect()
+        var = df.select(
+            jsonf.json_extract_multi("j", fields, tier="variant").alias("u")
+        ).select("u.*").collect()
+        assert [tuple(r) for r in exact] == [tuple(r) for r in var]
+        # present-null d: exists TRUE, text NULL on both tiers
+        assert var[0].has_d is True and var[0].d_text is None
+
+    def test_variant_tier_is_zero_hop(self, spark):
+        from datafusion_functions_json_spark.plans import arrow_eval_count
+
+        df = spark.createDataFrame([('{"a": 1}',)], "j string")
+        out = df.select(
+            jsonf.json_extract_multi(
+                "j", {"x": ("int", "a"), "y": ("str", "a")}, tier="variant"
+            ).alias("u")
+        )
+        assert arrow_eval_count(out) == 0
+
+    def test_union_kinds_refused(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="not expressible"):
+            jsonf.json_extract_multi(
+                "j", {"t": ("union_text", "a")}, tier="variant"
+            )
+        with pytest.raises(ValueError, match="unknown tier"):
+            jsonf.json_extract_multi("j", {"x": ("int", "a")}, tier="native")
