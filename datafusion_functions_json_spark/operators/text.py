@@ -566,10 +566,15 @@ def bigram_lm_score(
     unigrams = ex.groupBy("w2").agg(F.count("*").alias("tf2"))
     totals = unigrams.agg(F.sum("tf2").alias("__n_total"))
 
+    # merge hints pin sort-merge joins even where small-SF statistics
+    # would auto-broadcast: the count tables are corpus-derived (the
+    # distinct-bigram table is billions of rows at web scale), and a
+    # stale size estimate with AQE off must never promote them to a
+    # broadcast. The 1-row totals broadcast below is the only one.
     scored = (
-        ex.join(bigrams, ["w1", "w2"])
-        .join(history, "w1")
-        .join(unigrams, "w2")
+        ex.join(bigrams.hint("merge"), ["w1", "w2"])
+        .join(history.hint("merge"), "w1")
+        .join(unigrams.hint("merge"), "w2")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "__logp",
