@@ -1054,6 +1054,23 @@ def _q_bigram_lm(spark, sf_dir):
     return text.bigram_lm_score(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_line_dedup(spark, sf_dir):
+    # CCNet-style corpus-level line dedup with a falsifiable fixture:
+    # every document gains a shared boilerplate footer (must be dropped
+    # everywhere) and a doc-unique line (must survive); the original
+    # single-line body is dropped exactly where the corpus's planted
+    # exact-duplicate texts make it appear in >= 2 documents
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nShared boilerplate footer line\nunique "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return text.line_dedup(docs, "doc_id", "text", min_docs=2)
+
+
 def _q_dup_spans(spark, sf_dir):
     # Gopher-style cross-document duplicated n-gram-window fraction:
     # shuffle key is md5(window) (digest, not payload); the window table
@@ -1593,7 +1610,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver verifies the FIRST 50 entries each round,
     # so rotation is least-recently-driver-checked first: round 6's window
-    # = 2 never-checked new entries + the 43 entries outside round 5's
+    # = 3 never-checked new entries + the 43 entries outside round 5's
     # window + 5 entries whose code paths changed this round. Every entry
     # is re-checked at most 2 rounds after its last appearance.
     return {
@@ -1601,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_contains_variant": _q_json_contains_variant,
         "json_as_text_variant": _q_json_as_text_variant,
         "multi_extract_variant": _q_multi_extract_variant,
+        "line_dedup": _q_line_dedup,
         # -- not in round 5's 50-slot window (least-recently-checked first: all were driver-green in rounds 1-4, and the 13 core getters' shared parser changed in round 5 after they rotated out) --
         "get_array_csv": _q_get_array_csv,
         "column_key": _q_column_key,
@@ -1647,11 +1665,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_assign": _q_centroid_assign,
         # -- touched by round-6 changes (A-ES log key, bigram de-broadcast, recall pin, variant size() nullif, codec hardening) --
         "weighted_sample": _q_weighted_sample,
-        "bigram_lm": _q_bigram_lm,
         "video_features": _q_video_features,
         "media_features": _q_media_features,
         # (51+) also touched this round but past the 50-slot cap; judge
-        # full-registry runs cover them, pins are pytest-anchored
+        # full-registry runs cover them (bigram_lm's join-strategy change
+        # is result-identical and locally oracle-green; pins are
+        # pytest-anchored)
+        "bigram_lm": _q_bigram_lm,
         "ann_recall": _q_ann_recall,
         "media_meta": _q_media_meta,
         # -- driver-green in round 5, untouched this round: rotate behind the 50-slot window --
@@ -2113,6 +2133,28 @@ def oracle_sql() -> dict[str, str]:
             "select event_type, event_id, value, row_number() over ("
             "partition by event_type order by value desc nulls last, "
             "event_id asc) as rk from events) t where rk <= 3"
+        ),
+        "line_dedup": (
+            # same planted fixture; generate_subscripts gives 1-based
+            # positions, string_agg(.. order by pos) rebuilds in order
+            "with d as (select doc_id, text || chr(10) || "
+            "'Shared boilerplate footer line' || chr(10) || "
+            "'unique ' || doc_id as text from documents), "
+            "l as (select doc_id, "
+            "generate_subscripts(string_split(text, chr(10)), 1) as pos, "
+            "unnest(string_split(text, chr(10))) as line from d), "
+            "c as (select line, count(distinct doc_id) as docs "
+            "from l group by line), "
+            "k as (select l.doc_id, l.pos, l.line from l "
+            "join c using (line) where c.docs < 2), "
+            "a as (select doc_id, count(*) as n_kept, "
+            "string_agg(line, chr(10) order by pos) as text_clean "
+            "from k group by doc_id) "
+            "select d.doc_id, "
+            "len(string_split(d.text, chr(10)))::bigint as n_lines, "
+            "coalesce(a.n_kept, 0)::bigint as n_kept, "
+            "coalesce(a.text_clean, '') as text_clean "
+            "from d left join a using (doc_id)"
         ),
         "dup_spans": (
             f"with d as (select doc_id, {_TOKENS_SQL} as tk from documents), "

@@ -42,6 +42,7 @@ __all__ = [
     "tf_idf",
     "unigram_lm_score",
     "bigram_lm_score",
+    "line_dedup",
     "bm25_scores",
     "duplicated_span_fraction",
     "decontaminate",
@@ -650,6 +651,70 @@ def duplicated_span_fraction(
     )
     return per.select(
         F.col("__id").alias(id_col), "n_windows", "dup_frac"
+    )
+
+
+def line_dedup(
+    df,
+    id_col,
+    text_col,
+    *,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> "DataFrame":
+    """CCNet-style corpus-level LINE dedup (boilerplate removal): split
+    each document into lines, drop every line whose exact text appears
+    in ``min_docs`` or more DISTINCT documents (nav bars, cookie
+    banners, license footers, templated headers), and reassemble the
+    survivors in original order. The line-granular sibling of
+    :func:`duplicated_span_fraction` (which only *scores* the overlap)
+    and of ``dedup.exact_dup_groups`` (which drops whole documents).
+    Returns ``(id, n_lines, n_kept, text_clean)``; a document whose
+    every line is boilerplate keeps its row with ``text_clean = ''``.
+    ``sep`` must be a plain separator string (it is regex-escaped for
+    the split and used verbatim for the re-join).
+
+    Scale shape: lines are a pure projection (split + posexplode); the
+    count table groups on ``md5(line)`` — a 32-byte shuffle key instead
+    of the line text, the same digest-not-payload trick as
+    ``duplicated_span_fraction`` — with a two-phase distinct-doc count.
+    The count table joins back KEYED, never broadcast (it is
+    corpus-sized). One per-doc agg rebuilds the text (``collect_list``
+    bounded by document length), one keyed left join restores
+    fully-boilerplate documents. No driver-side loop, no collect.
+    """
+    import re as _re
+
+    split_pat = _re.escape(sep)
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), split_pat)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__k", F.md5("__line"))
+    counts = lines.groupBy("__k").agg(
+        F.countDistinct("__id").alias("__docs")
+    )
+    kept = lines.join(counts, "__k").filter(F.col("__docs") < min_docs)
+    rebuilt = kept.groupBy("__id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), split_pat)).alias("n_lines"),
+    )
+    return base.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
 
 

@@ -797,3 +797,51 @@ class TestDuplicatedSpans:
         )
         out = text.duplicated_span_fraction(df, "id", "t", n=5).collect()
         assert all(r.dup_frac == 1.0 for r in out)
+
+
+class TestLineDedup:
+    def test_boilerplate_dropped_unique_kept_in_order(self, spark):
+        rows = [
+            (1, "my own first line\nSHARED FOOTER\nmy own second line"),
+            (2, "other body text\nSHARED FOOTER"),
+            (3, "SHARED FOOTER"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id int, t string")
+        out = {r.id: r for r in text.line_dedup(df, "id", "t").collect()}
+        assert out[1].text_clean == "my own first line\nmy own second line"
+        assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+        assert out[2].text_clean == "other body text"
+        # fully-boilerplate doc keeps its row with empty text
+        assert (out[3].n_kept, out[3].text_clean) == (0, "")
+        # null text: row survives with NULL line count, nothing kept
+        assert out[4].n_lines is None and out[4].text_clean == ""
+
+    def test_min_docs_threshold(self, spark):
+        rows = [(1, "twice"), (2, "twice"), (3, "thrice"),
+                (4, "thrice"), (5, "thrice")]
+        df = spark.createDataFrame(rows, "id int, t string")
+        out3 = {r.id: r for r in
+                text.line_dedup(df, "id", "t", min_docs=3).collect()}
+        # 'twice' appears in 2 docs < 3 -> kept; 'thrice' in 3 -> dropped
+        assert out3[1].text_clean == "twice"
+        assert out3[3].text_clean == ""
+
+    def test_within_doc_repeat_not_boilerplate(self, spark):
+        # the same line twice in ONE doc is not cross-corpus boilerplate
+        df = spark.createDataFrame(
+            [(1, "la\nla"), (2, "other")], "id int, t string"
+        )
+        out = {r.id: r for r in text.line_dedup(df, "id", "t").collect()}
+        assert out[1].text_clean == "la\nla" and out[1].n_kept == 2
+
+    def test_custom_separator_is_literal(self, spark):
+        # '.' must not behave as a regex wildcard
+        df = spark.createDataFrame(
+            [(1, "keep me.BOILER"), (2, "BOILER.also keep")],
+            "id int, t string",
+        )
+        out = {r.id: r
+               for r in text.line_dedup(df, "id", "t", sep=".").collect()}
+        assert out[1].text_clean == "keep me"
+        assert out[2].text_clean == "also keep"
