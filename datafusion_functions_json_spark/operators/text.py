@@ -695,7 +695,13 @@ def line_dedup(
     counts = lines.groupBy("__k").agg(
         F.countDistinct("__id").alias("__docs")
     )
-    kept = lines.join(counts, "__k").filter(F.col("__docs") < min_docs)
+    # merge hints: both the line-count table and the rebuilt-doc agg are
+    # corpus-derived; small-SF statistics would auto-broadcast them, the
+    # promotion a stale estimate must never make at scale (same policy
+    # as bigram_lm_score)
+    kept = lines.join(counts.hint("merge"), "__k").filter(
+        F.col("__docs") < min_docs
+    )
     rebuilt = kept.groupBy("__id").agg(
         F.count("*").alias("n_kept"),
         F.array_join(
@@ -710,7 +716,7 @@ def line_dedup(
         F.col(id_col).alias("__id"),
         F.size(F.split(F.col(text_col), split_pat)).alias("n_lines"),
     )
-    return base.join(rebuilt, "__id", "left").select(
+    return base.join(rebuilt.hint("merge"), "__id", "left").select(
         F.col("__id").alias(id_col),
         "n_lines",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
