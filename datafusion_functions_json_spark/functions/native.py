@@ -137,8 +137,13 @@ def parse_variant(json_col) -> Column:
 
 
 def variant_extract(json_col, path, dtype: str) -> Column:
-    """Extract a typed value at ``path`` via the variant encoding."""
-    return F.variant_get(parse_variant(json_col), jsonpath(path), dtype)
+    """Extract a typed value at ``path`` via the variant encoding.
+    Uses ``try_variant_get``: a value that cannot cast to ``dtype``
+    (e.g. an OBJECT at an int-getter path) yields NULL — the strict
+    ``variant_get`` raises INVALID_VARIANT_CAST at runtime, which would
+    turn a data property into a task failure and break the engine's
+    never-throw contract (reference: src/common.rs:559-578)."""
+    return F.try_variant_get(parse_variant(json_col), jsonpath(path), dtype)
 
 
 def json_get_int_variant(json_col, *path) -> Column:

@@ -308,3 +308,115 @@ class TestRegisterNative:
     def test_plan_is_pure_jvm(self, spark):
         df = spark.sql("select json_get_int_variant(j,'k') from native_sql_t")
         assert arrow_eval_count(df) == 0
+
+
+class TestVariantRandomizedDifferential:
+    """Seeded randomized corpus differential: on envelope-safe documents
+    (JSONPath-safe keys; strings that no engine string-coerces), the
+    variant tier must agree with the exact tier for every structural and
+    numeric kind — one Spark job over ~200 generated docs, not
+    per-example sessions."""
+
+    def _corpus(self):
+        import json as _json
+        import random
+
+        rng = random.Random(20260814)
+        # letters avoid every boolean-ish token ('true','t','yes','on',
+        # 'no','off','f','n') and any numeric form, so string values are
+        # coercion-inert on BOTH tiers
+        letters = "ghijkpqrvwxz"
+
+        def scalar():
+            k = rng.randrange(5)
+            if k == 0:
+                return rng.randint(-(2**62), 2**62)
+            if k == 1:
+                return rng.choice([True, False])
+            if k == 2:
+                return None
+            if k == 3:
+                return round(rng.uniform(-1e6, 1e6), 3)
+            return "".join(rng.choice(letters) for _ in range(rng.randrange(1, 8)))
+
+        def value(depth):
+            if depth <= 0 or rng.random() < 0.5:
+                return scalar()
+            if rng.random() < 0.5:
+                return [value(depth - 1) for _ in range(rng.randrange(0, 4))]
+            return {
+                "".join(rng.choice(letters) for _ in range(rng.randrange(1, 5))): value(depth - 1)
+                for _ in range(rng.randrange(0, 4))
+            }
+
+        docs = []
+        for _ in range(200):
+            docs.append(_json.dumps({"a": value(3), "b": value(2)}))
+        docs += ["{", "", None, '{"a": }', '[1, 2']  # malformed tier parity
+        return docs
+
+    def test_all_kinds_agree(self, spark):
+        df = spark.createDataFrame([(d,) for d in self._corpus()], "j string")
+        cols = []
+        for path in (("a",), ("b",), ("a", "x"), ("a", 0)):
+            tag = "_".join(str(p) for p in path)
+            cols += [
+                jsonf.json_get_int("j", *path).alias(f"ei_{tag}"),
+                native.json_get_int_variant("j", *path).alias(f"ni_{tag}"),
+                jsonf.json_get_bool("j", *path).alias(f"eb_{tag}"),
+                native.json_get_bool_variant("j", *path).alias(f"nb_{tag}"),
+                jsonf.json_get_float("j", *path).alias(f"ef_{tag}"),
+                native.json_get_float_variant("j", *path).alias(f"nf_{tag}"),
+                jsonf.json_contains("j", *path).alias(f"ee_{tag}"),
+                native.json_contains_variant("j", *path).alias(f"ne_{tag}"),
+                jsonf.json_length("j", *path).alias(f"el_{tag}"),
+                native.json_length_variant("j", *path).alias(f"nl_{tag}"),
+            ]
+        import json as _json
+
+        def nav(doc, path):
+            cur = doc
+            for p in path:
+                if isinstance(p, str):
+                    if not isinstance(cur, dict) or p not in cur:
+                        return (False, None)
+                    cur = cur[p]
+                else:
+                    if isinstance(cur, bool) or not isinstance(cur, list):
+                        return (False, None)
+                    if p >= len(cur):
+                        return (False, None)
+                    cur = cur[p]
+            return (True, cur)
+
+        rows = df.select("j", *cols).collect()
+        checked = 0
+        for r in rows:
+            d = r.asDict()
+            try:
+                dom = _json.loads(r.j) if r.j else None
+            except Exception:
+                dom = None
+            for path in (("a",), ("b",), ("a", "x"), ("a", 0)):
+                tag = "_".join(str(p) for p in path)
+                found, v = nav(dom, path) if dom is not None else (False, None)
+                is_bool = isinstance(v, bool)
+                is_num = isinstance(v, (int, float)) and not is_bool
+                for e, n in (("ei", "ni"), ("eb", "nb"), ("ef", "nf"),
+                             ("ee", "ne"), ("el", "nl")):
+                    # documented envelope: variant CASTS across scalar
+                    # types where the exact tier is strict — skip the
+                    # cross-type cells, compare everything else
+                    if e == "ei" and found and (is_bool or isinstance(v, float)):
+                        continue
+                    if e == "eb" and found and is_num:
+                        continue
+                    if e == "ef" and found and is_bool:
+                        continue
+                    ev, nv = d[f"{e}_{tag}"], d[f"{n}_{tag}"]
+                    checked += 1
+                    assert ev == nv or (
+                        ev is not None and nv is not None
+                        and isinstance(ev, float) and abs(ev - nv) < 1e-9
+                    ), (e, tag, ev, nv, r.j)
+        assert checked > 3000  # the skips must not hollow out the test
