@@ -361,9 +361,10 @@ def _q_multi_extract(spark, sf_dir):
 
 def _q_multi_extract_variant(spark, sf_dir):
     # round-6 stretch: the SAME 5-field fused extraction as
-    # multi_extract but on the zero-hop variant tier — every field is
-    # a try_variant_get over one shared try_parse_json subtree (codegen
-    # subexpression elimination parses once); no ArrowEvalPython at all
+    # multi_extract but on the zero-hop variant tier — the parsed
+    # variant is lambda-bound once per row (transform/array trick in
+    # multi._variant_multi), so the parse is structurally single;
+    # no ArrowEvalPython at all
     li = _lineitem(spark, sf_dir).withColumn("j", _nested_json_col())
     u = jsonf.json_extract_multi(
         "j",

@@ -239,9 +239,10 @@ def json_extract_multi(
 
     ``tier="variant"`` — ZERO-hop JVM fast path via Spark 4's
     VariantType (functions/native.py): every field compiles to
-    ``try_variant_get`` over the same ``try_parse_json(ltrim(col))``
-    subtree, which whole-stage codegen's subexpression elimination
-    evaluates once per row — one parse, N fields, no Python. OPT-IN
+    ``try_variant_get`` over ONE parsed variant, bound per row to a
+    higher-order-function lambda variable so the parse is structurally
+    single (codegen subexpression elimination does NOT fire on variant
+    expressions — measured) — one parse, N fields, no Python. OPT-IN
     because the variant envelope is not bit-equal to the exact tier
     (container/float re-serialization for ``text``, cast-based string
     coercions; see native.py's envelope docs); union kinds and
