@@ -1450,15 +1450,41 @@ def _q_percentiles_approx(spark, sf_dir):
     # sketch-tier twin of `percentiles`: Greenwald-Khanna mergeable
     # partial aggregates — bounded state per group, the only memory-safe
     # quantile at 100 TB group sizes. Sketch outputs are
-    # implementation-specific → rows-only check (the exact tier's oracle
-    # anchors the semantics; a pytest pins the rank-error envelope).
-    return stats.grouped_percentiles(
-        load_table(spark, sf_dir, "lineitem"),
+    # implementation-specific → rows-only check, but the assert_true
+    # column PINS the empirical rank of each sketch output within 0.01
+    # of its target (GK bound is 1e-4; slack covers rounding/ties) —
+    # same self-checking pattern as the ANN recall gates: a broken
+    # sketch turns the driver row red instead of shipping plausible
+    # numbers. The pin joins the 3-row result back over lineitem (tiny
+    # broadcast + one conditional agg).
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = stats.grouped_percentiles(
+        li,
         "l_returnflag",
         "l_extendedprice",
         (0.5, 0.9),
         exact=False,
         accuracy=10000,
+    )
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.avg((F.col("l_extendedprice") <= F.col("p5")).cast("double")).alias("r5"),
+            F.avg((F.col("l_extendedprice") <= F.col("p9")).cast("double")).alias("r9"),
+        )
+    )
+    return approx.join(F.broadcast(ranks), "l_returnflag").select(
+        "l_returnflag",
+        "p5",
+        "p9",
+        "n",
+        F.assert_true(
+            (F.abs(F.col("r5") - 0.5) <= 0.01)
+            & (F.abs(F.col("r9") - 0.9) <= 0.01),
+            F.lit("GK sketch rank error above pinned 0.01"),
+        ).alias("rank_gate"),
     )
 
 
