@@ -1446,6 +1446,73 @@ def _q_minhash_pairs(spark, sf_dir):
     )
 
 
+def _minhash_eligible(docs):
+    # docs the LSH tiers can see at all: word-3-gram signatures need >= 3
+    # tokens (shorter docs get NULL signatures by design)
+    return docs.filter(text.token_count(F.col("text")) >= 3)
+
+
+def _with_planted_dups(docs, n: int = 20, offset: int = 1_000_000):
+    # the synthetic corpus has no exact-duplicate texts at sf0.01, so the
+    # recall gates PLANT their own (same falsifiability pattern as
+    # pii_redact): copies of the first n docs under shifted ids — both
+    # engines build the identical corpus, and every planted pair must
+    # surface
+    extra = docs.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+def _q_minhash_recall(spark, sf_dir):
+    # ORACLE-twinned recall gate for the banded-LSH tier: identical
+    # texts have identical signatures, so every planted exact-duplicate
+    # pair MUST collide in some band and survive the Jaccard>=0.8
+    # verify (their Jaccard is 1.0). n_missed is structurally 0 on a
+    # correct implementation and the DuckDB twin asserts exactly that —
+    # a banding/signature bug turns the driver row red.
+    docs = _minhash_eligible(_with_planted_dups(_docs(spark, sf_dir)))
+    pairs = dedup.minhash_dup_pairs(
+        docs, "doc_id", "text", num_perm=32, bands=8, mode="word", n=3,
+        threshold=0.8,
+    )
+    k = docs.select(F.md5("text").alias("_k"), F.col("doc_id"))
+    exact = (
+        k.alias("L")
+        .join(k.alias("R"), "_k")
+        .filter(F.col("L.doc_id") < F.col("R.doc_id"))
+        .select(
+            F.col("L.doc_id").alias("id_a"), F.col("R.doc_id").alias("id_b")
+        )
+    )
+    missed = exact.join(pairs, ["id_a", "id_b"], "left_anti")
+    return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        missed.agg(F.count("*").alias("n_missed"))
+    )
+
+
+def _q_simhash_recall(spark, sf_dir):
+    # same gate for the SimHash pigeonhole tier: identical texts hash to
+    # identical 64-bit simhashes (hamming 0 <= 3), and the 4x16-bit
+    # block join guarantees recall at <= 3 differing bits — so planted
+    # exact-dup pairs must all appear; the oracle asserts n_missed = 0
+    docs = _minhash_eligible(_with_planted_dups(_docs(spark, sf_dir)))
+    pairs = dedup.simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    k = docs.select(F.md5("text").alias("_k"), F.col("doc_id"))
+    exact = (
+        k.alias("L")
+        .join(k.alias("R"), "_k")
+        .filter(F.col("L.doc_id") < F.col("R.doc_id"))
+        .select(
+            F.col("L.doc_id").alias("id_a"), F.col("R.doc_id").alias("id_b")
+        )
+    )
+    missed = exact.join(pairs, ["id_a", "id_b"], "left_anti")
+    return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        missed.agg(F.count("*").alias("n_missed"))
+    )
+
+
 def _q_percentiles_approx(spark, sf_dir):
     # sketch-tier twin of `percentiles`: Greenwald-Khanna mergeable
     # partial aggregates — bounded state per group, the only memory-safe
@@ -1768,6 +1835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-anchored)
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
+        "minhash_recall": _q_minhash_recall,
+        "simhash_recall": _q_simhash_recall,
         "bigram_lm": _q_bigram_lm,
         "ann_recall": _q_ann_recall,
         "media_meta": _q_media_meta,
@@ -2371,6 +2440,33 @@ def oracle_sql() -> dict[str, str]:
             "from lineitem join part on l_partkey = p_partkey "
             "where l_shipdate >= timestamp '1996-09-01' "
             "and l_shipdate < timestamp '1996-10-01'"
+        ),
+        # n_missed = 0 is the structural recall guarantee of the banded /
+        # pigeonhole designs; the oracle recomputes n_exact from the
+        # planted duplicate texts and asserts the zero
+        "minhash_recall": (
+            f"with p as (select doc_id, text from documents "
+            "union all select doc_id + 1000000, text from documents "
+            "where doc_id < 20), "
+            f"d as (select doc_id, text from p "
+            f"where len({_TOKENS_SQL}) >= 3), "
+            "e as (select a.doc_id as id_a, b.doc_id as id_b "
+            "from d a join d b on a.text = b.text "
+            "and a.doc_id < b.doc_id) "
+            "select count(*)::bigint as n_exact, 0::bigint as n_missed "
+            "from e"
+        ),
+        "simhash_recall": (
+            f"with p as (select doc_id, text from documents "
+            "union all select doc_id + 1000000, text from documents "
+            "where doc_id < 20), "
+            f"d as (select doc_id, text from p "
+            f"where len({_TOKENS_SQL}) >= 3), "
+            "e as (select a.doc_id as id_a, b.doc_id as id_b "
+            "from d a join d b on a.text = b.text "
+            "and a.doc_id < b.doc_id) "
+            "select count(*)::bigint as n_exact, 0::bigint as n_missed "
+            "from e"
         ),
         "tpch_q10": (
             "select c_custkey, c_name, "
