@@ -1632,6 +1632,34 @@ def _q_embedding_dups(spark, sf_dir):
     )
 
 
+def _q_embedding_recall(spark, sf_dir):
+    # ORACLE-twinned zero-miss gate for the embedding-LSH tier (the
+    # sibling of minhash_recall/simhash_recall): a scaled copy of a
+    # vector has the same hyperplane signs, so every planted
+    # (orig, orig+1e6) pair MUST share a bucket and survive the
+    # cosine>=0.95 verify (their cosine is exactly 1.0); n_missed is
+    # structurally 0 and the DuckDB twin asserts it
+    emb = _emb(spark, sf_dir)
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    pairs = similarity.embedding_dup_pairs(
+        emb.unionByName(planted), "vec_id", "embedding", dim=64, threshold=0.95
+    )
+    expected = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + 1000000).alias("id_b"),
+    )
+    missed = expected.join(pairs, ["id_a", "id_b"], "left_anti")
+    return expected.agg(F.count("*").alias("n_planted")).crossJoin(
+        missed.agg(F.count("*").alias("n_missed"))
+    )
+
+
 def _q_audio_features(spark, sf_dir):
     # audio featurizer plumbing (fake decode): the size-derived fields
     # are deterministic, so this path is fully hash-checked by the oracle
@@ -1837,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": _q_tpch_q18,
         "minhash_recall": _q_minhash_recall,
         "simhash_recall": _q_simhash_recall,
+        "embedding_recall": _q_embedding_recall,
         "bigram_lm": _q_bigram_lm,
         "ann_recall": _q_ann_recall,
         "media_meta": _q_media_meta,
@@ -2444,6 +2473,9 @@ def oracle_sql() -> dict[str, str]:
         # n_missed = 0 is the structural recall guarantee of the banded /
         # pigeonhole designs; the oracle recomputes n_exact from the
         # planted duplicate texts and asserts the zero
+        "embedding_recall": (
+            "select 5::bigint as n_planted, 0::bigint as n_missed"
+        ),
         "minhash_recall": (
             f"with p as (select doc_id, text from documents "
             "union all select doc_id + 1000000, text from documents "
