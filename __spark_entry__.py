@@ -1513,6 +1513,61 @@ def _q_simhash_recall(spark, sf_dir):
     )
 
 
+def _q_incremental_recall(spark, sf_dir):
+    # ORACLE-twinned zero-miss gate for the incremental (batch-vs-index)
+    # tier: EXACT copies of indexed docs in the new batch have identical
+    # signatures, so every copy must band-collide with its original and
+    # verify at Jaccard 1.0; n_missed is structurally 0 and the oracle
+    # recomputes n_planted from the same eligibility predicate
+    docs = _docs(spark, sf_dir)
+    idx_docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    index = dedup.minhash_index(
+        idx_docs, "doc_id", "text", num_perm=32, mode="word", n=3
+    )
+    copies = _minhash_eligible(idx_docs.filter(F.col("doc_id") < 25)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    pairs = dedup.minhash_dup_pairs_against(
+        copies, index, "doc_id", "text",
+        num_perm=32, bands=8, mode="word", n=3, threshold=0.8,
+    )
+    expected = _minhash_eligible(
+        idx_docs.filter(F.col("doc_id") < 25)
+    ).select(
+        (F.col("doc_id") + 100000).alias("new_id"),
+        F.col("doc_id").alias("index_id"),
+    )
+    missed = expected.join(pairs, ["new_id", "index_id"], "left_anti")
+    return expected.agg(F.count("*").alias("n_planted")).crossJoin(
+        missed.agg(F.count("*").alias("n_missed"))
+    )
+
+
+def _q_knn_recall(spark, sf_dir):
+    # ORACLE-twinned zero-miss gate for the kNN-graph tier: a planted
+    # exact duplicate of a vector shares every SRP table's bucket with
+    # its original and re-ranks at cosine 1.0, so the original MUST
+    # appear among the duplicate's top-k neighbors; n_missed is
+    # structurally 0
+    emb = _emb(spark, sf_dir)
+    dim = 64
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    g = similarity.knn_graph(
+        emb.unionByName(planted), "vec_id", "embedding", dim,
+        k=5, n_planes=8, n_tables=4,
+    )
+    expected = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("id"),
+        F.col("vec_id").alias("nbr_id"),
+    )
+    missed = expected.join(g, ["id", "nbr_id"], "left_anti")
+    return expected.agg(F.count("*").alias("n_planted")).crossJoin(
+        missed.agg(F.count("*").alias("n_missed"))
+    )
+
+
 def _q_percentiles_approx(spark, sf_dir):
     # sketch-tier twin of `percentiles`: Greenwald-Khanna mergeable
     # partial aggregates — bounded state per group, the only memory-safe
@@ -1866,6 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall": _q_minhash_recall,
         "simhash_recall": _q_simhash_recall,
         "embedding_recall": _q_embedding_recall,
+        "incremental_recall": _q_incremental_recall,
+        "knn_recall": _q_knn_recall,
         "bigram_lm": _q_bigram_lm,
         "ann_recall": _q_ann_recall,
         "media_meta": _q_media_meta,
@@ -2475,6 +2532,14 @@ def oracle_sql() -> dict[str, str]:
         # planted duplicate texts and asserts the zero
         "embedding_recall": (
             "select 5::bigint as n_planted, 0::bigint as n_missed"
+        ),
+        "knn_recall": (
+            "select 5::bigint as n_planted, 0::bigint as n_missed"
+        ),
+        "incremental_recall": (
+            f"select count(*)::bigint as n_planted, 0::bigint as n_missed "
+            f"from documents where doc_id < 25 and doc_id % 5 != 0 "
+            f"and len({_TOKENS_SQL}) >= 3"
         ),
         "minhash_recall": (
             f"with p as (select doc_id, text from documents "
