@@ -1513,6 +1513,29 @@ def _q_simhash_recall(spark, sf_dir):
     )
 
 
+def _q_data_quality(spark, sf_dir):
+    # one-pass declarative data-quality gate (operators/validate): all 7
+    # constraint kinds compiled into a SINGLE global aggregation (one
+    # scan + 1-row reduce regardless of check count), then a plan-time
+    # explode to one row per check. The between bound is deliberately
+    # violated by real rows so the metric is falsifiable, not all-zero.
+    from datafusion_functions_json_spark.operators import validate
+
+    orders = load_table(spark, sf_dir, "orders")
+    return validate.check_constraints(
+        orders,
+        [
+            ("not_null", "o_orderkey"),
+            ("unique", "o_orderkey"),
+            ("min_value", "o_totalprice", 0.0),
+            ("between", "o_totalprice", 1000.0, 400000.0),
+            ("in_set", "o_orderstatus", ["F", "O", "P"]),
+            ("matches", "o_orderpriority", "^[1-5]-"),
+            ("not_null", "o_custkey"),
+        ],
+    )
+
+
 def _q_incremental_recall(spark, sf_dir):
     # ORACLE-twinned zero-miss gate for the incremental (batch-vs-index)
     # tier: EXACT copies of indexed docs in the new batch have identical
@@ -1923,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_recall": _q_embedding_recall,
         "incremental_recall": _q_incremental_recall,
         "knn_recall": _q_knn_recall,
+        "data_quality": _q_data_quality,
         "bigram_lm": _q_bigram_lm,
         "ann_recall": _q_ann_recall,
         "media_meta": _q_media_meta,
@@ -2535,6 +2559,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_recall": (
             "select 5::bigint as n_planted, 0::bigint as n_missed"
+        ),
+        "data_quality": (
+            "select 'not_null' as check, 'o_orderkey' as target, "
+            "count(*) filter (o_orderkey is null)::bigint as violations, "
+            "count(*) filter (o_orderkey is null) = 0 as passed from orders "
+            "union all select 'unique', 'o_orderkey', "
+            "(count(o_orderkey) - count(distinct o_orderkey))::bigint, "
+            "count(o_orderkey) = count(distinct o_orderkey) from orders "
+            "union all select 'min_value', 'o_totalprice', "
+            "count(*) filter (o_totalprice < 0.0)::bigint, "
+            "count(*) filter (o_totalprice < 0.0) = 0 from orders "
+            "union all select 'between', 'o_totalprice', "
+            "count(*) filter (o_totalprice < 1000.0 or o_totalprice > 400000.0)::bigint, "
+            "count(*) filter (o_totalprice < 1000.0 or o_totalprice > 400000.0) = 0 from orders "
+            "union all select 'in_set', 'o_orderstatus', "
+            "count(*) filter (o_orderstatus is not null and o_orderstatus not in ('F','O','P'))::bigint, "
+            "count(*) filter (o_orderstatus is not null and o_orderstatus not in ('F','O','P')) = 0 from orders "
+            "union all select 'matches', 'o_orderpriority', "
+            "count(*) filter (o_orderpriority is not null and not regexp_matches(o_orderpriority, '^[1-5]-'))::bigint, "
+            "count(*) filter (o_orderpriority is not null and not regexp_matches(o_orderpriority, '^[1-5]-')) = 0 from orders "
+            "union all select 'not_null', 'o_custkey', "
+            "count(*) filter (o_custkey is null)::bigint, "
+            "count(*) filter (o_custkey is null) = 0 from orders"
         ),
         "incremental_recall": (
             f"select count(*)::bigint as n_planted, 0::bigint as n_missed "

@@ -19,6 +19,7 @@ from . import (
     similarity,
     split,
     text,
+    validate,
 )
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "multimodal",
     "pipeline",
     "metrics",
+    "validate",
 ]

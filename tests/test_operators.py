@@ -951,3 +951,73 @@ class TestMultimodal:
             F.col("media_id") == 10
         ).first()
         assert again.features == out[10].features
+
+
+class TestCheckConstraints:
+    def test_all_kinds_and_metrics(self, spark):
+        from datafusion_functions_json_spark.operators import validate
+
+        rows = [
+            (1, 10.0, "F", "1-URGENT"),
+            (2, -5.0, "O", "9-BAD"),
+            (2, 50.0, None, None),
+            (None, 200.0, "X", "3-MEDIUM"),
+        ]
+        df = spark.createDataFrame(rows, "id long, v double, s string, p string")
+        out = {
+            (r.check, r.target): r
+            for r in validate.check_constraints(
+                df,
+                [
+                    ("not_null", "id"),
+                    ("unique", "id"),
+                    ("min_value", "v", 0.0),
+                    ("max_value", "v", 100.0),
+                    ("between", "v", 0.0, 100.0),
+                    ("in_set", "s", ["F", "O"]),
+                    ("matches", "p", "^[1-5]-"),
+                ],
+            ).collect()
+        }
+        assert out[("not_null", "id")].violations == 1
+        assert out[("unique", "id")].violations == 1  # id=2 twice
+        assert out[("min_value", "v")].violations == 1  # -5
+        assert out[("max_value", "v")].violations == 1  # 200
+        assert out[("between", "v")].violations == 2
+        assert out[("in_set", "s")].violations == 1  # 'X'; NULL not counted
+        assert out[("matches", "p")].violations == 1  # 9-BAD; NULL skipped
+        assert not out[("between", "v")].passed
+        assert all(
+            r.passed == (r.violations == 0) for r in out.values()
+        )
+
+    def test_single_aggregation_pass(self, spark):
+        # every check must fold into ONE aggregate over ONE scan — the
+        # plan has exactly one pair of partial/final HashAggregate (plus
+        # the Expand that countDistinct adds), never per-check subtrees
+        from datafusion_functions_json_spark.operators import validate
+
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        out = validate.check_constraints(
+            df,
+            [("not_null", "id"), ("unique", "id"), ("in_set", "s", ["a"])],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        # one partial + one final (ObjectHashAggregate/SortAggregate name
+        # varies with distinct rewriting; count *Aggregate operators)
+        n_aggs = len(re.findall(r"(?:Hash|Sort|ObjectHash)Aggregate", plan))
+        assert n_aggs <= 4, plan  # two-phase agg x distinct rewrite bound
+        assert plan.count("Scan") <= 2
+
+    def test_errors(self, spark):
+        from datafusion_functions_json_spark.operators import validate
+
+        df = spark.createDataFrame([(1,)], "id long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            validate.check_constraints(df, [])
+        with _pytest.raises(ValueError):
+            validate.check_constraints(df, [("bogus", "id")])
