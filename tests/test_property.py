@@ -209,3 +209,34 @@ def test_make_find_scalar_matches_find_scalar(value, path, pre, post):
 def test_make_find_scalar_never_raises(junk, path):
     core.make_find_scalar(tuple(path))(junk)
     core.make_find_scalar(tuple(path))(None)
+
+
+# ----------------------------------------------------------- sql rewriter
+
+_SQL_ALPHABET = (
+    "abc_019 ->>?(),'\"`:.*\n\t" + "select from where and j :: int text"
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(junk=st.text(alphabet=_SQL_ALPHABET, max_size=80))
+def test_rewrite_sql_never_crashes_on_garbage(junk):
+    """The jsonf.sql pre-processor must either rewrite or raise the
+    documented plan-shaped ValueError — never an unhandled exception —
+    on arbitrary operator-soup input, and must be a no-op on text with
+    no JSON operators at all."""
+    from datafusion_functions_json_spark.sql import rewrite_sql
+
+    try:
+        rewrite_sql(junk)
+    except ValueError:
+        pass  # documented plan errors (NULL/typed path, arity, ...)
+
+
+@settings(max_examples=200, deadline=None)
+@given(junk=st.text(alphabet="abc_019 (),'.=<>!%+-*/\n\t", max_size=80))
+def test_rewrite_sql_identity_without_operators(junk):
+    # no -> / ->> / ? / registered-function names => byte-identical output
+    from datafusion_functions_json_spark.sql import rewrite_sql
+
+    assert rewrite_sql(junk) == junk
