@@ -845,3 +845,78 @@ class TestLineDedup:
                for r in text.line_dedup(df, "id", "t", sep=".").collect()}
         assert out[1].text_clean == "keep me"
         assert out[2].text_clean == "also keep"
+
+
+class TestLineDedupDifferential:
+    def test_random_corpus_matches_duckdb(self, spark):
+        # seeded random multi-line corpus with injected boilerplate:
+        # one Spark job vs the DuckDB recomputation, full-row compare
+        import random
+
+        import duckdb
+
+        rng = random.Random(42)
+        words = ["alpha", "beta", "gamma", "delta", "eps"]
+        boiler = ["SHARED ONE", "SHARED TWO"]
+        docs = []
+        for i in range(80):
+            lines_ = []
+            for _ in range(rng.randrange(1, 6)):
+                if rng.random() < 0.3:
+                    lines_.append(rng.choice(boiler))
+                else:
+                    lines_.append(
+                        " ".join(rng.choice(words) for _ in range(rng.randrange(1, 5)))
+                    )
+            docs.append((i, "\n".join(lines_)))
+        df = spark.createDataFrame(docs, "id long, t string")
+        got = sorted(
+            (r.id, r.n_lines, r.n_kept, r.text_clean)
+            for r in text.line_dedup(df, "id", "t", min_docs=2).collect()
+        )
+        con = duckdb.connect()
+        con.execute("create table d (id bigint, t varchar)")
+        con.executemany("insert into d values (?, ?)", docs)
+        want = sorted(
+            tuple(v)
+            for v in con.sql(
+                "with l as (select id, "
+                "generate_subscripts(string_split(t, chr(10)), 1) as pos, "
+                "unnest(string_split(t, chr(10))) as line from d), "
+                "c as (select line, count(distinct id) as docs from l group by line), "
+                "k as (select l.id, l.pos, l.line from l join c using (line) "
+                "where c.docs < 2), "
+                "a as (select id, count(*) as n_kept, "
+                "string_agg(line, chr(10) order by pos) as text_clean "
+                "from k group by id) "
+                "select d.id, len(string_split(d.t, chr(10)))::bigint, "
+                "coalesce(a.n_kept, 0)::bigint, coalesce(a.text_clean, '') "
+                "from d left join a using (id)"
+            ).fetchall()
+        )
+        assert got == want
+
+
+class TestWeightedSampleHugeWeightsDifferential:
+    def test_matches_duckdb_at_1e12(self, spark):
+        import duckdb
+
+        from datafusion_functions_json_spark.operators import split as sp
+
+        rows = [(i, float(1 + i % 7) * 1e12) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got = sorted(r.id for r in sp.weighted_sample(df, "id", "w", 25, salt="x").collect())
+        want = sorted(
+            v[0]
+            for v in duckdb.sql(
+                "with t as (select unnest(range(300)) as id), "
+                "k as (select id, ((1 + id % 7) * 1e12)::double as w, "
+                "round(ln(-ln(greatest("
+                "try_cast(('0x' || substr(md5('x:' || id::varchar), 1, 8)) "
+                "as bigint) / 4294967296.0, 0.5 / 4294967296.0))) "
+                "- ln(((1 + id % 7) * 1e12)::double), 12) as key "
+                "from t) "
+                "select id from k order by key asc, id asc limit 25"
+            ).fetchall()
+        )
+        assert got == want
