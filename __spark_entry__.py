@@ -1228,6 +1228,81 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_tpch_q13(spark, sf_dir):
+    # TPC-H Q13 customer order-count distribution (adapted: the slim
+    # synthetic orders table has no o_comment to exclude): LEFT OUTER
+    # join so zero-order customers land in the c_count=0 bucket, then a
+    # two-level aggregation — the outer histogram agg reuses nothing
+    # from the join key, so it is its own (tiny) exchange.
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def _q_tpch_q17(spark, sf_dir):
+    # TPC-H Q17 small-quantity-order revenue (adapted filter: p_brand +
+    # p_size; the slim part table has no p_container). The correlated
+    # scalar subquery is DECORRELATED by hand into a per-part average —
+    # the idiomatic Spark formulation: the avg agg shuffles on
+    # l_partkey, the same key the lineitem join needs, and the filtered
+    # part dim broadcasts.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("lim")
+    )
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(per_part.withColumnRenamed("l_partkey", "pk"),
+              F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("lim"))
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+def _q_tpch_q22(spark, sf_dir):
+    # TPC-H Q22 sales-opportunity (adapted: country code derived from
+    # c_nationkey % 5; the slim customer table has no c_phone): global
+    # positive-balance average as a 1-row broadcast, LEFT ANTI join
+    # against quarter-filtered orders for the no-recent-order
+    # predicate, one group agg. The anti join shuffles on the customer
+    # key — no correlated per-row subquery survives into the plan.
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.pmod(F.col("c_nationkey"), F.lit(5)).isin(0, 1, 2)
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.pmod(F.col("c_nationkey"), F.lit(5)).alias("code"),
+    )
+    avgbal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_custkey")
+    kept = (
+        cust.crossJoin(F.broadcast(avgbal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return kept.groupBy("code").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 def _q_tpch_q5(spark, sf_dir):
     # TPC-H Q5 local-supplier-volume, 6-table join tree with honest
     # 100 TB join strategies: region→nation and supplier (true dims)
@@ -1947,6 +2022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_recall": _q_incremental_recall,
         "knn_recall": _q_knn_recall,
         "data_quality": _q_data_quality,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q22": _q_tpch_q22,
         "bigram_lm": _q_bigram_lm,
         "ann_recall": _q_ann_recall,
         "media_meta": _q_media_meta,
@@ -2611,6 +2689,35 @@ def oracle_sql() -> dict[str, str]:
             "and a.doc_id < b.doc_id) "
             "select count(*)::bigint as n_exact, 0::bigint as n_missed "
             "from e"
+        ),
+        "tpch_q13": (
+            "select c_count, count(*) as custdist from ("
+            "select c_custkey, count(o_orderkey) as c_count "
+            "from customer left join orders on c_custkey = o_custkey "
+            "group by c_custkey) group by c_count"
+        ),
+        "tpch_q17": (
+            "with pa as (select l_partkey as pk, "
+            "0.2 * avg(l_quantity) as lim from lineitem group by l_partkey) "
+            "select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly "
+            "from lineitem join part on p_partkey = l_partkey "
+            "join pa on pa.pk = l_partkey "
+            "where p_brand = 'Brand#4' and p_size <= 10 "
+            "and l_quantity < lim"
+        ),
+        "tpch_q22": (
+            "with sel as (select c_custkey, c_acctbal, "
+            "c_nationkey % 5 as code from customer "
+            "where c_nationkey % 5 in (0, 1, 2)), "
+            "avgbal as (select avg(c_acctbal) a from sel "
+            "where c_acctbal > 0) "
+            "select code, count(*) as numcust, "
+            "round(sum(c_acctbal), 2) as totacctbal from sel, avgbal "
+            "where c_acctbal > a and not exists ("
+            "select 1 from orders o where o.o_custkey = sel.c_custkey "
+            "and o.o_orderdate >= timestamp '1996-01-01' "
+            "and o.o_orderdate < timestamp '1996-04-01') "
+            "group by code"
         ),
         "tpch_q10": (
             "select c_custkey, c_name, "
