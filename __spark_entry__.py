@@ -203,6 +203,32 @@ def _q_get_array_variant(spark, sf_dir):
     )
 
 
+def _q_union_variant(spark, sf_dir):
+    # round-6: the union-typed `->` itself on the variant tier —
+    # json_get_variant builds the SAME tagged-union struct as the exact
+    # tier from pure JVM expressions (schema_of_variant dispatch,
+    # lambda-bound parse). Emits type_ids and arms across all the
+    # nested fixture's kinds; present-null $.d must be a whole-struct
+    # NULL (type_id reads back SQL NULL).
+    from datafusion_functions_json_spark.functions import native
+
+    li = _lineitem(spark, sf_dir).withColumn("j", _nested_json_col())
+    ua = native.json_get_variant("j", "a")
+    ub0 = native.json_get_variant("j", "a", "b", 0)
+    uflag = native.json_get_variant("j", "a", "b", 1, "c")
+    ud = native.json_get_variant("j", "d")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ua.getField("type_id").cast("int").alias("a_tid"),
+        ua.getField("object").alias("a_obj"),
+        ub0.getField("type_id").cast("int").alias("b0_tid"),
+        ub0.getField("int").alias("b0_int"),
+        uflag.getField("str").alias("flag"),
+        ud.getField("type_id").cast("int").alias("d_tid"),
+    )
+
+
 def _q_json_contains_variant(spark, sf_dir):
     # round-6 variant-tier widening: `?` as pure-JVM IS NOT NULL over
     # try_variant_get — present-null ($.d) must be TRUE, missing FALSE,
@@ -2022,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_recall": _q_incremental_recall,
         "knn_recall": _q_knn_recall,
         "data_quality": _q_data_quality,
+        "union_variant": _q_union_variant,
         "tpch_q13": _q_tpch_q13,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
@@ -2162,6 +2189,16 @@ def oracle_sql() -> dict[str, str]:
             "+ 0.587 * ((doc_id * 59 + i * 23) % 256) "
             "+ 0.114 * ((doc_id * 83 + i * 41) % 256)) / 255.0, 6) as f0 "
             "from v"
+        ),
+        "union_variant": (
+            # minified object arm matches DuckDB's json_extract
+            # rendering (same envelope as json_json_variant); JSON-null
+            # $.d is a whole-struct NULL so its type_id reads SQL NULL
+            f"select l_orderkey, l_linenumber, "
+            f"6 as a_tid, json_extract({nested}, '$.a')::varchar as a_obj, "
+            f"2 as b0_tid, (l_orderkey % 10)::bigint as b0_int, "
+            f"l_returnflag as flag, NULL::int as d_tid "
+            f"from lineitem"
         ),
         "json_contains_variant": (
             f"select l_orderkey, l_linenumber, "

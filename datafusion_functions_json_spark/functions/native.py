@@ -41,6 +41,7 @@ __all__ = [
     "json_get_float_native",
     "parse_variant",
     "variant_extract",
+    "json_get_variant",
     "json_get_int_variant",
     "json_get_str_variant",
     "json_get_float_variant",
@@ -221,6 +222,68 @@ def variant_field(v: Column, path, kind: str) -> Column:
             _size(F.try_variant_get(v, p, "map<string,variant>")).cast("bigint"),
         )
     return F.try_variant_get(v, p, _VARIANT_DTYPES[kind])
+
+
+def json_get_variant(json_col, *path) -> Column:
+    """``json_get`` (the union-typed ``->``) on the variant tier: the
+    SAME tagged-union struct as the exact tier
+    (``STRUCT<type_id, bool, int, float, str, array, object>``,
+    union.py), built entirely from JVM variant expressions — type
+    dispatch via ``schema_of_variant``, the parsed value lambda-bound
+    once per row. Null taxonomy matches the exact tier: missing path /
+    invalid doc / JSON null / integer beyond i64 ⇒ whole-struct NULL
+    (the null-arm normalization of union.py).
+
+    Envelope beyond the shared JSONPath limits: containers/floats are
+    RE-SERIALIZED (minified, ``4.2e-1`` → ``0.42``) where the exact
+    tier keeps raw slices, and integral JSON floats (``5.0``, ``-0.0``)
+    re-encode as DECIMAL(p,0) and land in the INT arm instead of the
+    float arm. Pinned in tests/test_native.py."""
+    from ..union import UNION_DDL
+
+    v = _try_variant(json_col, path, "variant")
+
+    def build(x):
+        sch = F.schema_of_variant(x)
+        is_bool = sch == F.lit("BOOLEAN")
+        is_int = sch == F.lit("BIGINT")
+        is_dec0 = sch.rlike(r"^DECIMAL\([0-9]+,0\)$")
+        is_float = (sch == F.lit("DOUBLE")) | sch.rlike(r"^DECIMAL\([0-9]+,[1-9]")
+        is_str = sch == F.lit("STRING")
+        is_arr = sch.startswith("ARRAY")
+        is_obj = sch.startswith("OBJECT") | sch.startswith("STRUCT") | sch.startswith("MAP")
+        int_arm = F.when(
+            is_int | is_dec0, F.try_variant_get(x, "$", "bigint")
+        )
+        null_like = (
+            x.isNull()
+            | F.is_variant_null(x)
+            | (sch == F.lit("VOID"))
+            # integer beyond i64 (DECIMAL(p,0) that won't cast): the
+            # reference's overflow -> null arm
+            | (is_dec0 & int_arm.isNull())
+        )
+        u = F.struct(
+            F.when(is_bool, F.lit(1))
+            .when(is_int | is_dec0, F.lit(2))
+            .when(is_float, F.lit(3))
+            .when(is_str, F.lit(4))
+            .when(is_arr, F.lit(5))
+            .when(is_obj, F.lit(6))
+            .cast("tinyint")
+            .alias("type_id"),
+            F.when(is_bool, F.try_variant_get(x, "$", "boolean")).alias("bool"),
+            int_arm.alias("int"),
+            F.when(is_float, F.try_variant_get(x, "$", "double")).alias("float"),
+            F.when(is_str, F.try_variant_get(x, "$", "string")).alias("str"),
+            F.when(is_arr, F.to_json(x)).alias("array"),
+            F.when(is_obj, F.to_json(x)).alias("object"),
+        )
+        return F.when(null_like, F.lit(None).cast(UNION_DDL)).otherwise(
+            u.cast(UNION_DDL)
+        )
+
+    return F.transform(F.array(v), build)[0]
 
 
 def json_as_text_variant(json_col, *path) -> Column:

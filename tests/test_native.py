@@ -178,6 +178,56 @@ class TestVariantJsonArrayTier:
         assert rows["flat_int"].keys is None and rows["flat_int"].alen is None
         assert rows["invalid"].alen is None
 
+    def test_union_struct_agrees_on_envelope_values(self, spark):
+        # json_get_variant builds the SAME tagged-union struct as the
+        # exact tier for int/str/bool/json-null/overflow/missing/invalid
+        docs = [
+            '{"k": 1}', '{"k": "s"}', '{"k": true}', '{"k": null}',
+            '{"k": 123456789012345678901234}',  # > i64 -> null arm
+            "{", None, "{}",
+            '{"k": 4.25}',
+        ]
+        df = spark.createDataFrame([(d,) for d in docs], "j string")
+        rows = df.select(
+            "j",
+            jsonf.json_get("j", "k").alias("e"),
+            native.json_get_variant("j", "k").alias("v"),
+        ).collect()
+        for r in rows:
+            assert r.e == r.v, (r.j, r.e, r.v)
+
+    def test_union_struct_pinned_divergences(self, spark):
+        # documented envelope: containers re-serialize minified, and
+        # integral JSON floats re-encode as DECIMAL(p,0) -> INT arm
+        df = spark.createDataFrame(
+            [('{"k": [1, 2]}',), ('{"k": 5.0}',)], "j string"
+        )
+        rows = df.select(
+            jsonf.json_get("j", "k").alias("e"),
+            native.json_get_variant("j", "k").alias("v"),
+        ).collect()
+        assert rows[0].e.array == "[1, 2]" and rows[0].v.array == "[1,2]"
+        assert rows[1].e.type_id == 3 and rows[1].e.float == 5.0
+        assert rows[1].v.type_id == 2 and rows[1].v.int == 5
+
+    def test_union_variant_zero_hop(self, spark):
+        df = spark.createDataFrame([('{"k": 1}',)], "j string")
+        out = df.select(native.json_get_variant("j", "k"))
+        assert arrow_eval_count(out) == 0
+
+    def test_union_variant_feeds_union_consumers(self, spark):
+        # the struct is layout-identical, so exact-tier union consumers
+        # (json_is_null / IS NULL semantics) compose with it
+        df = spark.createDataFrame(
+            [('{"k": 1}',), ('{"k": null}',), ("{}",)], "j string"
+        )
+        u = native.json_get_variant("j", "k")
+        rows = df.select(
+            jsonf.json_is_null(u).alias("isn"), u.isNull().alias("sqln")
+        ).collect()
+        assert [r.isn for r in rows] == [False, True, True]
+        assert [r.sqln for r in rows] == [False, True, True]
+
     def test_contains_agrees_including_present_null(self, docs_df):
         rows = {
             r.name: r
