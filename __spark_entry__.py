@@ -229,6 +229,30 @@ def _q_union_variant(spark, sf_dir):
     )
 
 
+def _q_union_roundtrip_variant(spark, sf_dir):
+    # the union ROUNDTRIP fully zero-hop: json_get_variant builds the
+    # union struct from JVM variant expressions, json_union_to_text
+    # _native formats it back with pure Column expressions — no
+    # ArrowEvalPython anywhere in the plan. NOT a throughput win: the
+    # per-row expression tree (2 parses + schema_of_variant + typed
+    # gets per struct) measured 2.3 s vs the exact fused tier's 1.1 s
+    # at sf0.1 — the value is DEPLOYMENT reach (no Python workers, no
+    # Arrow memory) and tier parity, not speed; the fused exact tier
+    # stays the throughput recommendation for union workloads.
+    from datafusion_functions_json_spark.functions import native
+
+    li = _lineitem(spark, sf_dir).withColumn("j", _nested_json_col())
+    ua = native.json_get_variant("j", "a")
+    ud = native.json_get_variant("j", "d")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        native.json_union_to_text_native(ua).alias("a_text"),
+        jsonf.json_is_null(ud).alias("d_is_null"),
+        jsonf.json_is_null(ua).alias("a_is_null"),
+    )
+
+
 def _q_json_contains_variant(spark, sf_dir):
     # round-6 variant-tier widening: `?` as pure-JVM IS NOT NULL over
     # try_variant_get — present-null ($.d) must be TRUE, missing FALSE,
@@ -2049,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_recall": _q_knn_recall,
         "data_quality": _q_data_quality,
         "union_variant": _q_union_variant,
+        "union_roundtrip_variant": _q_union_roundtrip_variant,
         "tpch_q13": _q_tpch_q13,
         "tpch_q17": _q_tpch_q17,
         "tpch_q22": _q_tpch_q22,
@@ -2189,6 +2214,14 @@ def oracle_sql() -> dict[str, str]:
             "+ 0.587 * ((doc_id * 59 + i * 23) % 256) "
             "+ 0.114 * ((doc_id * 83 + i * 41) % 256)) / 255.0, 6) as f0 "
             "from v"
+        ),
+        "union_roundtrip_variant": (
+            # variant tier re-serializes: minified a_text (the exact
+            # twin union_roundtrip reconstructs the RAW spaced text)
+            "select l_orderkey, l_linenumber, "
+            "'{\"b\":[' || (l_orderkey % 10) || ',{\"c\":\"' || l_returnflag "
+            "|| '\"}]}' as a_text, "
+            "true as d_is_null, false as a_is_null from lineitem"
         ),
         "union_variant": (
             # minified object arm matches DuckDB's json_extract

@@ -42,6 +42,7 @@ __all__ = [
     "parse_variant",
     "variant_extract",
     "json_get_variant",
+    "json_union_to_text_native",
     "json_get_int_variant",
     "json_get_str_variant",
     "json_get_float_variant",
@@ -284,6 +285,45 @@ def json_get_variant(json_col, *path) -> Column:
         )
 
     return F.transform(F.array(v), build)[0]
+
+
+def json_union_to_text_native(u) -> Column:
+    """``json_union_to_text`` as pure Column expressions over the
+    tagged-union struct — pairs with :func:`json_get_variant` for a
+    zero-hop union roundtrip. The draw is DEPLOYMENT reach (no Python
+    workers / Arrow memory in the plan), not throughput: the full
+    variant-built roundtrip measured ~2x the exact fused tier at sf0.1,
+    so the exact kernel remains the default. Arm rendering:
+
+    * null arm / whole-struct NULL → SQL NULL;
+    * bool → ``true``/``false``; int → digits;
+    * str → JSON-quoted via Jackson (``to_json(array(s))`` with the
+      brackets stripped — byte-identical escaping to the exact tier for
+      quotes/backslashes/control chars, raw UTF-8 beyond ASCII);
+    * array/object → the stored raw text;
+    * float → Spark's double→string cast. ENVELOPE: agrees with the
+      exact tier's serde-style rendering for plain-decimal magnitudes
+      (roughly ``1e-3 <= |x| < 1e7``, and exact halves like ``5.0``);
+      DIVERGES in exponent notation (``1.0E17`` vs ``1e+17``) — use the
+      exact tier when exponent-range floats must round-trip."""
+    u = _col(u) if isinstance(u, str) else u
+    # unwrap JsonColumn (exact-tier json_get output): its getField /
+    # [] mean JSON PATH navigation, not struct-field access — rebuild a
+    # plain Column around the same expression handle
+    if type(u) is not Column:
+        u = Column(u._jc)
+    tid = u.getField("type_id")
+    quoted = F.to_json(F.array(u.getField("str")))
+    return (
+        F.when(u.isNull() | tid.isNull() | (tid == 0), F.lit(None).cast("string"))
+        .when(tid == 1, F.when(u.getField("bool"), "true").otherwise("false"))
+        .when(tid == 2, u.getField("int").cast("string"))
+        .when(tid == 3, u.getField("float").cast("string"))
+        # strip the to_json(array(...)) brackets: substring(2, len-2)
+        .when(tid == 4, quoted.substr(F.lit(2), F.length(quoted) - 2))
+        .when(tid == 5, u.getField("array"))
+        .when(tid == 6, u.getField("object"))
+    )
 
 
 def json_as_text_variant(json_col, *path) -> Column:

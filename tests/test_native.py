@@ -228,6 +228,41 @@ class TestVariantJsonArrayTier:
         assert [r.isn for r in rows] == [False, True, True]
         assert [r.sqln for r in rows] == [False, True, True]
 
+    def test_union_to_text_native_matches_kernel(self, spark):
+        # the pure-Column formatter must agree with the exact kernel on
+        # every arm: quoting/escaping for strings (Jackson == the
+        # kernel's canonical dumps), bool/int digits, plain-decimal
+        # floats, raw containers, null taxonomy
+        docs = [
+            '{"k": 1}', '{"k": "a\\"b\\\\c"}', '{"k": null}', '{"k": true}',
+            '{"k": [1, 2]}', '{"k": {"x":1}}', '{"k": 4.25}',
+            '{"k": "héllo\\t!"}', "{", None,
+        ]
+        df = spark.createDataFrame([(d,) for d in docs], "j string")
+        rows = df.select(
+            jsonf.json_union_to_text(jsonf.json_get("j", "k")).alias("e"),
+            native.json_union_to_text_native(jsonf.json_get("j", "k")).alias("n"),
+        ).collect()
+        for r, d in zip(rows, docs):
+            assert r.e == r.n, (d, r.e, r.n)
+
+    def test_union_to_text_native_float_exponent_divergence_pinned(self, spark):
+        df = spark.createDataFrame([('{"k": 1e17}',)], "j string")
+        r = df.select(
+            jsonf.json_union_to_text(jsonf.json_get("j", "k")).alias("e"),
+            native.json_union_to_text_native(jsonf.json_get("j", "k")).alias("n"),
+        ).collect()[0]
+        assert r.e == "1e+17" and r.n == "1.0E17"  # documented envelope
+
+    def test_union_roundtrip_fully_zero_hop(self, spark):
+        # json_get_variant -> json_union_to_text_native: the union
+        # roundtrip with no Python stage at all
+        df = spark.createDataFrame([('{"k": 1}',)], "j string")
+        out = df.select(
+            native.json_union_to_text_native(native.json_get_variant("j", "k"))
+        )
+        assert arrow_eval_count(out) == 0
+
     def test_contains_agrees_including_present_null(self, docs_df):
         rows = {
             r.name: r
