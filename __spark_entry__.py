@@ -1105,6 +1105,115 @@ def _q_bigram_lm(spark, sf_dir):
     return text.bigram_lm_score(_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _q_gopher_filter(spark, sf_dir):
+    # Gopher rule-based quality gate (Rae et al. 2021 A1.1) with one
+    # planted deformation per rule family (the synthetic corpus is
+    # clean single-line prose, so each gate is made falsifiable):
+    # mod 0 → duplicated boilerplate lines, mod 1 → all-bullet nav,
+    # mod 2 → ellipsis line endings, mod 3 → '#' symbol spam,
+    # mod 4 → numeric (non-alpha) spam, mod 5 → untouched. Pure Column
+    # expressions — scan speed, zero shuffle, zero Python.
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(6))
+    planted = F.when(
+        m == 0,
+        F.concat(
+            F.col("text"),
+            F.lit("\nSame boilerplate footer line.\nSame boilerplate footer line."),
+        ),
+    ).when(
+        m == 1,
+        F.lit("• Home\n• Products\n• About the company\n• Contact and support"),
+    ).when(
+        m == 2,
+        F.concat(
+            F.col("text"),
+            F.lit("\nRead more...\nClick to continue...\nStory develops..."),
+        ),
+    ).when(
+        m == 3, F.concat(F.col("text"), F.lit("\n" + "#" * 60))
+    ).when(
+        m == 4,
+        F.concat(
+            F.lit("the of "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(60)),
+                    lambda i: F.concat(F.lit("4"), i.cast("string"), F.lit("2")),
+                ),
+                " ",
+            ),
+        ),
+    ).otherwise(F.col("text"))
+    # corpus-tuned thresholds (the kwargs exist for exactly this): the
+    # synthetic prose holds ~20-100 words and rarely >1 required
+    # stopword, so min_words=20 / min_required_stopwords=1 keep the
+    # conjunction falsifiable in BOTH directions (keep=true for clean
+    # untouched docs, false for every planted deformation)
+    g = text.gopher_quality_flags(planted, min_words=20, min_required_stopwords=1)
+    return docs.select(
+        "doc_id",
+        g["word_count_ok"].alias("word_count_ok"),
+        g["mean_word_len_ok"].alias("mean_word_len_ok"),
+        g["symbol_ratio_ok"].alias("symbol_ratio_ok"),
+        g["bullet_ok"].alias("bullet_ok"),
+        g["ellipsis_ok"].alias("ellipsis_ok"),
+        g["alpha_word_ok"].alias("alpha_word_ok"),
+        g["stopword_ok"].alias("stopword_ok"),
+        g["dup_line_ok"].alias("dup_line_ok"),
+        g["dup_char_ok"].alias("dup_char_ok"),
+        g["keep"].alias("keep"),
+    )
+
+
+def _q_c4_clean(spark, sf_dir):
+    # C4-style line-level cleaning (Raffel et al. 2020 §2.2) over a
+    # planted multi-line fixture: every doc gets two proper sentence
+    # lines + its original (terminal-punctuation-less) prose line;
+    # mod 3 adds a dropped-line javascript warning + a third proper
+    # sentence, mod 5 plants 'lorem ipsum' (doc dropped), mod 7 plants
+    # a '{' code fragment (doc dropped). Single-pass Column filter over
+    # the line array — no shuffle, no Python.
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("First proper sentence line for cleaner gate number "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            ".\nSecond proper sentence line stays in the document too!\n"
+            "Third full sentence line survives the cleaner as well.\n"
+        ),
+        F.col("text"),
+        # mod 11: terminate the prose line so it survives the line gate
+        # (varies n_lines_kept between 3 and 4)
+        F.when(F.pmod(F.col("doc_id"), F.lit(11)) == 0, F.lit(".")).otherwise(
+            F.lit("")
+        ),
+    )
+    planted = F.concat(
+        base,
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.lit("\nPlease enable JavaScript to view the comments."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.lit("\nlorem ipsum dolor sit amet filler text."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.lit("\nbody { margin: 0; }"),
+        ).otherwise(F.lit("")),
+    )
+    c = text.c4_clean(planted)
+    return docs.select(
+        "doc_id",
+        c["cleaned_text"].alias("cleaned_text"),
+        c["n_lines_kept"].alias("n_lines_kept"),
+        c["n_lines_dropped"].alias("n_lines_dropped"),
+        c["doc_dropped"].alias("doc_dropped"),
+    )
+
+
 def _q_line_dedup(spark, sf_dir):
     # CCNet-style corpus-level line dedup with a falsifiable fixture:
     # every document gains a shared boilerplate footer (must be dropped
@@ -2064,6 +2173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with locally-green oracles; bigram_lm's join-strategy change
         # is result-identical and locally oracle-green; pins are
         # pytest-anchored)
+        "gopher_filter": _q_gopher_filter,
+        "c4_clean": _q_c4_clean,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
         "minhash_recall": _q_minhash_recall,
@@ -2557,6 +2668,101 @@ def oracle_sql() -> dict[str, str]:
             "select event_type, event_id, value, row_number() over ("
             "partition by event_type order by value desc nulls last, "
             "event_id asc) as rk from events) t where rk <= 3"
+        ),
+        "gopher_filter": (
+            # same planted per-rule deformations (doc_id % 6), then the
+            # Gopher A1.1 gates rule-for-rule over the same token/line
+            # arrays the Spark expressions fold
+            "with p as (select doc_id, case doc_id % 6 "
+            "when 0 then text || chr(10) || 'Same boilerplate footer line.' "
+            "|| chr(10) || 'Same boilerplate footer line.' "
+            "when 1 then '• Home' || chr(10) || '• Products' || chr(10) || "
+            "'• About the company' || chr(10) || '• Contact and support' "
+            "when 2 then text || chr(10) || 'Read more...' || chr(10) || "
+            "'Click to continue...' || chr(10) || 'Story develops...' "
+            "when 3 then text || chr(10) || repeat('#', 60) "
+            "when 4 then 'the of ' || array_to_string(list_transform("
+            "generate_series(1, 60), i -> '4' || i::varchar || '2'), ' ') "
+            "else text end as t from documents), "
+            "w as (select doc_id, t, "
+            "list_filter(regexp_split_to_array(trim(t), '\\s+'), "
+            "x -> x != '') as toks, "
+            "list_filter(list_transform(string_split(t, chr(10)), "
+            "x -> trim(x)), x -> x <> '') as ls from p), "
+            "m as (select doc_id, len(toks) as nw, "
+            "coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+            "/ greatest(len(toks), 1) as mean_len, "
+            "(length(t) - length(replace(t, '#', '')) "
+            "+ len(regexp_extract_all(t, '\\.\\.\\.|…'))) "
+            "/ greatest(len(toks), 1) as sym_ratio, "
+            "len(list_filter(ls, x -> regexp_matches(x, "
+            "'^([•\\-\\*•]|\\d+[.)])\\s'))) / greatest(len(ls), 1) "
+            "as bullet_frac, "
+            "len(list_filter(ls, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) "
+            "/ greatest(len(ls), 1) as ell_frac, "
+            "len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+            "/ greatest(len(toks), 1) as alpha_frac, "
+            "len(list_intersect(list_distinct(list_transform(toks, "
+            "x -> lower(x))), ['the','be','to','of','and','that','have',"
+            "'with'])) as n_stop, "
+            "round((len(ls) - len(list_distinct(ls))) "
+            "/ greatest(len(ls), 1), 6) as dl_frac, "
+            "round((coalesce(list_sum(list_transform(ls, x -> length(x))), 0) "
+            "- coalesce(list_sum(list_transform(list_distinct(ls), "
+            "x -> length(x))), 0)) / greatest(coalesce(list_sum("
+            "list_transform(ls, x -> length(x))), 0), 1), 6) as dc_frac "
+            "from w) "
+            "select doc_id, "
+            "(nw >= 20 and nw <= 100000) as word_count_ok, "
+            "(mean_len >= 3.0 and mean_len <= 10.0) as mean_word_len_ok, "
+            "(sym_ratio <= 0.1) as symbol_ratio_ok, "
+            "(bullet_frac <= 0.9) as bullet_ok, "
+            "(ell_frac <= 0.3) as ellipsis_ok, "
+            "(alpha_frac >= 0.8) as alpha_word_ok, "
+            "(n_stop >= 1) as stopword_ok, "
+            "(dl_frac <= 0.3) as dup_line_ok, "
+            "(dc_frac <= 0.2) as dup_char_ok, "
+            "((nw >= 20 and nw <= 100000) and (mean_len >= 3.0 and "
+            "mean_len <= 10.0) and (sym_ratio <= 0.1) and "
+            "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
+            "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
+            "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "c4_clean": (
+            # same planted fixture; line gate = terminal punctuation +
+            # >=5 words + no javascript/lorem-ipsum token; doc gate =
+            # <3 kept lines, '{', or 'lorem ipsum'
+            "with p as (select doc_id, "
+            "'First proper sentence line for cleaner gate number ' || "
+            "doc_id::varchar || '.' || chr(10) || "
+            "'Second proper sentence line stays in the document too!' || "
+            "chr(10) || "
+            "'Third full sentence line survives the cleaner as well.' || "
+            "chr(10) || text "
+            "|| case when doc_id % 11 = 0 then '.' else '' end "
+            "|| case when doc_id % 3 = 0 then chr(10) || "
+            "'Please enable JavaScript to view the comments.' else '' end "
+            "|| case when doc_id % 5 = 0 then chr(10) || "
+            "'lorem ipsum dolor sit amet filler text.' else '' end "
+            "|| case when doc_id % 7 = 0 then chr(10) || "
+            "'body { margin: 0; }' else '' end as t from documents), "
+            "l as (select doc_id, t, "
+            "list_filter(list_transform(string_split(t, chr(10)), "
+            "x -> trim(x)), x -> x <> '') as ls from p), "
+            "k as (select doc_id, t, ls, list_filter(ls, x -> "
+            "regexp_matches(x, '[.!?\"]$') and "
+            "len(list_filter(regexp_split_to_array(x, '\\s+'), "
+            "w -> w != '')) >= 5 and "
+            "not contains(lower(x), 'javascript') and "
+            "not contains(lower(x), 'lorem ipsum')) as kept from l) "
+            "select doc_id, "
+            "case when not (len(kept) < 3 or contains(t, '{') or "
+            "contains(lower(t), 'lorem ipsum')) "
+            "then array_to_string(kept, chr(10)) end as cleaned_text, "
+            "len(kept)::int as n_lines_kept, "
+            "(len(ls) - len(kept))::int as n_lines_dropped, "
+            "(len(kept) < 3 or contains(t, '{') or "
+            "contains(lower(t), 'lorem ipsum')) as doc_dropped from k"
         ),
         "line_dedup": (
             # same planted fixture; generate_subscripts gives 1-based

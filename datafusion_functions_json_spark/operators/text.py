@@ -47,6 +47,9 @@ __all__ = [
     "duplicated_span_fraction",
     "decontaminate",
     "decontaminate_filter",
+    "gopher_quality_flags",
+    "c4_clean",
+    "GOPHER_REQUIRED_STOPWORDS",
     "STOPWORDS",
 ]
 
@@ -844,3 +847,157 @@ def decontaminate_filter(
         df, id_col, text_col, benchmark, bench_text_col, n=n
     ).filter(F.col("contaminated_ngrams") > max_hits)
     return df.join(hits.select(id_col), id_col, "left_anti")
+
+
+#: Gopher's "required stopword" list (Rae et al. 2021, A1.1): a document
+#: must contain at least two of these to look like running English prose.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    text,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_dup_line_char_frac: float = 0.2,
+) -> Column:
+    """Gopher rule-based quality gate (Rae et al. 2021, Appendix A1.1)
+    as a struct of per-rule booleans plus the conjunction ``keep``:
+
+    - ``word_count_ok``: whitespace word count in [min_words, max_words]
+    - ``mean_word_len_ok``: mean word length in [3, 10]
+    - ``symbol_ratio_ok``: (# of ``#`` chars + ``...``/``…`` runs) /
+      words <= 0.1
+    - ``bullet_ok``: <= 90% of lines start with a bullet marker
+    - ``ellipsis_ok``: <= 30% of lines end with an ellipsis
+    - ``alpha_word_ok``: >= 80% of words contain an alphabetic character
+    - ``stopword_ok``: >= 2 distinct required stopwords present
+    - ``dup_line_ok`` / ``dup_char_ok``: line-repetition gates
+      (:func:`repetition_stats` thresholds from the same paper)
+
+    Pure Column expressions — single pass at scan speed, no shuffle, no
+    Python. Filter-pushdown-friendly: ``df.filter(flags['keep'])``
+    prunes before any downstream shuffle. Thresholds are keyword
+    arguments so corpus-specific retuning (the published values target
+    web scrapes) needs no code change."""
+    t = _col(text)
+    toks = tokens(t)
+    ls = lines(t)
+    nw = F.size(toks)
+    nl = F.size(ls)
+    safe_w = F.greatest(nw, F.lit(1))
+    safe_l = F.greatest(nl, F.lit(1))
+    mean_len = (
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        / safe_w
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), F.lit(0)))
+    n_bullet = F.size(F.filter(ls, lambda x: x.rlike(r"^([•\-\*•]|\d+[.)])\s")))
+    n_ell_end = F.size(F.filter(ls, lambda x: x.rlike(r"(\.\.\.|…)$")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, lambda x: F.lower(x))),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+    rep = repetition_stats(t)
+    word_count_ok = (nw >= min_words) & (nw <= max_words)
+    mean_word_len_ok = (mean_len >= min_mean_word_len) & (
+        mean_len <= max_mean_word_len
+    )
+    symbol_ratio_ok = ((n_hash + n_ellipsis) / safe_w) <= max_symbol_ratio
+    bullet_ok = (n_bullet / safe_l) <= max_bullet_line_frac
+    ellipsis_ok = (n_ell_end / safe_l) <= max_ellipsis_line_frac
+    alpha_word_ok = (n_alpha / safe_w) >= min_alpha_word_frac
+    stopword_ok = n_stop >= min_required_stopwords
+    dup_line_ok = rep["dup_line_frac"] <= max_dup_line_frac
+    dup_char_ok = rep["dup_line_char_frac"] <= max_dup_line_char_frac
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_word_ok.alias("alpha_word_ok"),
+        stopword_ok.alias("stopword_ok"),
+        dup_line_ok.alias("dup_line_ok"),
+        dup_char_ok.alias("dup_char_ok"),
+        (
+            word_count_ok
+            & mean_word_len_ok
+            & symbol_ratio_ok
+            & bullet_ok
+            & ellipsis_ok
+            & alpha_word_ok
+            & stopword_ok
+            & dup_line_ok
+            & dup_char_ok
+        ).alias("keep"),
+    )
+
+
+def c4_clean(
+    text,
+    *,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    drop_tokens: tuple = ("javascript", "lorem ipsum"),
+    drop_brace: bool = True,
+) -> Column:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2) as a
+    struct ``(cleaned_text, n_lines_kept, n_lines_dropped, doc_dropped)``:
+
+    - keep only lines that end in terminal punctuation (``. ! ? "``)
+    - keep only lines with >= ``min_line_words`` words
+    - drop lines containing any of ``drop_tokens`` (case-insensitive;
+      C4 drops "javascript" warning lines)
+    - the whole document is dropped (``cleaned_text`` NULL,
+      ``doc_dropped`` true) when fewer than ``min_kept_lines`` lines
+      survive, when the text contains ``{`` (code page heuristic, gated
+      by ``drop_brace``), or when it contains "lorem ipsum"
+      (case-insensitive placeholder-page heuristic)
+
+    Single-pass Column expressions over the line array (filter +
+    array_join) — scan speed, no shuffle, no Python; at 100 TB this is
+    a free rider on whatever scan the pipeline already does. Sentence
+    segmentation is line-based like the original (C4 treats newline-
+    delimited lines as sentence candidates)."""
+    t = _col(text)
+    ls = lines(t)
+    lowered = F.lower(t)
+
+    def _line_ok(x: Column) -> Column:
+        ok = x.rlike('[.!?"]$') & (
+            F.size(F.filter(F.split(x, r"\s+"), lambda w: w != ""))
+            >= min_line_words
+        )
+        for tok in drop_tokens:
+            ok = ok & ~F.lower(x).contains(tok)
+        return ok
+
+    kept = F.filter(ls, _line_ok)
+    n_kept = F.size(kept)
+    doc_dropped = n_kept < min_kept_lines
+    if drop_brace:
+        doc_dropped = doc_dropped | t.contains("{")
+    doc_dropped = doc_dropped | lowered.contains("lorem ipsum")
+    return F.struct(
+        F.when(~doc_dropped, F.array_join(kept, "\n")).alias("cleaned_text"),
+        n_kept.alias("n_lines_kept"),
+        (F.size(ls) - n_kept).alias("n_lines_dropped"),
+        doc_dropped.alias("doc_dropped"),
+    )

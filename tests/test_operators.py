@@ -1021,3 +1021,105 @@ class TestCheckConstraints:
             validate.check_constraints(df, [])
         with _pytest.raises(ValueError):
             validate.check_constraints(df, [("bogus", "id")])
+
+
+class TestGopherFilter:
+    """gopher_quality_flags: every A1.1 rule fires on a targeted
+    deformation and a clean prose document passes all of them."""
+
+    CLEAN = (
+        "The quick brown fox jumps over the lazy dog to be of use and "
+        "share that fine day with friends. " * 4
+    )
+
+    def _flags(self, spark, txt, **kw):
+        df = spark.createDataFrame([(txt,)], "t string")
+        return df.select(
+            text.gopher_quality_flags("t", **kw).alias("g")
+        ).collect()[0].g.asDict()
+
+    def test_clean_doc_keeps(self, spark):
+        g = self._flags(spark, self.CLEAN)
+        assert g == {k: True for k in g}
+
+    def test_word_count_bounds(self, spark):
+        assert not self._flags(spark, "too short the of")["word_count_ok"]
+        assert not self._flags(
+            spark, self.CLEAN, max_words=10
+        )["word_count_ok"]
+
+    def test_symbol_ratio(self, spark):
+        g = self._flags(spark, self.CLEAN + " " + "#" * 40)
+        assert not g["symbol_ratio_ok"]
+        # a single-line doc ending in '...' trips the ellipsis-line gate
+        g2 = self._flags(spark, self.CLEAN + " wait... more... dots...")
+        assert g2["ellipsis_ok"] is False
+
+    def test_bullet_and_ellipsis_lines(self, spark):
+        bullets = "\n".join(["• item one here", "- item two here", "* three"])
+        assert not self._flags(spark, bullets)["bullet_ok"]
+        ell = self.CLEAN + "\nRead on...\nMore soon...\nAgain..."
+        assert not self._flags(spark, ell)["ellipsis_ok"]
+
+    def test_alpha_and_stopwords(self, spark):
+        nums = "the " + " ".join(str(n) for n in range(60))
+        g = self._flags(spark, nums)
+        assert not g["alpha_word_ok"]
+        no_stop = "lorem dolor amet " * 20
+        assert not self._flags(spark, no_stop)["stopword_ok"]
+
+    def test_repetition_gates(self, spark):
+        rep = self.CLEAN + ("\nSame footer line." * 8)
+        g = self._flags(spark, rep)
+        assert not g["dup_line_ok"]
+
+    def test_null_and_empty(self, spark):
+        df = spark.createDataFrame([(None,), ("",)], "t string")
+        rows = df.select(
+            text.gopher_quality_flags("t").alias("g")
+        ).collect()
+        assert rows[0].g.keep is None
+        assert rows[1].g.keep is False
+
+
+class TestC4Clean:
+    def _clean(self, spark, txt, **kw):
+        df = spark.createDataFrame([(txt,)], "t string")
+        return df.select(text.c4_clean("t", **kw).alias("c")).collect()[0].c
+
+    GOOD = (
+        "This is a perfectly good sentence line.\n"
+        "Another good long sentence line sits here!\n"
+        "A third proper sentence line finishes it."
+    )
+
+    def test_keeps_good_lines(self, spark):
+        c = self._clean(spark, self.GOOD)
+        assert not c.doc_dropped
+        assert c.n_lines_kept == 3 and c.n_lines_dropped == 0
+        assert c.cleaned_text == self.GOOD
+
+    def test_drops_unterminated_and_short_lines(self, spark):
+        c = self._clean(spark, self.GOOD + "\nno terminal punct here\nTiny.")
+        assert c.n_lines_kept == 3 and c.n_lines_dropped == 2
+
+    def test_drops_javascript_lines(self, spark):
+        c = self._clean(
+            spark, self.GOOD + "\nPlease enable JavaScript to continue now."
+        )
+        assert c.n_lines_kept == 3
+
+    def test_doc_gates(self, spark):
+        assert self._clean(spark, "Only one good sentence line here.").doc_dropped
+        assert self._clean(spark, self.GOOD + "\ncss { x }").doc_dropped
+        assert self._clean(
+            spark, self.GOOD + "\nLorem Ipsum dolor sit amet fill."
+        ).doc_dropped
+        assert self._clean(spark, self.GOOD).doc_dropped is False
+
+    def test_thresholds_are_tunable(self, spark):
+        c = self._clean(spark, "Only one good sentence line here.",
+                        min_kept_lines=1)
+        assert not c.doc_dropped
+        c2 = self._clean(spark, self.GOOD, min_line_words=8)
+        assert c2.n_lines_kept == 0 and c2.doc_dropped
