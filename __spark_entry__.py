@@ -1944,6 +1944,37 @@ def _q_embedding_dups(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup (cluster → within-cluster cosine → drop the
+    # near-centroid copy): 20 planted scaled copies (cosine ~1.0 with
+    # their originals, landing in the same k-means cluster) make both
+    # arms of `dropped` falsifiable; k=8/iters=1 keeps the oracle's
+    # k-means mirror to one assignment round. The pairwise stage is a
+    # cluster-keyed equi-join — never all-pairs.
+    emb = _emb(spark, sf_dir)
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    return similarity.semantic_dedup(
+        emb.unionByName(planted),
+        "vec_id",
+        "embedding",
+        k=8,
+        iters=1,
+        threshold=0.99,
+        salt="sd",
+    ).select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "cent_dist",
+        "dropped",
+    )
+
+
 def _q_embedding_recall(spark, sf_dir):
     # ORACLE-twinned zero-miss gate for the embedding-LSH tier (the
     # sibling of minhash_recall/simhash_recall): a scaled copy of a
@@ -2175,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-anchored)
         "gopher_filter": _q_gopher_filter,
         "c4_clean": _q_c4_clean,
+        "semantic_dedup": _q_semantic_dedup,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
         "minhash_recall": _q_minhash_recall,
@@ -2727,6 +2759,46 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "semantic_dedup": (
+            # same planted copies; one-assignment k-means mirror (seed
+            # ranks by salted md5 fraction as in the kmeans oracle,
+            # salt 'sd'), then within-cluster pairs at cosine >= 0.99
+            # drop the member with the smaller rounded centroid
+            # distance (ties: larger id)
+            "with b as (select vec_id, embedding from embeddings "
+            "union all select vec_id + 1000000 as vec_id, "
+            "list_transform(embedding, x -> (x * 1.001)::float) as embedding "
+            "from embeddings where vec_id < 20), "
+            "f as (select vec_id, embedding, "
+            "try_cast(('0x' || substr(md5('sd:' || vec_id::varchar), 1, 8)) "
+            "as bigint) / 4294967296.0 as h from b), "
+            "sr as (select vec_id, embedding, "
+            "row_number() over (order by h, vec_id) - 1 as label from f), "
+            "seeds as (select label, embedding::DOUBLE[] as centroid "
+            "from sr where label < 8), "
+            "d1 as (select vec_id, label, sum((x - m) * (x - m)) as dd from ("
+            "select e.vec_id, s.label, unnest(e.embedding)::double as x, "
+            "unnest(s.centroid) as m from b e cross join seeds s) "
+            "group by vec_id, label), "
+            "a1 as (select vec_id, label, round(dd, 6) as cent_dist from ("
+            "select vec_id, label, dd, row_number() over ("
+            "partition by vec_id order by dd, label) as rn from d1) "
+            "where rn = 1), "
+            "mm as (select a1.vec_id, a1.label, a1.cent_dist, "
+            "b.embedding::DOUBLE[] as v from a1 join b using (vec_id)), "
+            "p as (select a.vec_id as ia, r.vec_id as ib, "
+            "a.cent_dist as da, r.cent_dist as db, "
+            "round(list_dot_product(a.v, r.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(r.v, r.v))), 6) as cs "
+            "from mm a join mm r on a.label = r.label "
+            "and a.vec_id < r.vec_id), "
+            "dp as (select distinct case when da < db then ia "
+            "when db < da then ib else greatest(ia, ib) end as vid "
+            "from p where cs >= 0.99) "
+            "select vec_id, label as cluster, cent_dist, "
+            "(vec_id in (select vid from dp)) as dropped from mm"
         ),
         "c4_clean": (
             # same planted fixture; line gate = terminal punctuation +

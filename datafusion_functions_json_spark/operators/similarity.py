@@ -48,6 +48,7 @@ __all__ = [
     "class_centroids",
     "centroid_assign",
     "kmeans_fit",
+    "semantic_dedup",
 ]
 
 
@@ -611,4 +612,79 @@ def knn_graph(
         "id",
         [F.col("cosine").desc(), F.col("nbr_id").asc()],
         k,
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.95,
+    salt: str = "semdedup",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embeddings with deterministic k-means
+    (:func:`kmeans_fit`), compare pairs ONLY within a cluster, and for
+    every pair whose cosine >= ``threshold`` drop the member closer to
+    its cluster centroid (SemDeDup keeps the low-centroid-similarity
+    "outlier" copy, which preserves diversity). Returns the full
+    decision table ``(id, cluster, cent_dist, dropped)`` — callers
+    filter ``~dropped`` for the deduplicated corpus.
+
+    Deterministic and engine-reproducible: k-means seeds/assignment are
+    :func:`kmeans_fit`'s md5-ranked rules; the drop rule compares
+    centroid distances ROUNDED to 6 decimals (cross-engine float-sum
+    wobble is ~1e-13, far below the rounding grain) and breaks exact
+    ties by dropping the larger id.
+
+    100 TB shape — this is the entire point of SemDeDup vs naive
+    near-dup search: the pairwise join is a keyed equi-join on the
+    cluster id, never all-pairs. Cost is sum(|cluster|^2), controlled
+    by ``k``: pick k ~ N/target_cluster_size (the paper uses 50k
+    clusters for LAION-scale corpora) so each cluster holds thousands
+    of rows, and AQE's skew-join handling splits any fat cluster.
+    Assignment itself is broadcast-scored (k x dim KBs), one shuffle.
+    """
+    assigned, _ = kmeans_fit(df, id_col, vec_col, k, iters=iters, salt=salt)
+    base = (
+        df.select(F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v"))
+        .join(
+            assigned.select(
+                F.col(id_col).alias("_id"),
+                F.col("pred_label").alias("cluster"),
+                F.round(F.col("dist"), 6).alias("cent_dist"),
+            ),
+            "_id",
+        )
+    )
+    cos = dot(F.col("L._v"), F.col("R._v")) / (
+        l2_norm(F.col("L._v")) * l2_norm(F.col("R._v"))
+    )
+    pairs = (
+        base.alias("L")
+        .join(base.alias("R"), F.col("L.cluster") == F.col("R.cluster"))
+        .filter(F.col("L._id") < F.col("R._id"))
+        .withColumn("_cos", F.round(cos, 6))
+        .filter(F.col("_cos") >= threshold)
+    )
+    da, db = F.col("L.cent_dist"), F.col("R.cent_dist")
+    dropped_ids = pairs.select(
+        F.when(da < db, F.col("L._id"))
+        .when(db < da, F.col("R._id"))
+        .otherwise(F.greatest(F.col("L._id"), F.col("R._id")))
+        .alias("_id")
+    ).distinct()
+    return (
+        base.join(
+            dropped_ids.withColumn("_dropped", F.lit(True)), "_id", "left"
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "cent_dist",
+            F.coalesce(F.col("_dropped"), F.lit(False)).alias("dropped"),
+        )
     )

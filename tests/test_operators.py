@@ -1123,3 +1123,52 @@ class TestC4Clean:
         assert not c.doc_dropped
         c2 = self._clean(spark, self.GOOD, min_line_words=8)
         assert c2.n_lines_kept == 0 and c2.doc_dropped
+
+
+class TestSemanticDedup:
+    def test_planted_copy_pair_drops_exactly_one(self, spark, embeddings):
+        emb = embeddings.filter(F.col("vec_id") < 40)
+        planted = emb.filter(F.col("vec_id") < 6).select(
+            (F.col("vec_id") + 5000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+        out = similarity.semantic_dedup(
+            emb.unionByName(planted), "vec_id", "embedding",
+            k=4, iters=1, threshold=0.99, salt="t",
+        ).cache()
+        assert out.count() == 46
+        # each (orig, copy) pair loses exactly one member; nothing else
+        # is near-identical in the synthetic corpus
+        assert out.filter("dropped").count() == 6
+        dropped = {r.vec_id for r in out.filter("dropped").collect()}
+        for vid in range(6):
+            assert (vid in dropped) != (vid + 5000 in dropped)
+        # copies share their original's cluster
+        cl = {r.vec_id: r.cluster for r in out.collect()}
+        for vid in range(6):
+            assert cl[vid] == cl[vid + 5000]
+
+    def test_threshold_gates_pairs(self, spark, embeddings):
+        emb = embeddings.filter(F.col("vec_id") < 40)
+        out = similarity.semantic_dedup(
+            emb, "vec_id", "embedding", k=4, iters=1, threshold=0.99, salt="t"
+        )
+        # natural max cosine in the synthetic corpus is ~0.5
+        assert out.filter("dropped").count() == 0
+        out2 = similarity.semantic_dedup(
+            emb, "vec_id", "embedding", k=2, iters=1, threshold=0.3, salt="t"
+        )
+        assert out2.filter("dropped").count() > 0
+
+    def test_deterministic(self, spark, embeddings):
+        emb = embeddings.filter(F.col("vec_id") < 30)
+        a = similarity.semantic_dedup(
+            emb, "vec_id", "embedding", k=3, iters=2, threshold=0.4, salt="x"
+        ).orderBy("vec_id").collect()
+        b = similarity.semantic_dedup(
+            emb, "vec_id", "embedding", k=3, iters=2, threshold=0.4, salt="x"
+        ).orderBy("vec_id").collect()
+        assert a == b
