@@ -33,6 +33,7 @@ from datafusion_functions_json_spark.operators import (  # noqa: E402
     pipeline,
     rank,
     similarity,
+    sketch,
     stats,
     text,
 )
@@ -1006,6 +1007,42 @@ def _q_top_tokens(spark, sf_dir):
     # (TakeOrderedAndProject). Unspread: explode+agg is pure Catalyst.
     return text.top_tokens(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=50
+    )
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    # bounded-memory frequent tokens: per-partition Misra-Gries
+    # candidate summaries (O(capacity) executor memory no matter how
+    # large the vocabulary) + broadcast-candidate exact recount + exact
+    # top-k. capacity=160 >> N/f(20th token) so the MG union guarantee
+    # makes the output the EXACT top-20 — the oracle is plain SQL.
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    return sketch.heavy_hitters(ex, "tok", k=20, capacity=160).select(
+        F.col("item").alias("token"), "cnt"
+    )
+
+
+def _q_approx_distinct(spark, sf_dir):
+    # HLL++ distinct-count gate: exact count(distinct) per event_type
+    # (two-phase Expand) next to approx_count_distinct at rsd=0.02; the
+    # approx_ok column pins |approx-exact|/exact <= 0.05, so an HLL
+    # regression turns the driver row hash-red (oracle emits literal
+    # true). At 100 TB the approx side is the one you'd run: mergeable
+    # fixed-size sketch, single partial agg, no Expand blow-up.
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("_approx") - F.col("n_users"))
+            / F.col("n_users")
+            <= 0.05
+        ).alias("approx_ok"),
     )
 
 
@@ -2207,6 +2244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "c4_clean": _q_c4_clean,
         "semantic_dedup": _q_semantic_dedup,
+        "heavy_hitters": _q_heavy_hitters,
+        "approx_distinct": _q_approx_distinct,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
         "minhash_recall": _q_minhash_recall,
@@ -2759,6 +2798,22 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "heavy_hitters": (
+            # plain exact top-20 — the Spark side's MG candidate family
+            # provably contains these under the capacity sizing, and its
+            # recount pass is exact
+            f"with ex as (select unnest({_TOKENS_SQL}) as token "
+            "from documents) "
+            "select token, count(*) as cnt from ex group by token "
+            "order by cnt desc, token asc limit 20"
+        ),
+        "approx_distinct": (
+            # the oracle pins approx_ok to literal true: an HLL
+            # regression beyond 5% rel error flips the Spark side false
+            # and hash-fails the row
+            "select event_type, count(distinct user_id) as n_users, "
+            "true as approx_ok from events group by event_type"
         ),
         "semantic_dedup": (
             # same planted copies; one-assignment k-means mirror (seed

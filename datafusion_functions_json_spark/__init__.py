@@ -29,13 +29,13 @@ def _register_pickle_by_value() -> None:
 
         from . import register
         from .functions import core, kernels, multi, udfs
-        from .operators import _codecs, dedup, multimodal, similarity
+        from .operators import _codecs, dedup, multimodal, similarity, sketch
         from .operators import text as optext
 
         # Only the modules whose code executes inside workers — the
         # pure-API modules (api/column/union) are driver-side and stay
         # reference-pickled.
-        for m in (core, kernels, udfs, multi, register, dedup, similarity, optext, multimodal, _codecs):
+        for m in (core, kernels, udfs, multi, register, dedup, similarity, optext, multimodal, _codecs, sketch):
             cloudpickle.register_pickle_by_value(m)
     except Exception:  # pragma: no cover - best-effort; cwd layouts still work
         pass

@@ -17,6 +17,7 @@ from . import (
     multimodal,
     pipeline,
     similarity,
+    sketch,
     split,
     text,
     validate,
@@ -33,4 +34,5 @@ __all__ = [
     "pipeline",
     "metrics",
     "validate",
+    "sketch",
 ]

@@ -1172,3 +1172,52 @@ class TestSemanticDedup:
             emb, "vec_id", "embedding", k=3, iters=2, threshold=0.4, salt="x"
         ).orderBy("vec_id").collect()
         assert a == b
+
+
+class TestHeavyHitters:
+    def _skewed(self, spark):
+        # zipf-ish: item i appears (40 - i) times, i in 0..39
+        rows = [(f"w{i:02d}",) for i in range(40) for _ in range(40 - i)]
+        return spark.createDataFrame(rows, "item string").repartition(8)
+
+    def test_exact_topk_under_trimming(self, spark):
+        from datafusion_functions_json_spark.operators import sketch
+
+        df = self._skewed(spark)
+        # capacity 30 < 40 distinct items forces real MG trimming, and
+        # N/capacity = 820/30 ≈ 27 < 36 keeps the top-5 inside the
+        # union guarantee — the result must be the exact top-5
+        got = sketch.heavy_hitters(df, "item", k=5, capacity=30).collect()
+        assert [(r.item, r.cnt) for r in got] == [
+            ("w00", 40), ("w01", 39), ("w02", 38), ("w03", 37), ("w04", 36)
+        ]
+
+    def test_candidate_bound_and_lower_bounds(self, spark):
+        from datafusion_functions_json_spark.operators import sketch
+
+        df = self._skewed(spark)
+        cand = sketch.misra_gries_candidates(df, "item", 10).toPandas()
+        # ≤ capacity rows per partition
+        assert len(cand) <= 10 * 8
+        # lb never exceeds the true global count
+        truth = {f"w{i:02d}": 40 - i for i in range(40)}
+        for r in cand.itertuples():
+            assert 0 < r.lb <= truth[r.item]
+
+    def test_nulls_ignored_and_ties_deterministic(self, spark):
+        from datafusion_functions_json_spark.operators import sketch
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("b",), ("b",), ("c",), (None,)], "item string"
+        )
+        got = sketch.heavy_hitters(df, "item", k=2, capacity=10).collect()
+        assert [(r.item, r.cnt) for r in got] == [("a", 2), ("b", 2)]
+
+    def test_errors(self, spark):
+        from datafusion_functions_json_spark.operators import sketch
+
+        df = spark.createDataFrame([("a",)], "item string")
+        with pytest.raises(ValueError):
+            sketch.heavy_hitters(df, "item", 0)
+        with pytest.raises(ValueError):
+            sketch.misra_gries_candidates(df, "item", 0)
