@@ -1010,6 +1010,18 @@ def _q_top_tokens(spark, sf_dir):
     )
 
 
+def _q_temperature_sample(spark, sf_dir):
+    # multilingual-style α-temperature mixture (α=0.5 upweights small
+    # sources): per-source counts → α-share targets broadcast back →
+    # one source-keyed rank window; selection reproducible from ids
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_ops.temperature_sample(
+        docs, "doc_id", "source", alpha=0.5, budget=120, salt="temp"
+    ).select("doc_id", "source")
+
+
 def _q_heavy_hitters(spark, sf_dir):
     # bounded-memory frequent tokens: per-partition Misra-Gries
     # candidate summaries (O(capacity) executor memory no matter how
@@ -2246,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "heavy_hitters": _q_heavy_hitters,
         "approx_distinct": _q_approx_distinct,
+        "temperature_sample": _q_temperature_sample,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
         "minhash_recall": _q_minhash_recall,
@@ -2798,6 +2811,21 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "temperature_sample": (
+            # same α-share targets (round-to-9 before floor pins pow
+            # wobble) and md5-rank selection
+            "with c as (select source, count(*) as n from documents "
+            "group by source), "
+            "t as (select source, least(n, floor(round(120 * pow(n, 0.5) "
+            "/ (select sum(pow(n, 0.5)) from c), 9))) as tgt from c), "
+            "f as (select doc_id, source, "
+            "try_cast(('0x' || substr(md5('temp:' || doc_id::varchar), 1, 8)) "
+            "as bigint) / 4294967296.0 as b from documents), "
+            "r as (select doc_id, source, row_number() over ("
+            "partition by source order by b, doc_id) as rn from f) "
+            "select r.doc_id, r.source from r join t using (source) "
+            "where rn <= tgt"
         ),
         "heavy_hitters": (
             # plain exact top-20 — the Spark side's MG candidate family

@@ -32,6 +32,7 @@ __all__ = [
     "mixture_resample",
     "pack_batches",
     "stratified_sample",
+    "temperature_sample",
     "weighted_sample",
 ]
 
@@ -291,4 +292,76 @@ def weighted_sample(
         .orderBy(F.col("__wkey").asc(), F.col(id_col).asc())
         .limit(k)
         .drop("__wkey")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    *,
+    alpha: float = 0.5,
+    budget: int = 1000,
+    salt: str = "",
+    prefilter_fraction: float | None = None,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual α-sampling
+    of mT5/XLM-R, UniMax-style budgeting): source ``s`` with ``n_s``
+    rows gets a target of ``floor(budget * n_s^alpha / Σ n^alpha)``
+    rows (capped at ``n_s``), then the target count is drawn per source
+    with the deterministic smallest-hash-fraction rank of
+    :func:`stratified_sample`. ``alpha=1`` reproduces the natural
+    distribution, ``alpha=0`` equalizes sources; 0.2-0.7 is the usual
+    low-resource-upweighting band.
+
+    Deterministic and engine-reproducible: selection is rank-over-md5;
+    the per-source target rounds the α-weighted share to 9 decimals
+    before ``floor`` so cross-engine ``pow`` last-ulp wobble cannot
+    move a row across the floor boundary.
+
+    Plan shape: one tiny per-source count aggregation (k sources) whose
+    α-shares join back as a BROADCAST (k rows), then one shuffle on the
+    source key for the rank window — same cost as one stratified
+    sample. For 100 TB strata pass ``prefilter_fraction`` to cut the
+    ranked population scan-side (same correctness condition as
+    :func:`stratified_sample`).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count("*").alias("_n")
+    )
+    weighted = counts.withColumn(
+        "_w", F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    )
+    totals = weighted.agg(F.sum("_w").alias("_tot"))
+    targets = (
+        weighted.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_target",
+            F.least(
+                F.col("_n"),
+                F.floor(
+                    F.round(
+                        F.lit(int(budget)) * F.col("_w") / F.col("_tot"), 9
+                    )
+                ),
+            ),
+        )
+        .select("_src", "_target")
+    )
+    frac = split_fraction(id_col, salt)
+    if prefilter_fraction is not None:
+        df = df.filter(frac < float(prefilter_fraction))
+    w = Window.partitionBy(source_col).orderBy(frac.asc(), F.col(id_col).asc())
+    ranked = df.withColumn("_rank", F.row_number().over(w))
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            ranked[source_col] == F.col("_src"),
+        )
+        .filter(F.col("_rank") <= F.col("_target"))
+        .drop("_rank", "_src", "_target")
     )

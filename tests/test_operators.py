@@ -1221,3 +1221,46 @@ class TestHeavyHitters:
             sketch.heavy_hitters(df, "item", 0)
         with pytest.raises(ValueError):
             sketch.misra_gries_candidates(df, "item", 0)
+
+
+class TestTemperatureSample:
+    def _df(self, spark):
+        rows = [(i, "big") for i in range(900)] + [
+            (i + 1000, "small") for i in range(100)
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def test_alpha_upweights_small_sources(self, spark):
+        df = self._df(spark)
+        nat = split.temperature_sample(
+            df, "doc_id", "source", alpha=1.0, budget=100, salt="t"
+        )
+        flat = split.temperature_sample(
+            df, "doc_id", "source", alpha=0.0, budget=100, salt="t"
+        )
+        nat_c = {r.source: r.n for r in nat.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        flat_c = {r.source: r.n for r in flat.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        # natural keeps the 9:1 skew; alpha=0 equalizes
+        assert nat_c == {"big": 90, "small": 10}
+        assert flat_c == {"big": 50, "small": 50}
+
+    def test_target_capped_at_source_size(self, spark):
+        df = self._df(spark)
+        out = split.temperature_sample(
+            df, "doc_id", "source", alpha=0.0, budget=400, salt="t"
+        )
+        c = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        # equal split wants 200/200 but 'small' only has 100 rows
+        assert c == {"big": 200, "small": 100}
+
+    def test_deterministic_and_errors(self, spark):
+        df = self._df(spark)
+        a = sorted(r.doc_id for r in split.temperature_sample(
+            df, "doc_id", "source", alpha=0.5, budget=50, salt="x").collect())
+        b = sorted(r.doc_id for r in split.temperature_sample(
+            df, "doc_id", "source", alpha=0.5, budget=50, salt="x").collect())
+        assert a == b and len(a) > 0
+        with pytest.raises(ValueError):
+            split.temperature_sample(df, "doc_id", "source", budget=0)
+        with pytest.raises(ValueError):
+            split.temperature_sample(df, "doc_id", "source", alpha=-1)
