@@ -1559,6 +1559,156 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _q_tpch_q7(spark, sf_dir):
+    # TPC-H Q7 volume shipping between two nations, by year: lineitem ⋈
+    # orders is the one fact-fact shuffle; supplier/customer key maps
+    # and both nation dims broadcast. The nation-pair filter lands on
+    # the broadcast-joined columns pre-aggregation; the final agg is a
+    # tiny (pair, year) hash agg with map-side partials.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(pair_ok)
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def _q_tpch_q8(spark, sf_dir):
+    # TPC-H Q8 national market share: NATION_5's share of ECONOMY-part
+    # revenue sold into ASIA customers, by order year. part (filtered,
+    # tiny) and supplier-nation map broadcast; lineitem ⋈ orders and
+    # orders ⋈ customer shuffle on their keys; the share is one
+    # conditional-sum / sum pair per year.
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def _q_tpch_q15(spark, sf_dir):
+    # TPC-H Q15 top supplier: revenue view (one suppkey-keyed partial
+    # agg over a 3-month shipdate slice) then max-revenue selection via
+    # a broadcast 1-row max — no second scan, no window over the full
+    # view. Revenue is rounded BEFORE the max-equality so the
+    # comparison happens on engine-stable values.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    # TPC-H Q19 discounted revenue (adapted: the synthetic part table
+    # has no container/shipmode, so the disjunctive predicate keeps the
+    # brand × quantity-band structure): part dim broadcast, predicate
+    # evaluated post-join, single global agg. Catalyst pushes the
+    # brand IN-list into the part scan.
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (q >= 20) & (q <= 30))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
 def _q_tpch_q4(spark, sf_dir):
     # TPC-H Q4 shape (EXISTS → left-semi join; adapted: this lineitem
     # has no commitdate/receiptdate, so "late" = shipped >90 days after
@@ -2259,6 +2409,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "approx_distinct": _q_approx_distinct,
         "temperature_sample": _q_temperature_sample,
+        "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q19": _q_tpch_q19,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
         "minhash_recall": _q_minhash_recall,
@@ -2811,6 +2965,58 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "tpch_q7": (
+            "select supp_nation, cust_nation, l_year, "
+            "round(sum(volume), 2) as revenue from ("
+            "select n1.n_name as supp_nation, n2.n_name as cust_nation, "
+            "year(l_shipdate)::int as l_year, "
+            "l_extendedprice * (1 - l_discount) as volume "
+            "from supplier join lineitem on s_suppkey = l_suppkey "
+            "join orders on o_orderkey = l_orderkey "
+            "join customer on c_custkey = o_custkey "
+            "join nation n1 on s_nationkey = n1.n_nationkey "
+            "join nation n2 on c_nationkey = n2.n_nationkey "
+            "where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2') "
+            "or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1')) "
+            "and l_shipdate >= timestamp '1996-01-01' "
+            "and l_shipdate < timestamp '1998-01-01') shipping "
+            "group by supp_nation, cust_nation, l_year"
+        ),
+        "tpch_q8": (
+            "select o_year, round(sum(case when nation = 'NATION_5' "
+            "then volume else 0 end) / sum(volume), 6) as mkt_share from ("
+            "select year(o_orderdate)::int as o_year, "
+            "l_extendedprice * (1 - l_discount) as volume, "
+            "n2.n_name as nation "
+            "from part join lineitem on p_partkey = l_partkey "
+            "join supplier on s_suppkey = l_suppkey "
+            "join orders on l_orderkey = o_orderkey "
+            "join customer on o_custkey = c_custkey "
+            "join nation n1 on c_nationkey = n1.n_nationkey "
+            "join region on n1.n_regionkey = r_regionkey "
+            "join nation n2 on s_nationkey = n2.n_nationkey "
+            "where r_name = 'ASIA' and p_type = 'ECONOMY' "
+            "and o_orderdate >= timestamp '1996-01-01' "
+            "and o_orderdate < timestamp '1998-01-01') all_nations "
+            "group by o_year"
+        ),
+        "tpch_q15": (
+            "with revenue as (select l_suppkey as supplier_no, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "as total_revenue from lineitem "
+            "where l_shipdate >= timestamp '1996-01-01' "
+            "and l_shipdate < timestamp '1996-04-01' group by l_suppkey) "
+            "select s_suppkey, s_name, total_revenue "
+            "from supplier join revenue on s_suppkey = supplier_no "
+            "where total_revenue = (select max(total_revenue) from revenue)"
+        ),
+        "tpch_q19": (
+            "select round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "as revenue from lineitem join part on p_partkey = l_partkey "
+            "where (p_brand = 'Brand#1' and l_quantity between 1 and 11) "
+            "or (p_brand = 'Brand#2' and l_quantity between 10 and 20) "
+            "or (p_brand = 'Brand#3' and l_quantity between 20 and 30)"
         ),
         "temperature_sample": (
             # same α-share targets (round-to-9 before floor pins pow
