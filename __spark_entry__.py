@@ -1709,6 +1709,61 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _q_tpch_q9(spark, sf_dir):
+    # TPC-H Q9 product-type profit (adapted: the synthetic schema has
+    # no partsupp, so supply cost is the standard 60%-of-retail proxy
+    # per unit): part (LIKE-filtered) and supplier-nation map
+    # broadcast; lineitem ⋈ orders is the fact-fact shuffle; profit
+    # aggregates per (nation, order year). The LIKE pushes into the
+    # part scan as a StringContains filter.
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey", "p_retailprice")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    j = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+
+
+def _q_tpch_q16(spark, sf_dir):
+    # TPC-H Q16 supplier-count per part attribute (adapted: no
+    # partsupp, so the part↔supplier relation is the distinct
+    # (l_partkey, l_suppkey) pairs observed in lineitem): broadcast
+    # the filtered part dim into the pair table; count(distinct)
+    # plans the two-phase Expand with map-side partials.
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    j = ps.join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
 def _q_tpch_q4(spark, sf_dir):
     # TPC-H Q4 shape (EXISTS → left-semi join; adapted: this lineitem
     # has no commitdate/receiptdate, so "late" = shipped >90 days after
@@ -2411,6 +2466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q16": _q_tpch_q16,
         "tpch_q15": _q_tpch_q15,
         "tpch_q19": _q_tpch_q19,
         "tpch_q10": _q_tpch_q10,
@@ -3000,6 +3057,28 @@ def oracle_sql() -> dict[str, str]:
             "and o_orderdate >= timestamp '1996-01-01' "
             "and o_orderdate < timestamp '1998-01-01') all_nations "
             "group by o_year"
+        ),
+        "tpch_q9": (
+            "select nation, o_year, round(sum(amount), 2) as sum_profit "
+            "from (select n_name as nation, "
+            "year(o_orderdate)::int as o_year, "
+            "l_extendedprice * (1 - l_discount) "
+            "- 0.6 * p_retailprice * l_quantity as amount "
+            "from part join lineitem on p_partkey = l_partkey "
+            "join supplier on s_suppkey = l_suppkey "
+            "join orders on o_orderkey = l_orderkey "
+            "join nation on s_nationkey = n_nationkey "
+            "where p_name like '%red%') profit "
+            "group by nation, o_year"
+        ),
+        "tpch_q16": (
+            "with ps as (select distinct l_partkey, l_suppkey "
+            "from lineitem) "
+            "select p_brand, p_type, p_size, "
+            "count(distinct l_suppkey) as supplier_cnt "
+            "from ps join part on p_partkey = l_partkey "
+            "where p_brand <> 'Brand#1' and p_size <= 10 "
+            "group by p_brand, p_type, p_size"
         ),
         "tpch_q15": (
             "with revenue as (select l_suppkey as supplier_no, "
