@@ -1010,6 +1010,26 @@ def _q_top_tokens(spark, sf_dir):
     )
 
 
+def _q_pretoken_count(spark, sf_dir):
+    # BPE pre-tokenizer segment count next to the whitespace count —
+    # the two deterministic brackets of a token budget; punctuation is
+    # planted (the synthetic prose is bare words, so the contraction /
+    # punct-run / digit-run arms need exercising) keyed off doc_id
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" it's 42 miles, (probably!) -- they'll know..."),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        text.token_count(planted).alias("n_ws_tokens"),
+        text.pretoken_count(planted).alias("n_pretokens"),
+    )
+
+
 def _q_temperature_sample(spark, sf_dir):
     # multilingual-style α-temperature mixture (α=0.5 upweights small
     # sources): per-source counts → α-share targets broadcast back →
@@ -2464,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "approx_distinct": _q_approx_distinct,
         "temperature_sample": _q_temperature_sample,
+        "pretoken_count": _q_pretoken_count,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -3022,6 +3043,20 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "pretoken_count": (
+            # same planted punctuation; the pattern sits in the
+            # Java-regex ∩ RE2 subset so both engines segment
+            # identically
+            "with p as (select doc_id, case when doc_id % 4 = 0 then "
+            "text || ' it''s 42 miles, (probably!) -- they''ll know...' "
+            "else text end as t from documents) "
+            "select doc_id, "
+            f"len(list_filter(regexp_split_to_array(trim(t), '\\s+'), "
+            "x -> x != ''))::int as n_ws_tokens, "
+            "len(regexp_extract_all(t, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+            "| ?[^A-Za-z0-9\\s]+|\\s+'))::int as n_pretokens from p"
         ),
         "tpch_q7": (
             "select supp_nation, cust_nation, l_year, "

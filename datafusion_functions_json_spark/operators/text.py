@@ -48,6 +48,8 @@ __all__ = [
     "decontaminate",
     "decontaminate_filter",
     "gopher_quality_flags",
+    "pretoken_count",
+    "BPE_PRETOKEN_PATTERN",
     "c4_clean",
     "GOPHER_REQUIRED_STOPWORDS",
     "STOPWORDS",
@@ -1000,4 +1002,28 @@ def c4_clean(
         n_kept.alias("n_lines_kept"),
         (F.size(ls) - n_kept).alias("n_lines_dropped"),
         doc_dropped.alias("doc_dropped"),
+    )
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to the regex subset
+#: Java regex and RE2 execute identically (no lookarounds, no unicode
+#: property classes): contractions, space-prefixed letter runs, digit
+#: runs, punctuation runs, whitespace runs. This is the VOCABULARY-FREE
+#: segmentation BPE runs on top of — counting its matches gives the
+#: deterministic budget proxy pipelines use before a real tokenizer is
+#: in the loop (a trained BPE only splits these segments further, so
+#: the count lower-bounds the true token count at roughly 1 segment ≈
+#: 1.3 BPE tokens for English web text).
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def pretoken_count(text) -> Column:
+    """Count of BPE pre-tokenizer segments (:data:`BPE_PRETOKEN_PATTERN`
+    matches). Pure ``regexp_extract_all`` Column expression — scan
+    speed, no shuffle, no Python; the whitespace :func:`token_count`
+    and this bracket a corpus's token budget from both sides."""
+    return F.size(
+        F.regexp_extract_all(_col(text), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
     )

@@ -1264,3 +1264,31 @@ class TestTemperatureSample:
             split.temperature_sample(df, "doc_id", "source", budget=0)
         with pytest.raises(ValueError):
             split.temperature_sample(df, "doc_id", "source", alpha=-1)
+
+
+class TestPretokenCount:
+    def _n(self, spark, txt):
+        df = spark.createDataFrame([(txt,)], "t string")
+        return df.select(text.pretoken_count("t").alias("n")).collect()[0].n
+
+    def test_matches_python_re(self, spark, documents):
+        import re
+
+        pat = re.compile(text.BPE_PRETOKEN_PATTERN)
+        rows = documents.select(
+            "text", text.pretoken_count("text").alias("n")
+        ).take(25)
+        for r in rows:
+            assert r.n == len(pat.findall(r.text))
+
+    def test_segments(self, spark):
+        # "it's" = [it]['s]; "42 miles," = [ 42][ miles][,]
+        assert self._n(spark, "it's") == 2
+        assert self._n(spark, "it's 42 miles,") == 5
+        # punctuation runs group: "--" is one segment, "..." one
+        assert self._n(spark, "a -- b ...") == 4
+        # contraction arm beats the punct arm ('s then till)
+        assert self._n(spark, "'still") == 2
+        assert self._n(spark, "") == 0
+        df = spark.createDataFrame([(None,)], "t string")
+        assert df.select(text.pretoken_count("t").alias("n")).collect()[0].n is None
