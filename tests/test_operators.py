@@ -1292,3 +1292,112 @@ class TestPretokenCount:
         assert self._n(spark, "") == 0
         df = spark.createDataFrame([(None,)], "t string")
         assert df.select(text.pretoken_count("t").alias("n")).collect()[0].n is None
+
+
+class TestQualityGateDifferential:
+    """Seeded random corpus with bullets/ellipses/hashes/digits/newlines:
+    full-row compare of gopher_quality_flags and c4_clean against a pure
+    Python recomputation of the published rules."""
+
+    def _corpus(self):
+        import random
+
+        rng = random.Random(7)
+        words = ["the", "of", "and", "alpha", "beta", "42", "x#y", "gamma..."]
+        frags = [
+            "• item here",
+            "- dash item",
+            "1. numbered line",
+            "Read more...",
+            "A proper sentence line with enough words here.",
+            "short one",
+            "Please enable javascript now to see this content.",
+            "####",
+            "…",
+        ]
+        docs = []
+        for i in range(120):
+            parts = []
+            for _ in range(rng.randrange(1, 7)):
+                if rng.random() < 0.4:
+                    parts.append(rng.choice(frags))
+                else:
+                    parts.append(
+                        " ".join(rng.choice(words) for _ in range(rng.randrange(1, 30)))
+                    )
+            docs.append((i, "\n".join(parts)))
+        return docs
+
+    def test_gopher_matches_python(self, spark):
+        import re
+
+        docs = self._corpus()
+        df = spark.createDataFrame(docs, "id long, t string")
+        got = {
+            r.id: r.g.asDict()
+            for r in df.select(
+                "id", text.gopher_quality_flags("t", min_words=5).alias("g")
+            ).collect()
+        }
+        req = set(text.GOPHER_REQUIRED_STOPWORDS)
+        for i, t in docs:
+            toks = t.split()
+            ls = [x.strip() for x in t.split("\n") if x.strip()]
+            nw, nl = len(toks), len(ls)
+            sw, sl = max(nw, 1), max(nl, 1)
+            mean_len = sum(len(x) for x in toks) / sw
+            sym = (t.count("#") + len(re.findall(r"\.\.\.|…", t))) / sw
+            bullet = sum(
+                1 for x in ls if re.match(r"^([•\-\*•]|\d+[.)])\s", x)
+            ) / sl
+            ell = sum(1 for x in ls if re.search(r"(\.\.\.|…)$", x)) / sl
+            alpha = sum(1 for x in toks if re.search("[A-Za-z]", x)) / sw
+            nstop = len({x.lower() for x in toks} & req)
+            dls = list(dict.fromkeys(ls))
+            dl = round((nl - len(dls)) / sl, 6)
+            ch = sum(len(x) for x in ls)
+            dch = sum(len(x) for x in dls)
+            dc = round((ch - dch) / max(ch, 1), 6)
+            want = {
+                "word_count_ok": 5 <= nw <= 100000,
+                "mean_word_len_ok": 3.0 <= mean_len <= 10.0,
+                "symbol_ratio_ok": sym <= 0.1,
+                "bullet_ok": bullet <= 0.9,
+                "ellipsis_ok": ell <= 0.3,
+                "alpha_word_ok": alpha >= 0.8,
+                "stopword_ok": nstop >= 2,
+                "dup_line_ok": dl <= 0.3,
+                "dup_char_ok": dc <= 0.2,
+            }
+            want["keep"] = all(want.values())
+            assert got[i] == want, (i, t)
+
+    def test_c4_matches_python(self, spark):
+        import re
+
+        docs = self._corpus()
+        df = spark.createDataFrame(docs, "id long, t string")
+        got = {
+            r.id: (r.c.cleaned_text, r.c.n_lines_kept, r.c.n_lines_dropped,
+                   r.c.doc_dropped)
+            for r in df.select("id", text.c4_clean("t").alias("c")).collect()
+        }
+        for i, t in docs:
+            ls = [x.strip() for x in t.split("\n") if x.strip()]
+            kept = [
+                x for x in ls
+                if re.search(r'[.!?"]$', x)
+                and len(x.split()) >= 5
+                and "javascript" not in x.lower()
+                and "lorem ipsum" not in x.lower()
+            ]
+            dropped = (
+                len(kept) < 3 or "{" in t or "lorem ipsum" in t.lower()
+            )
+            want = (
+                None if dropped else "\n".join(kept),
+                len(kept),
+                len(ls) - len(kept),
+                dropped,
+            )
+            assert got[i] == want, (i, t)
