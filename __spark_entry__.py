@@ -1579,6 +1579,233 @@ def _q_tpch_q5(spark, sf_dir):
     )
 
 
+def _partsupp(spark, sf_dir):
+    """Derived part-supplier relation (the synthetic schema ships no
+    partsupp): the distinct (l_partkey, l_suppkey) pairs observed in
+    lineitem, with a deterministic md5-derived availqty in [1, 1000]
+    and a retail-anchored per-pair supply cost in [0.5, 1.0] x retail —
+    the same derivation the oracles rebuild in ``_PARTSUPP_SQL``, so
+    Q2/Q11/Q20 run with their original plan shapes."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("ps_partkey").cast("string"),
+                    F.lit(":"),
+                    F.col("ps_suppkey").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    frac = h / F.lit(float(1 << 32))
+    return li.join(
+        F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")
+    ).select(
+        "ps_partkey",
+        "ps_suppkey",
+        (F.floor(frac * 1000) + 1).cast("int").alias("ps_availqty"),
+        F.round(F.col("p_retailprice") * (F.lit(0.5) + frac / 2), 2).alias(
+            "ps_supplycost"
+        ),
+    )
+
+
+_PARTSUPP_SQL = (
+    "ps0 as (select distinct l_partkey as ps_partkey, "
+    "l_suppkey as ps_suppkey from lineitem), "
+    "psf as (select ps_partkey, ps_suppkey, "
+    "try_cast(('0x' || substr(md5(ps_partkey::varchar || ':' || "
+    "ps_suppkey::varchar), 1, 8)) as bigint) / 4294967296.0 as frac "
+    "from ps0), "
+    "partsupp as (select ps_partkey, ps_suppkey, "
+    "(floor(frac * 1000) + 1)::int as ps_availqty, "
+    "round(p_retailprice * (0.5 + frac / 2), 2) as ps_supplycost "
+    "from psf join part on ps_partkey = p_partkey)"
+)
+
+
+def _q_tpch_q2(spark, sf_dir):
+    # TPC-H Q2 minimum-cost supplier (over the derived partsupp): the
+    # correlated min subquery decorrelates into a per-part min agg
+    # joined back on (partkey, cost) — same pattern as q17. Part
+    # filter + region-restricted supplier dims broadcast; top-100 by
+    # account balance plans TakeOrderedAndProject.
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eu_nations = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(eu_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    offers = (
+        ps.join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .join(supp, ps["ps_suppkey"] == supp["s_suppkey"])
+    )
+    mins = offers.groupBy(F.col("ps_partkey").alias("_pk")).agg(
+        F.min("ps_supplycost").alias("_minc")
+    )
+    best = offers.join(
+        mins,
+        (offers["ps_partkey"] == mins["_pk"])
+        & (offers["ps_supplycost"] == mins["_minc"]),
+    )
+    return (
+        best.select("s_acctbal", "s_name", "n_name", "ps_partkey")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name",
+            "s_name",
+            "ps_partkey",
+        )
+        .limit(100)
+    )
+
+
+def _q_tpch_q11(spark, sf_dir):
+    # TPC-H Q11 important stock (derived partsupp): one nation's
+    # per-part inventory value filtered by a share of the global total
+    # — the scalar subquery is a deliberate 1-row broadcast (same class
+    # as tpch_q22's global average)
+    ps = _partsupp(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    mine = ps.join(supp, ps["ps_suppkey"] == supp["s_suppkey"]).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("_v"),
+    )
+    per_part = mine.groupBy("ps_partkey").agg(
+        F.round(F.sum("_v"), 2).alias("value")
+    )
+    total = mine.agg((F.sum("_v") * F.lit(0.002)).alias("_thresh"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("_thresh"))
+        .select("ps_partkey", "value")
+    )
+
+
+def _q_tpch_q20(spark, sf_dir):
+    # TPC-H Q20 excess-stock suppliers (derived partsupp): the nested
+    # IN subqueries become keyed joins — shipped-quantity agg per
+    # (part, supplier) joined to the pair's availqty, then a distinct
+    # supplier semi-join restricted to one nation. 'red%' part filter
+    # broadcast.
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk")
+        )
+        .agg(F.sum("l_quantity").alias("_q"))
+    )
+    excess = (
+        ps.join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .join(
+            qty,
+            (ps["ps_partkey"] == qty["_pk"]) & (ps["ps_suppkey"] == qty["_sk"]),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("_q"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_2"
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return supp.join(
+        excess, F.col("s_suppkey") == excess["ps_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def _q_tpch_q21(spark, sf_dir):
+    # TPC-H Q21 suppliers who kept the order waiting (adapted: late =
+    # shipped >90 days after order, the q4/q12 convention, since the
+    # synthetic lineitem has no commit/receipt dates): the EXISTS /
+    # NOT EXISTS pair decorrelates into ONE per-order distinct-supplier
+    # aggregation — an order qualifies a supplier iff it has >1
+    # distinct supplier and exactly 1 distinct LATE supplier (him).
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("interval 90 days")
+        ).alias("_late"),
+    )
+    ostats = j.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.countDistinct(
+            F.when(F.col("_late"), F.col("l_suppkey"))
+        ).alias("_nl"),
+    )
+    waiting = (
+        j.filter(F.col("_late"))
+        .select("o_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            ostats.filter((F.col("_ns") > 1) & (F.col("_nl") == 1)),
+            "o_orderkey",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation").filter(
+                F.col("n_name") == "NATION_1"
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting.join(supp, waiting["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.countDistinct("o_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 def _q_tpch_q7(spark, sf_dir):
     # TPC-H Q7 volume shipping between two nations, by year: lineitem ⋈
     # orders is the one fact-fact shuffle; supplier/customer key maps
@@ -2489,6 +2716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
         "tpch_q16": _q_tpch_q16,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
         "tpch_q15": _q_tpch_q15,
         "tpch_q19": _q_tpch_q19,
         "tpch_q10": _q_tpch_q10,
@@ -3092,6 +3323,66 @@ def oracle_sql() -> dict[str, str]:
             "and o_orderdate >= timestamp '1996-01-01' "
             "and o_orderdate < timestamp '1998-01-01') all_nations "
             "group by o_year"
+        ),
+        "tpch_q2": (
+            f"with {_PARTSUPP_SQL}, "
+            "eu as (select n_nationkey, n_name from nation "
+            "join region on n_regionkey = r_regionkey "
+            "where r_name = 'EUROPE'), "
+            "offers as (select ps_partkey, ps_supplycost, s_acctbal, "
+            "s_name, n_name from partsupp "
+            "join part on ps_partkey = p_partkey "
+            "join supplier on ps_suppkey = s_suppkey "
+            "join eu on s_nationkey = n_nationkey "
+            "where p_size <= 15 and p_type = 'LARGE'), "
+            "mins as (select ps_partkey as pk, min(ps_supplycost) as minc "
+            "from offers group by ps_partkey) "
+            "select s_acctbal, s_name, n_name, ps_partkey from offers "
+            "join mins on ps_partkey = pk and ps_supplycost = minc "
+            "order by s_acctbal desc, n_name, s_name, ps_partkey limit 100"
+        ),
+        "tpch_q11": (
+            f"with {_PARTSUPP_SQL}, "
+            "mine as (select ps_partkey, ps_supplycost * ps_availqty as v "
+            "from partsupp join supplier on ps_suppkey = s_suppkey "
+            "join nation on s_nationkey = n_nationkey "
+            "where n_name = 'NATION_3') "
+            "select ps_partkey, round(sum(v), 2) as value from mine "
+            "group by ps_partkey "
+            "having round(sum(v), 2) > (select sum(v) * 0.002 from mine)"
+        ),
+        "tpch_q20": (
+            f"with {_PARTSUPP_SQL}, "
+            "qty as (select l_partkey, l_suppkey, sum(l_quantity) as q "
+            "from lineitem where l_shipdate >= timestamp '1996-01-01' "
+            "and l_shipdate < timestamp '1997-01-01' "
+            "group by l_partkey, l_suppkey), "
+            "excess as (select distinct ps_suppkey from partsupp "
+            "join part on ps_partkey = p_partkey "
+            "join qty on ps_partkey = l_partkey and ps_suppkey = l_suppkey "
+            "where p_name like 'red%' and ps_availqty > 0.5 * q) "
+            "select s_suppkey, s_name from supplier "
+            "join nation on s_nationkey = n_nationkey "
+            "where n_name = 'NATION_2' "
+            "and s_suppkey in (select ps_suppkey from excess)"
+        ),
+        "tpch_q21": (
+            "with j as (select o_orderkey, l_suppkey, "
+            "l_shipdate > o_orderdate + interval 90 day as late "
+            "from lineitem join orders on l_orderkey = o_orderkey "
+            "where o_orderstatus = 'F'), "
+            "ostats as (select o_orderkey, "
+            "count(distinct l_suppkey) as ns, "
+            "count(distinct case when late then l_suppkey end) as nl "
+            "from j group by o_orderkey), "
+            "waiting as (select distinct j.o_orderkey, j.l_suppkey "
+            "from j join ostats using (o_orderkey) "
+            "where j.late and ns > 1 and nl = 1) "
+            "select s_name, count(distinct o_orderkey) as numwait "
+            "from waiting join supplier on l_suppkey = s_suppkey "
+            "join nation on s_nationkey = n_nationkey "
+            "where n_name = 'NATION_1' "
+            "group by s_name order by numwait desc, s_name limit 100"
         ),
         "tpch_q9": (
             "select nation, o_year, round(sum(amount), 2) as sum_profit "
