@@ -20,6 +20,7 @@ __all__ = [
     "extract_json_stream",
     "windowed_json_counts",
     "enrich_stream",
+    "curate_stream",
     "dedup_stream",
     "sessionize",
     "sessionize_batch",
@@ -377,3 +378,51 @@ def sessionize_tws(
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+def curate_stream(
+    stream: DataFrame,
+    text_col: str,
+    *,
+    min_tokens: int = 10,
+    langs: tuple = ("en",),
+    apply_gopher: bool = True,
+    apply_c4: bool = False,
+    **gopher_kwargs,
+) -> DataFrame:
+    """Streaming document curation gate: language ID + token-count
+    floor + the Gopher rule conjunction (and optionally the C4 line
+    cleaner, which REWRITES ``text_col`` to the cleaned text) applied
+    to a live document stream.
+
+    Every gate is a STATELESS deterministic projection/filter
+    (operators/text.py pure Column expressions), so this composes with
+    ``readStream`` with no state store, no watermark, and no
+    micro-batch cost beyond the scan itself — the streaming twin of
+    the batch ``pipeline.curate`` front half. Near-dedup needs state:
+    chain :func:`dedup_stream` (bounded-state exact dedup) downstream,
+    or run MinHash against a static index via :func:`enrich_stream`.
+
+    Adds ``lang`` and ``n_tokens`` columns; rows failing any enabled
+    gate are filtered out.
+    """
+    from ..operators import text as optext
+
+    out = stream.withColumn("lang", optext.lang_id(F.col(text_col)))
+    out = out.withColumn("n_tokens", optext.token_count(F.col(text_col)))
+    out = out.filter(
+        (F.col("n_tokens") >= min_tokens) & F.col("lang").isin(*langs)
+    )
+    if apply_gopher:
+        out = out.filter(
+            optext.gopher_quality_flags(F.col(text_col), **gopher_kwargs)["keep"]
+        )
+    if apply_c4:
+        cleaned = optext.c4_clean(F.col(text_col))
+        out = (
+            out.withColumn("_c4", cleaned)
+            .filter(~F.col("_c4")["doc_dropped"])
+            .withColumn(text_col, F.col("_c4")["cleaned_text"])
+            .drop("_c4")
+        )
+    return out

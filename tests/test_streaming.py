@@ -343,3 +343,64 @@ class TestStreamingCuration:
         # d1 once (dup dropped), d2 gated out, d3 enriched, junk row
         # null-extracted then gated out
         assert got == {("d1", "web"), ("d3", "books")}
+
+
+class TestCurateStream:
+    CLEAN = (
+        "The quick brown fox jumps over the lazy dog to be of use and "
+        "share that fine day with friends. " * 3
+    )
+
+    def _run(self, spark, tmp_path, docs, name, **kw):
+        p = tmp_path / "curate_in"
+        p.mkdir(exist_ok=True)
+        with open(p / "part-0.jsonl", "w") as f:
+            for i, t in docs:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).json(str(p))
+        out = js.curate_stream(stream, "text", **kw)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.doc_id: r for r in spark.sql(f"select * from {name}").collect()}
+
+    def test_stateless_gates_filter_stream(self, spark, tmp_path):
+        docs = [
+            (1, self.CLEAN),
+            (2, "too short"),                        # token floor
+            (3, "der hund ist ein tier und das ist gut " * 6),  # lang gate
+            (4, self.CLEAN + "\n" + "#" * 80),       # gopher symbol gate
+        ]
+        got = self._run(spark, tmp_path, docs, "curated")
+        assert set(got) == {1}
+        assert got[1].lang == "en" and got[1].n_tokens >= 10
+
+    def test_c4_rewrites_text_in_stream(self, spark, tmp_path):
+        good = (
+            "This is a perfectly good sentence line.\n"
+            "Another good long sentence line sits here!\n"
+            "A third proper sentence line finishes it.\n"
+            "quick brown fox prose with no terminal punctuation at all"
+        )
+        docs = [(1, good), (2, good + "\nbody { margin: 0; }")]
+        got = self._run(
+            spark, tmp_path, docs, "curated_c4",
+            apply_gopher=False, apply_c4=True,
+        )
+        # doc 2 trips the brace gate; doc 1's unterminated prose line is
+        # dropped from the rewritten text
+        assert set(got) == {1}
+        assert got[1].text.endswith("finishes it.")
+        assert "quick brown fox" not in got[1].text
