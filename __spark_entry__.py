@@ -2554,6 +2554,32 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_image_dhash(spark, sf_dir):
+    # REAL perceptual-hash pipeline, oracle-twinned: two-tone 16x16
+    # binary PPMs (left half color A, right half color B, id-derived)
+    # built from pure JVM expressions → stdlib/PIL decode → dHash. The
+    # halves are uniform, so every 8x9 grid cell is exactly lumaA or
+    # lumaB and the hash is closed-form: the boundary-column bit fires
+    # per row iff lumaB > lumaA (mask 0x0808080808080808), else 0 —
+    # which the DuckDB twin computes arithmetically from the same RGB
+    # derivation. doc_id%8 color classes plant real collisions.
+    def _b(x):
+        return F.lpad(F.hex(x % 256), 2, "0")
+
+    m = F.pmod(F.col("doc_id"), F.lit(8))
+    a_hex = F.concat(_b(m * 31), _b(m * 53 + 7), _b(m * 89 + 3))
+    b_hex = F.concat(_b(m * 17 + 11), _b(m * 43 + 29), _b(m * 97 + 59))
+    row_hex = F.concat(F.repeat(a_hex, 8), F.repeat(b_hex, 8))
+    payload = F.concat(
+        F.encode(F.lit("P6\n16 16\n255\n"), "utf-8"),
+        F.unhex(F.repeat(row_hex, 16)),
+    )
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return multimodal.image_dhash(docs).select("media_id", "dhash")
+
+
 def _q_video_features(spark, sf_dir):
     # video leg of the multimodal trio, REAL decode end-to-end: plant a
     # deterministic uncompressed-RGB AVI per doc (doc_id%4+1 solid-color
@@ -2716,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
         "tpch_q16": _q_tpch_q16,
+        "image_dhash": _q_image_dhash,
         "tpch_q2": _q_tpch_q2,
         "tpch_q11": _q_tpch_q11,
         "tpch_q20": _q_tpch_q20,
@@ -3323,6 +3350,19 @@ def oracle_sql() -> dict[str, str]:
             "and o_orderdate >= timestamp '1996-01-01' "
             "and o_orderdate < timestamp '1998-01-01') all_nations "
             "group by o_year"
+        ),
+        "image_dhash": (
+            # closed-form twin of the two-tone fixture: per row the only
+            # gradient bit is the half boundary, set iff lumaB > lumaA
+            "select doc_id as media_id, case when "
+            "0.299 * (((doc_id % 8) * 17 + 11) % 256) "
+            "+ 0.587 * (((doc_id % 8) * 43 + 29) % 256) "
+            "+ 0.114 * (((doc_id % 8) * 97 + 59) % 256) > "
+            "0.299 * (((doc_id % 8) * 31) % 256) "
+            "+ 0.587 * (((doc_id % 8) * 53 + 7) % 256) "
+            "+ 0.114 * (((doc_id % 8) * 89 + 3) % 256) "
+            "then 578721382704613384 else 0 end as dhash "
+            "from documents where doc_id < 60"
         ),
         "tpch_q2": (
             f"with {_PARTSUPP_SQL}, "

@@ -50,6 +50,8 @@ __all__ = [
     "attach_media_metadata",
     "decode_image",
     "image_features",
+    "image_dhash",
+    "image_dup_pairs",
     "extract_audio_features",
     "extract_video_features",
     "frame_sample_plan",
@@ -393,4 +395,166 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 )
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+def _dhash_from_pixels(px) -> "int | None":
+    """64-bit difference hash (dHash): luma → area-average 8x9 grid →
+    horizontal gradient sign bits, MSB-first row-major, folded into a
+    signed int64. Pure numpy on an already-decoded (h, w, ch) uint8
+    array; deterministic (integer bin edges, float64 means)."""
+    if px is None:
+        return None
+    a = np.asarray(px)
+    if a.ndim == 3 and a.shape[2] >= 3:
+        g = (
+            0.299 * a[..., 0].astype(np.float64)
+            + 0.587 * a[..., 1].astype(np.float64)
+            + 0.114 * a[..., 2].astype(np.float64)
+        )
+    elif a.ndim == 3:
+        g = a[..., 0].astype(np.float64)
+    else:
+        g = a.astype(np.float64)
+    h, w = g.shape
+    if h < 1 or w < 1:
+        return None
+    rows = np.linspace(0, h, 9).astype(int)
+    cols = np.linspace(0, w, 10).astype(int)
+    grid = np.empty((8, 9))
+    for i in range(8):
+        r0, r1 = rows[i], max(rows[i + 1], rows[i] + 1)
+        for j in range(9):
+            c0, c1 = cols[j], max(cols[j + 1], cols[j] + 1)
+            grid[i, j] = g[r0:r1, c0:c1].mean()
+    bits = grid[:, 1:] > grid[:, :-1]
+    val = 0
+    for bit in bits.flatten():
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _fake_dhash(payload) -> "int | None":
+    if payload is None:
+        return None
+    v = int.from_bytes(hashlib.sha256(bytes(payload)).digest()[:8], "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(
+    df: DataFrame, payload_col: str = "payload", *, fake: bool = False
+) -> DataFrame:
+    """Attach a 64-bit perceptual difference hash (``dhash`` bigint,
+    NULL for undecodable payloads) — the standard near-duplicate-image
+    key: insensitive to uniform brightness shifts and re-encoding,
+    sensitive to content. Same decode chain as :func:`decode_image`
+    (PIL when importable, stdlib PNG/PPM fallback); Arrow-batched
+    ``mapInPandas``, per-row failures → NULL, never a task failure.
+    ``fake=True`` substitutes a deterministic payload-digest hash
+    (exact duplicates still collide) for oracle-reproducible plumbing
+    tests."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("dhash", T.LongType(), True)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            try:
+                from PIL import Image  # optional dependency
+            except ImportError:
+                Image = None
+        for pdf in it:
+            pdf = pdf.copy()
+            vals = []
+            for b in pdf[payload_col]:
+                if fake:
+                    vals.append(_fake_dhash(b))
+                    continue
+                px = None
+                if b is not None and Image is not None:
+                    got = _pil_decode(Image, b)
+                    if got is not None:
+                        px = got[3]
+                if px is None:
+                    px = decode_image_bytes(b)[3]
+                vals.append(_dhash_from_pixels(px))
+            pdf["dhash"] = pd.Series(vals, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def image_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    *,
+    max_distance: int = 0,
+    fake: bool = False,
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance:
+    ``(id_a, id_b, distance)``.
+
+    ``max_distance=0`` is an exact-hash equi-self-join (shuffle keyed
+    on the 64-bit hash — only colliding images co-locate, never
+    all-pairs). ``1 <= max_distance <= 3`` uses the same pigeonhole
+    discipline as SimHash blocking: the hash splits into four 16-bit
+    blocks, candidates share at least one block (guaranteed recall for
+    <= 3 flipped bits), and an exact JVM ``bit_count(xor)`` verifies.
+    At 100 TB both paths are bucketed equi-joins; the block fan-out is
+    a fixed 4x."""
+    if not 0 <= max_distance <= 3:
+        raise ValueError("max_distance must be in [0, 3] (pigeonhole bound)")
+    hashed = (
+        image_dhash(df, payload_col, fake=fake)
+        .filter(F.col("dhash").isNotNull())
+        .select(F.col(id_col).alias("_id"), "dhash")
+    )
+    if max_distance == 0:
+        a, b = hashed.alias("L"), hashed.alias("R")
+        return (
+            a.join(b, F.col("L.dhash") == F.col("R.dhash"))
+            .filter(F.col("L._id") < F.col("R._id"))
+            .select(
+                F.col("L._id").alias("id_a"),
+                F.col("R._id").alias("id_b"),
+                F.lit(0).alias("distance"),
+            )
+        )
+    blocks = hashed.select(
+        "_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        (
+                            F.shiftrightunsigned(F.col("dhash"), 16 * i)
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("block_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("_id", "dhash", "blk.block_id", "blk.block_val")
+    return (
+        blocks.alias("L")
+        .join(
+            blocks.alias("R"),
+            (F.col("L.block_id") == F.col("R.block_id"))
+            & (F.col("L.block_val") == F.col("R.block_val")),
+        )
+        .filter(F.col("L._id") < F.col("R._id"))
+        .select(
+            F.col("L._id").alias("id_a"),
+            F.col("R._id").alias("id_b"),
+            F.col("L.dhash").alias("_ha"),
+            F.col("R.dhash").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("distance", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
     )

@@ -1401,3 +1401,86 @@ class TestQualityGateDifferential:
                 dropped,
             )
             assert got[i] == want, (i, t)
+
+
+class TestImageDhash:
+    def _ppm(self, rows):
+        # rows: list of list of (r,g,b)
+        h, w = len(rows), len(rows[0])
+        body = bytes(c for row in rows for px in row for c in px)
+        return b"P6\n%d %d\n255\n" % (w, h) + body
+
+    def _grad(self, w=16, h=16, flip_bits=()):
+        # horizontal luminance ramp -> all gradient bits set
+        rows = [[(x * 16 % 256,) * 3 for x in range(w)] for _ in range(h)]
+        return rows
+
+    def test_dhash_known_patterns(self, spark):
+        from datafusion_functions_json_spark.operators.multimodal import (
+            _dhash_from_pixels,
+        )
+        import numpy as np
+
+        solid = np.full((16, 16, 3), 100, dtype=np.uint8)
+        assert _dhash_from_pixels(solid) == 0
+        ramp = np.tile(
+            (np.arange(16, dtype=np.uint8) * 15)[None, :, None], (16, 1, 3)
+        )
+        # strictly increasing luma -> every gradient bit set -> -1
+        assert _dhash_from_pixels(ramp) == -1
+        assert _dhash_from_pixels(None) is None
+
+    def test_spark_decode_and_dup_pairs_exact(self, spark):
+        ramp = [[(x * 15, x * 15, x * 15) for x in range(16)]] * 16
+        solid = [[(9, 9, 9)] * 16] * 16
+        rows = [
+            (1, self._ppm(ramp)),
+            (2, self._ppm(ramp)),      # exact perceptual dup of 1
+            (3, self._ppm(solid)),
+            (4, None),
+            (5, b"notanimage"),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {
+            r.media_id: r.dhash
+            for r in multimodal.image_dhash(df, "payload").collect()
+        }
+        assert got[1] == got[2] == -1
+        assert got[3] == 0
+        assert got[4] is None and got[5] is None
+        pairs = multimodal.image_dup_pairs(df, "media_id", "payload").collect()
+        assert [(p.id_a, p.id_b, p.distance) for p in pairs] == [(1, 2, 0)]
+
+    def test_hamming_blocked_join(self, spark):
+        import numpy as np
+        from datafusion_functions_json_spark.operators.multimodal import (
+            _dhash_from_pixels,
+        )
+
+        # two ramps differing in ONE grid cell -> small hamming distance
+        base = np.tile(
+            (np.arange(16, dtype=np.uint8) * 15)[None, :, None], (16, 1, 3)
+        ).copy()
+        tweaked = base.copy()
+        tweaked[0:2, 0:2, :] = 255  # flip the first row's first gradient bit
+        d = bin(
+            (_dhash_from_pixels(base) ^ _dhash_from_pixels(tweaked))
+            & ((1 << 64) - 1)
+        ).count("1")
+        assert 1 <= d <= 3
+        rows = [(1, self._np_ppm(base)), (2, self._np_ppm(tweaked))]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        assert multimodal.image_dup_pairs(
+            df, "media_id", "payload", max_distance=0
+        ).count() == 0
+        got = multimodal.image_dup_pairs(
+            df, "media_id", "payload", max_distance=3
+        ).collect()
+        assert [(p.id_a, p.id_b) for p in got] == [(1, 2)]
+        assert got[0].distance == d
+        with pytest.raises(ValueError):
+            multimodal.image_dup_pairs(df, "media_id", max_distance=9)
+
+    def _np_ppm(self, arr):
+        h, w, _ = arr.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
