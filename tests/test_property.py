@@ -240,3 +240,42 @@ def test_rewrite_sql_identity_without_operators(junk):
     from datafusion_functions_json_spark.sql import rewrite_sql
 
     assert rewrite_sql(junk) == junk
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    txt=st.text(
+        alphabet="ab z09 .#'…!-\n\t()…el{}\"?s",
+        max_size=60,
+    )
+)
+def test_pretoken_pattern_portable(txt):
+    """BPE_PRETOKEN_PATTERN must behave identically under Python's `re`
+    (PCRE-family, the Java-regex stand-in) and under RE2 semantics via
+    DuckDB — pinning the claim that the pattern sits in the shared
+    subset both engines segment identically."""
+    import re
+
+    import duckdb
+
+    from datafusion_functions_json_spark.operators.text import (
+        BPE_PRETOKEN_PATTERN,
+    )
+
+    py = len(re.findall(BPE_PRETOKEN_PATTERN, txt))
+    con = _pretoken_con()
+    duck = con.execute(
+        "select len(regexp_extract_all(?, ?))", [txt, BPE_PRETOKEN_PATTERN]
+    ).fetchone()[0]
+    assert py == duck, txt
+
+
+def _pretoken_con():
+    global _PRETOKEN_CON
+    try:
+        return _PRETOKEN_CON
+    except NameError:
+        import duckdb
+
+        _PRETOKEN_CON = duckdb.connect()
+        return _PRETOKEN_CON
