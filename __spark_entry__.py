@@ -2554,6 +2554,41 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_normalized_dedup(spark, sf_dir):
+    # CCNet-style normalized exact dedup: planted variants (uppercased;
+    # accent-swapped with extra spacing/punctuation) must land in the
+    # same dup group as their originals once keyed on
+    # md5(normalize_text(...)) — a 32-byte digest shuffle key. ids are
+    # CSV-joined (the driver canonicalizer hashes scalars, not arrays).
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    v2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.replace(F.col("text"), F.lit("a"), F.lit("á")),
+            F.lit("  !!"),
+        ).alias("text"),
+    )
+    alld = docs.unionByName(v1).unionByName(v2)
+    keyed = alld.select(
+        "doc_id", text.normalized_dedup_key(F.col("text")).alias("nkey")
+    )
+    return (
+        keyed.groupBy("nkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "members"
+            ),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
 def _q_image_dhash(spark, sf_dir):
     # REAL perceptual-hash pipeline, oracle-twinned: two-tone 16x16
     # binary PPMs (left half color A, right half color B, id-derived)
@@ -2745,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q9": _q_tpch_q9,
         "tpch_q16": _q_tpch_q16,
         "image_dhash": _q_image_dhash,
+        "normalized_dedup": _q_normalized_dedup,
         "tpch_q2": _q_tpch_q2,
         "tpch_q11": _q_tpch_q11,
         "tpch_q20": _q_tpch_q20,
@@ -3352,6 +3388,26 @@ def oracle_sql() -> dict[str, str]:
             "and o_orderdate >= timestamp '1996-01-01' "
             "and o_orderdate < timestamp '1998-01-01') all_nations "
             "group by o_year"
+        ),
+        "normalized_dedup": (
+            # same planted variants + the same fold→lower→punct→ws
+            # normalization chain (note DuckDB regexp_replace needs the
+            # explicit 'g' flag Spark applies implicitly)
+            "with b as (select doc_id, text from documents "
+            "union all select doc_id + 100000, upper(text) "
+            "from documents where doc_id % 3 = 0 "
+            "union all select doc_id + 200000, "
+            "'  ' || replace(text, 'a', 'á') || '  !!' "
+            "from documents where doc_id % 5 = 0), "
+            "k as (select doc_id, md5(trim(regexp_replace("
+            "regexp_replace(lower(translate(text, "
+            "'àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇšžŠŽ', "
+            "'aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNCszSZ')), "
+            "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) as nkey "
+            "from b) "
+            "select nkey, count(*)::bigint as n, "
+            "string_agg(doc_id, ',' order by doc_id) as members "
+            "from k group by nkey having count(*) > 1"
         ),
         "image_dhash": (
             # closed-form twin of the two-tone fixture: per row the only

@@ -49,6 +49,10 @@ __all__ = [
     "decontaminate_filter",
     "gopher_quality_flags",
     "pretoken_count",
+    "normalize_text",
+    "normalized_dedup_key",
+    "ACCENT_FOLD_SRC",
+    "ACCENT_FOLD_DST",
     "BPE_PRETOKEN_PATTERN",
     "c4_clean",
     "GOPHER_REQUIRED_STOPWORDS",
@@ -1027,3 +1031,52 @@ def pretoken_count(text) -> Column:
     return F.size(
         F.regexp_extract_all(_col(text), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
     )
+
+
+#: Accented → ASCII fold table for :func:`normalize_text` — an explicit
+#: Latin-1/Latin-Extended mapping (both engines apply it via translate,
+#: so the fold is byte-identical everywhere; a full ICU/NFKC pass needs
+#: a library neither the JVM expression tier nor the SQL oracles share).
+ACCENT_FOLD_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇšžŠŽ"
+ACCENT_FOLD_DST = "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNCszSZ"
+
+
+def normalize_text(
+    text,
+    *,
+    casefold: bool = True,
+    strip_accents: bool = True,
+    strip_punct: bool = True,
+    collapse_ws: bool = True,
+) -> Column:
+    """CCNet-style text normalization for dedup keys: lowercase, fold
+    accents (explicit :data:`ACCENT_FOLD_SRC` translate table), strip
+    punctuation/symbols (anything outside ``[a-z0-9\\s]`` after the
+    fold), collapse whitespace runs to single spaces and trim. Two
+    documents differing only in case, accents, punctuation, or spacing
+    normalize to the same string — hash THIS, not the raw text, before
+    exact dedup (CCNet dedups on normalized-paragraph hashes for
+    exactly this reason).
+
+    Pure Column expressions (lower/translate/regexp_replace/trim) —
+    scan speed, no shuffle, no Python."""
+    t = _col(text)
+    # fold BEFORE casefolding so uppercase accents map through their
+    # uppercase ASCII targets (order mirrored in the SQL oracles)
+    if strip_accents:
+        t = F.translate(t, ACCENT_FOLD_SRC, ACCENT_FOLD_DST)
+    if casefold:
+        t = F.lower(t)
+    if strip_punct:
+        keep = r"[^a-z0-9\s]" if casefold else r"[^A-Za-z0-9\s]"
+        t = F.regexp_replace(t, keep, " ")
+    if collapse_ws:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def normalized_dedup_key(text) -> Column:
+    """md5 of the normalized text — the 32-byte exact-dedup shuffle key
+    (digest, not payload: the exchange carries 32 bytes/row however
+    large the document is)."""
+    return F.md5(normalize_text(text))

@@ -1484,3 +1484,47 @@ class TestImageDhash:
     def _np_ppm(self, arr):
         h, w, _ = arr.shape
         return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+class TestNormalizeText:
+    def _n(self, spark, txt, **kw):
+        df = spark.createDataFrame([(txt,)], "t string")
+        return df.select(text.normalize_text("t", **kw).alias("n")).collect()[0].n
+
+    def test_variants_converge(self, spark):
+        base = "Crème Brûlée, s'il vous plaît!"
+        variants = [
+            "creme brulee s il vous plait",
+            "  CRÈME   BRÛLÉE -- s'il vous PLAÎT??  ",
+            "creme,brulee;s il.vous:plait",
+        ]
+        want = self._n(spark, base)
+        assert want == "creme brulee s il vous plait"
+        for v in variants:
+            assert self._n(spark, v) == want, v
+
+    def test_toggles(self, spark):
+        assert self._n(spark, "AbC", casefold=False) == "AbC"
+        assert (
+            self._n(spark, "a-b", strip_punct=False, collapse_ws=False)
+            == "a-b"
+        )
+        assert self._n(spark, "é", strip_accents=False) == ""  # é is punct-class
+        assert self._n(spark, None) is None
+
+    def test_dedup_key_groups_variants(self, spark):
+        rows = [
+            (1, "Hello, World!"),
+            (2, "  hello   world  "),
+            (3, "héllo wörld"),
+            (4, "different text"),
+        ]
+        df = spark.createDataFrame(rows, "id long, t string")
+        keys = {
+            r.id: r.k
+            for r in df.select(
+                "id", text.normalized_dedup_key("t").alias("k")
+            ).collect()
+        }
+        assert keys[1] == keys[2] == keys[3]
+        assert keys[4] != keys[1]
