@@ -48,6 +48,18 @@ SCRIPT = textwrap.dedent(
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     out = multimodal.extract_video_features(media, every_ms=1000).collect()
     assert len(out) == 1 and out[0].features is not None, out
+    # mapInPandas Misra-Gries path (sketch by value)
+    from datafusion_functions_json_spark.operators import sketch
+    items = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)], ["item"]
+    )
+    hh = sketch.heavy_hitters(items, "item", 2, capacity=2).collect()
+    assert [(r.item, r.cnt) for r in hh] == [("a", 5), ("b", 2)], hh
+    # mapInPandas dHash path (multimodal by value, numpy kernel)
+    ppm = b"P6\\n4 4\\n255\\n" + bytes([10] * 24 + [200] * 24)
+    img = spark.createDataFrame([(1, bytearray(ppm))], "media_id long, payload binary")
+    dh = multimodal.image_dhash(img).collect()
+    assert dh[0].dhash is not None, dh
     print("FOREIGN_CWD_OK")
     """
 )
