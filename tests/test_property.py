@@ -279,3 +279,34 @@ def _pretoken_con():
 
         _PRETOKEN_CON = duckdb.connect()
         return _PRETOKEN_CON
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    txt=st.text(
+        alphabet="aA zZ09 é Àñ.,;—'…#\n\t!-",
+        max_size=50,
+    )
+)
+def test_normalize_text_portable(txt):
+    """normalize_text's fold→lower→punct→ws chain must produce identical
+    strings under DuckDB's translate/lower/regexp_replace — the oracle
+    twin's exact recipe."""
+    from datafusion_functions_json_spark.operators.text import (
+        ACCENT_FOLD_DST,
+        ACCENT_FOLD_SRC,
+    )
+
+    con = _pretoken_con()
+    duck = con.execute(
+        "select trim(regexp_replace(regexp_replace(lower(translate(?, ?, ?)),"
+        " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))",
+        [txt, ACCENT_FOLD_SRC, ACCENT_FOLD_DST],
+    ).fetchone()[0]
+    # python recomputation of the same chain (re module ~ Java regex)
+    import re
+
+    py = txt.translate(str.maketrans(ACCENT_FOLD_SRC, ACCENT_FOLD_DST)).lower()
+    py = re.sub(r"[^a-z0-9\s]", " ", py)
+    py = re.sub(r"\s+", " ", py).strip()
+    assert py == duck, repr(txt)
