@@ -1010,6 +1010,24 @@ def _q_top_tokens(spark, sf_dir):
     )
 
 
+def _q_curriculum(spark, sf_dir):
+    # short→long length curriculum: exact global position by
+    # (token count, doc_id) WITHOUT a global sort — fixed-width
+    # buckets rank in parallel, a 64-row offset table broadcasts back.
+    # The oracle is the single-partition row_number the operator must
+    # equal exactly.
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    return split_ops.curriculum_rank(
+        scored, "doc_id", F.col("n_tokens").cast("double"),
+        n_buckets=16, lo=0.0, hi=128.0,
+    ).select("doc_id", "n_tokens", "curriculum_rank")
+
+
 def _q_pretoken_count(spark, sf_dir):
     # BPE pre-tokenizer segment count next to the whitespace count —
     # the two deterministic brackets of a token budget; punctuation is
@@ -2775,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         "temperature_sample": _q_temperature_sample,
         "pretoken_count": _q_pretoken_count,
+        "curriculum": _q_curriculum,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -3339,6 +3358,12 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "curriculum": (
+            f"with s as (select doc_id, len({_TOKENS_SQL})::int as "
+            "n_tokens from documents) "
+            "select doc_id, n_tokens, row_number() over ("
+            "order by n_tokens, doc_id)::bigint as curriculum_rank from s"
         ),
         "pretoken_count": (
             # same planted punctuation; the pattern sits in the

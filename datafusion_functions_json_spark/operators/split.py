@@ -33,6 +33,7 @@ __all__ = [
     "pack_batches",
     "stratified_sample",
     "temperature_sample",
+    "curriculum_rank",
     "weighted_sample",
 ]
 
@@ -364,4 +365,63 @@ def temperature_sample(
         )
         .filter(F.col("_rank") <= F.col("_target"))
         .drop("_rank", "_src", "_target")
+    )
+
+
+def curriculum_rank(
+    df: DataFrame,
+    id_col: str,
+    score_col,
+    *,
+    n_buckets: int = 64,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    out_col: str = "curriculum_rank",
+) -> DataFrame:
+    """Global 1-based curriculum position by ``(score, id)`` WITHOUT a
+    global sort: the total order a curriculum schedule needs (easy →
+    hard), built scale-first.
+
+    A naive ``row_number() over (order by score)`` moves every row
+    through ONE partition — the classic 100 TB bottleneck. Instead:
+
+    1. rows bucket by fixed-width score range (``[lo, hi)`` split into
+       ``n_buckets``; out-of-range clamps to the edge buckets) — a pure
+       projection;
+    2. each bucket ranks independently (window partitioned BY bucket —
+       parallel across buckets);
+    3. bucket sizes (an ``n_buckets``-row aggregate) turn into
+       cumulative offsets with one tiny window, broadcast back;
+    4. global position = bucket offset + within-bucket rank.
+
+    Equals the single-partition ``row_number`` exactly (ties broken by
+    id) at any partitioning. Bucket skew is score-distribution skew:
+    pick ``n_buckets``/bounds so no single score range holds a
+    disproportionate mass, or pre-transform the score."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    bucket = F.least(
+        F.greatest(
+            F.floor((s - F.lit(float(lo))) / F.lit(float(hi - lo)) * n_buckets),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(int(n_buckets) - 1).cast("bigint"),
+    )
+    b = df.withColumn("_bkt", bucket).withColumn("_s", s.cast("double"))
+    w = Window.partitionBy("_bkt").orderBy(F.col("_s").asc(), F.col(id_col).asc())
+    ranked = b.withColumn("_r", F.row_number().over(w))
+    sizes = b.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    off_w = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0))
+    ).select("_bkt", "_off")
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, (F.col("_off") + F.col("_r")).cast("bigint"))
+        .drop("_bkt", "_s", "_r", "_off")
     )

@@ -1528,3 +1528,40 @@ class TestNormalizeText:
         }
         assert keys[1] == keys[2] == keys[3]
         assert keys[4] != keys[1]
+
+
+class TestCurriculumRank:
+    def test_equals_global_row_number(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [(i, rng.uniform(-0.2, 1.3)) for i in range(500)]  # incl. out-of-range
+        df = spark.createDataFrame(rows, "id long, s double").repartition(7)
+        got = {
+            r.id: r.curriculum_rank
+            for r in split.curriculum_rank(
+                df, "id", "s", n_buckets=8
+            ).collect()
+        }
+        want = {
+            i: rk + 1
+            for rk, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+        }
+        assert got == want
+
+    def test_ties_break_by_id(self, spark):
+        df = spark.createDataFrame(
+            [(3, 0.5), (1, 0.5), (2, 0.5)], "id long, s double"
+        )
+        got = {
+            r.id: r.curriculum_rank
+            for r in split.curriculum_rank(df, "id", "s", n_buckets=4).collect()
+        }
+        assert got == {1: 1, 2: 2, 3: 3}
+
+    def test_errors(self, spark):
+        df = spark.createDataFrame([(1, 0.5)], "id long, s double")
+        with pytest.raises(ValueError):
+            split.curriculum_rank(df, "id", "s", n_buckets=0)
+        with pytest.raises(ValueError):
+            split.curriculum_rank(df, "id", "s", lo=1.0, hi=1.0)
