@@ -1010,6 +1010,22 @@ def _q_top_tokens(spark, sf_dir):
     )
 
 
+def _q_top_ngram(spark, sf_dir):
+    # Gopher's within-doc top-bigram character fraction; a planted
+    # repeated phrase (mod 4) pushes the fraction toward 1 so the
+    # signal is falsifiable in both directions (the small synthetic
+    # vocabulary gives natural repeats a spread of low values)
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+        F.concat(F.col("text"), F.lit(" click here now" * 8)),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        text.top_ngram_char_fraction(planted, n=2).alias("top2gram_frac"),
+    )
+
+
 def _q_curriculum(spark, sf_dir):
     # short→long length curriculum: exact global position by
     # (token count, doc_id) WITHOUT a global sort — fixed-width
@@ -2794,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "pretoken_count": _q_pretoken_count,
         "curriculum": _q_curriculum,
+        "top_ngram": _q_top_ngram,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -3358,6 +3375,31 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "top_ngram": (
+            # same planted phrase; (count, gram) struct max mirrors the
+            # Spark tie-break; covered chars = cnt * (len(gram) - 1)
+            # (one joiner space per bigram)
+            "with p as (select doc_id, case when doc_id % 4 = 0 then "
+            "text || ' click here now click here now click here now "
+            "click here now click here now click here now click here "
+            "now click here now' else text end as t from documents), "
+            "w as (select doc_id, list_filter(regexp_split_to_array("
+            "trim(t), '\\s+'), x -> x != '') as toks from p), "
+            "ex as (select doc_id, unnest(list_transform("
+            "generate_series(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i + 1])) as gram "
+            "from w where len(toks) >= 2), "
+            "c as (select doc_id, gram, count(*) as cnt from ex "
+            "group by doc_id, gram), "
+            "best as (select doc_id, cnt, gram from (select doc_id, cnt, "
+            "gram, row_number() over (partition by doc_id "
+            "order by cnt desc, gram desc) as rn from c) where rn = 1) "
+            "select w.doc_id, case when len(w.toks) < 2 then 0.0 else "
+            "round(best.cnt * (length(best.gram) - 1) / greatest("
+            "coalesce(list_sum(list_transform(w.toks, x -> length(x))), "
+            "0), 1), 6) end as top2gram_frac "
+            "from w left join best using (doc_id)"
         ),
         "curriculum": (
             f"with s as (select doc_id, len({_TOKENS_SQL})::int as "

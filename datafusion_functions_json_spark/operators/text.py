@@ -50,6 +50,7 @@ __all__ = [
     "gopher_quality_flags",
     "pretoken_count",
     "normalize_text",
+    "top_ngram_char_fraction",
     "normalized_dedup_key",
     "ACCENT_FOLD_SRC",
     "ACCENT_FOLD_DST",
@@ -1080,3 +1081,65 @@ def normalized_dedup_key(text) -> Column:
     (digest, not payload: the exchange carries 32 bytes/row however
     large the document is)."""
     return F.md5(normalize_text(text))
+
+
+def top_ngram_char_fraction(text, n: int = 2) -> Column:
+    """Gopher's within-document n-gram repetition signal (Rae et al.
+    2021 A1.1): the fraction of (non-space token) characters covered by
+    occurrences of the single most frequent word n-gram — boilerplate
+    and template spam repeat short phrases and score high; clean prose
+    scores near n/word_count. Returns NULL for NULL text, 0.0 when the
+    document has fewer than ``n`` tokens.
+
+    Most-frequent is (count, gram) lexicographic max, so ties break on
+    the later gram deterministically on every engine. Pure Column
+    expressions — one array_sort + one linear fold per document
+    (O(m log m)), embarrassingly parallel, no shuffle."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens(text)
+    m = F.size(toks)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(0), m - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # sorted run-length fold: O(m log m) instead of the O(m²)
+    # count-each-distinct-gram scan — equal runs are adjacent after
+    # array_sort, so one aggregate pass tracks (current run, best)
+    sorted_g = F.array_sort(grams)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("cnt"),
+        F.lit("").alias("gram"),
+    )
+
+    def _step(acc, x):
+        run_new = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = (run_new > acc["cnt"]) | (
+            (run_new == acc["cnt"]) & (x >= acc["gram"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.when(better, run_new).otherwise(acc["cnt"]).alias("cnt"),
+            F.when(better, x).otherwise(acc["gram"]).alias("gram"),
+        )
+
+    best = F.aggregate(sorted_g, zero, _step)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    covered = best["cnt"] * (
+        F.length(best["gram"]) - F.lit(int(n) - 1)
+    )
+    return (
+        F.when(_col(text).isNull(), F.lit(None).cast("double"))
+        .when(m < n, F.lit(0.0))
+        .otherwise(F.round(covered / F.greatest(total_chars, F.lit(1)), 6))
+    )

@@ -1565,3 +1565,48 @@ class TestCurriculumRank:
             split.curriculum_rank(df, "id", "s", n_buckets=0)
         with pytest.raises(ValueError):
             split.curriculum_rank(df, "id", "s", lo=1.0, hi=1.0)
+
+
+class TestTopNgramFraction:
+    def _f(self, spark, txt, n=2):
+        df = spark.createDataFrame([(txt,)], "t string")
+        return df.select(
+            text.top_ngram_char_fraction("t", n=n).alias("f")
+        ).collect()[0].f
+
+    def test_known_values(self, spark):
+        # "a b a b a": bigrams [a b, b a, a b, b a]; top = "b a" (tie,
+        # later gram); covered = 2*2 = 4 chars of 5 token chars
+        assert self._f(spark, "a b a b a") == round(4 / 5, 6)
+        # all-distinct bigrams: top count 1
+        assert self._f(spark, "q w e r t") == round(2 / 5, 6)
+        # repeated phrase dominates
+        assert self._f(spark, "x y " * 10) == 1.0
+
+    def test_edges(self, spark):
+        assert self._f(spark, "one") == 0.0
+        assert self._f(spark, "") == 0.0
+        df = spark.createDataFrame([(None,)], "t string")
+        assert df.select(
+            text.top_ngram_char_fraction("t").alias("f")
+        ).collect()[0].f is None
+        with pytest.raises(ValueError):
+            text.top_ngram_char_fraction("t", n=0)
+
+    def test_matches_python(self, spark, documents):
+        from collections import Counter
+
+        rows = documents.select(
+            "text", text.top_ngram_char_fraction("text", n=3).alias("f")
+        ).take(30)
+        for r in rows:
+            toks = r.text.split()
+            grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+            if len(toks) < 3:
+                assert r.f == 0.0
+                continue
+            cnt = Counter(grams)
+            best = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+            covered = best[1] * (len(best[0]) - 2)
+            want = round(covered / max(sum(map(len, toks)), 1), 6)
+            assert r.f == want, r.text
