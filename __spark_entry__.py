@@ -1010,6 +1010,20 @@ def _q_top_tokens(spark, sf_dir):
     )
 
 
+def _q_quality_classifier(spark, sf_dir):
+    # linear (fastText-shape) quality classifier: sigmoid over the
+    # 6-feature quality vector with the default hand-set coefficients;
+    # the oracle recomputes every feature and the sigmoid (round-6
+    # collapses libm exp last-ulp differences)
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(
+            text.quality_classifier_score(F.col("text")), 6
+        ).alias("clf_score"),
+    )
+
+
 def _q_top_ngram(spark, sf_dir):
     # Gopher's within-doc top-bigram character fraction; a planted
     # repeated phrase (mod 4) pushes the fraction toward 1 so the
@@ -2811,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretoken_count": _q_pretoken_count,
         "curriculum": _q_curriculum,
         "top_ngram": _q_top_ngram,
+        "quality_classifier": _q_quality_classifier,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -3375,6 +3390,29 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "quality_classifier": (
+            # full feature-vector + sigmoid mirror of
+            # text.quality_classifier_score's defaults
+            "with f as (select doc_id, length(text) as n_chars, "
+            f"len({_TOKENS_SQL}) as n_tokens, "
+            f"len(list_distinct({_TOKENS_SQL})) as n_distinct, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as n_alpha, "
+            "length(regexp_replace(text, "
+            "'[^.,;:!?''\"()\\[\\]{}-]', '', 'g')) as n_punct, "
+            "len(list_intersect(list_distinct(list_filter("
+            "regexp_split_to_array(trim(lower(text)), '\\s+'), "
+            f"t -> t != '')), {_STOP_SQL['en']})) as n_stop "
+            "from documents), "
+            "z as (select doc_id, -3.0 "
+            "+ 0.4 * ln(1 + n_tokens) "
+            "+ 0.1 * (n_chars / greatest(n_tokens, 1)) "
+            "+ 2.0 * (n_alpha / greatest(n_chars, 1)) "
+            "- 1.0 * (n_punct / greatest(n_chars, 1)) "
+            "+ 1.5 * (n_stop / greatest(n_tokens, 1)) "
+            "+ 1.0 * (n_distinct / greatest(n_tokens, 1)) as zz from f) "
+            "select doc_id, round(1.0 / (1.0 + exp(-zz)), 6) as clf_score "
+            "from z"
         ),
         "top_ngram": (
             # same planted phrase; (count, gram) struct max mirrors the

@@ -31,6 +31,8 @@ __all__ = [
     "lang_id",
     "quality_features",
     "quality_score",
+    "quality_classifier_score",
+    "QUALITY_CLASSIFIER_WEIGHTS",
     "fingerprint",
     "redact_pii",
     "pii_counts",
@@ -1143,3 +1145,41 @@ def top_ngram_char_fraction(text, n: int = 2) -> Column:
         .when(m < n, F.lit(0.0))
         .otherwise(F.round(covered / F.greatest(total_chars, F.lit(1)), 6))
     )
+
+
+#: Default weights for :func:`quality_classifier_score` over the feature
+#: vector (ln(1+n_tokens), mean_token_len, alpha_ratio, punct_ratio,
+#: stopword_ratio, distinct_ratio) — hand-set to prefer long, alphabetic,
+#: stopword-bearing, lexically diverse prose. A production pipeline
+#: replaces these with trained logistic-regression coefficients; the
+#: operator shape (linear scorer at scan speed) is the point.
+QUALITY_CLASSIFIER_WEIGHTS = (0.4, 0.1, 2.0, -1.0, 1.5, 1.0)
+
+
+def quality_classifier_score(
+    text,
+    *,
+    weights: tuple = QUALITY_CLASSIFIER_WEIGHTS,
+    bias: float = -3.0,
+) -> Column:
+    """fastText-style linear quality classifier: sigmoid(w · x + b)
+    over the :func:`quality_features` vector — the "model-based quality
+    scoring" rung above the rule gates (think a logistic regression
+    trained on wiki-vs-crawl labels; plug its coefficients in via
+    ``weights``/``bias``). Pure Column expressions, scan speed, no
+    Python, no shuffle; scores in (0, 1)."""
+    if len(weights) != 6:
+        raise ValueError("weights must have 6 entries")
+    q = quality_features(text)
+    x = [
+        F.log1p(q["n_tokens"].cast("double")),
+        q["mean_token_len"],
+        q["alpha_ratio"],
+        q["punct_ratio"],
+        q["stopword_ratio"],
+        q["distinct_ratio"],
+    ]
+    z = F.lit(float(bias))
+    for w, f in zip(weights, x):
+        z = z + F.lit(float(w)) * f
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -1610,3 +1610,33 @@ class TestTopNgramFraction:
             covered = best[1] * (len(best[0]) - 2)
             want = round(covered / max(sum(map(len, toks)), 1), 6)
             assert r.f == want, r.text
+
+
+class TestQualityClassifier:
+    def test_ranks_prose_above_junk(self, spark):
+        rows = [
+            (1, "The quick brown fox jumps over the lazy dog and it is a "
+                "fine day for everyone in the meadow to be happy."),
+            (2, "$$$ ### ;;; ,,, !!! ??? %%% @@@ ^^^ &&&"),
+            (3, "a a a a a a a a a a a a a a a a"),
+        ]
+        df = spark.createDataFrame(rows, "id long, t string")
+        got = {
+            r.id: r.s
+            for r in df.select(
+                "id", text.quality_classifier_score("t").alias("s")
+            ).collect()
+        }
+        assert got[1] > got[2] and got[1] > got[3]
+        assert all(0.0 < v < 1.0 for v in got.values())
+
+    def test_custom_weights_and_errors(self, spark):
+        df = spark.createDataFrame([("hello there",)], "t string")
+        zero = df.select(
+            text.quality_classifier_score(
+                "t", weights=(0,) * 6, bias=0.0
+            ).alias("s")
+        ).collect()[0].s
+        assert zero == 0.5
+        with pytest.raises(ValueError):
+            text.quality_classifier_score("t", weights=(1.0,))
