@@ -1010,6 +1010,34 @@ def _q_top_tokens(spark, sf_dir):
     )
 
 
+def _q_fuzzy_decontam(spark, sf_dir):
+    # fuzzy benchmark decontamination, zero-miss gated: every doc_id%20
+    # slice doc is "benchmark"; near-copies (one appended token — char-5
+    # shingle Jaccard ~0.98) planted under +500000 ids MUST all be
+    # removed. The oracle pins (n_planted, planted_survivors) = (25, 0):
+    # a banding or verification regression makes survivors > 0 and
+    # hash-fails the row. Natural-doc survival is minhash-dependent and
+    # deliberately excluded from the hashed output.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+    planted = bench.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    out = dedup.fuzzy_decontaminate(
+        train.unionByName(planted), "doc_id", "text", bench,
+        threshold=0.7,
+    )
+    n_planted = bench.count()
+    return out.agg(
+        F.lit(int(n_planted)).cast("bigint").alias("n_planted"),
+        F.sum(
+            F.when(F.col("doc_id") >= 500000, 1).otherwise(0)
+        ).alias("planted_survivors"),
+    )
+
+
 def _q_quality_classifier(spark, sf_dir):
     # linear (fastText-shape) quality classifier: sigmoid over the
     # 6-feature quality vector with the default hand-set coefficients;
@@ -2826,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": _q_curriculum,
         "top_ngram": _q_top_ngram,
         "quality_classifier": _q_quality_classifier,
+        "fuzzy_decontam": _q_fuzzy_decontam,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -3390,6 +3419,11 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "fuzzy_decontam": (
+            # zero-miss pin: every planted near-copy must be dropped
+            "select (select count(*) from documents where doc_id % 20 = 0)"
+            "::bigint as n_planted, 0::bigint as planted_survivors"
         ),
         "quality_classifier": (
             # full feature-vector + sigmoid mirror of

@@ -39,6 +39,7 @@ __all__ = [
     "minhash_index",
     "minhash_dup_pairs_against",
     "minhash_dedup",
+    "fuzzy_decontaminate",
     "simhash",
     "simhash_dup_pairs",
     "jaccard_tokens",
@@ -734,3 +735,60 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def fuzzy_decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "char",
+    n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: drop training documents whose
+    MinHash Jaccard against ANY benchmark document reaches
+    ``threshold`` — the near-duplicate rung above the exact-n-gram
+    :func:`~..text.decontaminate` (paraphrased or lightly edited eval
+    leakage survives exact n-gram checks; it does not survive a 0.7
+    Jaccard gate).
+
+    Plan shape: benchmark → :func:`minhash_index` (benchmarks are
+    small — MBs of signatures); train batch pays one signature pass;
+    candidates meet in the banded equi-join of
+    :func:`minhash_dup_pairs_against`; contaminated ids anti-join back
+    against the input. At 100 TB the train side is never shuffled by
+    content — only (band, id) pairs move."""
+    bench_text = bench_text_col or text_col
+    idx = minhash_index(
+        benchmark.select(
+            F.col(bench_id_col).alias("doc_id"),
+            F.col(bench_text).alias("text"),
+        ),
+        "doc_id",
+        "text",
+        num_perm=num_perm,
+        seed=seed,
+        mode=mode,
+        n=n,
+    )
+    hits = minhash_dup_pairs_against(
+        df.select(F.col(id_col), F.col(text_col)),
+        idx,
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        bands=bands,
+        seed=seed,
+        mode=mode,
+        n=n,
+        threshold=threshold,
+    )
+    contaminated = hits.select(F.col("new_id").alias(id_col)).distinct()
+    return df.join(contaminated, id_col, "left_anti")

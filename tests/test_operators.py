@@ -1640,3 +1640,33 @@ class TestQualityClassifier:
         assert zero == 0.5
         with pytest.raises(ValueError):
             text.quality_classifier_score("t", weights=(1.0,))
+
+
+class TestFuzzyDecontaminate:
+    def test_drops_near_copies_keeps_disjoint(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the secret benchmark question about gravity waves")],
+            "doc_id bigint, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "the secret benchmark question about gravity waves!"),
+                (2, "entirely unrelated cooking recipe with pasta and basil"),
+                (3, "the secret benchmark question about gravity waves and more"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = dedup.fuzzy_decontaminate(
+            train, "doc_id", "text", bench, threshold=0.6
+        )
+        assert sorted(r.doc_id for r in out.collect()) == [2]
+
+    def test_mismatched_family_rejected(self, spark):
+        bench = spark.createDataFrame(
+            [(1, "abc def ghi jkl")], "doc_id bigint, text string"
+        )
+        idx = dedup.minhash_index(bench, "doc_id", "text", num_perm=32)
+        with pytest.raises(ValueError):
+            dedup.minhash_dup_pairs_against(
+                bench, idx, "doc_id", "text", num_perm=64
+            )
