@@ -64,7 +64,7 @@ from .functions.api import (
     json_union_to_text,
     scalar_to_json,
 )
-from .register import register_all, register_native
+from .register import register_all, register_native, register_pipeline
 from .sql import rewrite_sql, sql
 from .union import UNION_DDL, UNION_SCHEMA, format_union_value
 
@@ -91,6 +91,7 @@ __all__ = [
     "json_extract_multi",
     "register_all",
     "register_native",
+    "register_pipeline",
     "rewrite_sql",
     "sql",
     "UNION_SCHEMA",

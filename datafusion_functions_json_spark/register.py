@@ -42,7 +42,7 @@ from .functions import kernels, udfs
 from .functions.udfs import RETURN_TYPES
 from .union import UNION_DDL
 
-__all__ = ["register_all", "register_native"]
+__all__ = ["register_all", "register_native", "register_pipeline"]
 
 _SQL_KERNELS = {
     "json_get": kernels.kernel_json_get,
@@ -366,4 +366,83 @@ def register_native(spark: SparkSession) -> None:
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(j STRING, k STRING) "
             f"RETURNS {ret} RETURN " + body.format(p=f"({guard})")
+        )
+
+
+def _pipeline_sql_bodies() -> dict:
+    """SQL bodies for :func:`register_pipeline`, built from the same
+    constants as the Column API (operators/text.py) so the two surfaces
+    cannot drift independently. Bodies are single expressions (Spark
+    SQL UDFs take one RETURN expression, no CTEs) — shared
+    sub-expressions repeat textually; Catalyst's subexpression
+    elimination handles the rest."""
+    from .operators import text as _t
+
+    toks = "filter(split(trim(t), '\\\\s+'), x -> x != '')"
+    ltoks = "filter(split(trim(lower(t)), '\\\\s+'), x -> x != '')"
+    ntok = f"size({toks})"
+    safe_tok = f"greatest({ntok}, 1)"
+    nchars = "length(t)"
+    mean_len = f"({nchars} / {safe_tok})"
+    alpha = f"(length(regexp_replace(t, '[^A-Za-z]', '')) / greatest({nchars}, 1))"
+    distinct_r = f"(size(array_distinct({toks})) / {safe_tok})"
+
+    def stop_hits(lang):
+        lst = ", ".join(f"'{w}'" for w in _t.STOPWORDS[lang])
+        return (
+            f"size(array_intersect(array_distinct({ltoks}), array({lst})))"
+        )
+
+    lang_structs = ", ".join(
+        f"named_struct('hits', {stop_hits(lang)}, 'lang', '{lang}')"
+        for lang in sorted(_t.STOPWORDS)
+    )
+    lang_best = f"array_max(filter(array({lang_structs}), s -> s.hits > 0))"
+    accent_src = _t.ACCENT_FOLD_SRC.replace("'", "''")
+    accent_dst = _t.ACCENT_FOLD_DST.replace("'", "''")
+    normalize = (
+        "trim(regexp_replace(regexp_replace(lower(translate(t, "
+        f"'{accent_src}', '{accent_dst}')), '[^a-z0-9\\\\s]', ' '), "
+        "'\\\\s+', ' '))"
+    )
+    pretoken = _t.BPE_PRETOKEN_PATTERN.replace("\\", "\\\\").replace("'", "''")
+    quality = (
+        "round("
+        f"0.3 * (CASE WHEN {ntok} >= 10 AND {ntok} <= 100000 THEN 1.0 ELSE 0.0 END) "
+        f"+ 0.2 * (CASE WHEN {mean_len} >= 2.0 AND {mean_len} <= 12.0 THEN 1.0 ELSE 0.0 END) "
+        f"+ 0.3 * least({alpha} * 1.25, 1.0) "
+        f"+ 0.2 * least({distinct_r} * 2.0, 1.0), 6)"
+    )
+    return {
+        "text_token_count": ("INT", f"CAST({ntok} AS INT)"),
+        "text_pretoken_count": (
+            "INT",
+            f"CAST(size(regexp_extract_all(t, '{pretoken}', 0)) AS INT)",
+        ),
+        "text_normalize": ("STRING", normalize),
+        "text_lang_id": (
+            "STRING",
+            f"CASE WHEN ({lang_best}) IS NULL THEN 'und' "
+            f"ELSE ({lang_best}).lang END",
+        ),
+        "text_quality_score": ("DOUBLE", quality),
+    }
+
+
+def register_pipeline(spark: SparkSession) -> None:
+    """Register the scan-speed pipeline text functions for SQL users as
+    Spark 4 SQL UDFs (Catalyst-inlined, zero Python): ``SELECT
+    text_lang_id(text), text_quality_score(text) FROM docs``.
+
+    Surface: ``text_token_count``, ``text_pretoken_count``,
+    ``text_normalize``, ``text_lang_id``, ``text_quality_score`` — each
+    pinned equivalent to its Column-API twin by
+    tests/test_sql.py::TestRegisterPipeline over the shared testdata.
+    The heavier operators (gopher flags, c4_clean, classifiers) stay
+    DataFrame-level: their struct outputs and kwargs don't fit a
+    fixed-signature scalar SQL UDF."""
+    for name, (ret, body) in _pipeline_sql_bodies().items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(t STRING) "
+            f"RETURNS {ret} RETURN {body}"
         )

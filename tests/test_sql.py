@@ -159,3 +159,47 @@ class TestSqlPlanErrors:
             "select json_get_int(json_data, str_key) v from other"
         ).collect()
         assert any(r.v is not None for r in rows)
+
+
+class TestRegisterPipeline:
+    """The SQL-UDF pipeline surface must be value-identical to the
+    Column API over the shared testdata."""
+
+    def test_equivalent_to_column_api(self, spark):
+        from pyspark.sql import functions as F
+
+        from datafusion_functions_json_spark.operators import text
+        from datafusion_functions_json_spark.register import register_pipeline
+        from datafusion_functions_json_spark.sources import load_table
+
+        register_pipeline(spark)
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        docs.createOrReplaceTempView("_rp_docs")
+        sql_out = spark.sql(
+            "select doc_id, text_token_count(text) tc, "
+            "text_pretoken_count(text) pc, text_normalize(text) nz, "
+            "text_lang_id(text) li, text_quality_score(text) qs "
+            "from _rp_docs"
+        )
+        col_out = docs.select(
+            "doc_id",
+            text.token_count("text").alias("tc"),
+            text.pretoken_count("text").alias("pc"),
+            text.normalize_text("text").alias("nz"),
+            text.lang_id("text").alias("li"),
+            F.round(text.quality_score("text"), 6).alias("qs"),
+        )
+        a = {r.doc_id: r[1:] for r in sql_out.collect()}
+        b = {r.doc_id: r[1:] for r in col_out.collect()}
+        assert a == b
+
+    def test_inlined_no_python(self, spark):
+        from datafusion_functions_json_spark.register import register_pipeline
+
+        register_pipeline(spark)
+        df = spark.sql(
+            "select text_lang_id('the cat is on the mat and it is fine') as l"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert df.collect()[0].l == "en"
