@@ -21,6 +21,7 @@ __all__ = [
     "windowed_json_counts",
     "enrich_stream",
     "curate_stream",
+    "contamination_alerts",
     "dedup_stream",
     "sessionize",
     "sessionize_batch",
@@ -426,3 +427,91 @@ def curate_stream(
             .drop("_c4")
         )
     return out
+
+
+def contamination_alerts(
+    stream: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_index: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "char",
+    n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Live benchmark-contamination monitor: MinHash-match incoming
+    documents against a STATIC :func:`~..operators.dedup.minhash_index`
+    of the eval benchmarks and emit ``(id, bench_id, jaccard)`` alerts.
+
+    Streaming-safe by construction — every step is stateless: the
+    signature is a per-row projection, the band fan-out an explode, and
+    the candidate meet a stream-static inner join (no state store, no
+    watermark). The stream side CARRIES its hash set through the band
+    join instead of joining it back by id (the batch variant's
+    join-back would be a stream-stream join); verification happens on
+    the joined row. Consequence: a pair colliding in k bands alerts k
+    times — downstream dedup (or the batch
+    :func:`~..operators.dedup.fuzzy_decontaminate` in ``foreachBatch``
+    for corpus filtering) is the caller's choice.
+
+    The index's permutation-family metadata is validated like the batch
+    path: mismatched num_perm/seed/mode/n raises instead of silently
+    losing recall.
+    """
+    from ..operators import dedup as dd
+
+    rows = dd._band_rows(num_perm, bands)
+    try:
+        idx_meta = dict(benchmark_index.schema["sig"].metadata or {})
+    except (KeyError, TypeError):
+        idx_meta = {}
+    want = {"num_perm": num_perm, "seed": seed, "mode": mode, "n": n}
+    mismatch = {
+        k: (idx_meta[k], v)
+        for k, v in want.items()
+        if k in idx_meta and idx_meta[k] != v
+    }
+    if mismatch:
+        detail = ", ".join(
+            f"{k}: index={a!r} vs requested={b!r}"
+            for k, (a, b) in sorted(mismatch.items())
+        )
+        raise ValueError(
+            "minhash index was built under a different permutation family "
+            f"({detail}); signatures are not comparable — rebuild the index "
+            "or match its parameters"
+        )
+    sig = dd._signature_with_hashes(
+        text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
+    )
+    s = (
+        stream.withColumn("_s", sig)
+        .filter(F.col("_s.sig").isNotNull())
+        .withColumn(
+            "_band",
+            F.explode(dd.lsh_bands(F.col("_s.sig"), bands=bands, rows=rows)),
+        )
+        .select(F.col(id_col), F.col("_s.hashes").alias("_ha"), "_band")
+    )
+    ib = (
+        benchmark_index.withColumn(
+            "_band",
+            F.explode(dd.lsh_bands(F.col("sig"), bands=bands, rows=rows)),
+        )
+        .select(
+            "_band",
+            F.col("id").alias("bench_id"),
+            F.col("hashes").alias("_hb"),
+        )
+    )
+    from ..operators.dedup import jaccard_tokens
+
+    return (
+        s.join(F.broadcast(ib), "_band")
+        .withColumn("jaccard", F.round(jaccard_tokens(F.col("_ha"), F.col("_hb")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, "bench_id", "jaccard")
+    )

@@ -404,3 +404,66 @@ class TestCurateStream:
         assert set(got) == {1}
         assert got[1].text.endswith("finishes it.")
         assert "quick brown fox" not in got[1].text
+
+
+class TestContaminationAlerts:
+    def test_stream_static_minhash_alerts(self, spark, tmp_path):
+        from datafusion_functions_json_spark.operators import dedup
+
+        bench_rows = [
+            (100, "the secret benchmark question about gravity waves today"),
+            (101, "another held out evaluation prompt goes right here now"),
+        ]
+        bench = spark.createDataFrame(bench_rows, "doc_id bigint, text string")
+        idx = dedup.minhash_index(bench, "doc_id", "text")
+
+        p = tmp_path / "alerts_in"
+        p.mkdir()
+        docs = [
+            {"doc_id": 1,
+             "text": "the secret benchmark question about gravity waves today!"},
+            {"doc_id": 2,
+             "text": "totally unrelated cooking recipe with pasta and basil leaves"},
+        ]
+        with open(p / "part-0.jsonl", "w") as f:
+            for d in docs:
+                f.write(json.dumps(d) + "\n")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).json(str(p))
+        alerts = js.contamination_alerts(
+            stream, "doc_id", "text", idx, threshold=0.6
+        )
+        assert alerts.isStreaming
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName("contam_alerts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from contam_alerts").collect()
+        # near-copy of bench 100 alerts (k band collisions allowed);
+        # the disjoint doc never appears
+        assert {(r.doc_id, r.bench_id) for r in got} == {(1, 100)}
+        assert all(r.jaccard >= 0.6 for r in got)
+
+    def test_family_mismatch_raises(self, spark, tmp_path):
+        from datafusion_functions_json_spark.operators import dedup
+
+        bench = spark.createDataFrame(
+            [(1, "abc def ghi")], "doc_id bigint, text string"
+        )
+        idx = dedup.minhash_index(bench, "doc_id", "text", num_perm=32)
+        schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("text", T.StringType())])
+        p = tmp_path / "alerts_in2"; p.mkdir()
+        (p / "x.jsonl").write_text('{"doc_id": 1, "text": "abc"}\n')
+        stream = spark.readStream.schema(schema).json(str(p))
+        with pytest.raises(ValueError):
+            js.contamination_alerts(stream, "doc_id", "text", idx, num_perm=64)
