@@ -1010,6 +1010,14 @@ def _q_top_tokens(spark, sf_dir):
     )
 
 
+def _q_corpus_report(spark, sf_dir):
+    # per-source corpus dashboard: one aggregation pass (map-side
+    # partial means) + the tiny per-(source,lang) entropy agg — the
+    # before/after view every curation run prints
+    docs = load_table(spark, sf_dir, "documents")
+    return text.corpus_quality_report(docs, "doc_id", "text", "source")
+
+
 def _q_fuzzy_decontam(spark, sf_dir):
     # fuzzy benchmark decontamination, zero-miss gated: every doc_id%20
     # slice doc is "benchmark"; near-copies (one appended token — char-5
@@ -2855,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram": _q_top_ngram,
         "quality_classifier": _q_quality_classifier,
         "fuzzy_decontam": _q_fuzzy_decontam,
+        "corpus_report": _q_corpus_report,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -3419,6 +3428,74 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "corpus_report": (
+            # full per-doc mirror (quality features, default-threshold
+            # Gopher conjunction, 4-way stoplist language) then the
+            # per-source means and the language-mix entropy
+            "with f as (select source, doc_id, text, "
+            f"{_TOKENS_SQL} as toks, "
+            "list_filter(list_transform(string_split(text, chr(10)), "
+            "x -> trim(x)), x -> x <> '') as ls from documents), "
+            "d as (select source, doc_id, len(toks) as nt, "
+            "length(text) as nc, "
+            "length(text) / greatest(len(toks), 1) as mtl, "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "/ greatest(length(text), 1) as ar, "
+            "len(list_distinct(toks)) / greatest(len(toks), 1) as dr, "
+            "case when "
+            "(len(toks) >= 50 and len(toks) <= 100000) and "
+            "(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+            "/ greatest(len(toks), 1) between 3.0 and 10.0) and "
+            "((length(text) - length(replace(text, '#', '')) "
+            "+ len(regexp_extract_all(text, '\\.\\.\\.|…'))) "
+            "/ greatest(len(toks), 1) <= 0.1) and "
+            "(len(list_filter(ls, x -> regexp_matches(x, "
+            "'^([•\\-\\*•]|\\d+[.)])\\s'))) / greatest(len(ls), 1) <= 0.9) "
+            "and (len(list_filter(ls, x -> regexp_matches(x, "
+            "'(\\.\\.\\.|…)$'))) / greatest(len(ls), 1) <= 0.3) and "
+            "(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+            "/ greatest(len(toks), 1) >= 0.8) and "
+            "(len(list_intersect(list_distinct(list_transform(toks, "
+            "x -> lower(x))), ['the','be','to','of','and','that','have',"
+            "'with'])) >= 2) and "
+            "(round((len(ls) - len(list_distinct(ls))) "
+            "/ greatest(len(ls), 1), 6) <= 0.3) and "
+            "(round((coalesce(list_sum(list_transform(ls, "
+            "x -> length(x))), 0) - coalesce(list_sum(list_transform("
+            "list_distinct(ls), x -> length(x))), 0)) / greatest("
+            "coalesce(list_sum(list_transform(ls, x -> length(x))), 0), "
+            "1), 6) <= 0.2) then 1 else 0 end as keep, "
+            + "".join(
+                f"len(list_intersect(list_distinct(list_filter("
+                "regexp_split_to_array(trim(lower(text)), '\\s+'), "
+                f"t -> t != '')), {_STOP_SQL[lang]})) as s_{lang}, "
+                for lang in sorted(text.STOPWORDS)
+            )
+            + "1 as _one from f), "
+            "dl as (select *, case "
+            "when s_de = 0 and s_en = 0 and s_es = 0 and s_fr = 0 "
+            "then 'und' "
+            "when s_fr >= s_es and s_fr >= s_en and s_fr >= s_de "
+            "then 'fr' "
+            "when s_es >= s_en and s_es >= s_de then 'es' "
+            "when s_en >= s_de then 'en' else 'de' end as lang from d), "
+            "tot as (select source as \"group\", count(*)::bigint as "
+            "n_docs, sum(nt)::bigint as total_tokens, "
+            "round(avg(nt), 6) as mean_tokens, "
+            "round(avg(mtl), 6) as mean_token_len, "
+            "round(avg(ar), 6) as mean_alpha_ratio, "
+            "round(avg(dr), 6) as mean_distinct_ratio, "
+            "round(avg(keep), 6) as gopher_keep_rate from dl "
+            "group by source), "
+            "pl as (select source, lang, count(*) as n from dl "
+            "group by source, lang), "
+            "lt as (select source, sum(n) as t from pl group by source), "
+            "ent as (select pl.source as \"group\", "
+            "round(-sum((n / t) * ln(n / t)) + 0.0, 6) as lang_entropy "
+            "from pl join lt using (source) group by pl.source) "
+            "select tot.*, ent.lang_entropy from tot "
+            "join ent using (\"group\")"
         ),
         "fuzzy_decontam": (
             # zero-miss pin: every planted near-copy must be dropped

@@ -32,6 +32,7 @@ __all__ = [
     "quality_features",
     "quality_score",
     "quality_classifier_score",
+    "corpus_quality_report",
     "QUALITY_CLASSIFIER_WEIGHTS",
     "fingerprint",
     "redact_pii",
@@ -1183,3 +1184,55 @@ def quality_classifier_score(
     for w, f in zip(weights, x):
         z = z + F.lit(float(w)) * f
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def corpus_quality_report(df, id_col: str, text_col: str, group_col: str) -> "DataFrame":
+    """Per-group corpus quality dashboard: one row per ``group_col``
+    value with doc count, token totals/means, mean quality-feature
+    values, language mix entropy, and the share of docs passing the
+    default Gopher conjunction — the at-a-glance view a curation run
+    starts and ends with (compare before/after).
+
+    ONE aggregation pass: every metric is a map-side-partial mean/sum
+    over scan-speed Column expressions, so the shuffle carries one row
+    per group however large the corpus. (Language entropy uses the
+    4-way stoplist ID — an exact distribution, not a sample.)"""
+    q = quality_features(_col(text_col))
+    g = gopher_quality_flags(_col(text_col))
+    lid = lang_id(_col(text_col))
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col),
+        q["n_tokens"].alias("_nt"),
+        q["n_chars"].alias("_nc"),
+        q["mean_token_len"].alias("_mtl"),
+        q["alpha_ratio"].alias("_ar"),
+        q["distinct_ratio"].alias("_dr"),
+        g["keep"].cast("int").alias("_keep"),
+        lid.alias("_lang"),
+    )
+    per_lang = base.groupBy("group", "_lang").agg(F.count("*").alias("_n"))
+    tot = base.groupBy("group").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.round(F.avg("_nt"), 6).alias("mean_tokens"),
+        F.round(F.avg("_mtl"), 6).alias("mean_token_len"),
+        F.round(F.avg("_ar"), 6).alias("mean_alpha_ratio"),
+        F.round(F.avg("_dr"), 6).alias("mean_distinct_ratio"),
+        F.round(F.avg("_keep"), 6).alias("gopher_keep_rate"),
+    )
+    # entropy needs the per-group total inside the agg: two-level agg
+    # instead of a window (window-over-agg would add an exchange)
+    lang_tot = per_lang.groupBy("group").agg(F.sum("_n").alias("_tot"))
+    ent = (
+        per_lang.join(lang_tot, "group")
+        .withColumn("_p", F.col("_n") / F.col("_tot"))
+        .groupBy("group")
+        .agg(
+            # + 0.0 folds IEEE -0.0 (single-language groups) to 0.0
+            F.round(
+                -F.sum(F.col("_p") * F.log(F.col("_p"))) + F.lit(0.0), 6
+            ).alias("lang_entropy")
+        )
+    )
+    return tot.join(ent, "group")

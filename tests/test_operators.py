@@ -1670,3 +1670,24 @@ class TestFuzzyDecontaminate:
             dedup.minhash_dup_pairs_against(
                 bench, idx, "doc_id", "text", num_perm=64
             )
+
+
+class TestCorpusQualityReport:
+    def test_metrics_per_group(self, spark):
+        rows = [
+            (1, "the cat sat on the mat and it is happy here today now "
+                "with more of the fine words that have come along " * 2, "a"),
+            (2, "der hund ist ein tier und das ist gut so heute " * 5, "a"),
+            (3, "tiny", "b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+        got = {
+            r.group: r.asDict()
+            for r in text.corpus_quality_report(df, "doc_id", "text", "src").collect()
+        }
+        assert got["a"]["n_docs"] == 2 and got["b"]["n_docs"] == 1
+        assert got["a"]["total_tokens"] > got["b"]["total_tokens"]
+        # group a mixes en + de -> positive entropy; b single lang -> 0.0
+        assert got["a"]["lang_entropy"] > 0.0
+        assert got["b"]["lang_entropy"] == 0.0
+        assert 0.0 <= got["a"]["gopher_keep_rate"] <= 1.0
