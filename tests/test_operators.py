@@ -1691,3 +1691,72 @@ class TestCorpusQualityReport:
         assert got["a"]["lang_entropy"] > 0.0
         assert got["b"]["lang_entropy"] == 0.0
         assert 0.0 <= got["a"]["gopher_keep_rate"] <= 1.0
+
+
+class TestRoundSixEdges:
+    """Empty/degenerate inputs for the round-6 operators: libraries get
+    called on empty filters and tiny corpora; none of these may throw."""
+
+    def test_heavy_hitters_empty(self, spark):
+        from datafusion_functions_json_spark.operators import sketch
+
+        df = spark.createDataFrame([], "item string")
+        assert sketch.heavy_hitters(df, "item", 3).count() == 0
+
+    def test_semantic_dedup_k_exceeds_n(self, spark, embeddings):
+        emb = embeddings.filter(F.col("vec_id") < 5)
+        out = similarity.semantic_dedup(
+            emb, "vec_id", "embedding", k=16, iters=1, threshold=0.99, salt="e"
+        )
+        assert out.count() == 5
+        assert out.filter("dropped").count() == 0
+
+    def test_curriculum_empty_and_single(self, spark):
+        empty = spark.createDataFrame([], "id long, s double")
+        assert split.curriculum_rank(empty, "id", "s").count() == 0
+        one = spark.createDataFrame([(7, 0.3)], "id long, s double")
+        got = split.curriculum_rank(one, "id", "s").collect()
+        assert got[0].curriculum_rank == 1
+
+    def test_temperature_sample_empty(self, spark):
+        empty = spark.createDataFrame([], "doc_id long, source string")
+        assert split.temperature_sample(
+            empty, "doc_id", "source", budget=10
+        ).count() == 0
+
+    def test_gopher_c4_empty_frame(self, spark):
+        empty = spark.createDataFrame([], "t string")
+        assert empty.select(
+            text.gopher_quality_flags("t").alias("g"),
+            text.c4_clean("t").alias("c"),
+            text.top_ngram_char_fraction("t").alias("f"),
+            text.pretoken_count("t").alias("p"),
+            text.normalize_text("t").alias("n"),
+        ).count() == 0
+
+    def test_image_dhash_empty_and_tiny(self, spark):
+        df = spark.createDataFrame([], "media_id long, payload binary")
+        assert multimodal.image_dhash(df).count() == 0
+        # 1x1 image: degenerate grid still hashes (all cells equal)
+        one = spark.createDataFrame(
+            [(1, b"P6\n1 1\n255\n\x10\x20\x30")], "media_id long, payload binary"
+        )
+        assert one.select("media_id").count() == 1
+        got = multimodal.image_dhash(one).collect()[0]
+        assert got.dhash == 0
+
+    def test_fuzzy_decontam_empty_train(self, spark):
+        bench = spark.createDataFrame(
+            [(1, "abc def ghi jkl mno")], "doc_id bigint, text string"
+        )
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        assert dedup.fuzzy_decontaminate(
+            empty, "doc_id", "text", bench
+        ).count() == 0
+
+    def test_corpus_report_single_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat is here", "s")], "doc_id long, text string, src string"
+        )
+        r = text.corpus_quality_report(df, "doc_id", "text", "src").collect()
+        assert len(r) == 1 and r[0].n_docs == 1
