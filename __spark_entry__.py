@@ -1010,6 +1010,23 @@ def _q_top_tokens(spark, sf_dir):
     )
 
 
+def _q_pack_positions(spark, sf_dir):
+    # packing + within-batch token spans (loss-mask / block-attention
+    # boundaries): same single shard-keyed prefix-sum exchange as
+    # pack_batches; spans derive from the same prefix
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_ops.pack_positions(
+        docs,
+        "doc_id",
+        text.token_count(F.col("text")),
+        budget=2000,
+        shards=8,
+        shard_expr=F.pmod(F.col("doc_id"), F.lit(8)).cast("int"),
+    ).select("doc_id", "shard", "batch_id", "seq_start", "seq_end")
+
+
 def _q_corpus_report(spark, sf_dir):
     # per-source corpus dashboard: one aggregation pass (map-side
     # partial means) + the tiny per-(source,lang) entropy agg — the
@@ -2864,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "fuzzy_decontam": _q_fuzzy_decontam,
         "corpus_report": _q_corpus_report,
+        "pack_positions": _q_pack_positions,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -3428,6 +3446,17 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "pack_positions": (
+            f"with t as (select doc_id, len({_TOKENS_SQL})::bigint as nt, "
+            "(doc_id % 8)::int as shard from documents), "
+            "c as (select doc_id, shard, nt, coalesce(sum(nt) over ("
+            "partition by shard order by doc_id "
+            "rows between unbounded preceding and 1 preceding), 0)::bigint "
+            "as cb from t) "
+            "select doc_id, shard, (cb // 2000)::bigint as batch_id, "
+            "(cb % 2000)::bigint as seq_start, "
+            "(cb % 2000 + nt)::bigint as seq_end from c"
         ),
         "corpus_report": (
             # full per-doc mirror (quality features, default-threshold

@@ -31,6 +31,7 @@ __all__ = [
     "mixture_sample",
     "mixture_resample",
     "pack_batches",
+    "pack_positions",
     "stratified_sample",
     "temperature_sample",
     "curriculum_rank",
@@ -188,6 +189,59 @@ def pack_batches(
     prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return out.withColumn(
         "batch_id", F.floor(prefix / F.lit(budget)).cast("bigint")
+    )
+
+
+def pack_positions(
+    df: DataFrame,
+    id_col: str,
+    n_tokens: Column | str,
+    *,
+    budget: int,
+    shards: int = 32,
+    shard_expr: Column | None = None,
+    order_by: list | None = None,
+) -> DataFrame:
+    """:func:`pack_batches` plus the within-batch token span each
+    document occupies: ``seq_start`` / ``seq_end`` (0-based, end
+    exclusive) — exactly what loss masking and attention-boundary
+    construction (block-diagonal masks, no cross-doc attention) need
+    when documents are concatenated into fixed-budget sequences.
+
+    Same single shard-keyed exchange and prefix-sum window as
+    :func:`pack_batches` (the span is derived from the SAME prefix, no
+    extra pass). Straddle semantics are inherited: a document crossing
+    the budget boundary stays in the batch its first token landed in,
+    so its ``seq_end`` may exceed ``budget`` — the trainer truncates or
+    wraps; gaps never occur."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    tok = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    shard = (
+        shard_expr
+        if shard_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int")
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "n_tokens", tok.cast("bigint")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*(order_by or [id_col]))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "_prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    batch = F.floor(F.col("_prefix") / F.lit(budget)).cast("bigint")
+    start = F.col("_prefix") - batch * F.lit(budget)
+    return (
+        out.withColumn("batch_id", batch)
+        .withColumn("seq_start", start.cast("bigint"))
+        .withColumn(
+            "seq_end", (start + F.col("n_tokens")).cast("bigint")
+        )
+        .drop("_prefix")
     )
 
 

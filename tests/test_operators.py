@@ -1760,3 +1760,36 @@ class TestRoundSixEdges:
         )
         r = text.corpus_quality_report(df, "doc_id", "text", "src").collect()
         assert len(r) == 1 and r[0].n_docs == 1
+
+
+class TestPackPositions:
+    def test_spans_tile_each_batch(self, spark):
+        rows = [(i, 30) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, nt long")
+        out = split.pack_positions(
+            df, "id", "nt", budget=100, shards=1,
+            shard_expr=F.lit(0),
+        ).orderBy("id").collect()
+        # 30-token docs into budget 100: prefix 0,30,60,90,120,... —
+        # doc 3 straddles (starts at 90, ends at 120 > budget)
+        assert (out[0].batch_id, out[0].seq_start, out[0].seq_end) == (0, 0, 30)
+        assert (out[3].batch_id, out[3].seq_start, out[3].seq_end) == (0, 90, 120)
+        assert (out[4].batch_id, out[4].seq_start, out[4].seq_end) == (1, 20, 50)
+        # within a batch, spans are contiguous per construction:
+        # next.seq_start == prev.seq_end (mod budget boundary straddle)
+        for prev, nxt in zip(out, out[1:]):
+            if prev.batch_id == nxt.batch_id:
+                assert nxt.seq_start == prev.seq_end
+
+    def test_matches_pack_batches_assignment(self, spark):
+        rows = [(i, 7 + (i * 13) % 50) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, nt long")
+        a = {
+            r.id: (r.shard, r.batch_id)
+            for r in split.pack_batches(df, "id", "nt", budget=300, shards=4).collect()
+        }
+        b = {
+            r.id: (r.shard, r.batch_id)
+            for r in split.pack_positions(df, "id", "nt", budget=300, shards=4).collect()
+        }
+        assert a == b
