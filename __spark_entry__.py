@@ -2617,6 +2617,44 @@ def _q_audio_features(spark, sf_dir):
     return feats.select("media_id", "sample_rate", "n_samples")
 
 
+def _q_audio_fingerprint(spark, sf_dir):
+    # REAL WAV decode end-to-end, oracle-twinned: a 1600-sample 16-bit
+    # mono PCM WAV per doc, built from pure JVM expressions (fixed
+    # 44-byte header hex + two 800-sample constant-amplitude halves,
+    # id-derived). Constant halves make every RMS bin closed-form
+    # (bins 0-7 = A/32768, 8-15 = B/32768), so the band-sign
+    # fingerprint is exactly 2^7 iff B > A else 0 — which the DuckDB
+    # twin computes arithmetically from the same amplitude derivation.
+    hdr = (
+        "52494646A40C000057415645666D7420100000000100010040"
+        "1F0000803E00000200100064617461800C0000"
+    )
+    a = F.pmod(F.col("doc_id"), F.lit(8)) * 1000 + 500
+    b = F.pmod(F.col("doc_id") * 3, F.lit(8)) * 1000 + 500
+
+    def _le16(v):
+        return F.concat(
+            F.lpad(F.hex(v % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(v / 256).cast("bigint")), 2, "0"),
+        )
+
+    payload = F.unhex(
+        F.concat(
+            F.lit(hdr), F.repeat(_le16(a), 800), F.repeat(_le16(b), 800)
+        )
+    )
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    feats = multimodal.extract_audio_features(docs)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        multimodal.audio_fingerprint_bits("features").alias("fingerprint"),
+    )
+
+
 def _q_media_features(spark, sf_dir):
     # REAL image decode end-to-end, fixture built with ZERO Python UDFs:
     # a solid-color 16x16 binary PPM (P6) per doc assembled from pure
@@ -2882,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontam": _q_fuzzy_decontam,
         "corpus_report": _q_corpus_report,
         "pack_positions": _q_pack_positions,
+        "audio_fingerprint": _q_audio_fingerprint,
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
@@ -3446,6 +3485,14 @@ def oracle_sql() -> dict[str, str]:
             "(bullet_frac <= 0.9) and (ell_frac <= 0.3) and "
             "(alpha_frac >= 0.8) and (n_stop >= 1) and (dl_frac <= 0.3) "
             "and (dc_frac <= 0.2)) as keep from m"
+        ),
+        "audio_fingerprint": (
+            # closed-form twin of the two-half WAV fixture
+            "select doc_id as media_id, 8000 as sample_rate, "
+            "1600::bigint as n_samples, "
+            "case when ((doc_id * 3) % 8) * 1000 + 500 > "
+            "(doc_id % 8) * 1000 + 500 then 128 else 0 end as fingerprint "
+            "from documents where doc_id < 60"
         ),
         "pack_positions": (
             f"with t as (select doc_id, len({_TOKENS_SQL})::bigint as nt, "

@@ -53,6 +53,7 @@ __all__ = [
     "image_dhash",
     "image_dup_pairs",
     "extract_audio_features",
+    "audio_fingerprint_bits",
     "extract_video_features",
     "frame_sample_plan",
 ]
@@ -557,4 +558,25 @@ def image_dup_pairs(
         .withColumn("distance", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"))
         .filter(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
+    )
+
+
+def audio_fingerprint_bits(features_col) -> "Column":
+    """Compact audio fingerprint from the 16 RMS-energy bins of
+    :func:`extract_audio_features`: one sign bit per adjacent band
+    difference (bit i set iff band[i+1] > band[i]) — the time-domain
+    analog of spectral fingerprinting's band-energy signs, robust to
+    uniform gain changes (scaling every band preserves every
+    comparison). 15-bit INT; NULL features → NULL.
+
+    Pure Column expression over the already-decoded features — composes
+    with the mapInPandas decode without a second Python hop."""
+    f = F.col(features_col) if isinstance(features_col, str) else features_col
+    total = F.lit(0)
+    for i in range(_FEATURE_DIM - 1):
+        total = total + F.when(
+            F.element_at(f, i + 2) > F.element_at(f, i + 1), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return F.when(f.isNull(), F.lit(None).cast("int")).otherwise(
+        total.cast("int")
     )

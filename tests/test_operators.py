@@ -1793,3 +1793,46 @@ class TestPackPositions:
             for r in split.pack_positions(df, "id", "nt", budget=300, shards=4).collect()
         }
         assert a == b
+
+
+class TestAudioFingerprint:
+    def test_bits_from_known_bands(self, spark):
+        rows = [
+            (1, [float(i) for i in range(16)]),        # strictly rising
+            (2, [5.0] * 16),                           # flat
+            (3, None),
+            (4, [1.0] * 8 + [2.0] * 8),                # one step at bit 7
+        ]
+        df = spark.createDataFrame(rows, "id long, f array<double>")
+        got = {
+            r.id: r.fp
+            for r in df.select(
+                "id", multimodal.audio_fingerprint_bits("f").alias("fp")
+            ).collect()
+        }
+        assert got[1] == (1 << 15) - 1
+        assert got[2] == 0
+        assert got[3] is None
+        assert got[4] == 1 << 7
+
+    def test_gain_invariance_end_to_end(self, spark):
+        import struct
+
+        def wav(samples):
+            data = b"".join(struct.pack("<h", s) for s in samples)
+            hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            hdr += b"data" + struct.pack("<I", len(data))
+            return hdr + data
+
+        base = [100 * (1 + i // 100) for i in range(1600)]  # rising stairs
+        df = spark.createDataFrame(
+            [(1, wav(base)), (2, wav([s * 3 for s in base]))],
+            "media_id long, payload binary",
+        )
+        out = multimodal.extract_audio_features(df).select(
+            "media_id",
+            multimodal.audio_fingerprint_bits("features").alias("fp"),
+        ).collect()
+        fps = {r.media_id: r.fp for r in out}
+        assert fps[1] == fps[2] == (1 << 15) - 1  # gain-invariant, all rising
