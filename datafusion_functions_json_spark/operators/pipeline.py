@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from . import dedup, split as split_ops, text
 
-__all__ = ["curate", "curation_stats", "training_prep"]
+__all__ = ["curate", "curate_strict", "curation_stats", "training_prep"]
 
 
 def curate(
@@ -134,3 +134,75 @@ def curation_stats(docs: DataFrame, kept: DataFrame) -> DataFrame:
         [(n_in, n_out, round(n_out / max(n_in, 1), 6))],
         "n_in bigint, n_out bigint, survival_rate double",
     )
+
+
+def curate_strict(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple = ("en",),
+    min_tokens: int = 10,
+    gopher_kwargs: dict | None = None,
+    apply_c4: bool = False,
+    classifier_threshold: float | None = None,
+    benchmark: DataFrame | None = None,
+    fuzzy_threshold: float = 0.7,
+) -> DataFrame:
+    """The round-6 curation composition — the published-recipe gates
+    chained cheapest-first:
+
+    1. language + token floor (scan-speed projections);
+    2. the full Gopher rule conjunction
+       (:func:`~.text.gopher_quality_flags`, thresholds via
+       ``gopher_kwargs``);
+    3. optionally the C4 line cleaner (REWRITES ``text_col``);
+    4. optionally the linear quality classifier floor;
+    5. NORMALIZED exact dedup — case/accent/punctuation variants
+       collapse via :func:`~.text.normalized_dedup_key` (32-byte digest
+       shuffle key, min id survives);
+    6. optionally fuzzy benchmark decontamination
+       (:func:`~.dedup.fuzzy_decontaminate`).
+
+    Returns survivors with ``lang``/``n_tokens``/``clf_score`` columns.
+    Everything before stage 5 is shuffle-free; stage 5 is one
+    digest-keyed shuffle over the survivors only."""
+    enriched = (
+        docs.withColumn("lang", text.lang_id(F.col(text_col)))
+        .withColumn("n_tokens", text.token_count(F.col(text_col)))
+        .withColumn(
+            "clf_score",
+            F.round(text.quality_classifier_score(F.col(text_col)), 6),
+        )
+    )
+    kept = enriched.filter(
+        (F.col("n_tokens") >= min_tokens) & F.col("lang").isin(*languages)
+    )
+    kept = kept.filter(
+        text.gopher_quality_flags(F.col(text_col), **(gopher_kwargs or {}))[
+            "keep"
+        ]
+    )
+    if apply_c4:
+        c = text.c4_clean(F.col(text_col))
+        kept = (
+            kept.withColumn("_c4", c)
+            .filter(~F.col("_c4")["doc_dropped"])
+            .withColumn(text_col, F.col("_c4")["cleaned_text"])
+            .drop("_c4")
+        )
+    if classifier_threshold is not None:
+        kept = kept.filter(F.col("clf_score") >= float(classifier_threshold))
+    w = Window.partitionBy(
+        text.normalized_dedup_key(F.col(text_col))
+    ).orderBy(F.col(id_col))
+    kept = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if benchmark is not None:
+        kept = dedup.fuzzy_decontaminate(
+            kept, id_col, text_col, benchmark, threshold=fuzzy_threshold
+        )
+    return kept

@@ -1836,3 +1836,44 @@ class TestAudioFingerprint:
         ).collect()
         fps = {r.media_id: r.fp for r in out}
         assert fps[1] == fps[2] == (1 << 15) - 1  # gain-invariant, all rising
+
+
+class TestCurateStrict:
+    EN = (
+        "The quick brown fox jumps over the lazy dog to be of use and "
+        "share that fine day with friends in the park. " * 3
+    )
+
+    def _base(self, spark):
+        from datafusion_functions_json_spark.operators import pipeline
+
+        rows = [
+            (1, self.EN),
+            (2, self.EN.upper()),                      # normalized dup of 1
+            (3, "  " + self.EN + " !!"),               # normalized dup of 1
+            (4, "der hund ist ein tier und das ist gut so heute " * 6),
+            (5, "#### " * 40 + self.EN),               # gopher symbol fail
+            (6, "tiny doc"),
+        ]
+        return pipeline, spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_gates_and_normalized_dedup(self, spark):
+        pipeline, df = self._base(spark)
+        out = pipeline.curate_strict(df)
+        ids = sorted(r.doc_id for r in out.collect())
+        # 1 survives; 2,3 collapse into 1; 4 is German; 5 fails gopher;
+        # 6 fails the token floor
+        assert ids == [1]
+
+    def test_benchmark_decontam_stage(self, spark):
+        pipeline, df = self._base(spark)
+        bench = spark.createDataFrame(
+            [(99, self.EN + " extra")], "doc_id bigint, text string"
+        )
+        out = pipeline.curate_strict(df, benchmark=bench, fuzzy_threshold=0.6)
+        assert out.count() == 0  # the lone survivor matches the benchmark
+
+    def test_classifier_floor(self, spark):
+        pipeline, df = self._base(spark)
+        out = pipeline.curate_strict(df, classifier_threshold=0.999)
+        assert out.count() == 0
