@@ -1877,3 +1877,31 @@ class TestCurateStrict:
         pipeline, df = self._base(spark)
         out = pipeline.curate_strict(df, classifier_threshold=0.999)
         assert out.count() == 0
+
+
+class TestTopNgramAggTwin:
+    def test_equals_column_variant(self, spark, documents):
+        col_out = {
+            r.doc_id: r.f
+            for r in documents.select(
+                "doc_id", text.top_ngram_char_fraction("text", n=2).alias("f")
+            ).collect()
+        }
+        agg_out = {
+            r.doc_id: r.top_ngram_frac
+            for r in text.top_ngram_char_fraction_agg(
+                documents, "doc_id", "text", n=2
+            ).collect()
+        }
+        assert col_out == agg_out
+
+    def test_null_and_short(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "one"), (3, "x y x y")], "id long, t string"
+        )
+        got = {
+            r.id: r.top_ngram_frac
+            for r in text.top_ngram_char_fraction_agg(df, "id", "t").collect()
+        }
+        # "x y x y": top bigram "x y" covers 2*2 of 4 token chars = 1.0
+        assert got[1] is None and got[2] == 0.0 and got[3] == 1.0
