@@ -2562,6 +2562,38 @@ def _q_embedding_dups(spark, sf_dir):
     )
 
 
+def _q_random_project(spark, sf_dir):
+    # Johnson–Lindenstrauss projection 64→4 dims: numpy matmul per
+    # Arrow batch on the Spark side; the oracle embeds the SAME seeded
+    # matrix (similarity.projection_matrix) as 4 literal 64-vectors and
+    # takes list_dot_products — round-6 collapses summation-order ulps
+    emb = _emb(spark, sf_dir)
+    p = similarity.random_project("embedding", 64, 4, seed=7)
+    return emb.select(
+        "vec_id",
+        *[
+            F.round(F.element_at(p, i + 1), 6).alias(f"p{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def _random_project_oracle() -> str:
+    from datafusion_functions_json_spark.operators.similarity import (
+        projection_matrix,
+    )
+
+    r = projection_matrix(64, 4, 7)
+    cols = []
+    for j in range(4):
+        vec = ", ".join(repr(r[i][j]) for i in range(64))
+        cols.append(
+            f"round(list_dot_product(embedding::DOUBLE[], [{vec}]), 6) "
+            f"as p{j}"
+        )
+    return "select vec_id, " + ", ".join(cols) + " from embeddings"
+
+
 def _q_semantic_dedup(spark, sf_dir):
     # SemDeDup (cluster → within-cluster cosine → drop the
     # near-centroid copy): 20 planted scaled copies (cosine ~1.0 with
@@ -2926,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _q_gopher_filter,
         "c4_clean": _q_c4_clean,
         "semantic_dedup": _q_semantic_dedup,
+        "random_project": _q_random_project,
         "heavy_hitters": _q_heavy_hitters,
         "approx_distinct": _q_approx_distinct,
         "temperature_sample": _q_temperature_sample,
@@ -3933,6 +3966,7 @@ def oracle_sql() -> dict[str, str]:
             "select event_type, count(distinct user_id) as n_users, "
             "true as approx_ok from events group by event_type"
         ),
+        "random_project": _random_project_oracle(),
         "semantic_dedup": (
             # same planted copies; one-assignment k-means mirror (seed
             # ranks by salted md5 fraction as in the kmeans oracle,

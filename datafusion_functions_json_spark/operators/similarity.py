@@ -37,6 +37,8 @@ __all__ = [
     "cosine_to_query",
     "cosine_to_query_np",
     "pair_cosine_np",
+    "projection_matrix",
+    "random_project",
     "cosine_topk",
     "lsh_bucket",
     "add_lsh_buckets",
@@ -713,3 +715,43 @@ def semantic_dedup(
             F.coalesce(F.col("_dropped"), F.lit(False)).alias("dropped"),
         )
     )
+
+
+def projection_matrix(dim: int, out_dim: int, seed: int = 42) -> list:
+    """Seeded Gaussian random-projection matrix as a plain
+    ``dim × out_dim`` nested list (row i = input dim i's weights) —
+    exposed so tests/oracles can reproduce the exact projection.
+    Deterministic: ``random.Random(seed)`` Gaussians scaled by
+    1/sqrt(out_dim) (Johnson–Lindenstrauss normalization)."""
+    rnd = random.Random(seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    return [
+        [rnd.gauss(0.0, 1.0) * scale for _ in range(out_dim)]
+        for _ in range(dim)
+    ]
+
+
+def random_project(
+    vec_col, dim: int, out_dim: int, *, seed: int = 42
+) -> Column:
+    """Johnson–Lindenstrauss random projection of an embedding column
+    to ``out_dim`` dims (array<double>): the standard pre-LSH /
+    pre-index width cut — pairwise distances are preserved within
+    ~(1±ε) for out_dim = O(log n / ε²), and downstream banding/IVF cost
+    drops with the width.
+
+    One Arrow-batched numpy matmul per batch (the per-element HOF
+    alternative interprets dim × out_dim multiplies per row);
+    deterministic across runs and engines (the matrix derives from
+    ``seed`` only — :func:`projection_matrix`)."""
+    r = np.asarray(projection_matrix(dim, out_dim, seed), dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        out = m @ r
+        return pd.Series([row.tolist() for row in out])
+
+    return _proj(_col(vec_col))

@@ -1905,3 +1905,41 @@ class TestTopNgramAggTwin:
         }
         # "x y x y": top bigram "x y" covers 2*2 of 4 token chars = 1.0
         assert got[1] is None and got[2] == 0.0 and got[3] == 1.0
+
+
+class TestRandomProject:
+    def test_matches_numpy_and_preserves_distance_roughly(self, spark, embeddings):
+        import numpy as np
+
+        emb = embeddings.filter(F.col("vec_id") < 50)
+        out = {
+            r.vec_id: r.p
+            for r in emb.select(
+                "vec_id",
+                similarity.random_project("embedding", 64, 16, seed=3).alias("p"),
+            ).collect()
+        }
+        raw = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+               for r in emb.collect()}
+        R = np.asarray(similarity.projection_matrix(64, 16, 3))
+        for vid, v in raw.items():
+            assert np.allclose(out[vid], v @ R)
+        # JL sanity: distances are preserved in scale (the synthetic
+        # iid vectors have concentrated pairwise distances, so a
+        # correlation test is ill-conditioned — check the mean ratio)
+        ids = sorted(raw)[:20]
+        orig = [np.linalg.norm(raw[a] - raw[b]) for a in ids for b in ids if a < b]
+        proj = [
+            np.linalg.norm(np.asarray(out[a]) - np.asarray(out[b]))
+            for a in ids for b in ids if a < b
+        ]
+        ratio = np.mean(proj) / np.mean(orig)
+        assert 0.6 < ratio < 1.4, ratio
+
+    def test_deterministic_seeded(self, spark, embeddings):
+        emb = embeddings.filter(F.col("vec_id") < 5)
+        a = emb.select(similarity.random_project("embedding", 64, 8, seed=1).alias("p")).collect()
+        b = emb.select(similarity.random_project("embedding", 64, 8, seed=1).alias("p")).collect()
+        c = emb.select(similarity.random_project("embedding", 64, 8, seed=2).alias("p")).collect()
+        assert a == b
+        assert a != c
