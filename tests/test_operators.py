@@ -1943,3 +1943,32 @@ class TestRandomProject:
         c = emb.select(similarity.random_project("embedding", 64, 8, seed=2).alias("p")).collect()
         assert a == b
         assert a != c
+
+
+class TestHeavyHittersDifferential:
+    def test_random_corpora_match_exact_under_guarantee(self, spark):
+        import random
+        from collections import Counter
+
+        from datafusion_functions_json_spark.operators import sketch
+
+        rng = random.Random(11)
+        for trial in range(3):
+            # zipf-ish draw over a 300-item universe
+            items = [
+                f"i{int(rng.paretovariate(1.2)) % 300:03d}"
+                for _ in range(4000)
+            ]
+            truth = Counter(items)
+            k = 8
+            kth = sorted(truth.values(), reverse=True)[k - 1]
+            # size capacity so the union guarantee covers the top-k
+            capacity = max(len(items) // max(kth, 1) + 1, 2 * k)
+            df = spark.createDataFrame(
+                [(x,) for x in items], "item string"
+            ).repartition(rng.randrange(2, 12))
+            got = sketch.heavy_hitters(df, "item", k, capacity=capacity).collect()
+            want = sorted(
+                truth.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:k]
+            assert [(r.item, r.cnt) for r in got] == want, trial
