@@ -2952,9 +2952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-registry runs cover them (tpch_q10/q18 are plain Catalyst
         # with locally-green oracles; bigram_lm's join-strategy change
         # is result-identical and locally oracle-green; pins are
-        # pytest-anchored). The second round-6 batch (gopher_filter …
-        # image_dhash below) is new this round and locally oracle-green;
-        # round 7's window should lead with it.
+        # pytest-anchored). The second round-6 batch (gopher_filter through
+        # random_project below, ~20 entries) is new this round and
+        # locally oracle-green; round 7's window should lead with it.
         "gopher_filter": _q_gopher_filter,
         "c4_clean": _q_c4_clean,
         "semantic_dedup": _q_semantic_dedup,
