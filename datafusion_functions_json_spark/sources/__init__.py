@@ -18,7 +18,12 @@ from .io import (
     session_defaults,
     write_orc,
 )
-from .sinks import estimate_files, write_bucketed, write_partitioned
+from .sinks import (
+    estimate_files,
+    write_bucketed,
+    write_partitioned,
+    write_training_shards,
+)
 
 __all__ = [
     "load_table",
@@ -33,4 +38,5 @@ __all__ = [
     "write_partitioned",
     "write_bucketed",
     "estimate_files",
+    "write_training_shards",
 ]

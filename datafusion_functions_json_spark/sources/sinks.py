@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_partitioned", "write_bucketed", "estimate_files"]
+__all__ = ["write_partitioned", "write_bucketed", "estimate_files", "write_training_shards"]
 
 
 def write_partitioned(
@@ -76,3 +76,45 @@ def estimate_files(df: DataFrame, partition_by: Sequence[str] = ()) -> DataFrame
     if not partition_by:
         return df.agg(F.count("*").alias("rows"))
     return df.groupBy(*partition_by).agg(F.count("*").alias("rows"))
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = ("split", "shard"),
+    order_by: Sequence[str] = ("batch_id",),
+    target_file_rows: Optional[int] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a packed training set (the output of
+    ``operators.split.pack_batches`` / ``pack_positions`` /
+    ``pipeline.training_prep``) as trainer-ready shards:
+
+    * one directory per ``partition_by`` combo (split purity on disk —
+      a train loader never lists val files);
+    * ONE write task per partition via ``repartition(partition_by)``
+      (without it, every upstream task writes a sliver into every
+      directory — the small-files disaster squared);
+    * rows sorted by ``order_by`` *within* each file
+      (``sortWithinPartitions``), so a sequential reader sees batches
+      in order without a shuffle at training time;
+    * ``target_file_rows`` rolls files via ``maxRecordsPerFile``.
+
+    Shard counts bound the repartition width; at 100 TB raise
+    ``shards`` upstream rather than files-per-shard here."""
+    cols = set(packed.columns)
+    missing = [c for c in (*partition_by, *order_by) if c not in cols]
+    if missing:
+        raise ValueError(f"packed output lacks columns: {missing}")
+    out = packed.repartition(*[F.col(c) for c in partition_by])
+    out = out.sortWithinPartitions(
+        *[F.col(c) for c in (*partition_by, *order_by)]
+    )
+    write_partitioned(
+        out,
+        path,
+        partition_by=tuple(partition_by),
+        target_file_rows=target_file_rows,
+        mode=mode,
+    )
