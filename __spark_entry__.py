@@ -1261,6 +1261,35 @@ def _q_domains(spark, sf_dir):
     return text.domain_counts(planted, "doc_id", "t")
 
 
+def _q_domain_blocklist(spark, sf_dir):
+    # blocklist pass over planted URLs: every doc links
+    # site{id%7}.example.org; even ids also link cdn.example.net. The
+    # blocklist bans the example.net PARENT domain (suffix-chain
+    # equi-join, not endswith-BNLJ) and one exact host — survivors are
+    # closed-form (odd ids with id%7 != 3), so the oracle checks the
+    # whole extract → suffix-explode → join → anti-join path.
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Site"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.org/page"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                F.lit(" and HTTP://cdn.example.net/x"),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    blocklist = spark.createDataFrame(
+        [("example.net",), ("site3.example.org",)], "domain string"
+    )
+    return text.filter_blocked_domains(
+        planted, "doc_id", "t", blocklist
+    ).select("doc_id")
+
+
 def _q_top_events_per_type(spark, sf_dir):
     # grouped top-k: row_number window under a <=k filter plans a
     # WindowGroupLimit (partial per-partition top-k BEFORE the exchange);
@@ -2959,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "semantic_dedup": _q_semantic_dedup,
         "random_project": _q_random_project,
+        "domain_blocklist": _q_domain_blocklist,
         "heavy_hitters": _q_heavy_hitters,
         "approx_distinct": _q_approx_distinct,
         "temperature_sample": _q_temperature_sample,
@@ -3967,6 +3997,11 @@ def oracle_sql() -> dict[str, str]:
             "true as approx_ok from events group by event_type"
         ),
         "random_project": _random_project_oracle(),
+        "domain_blocklist": (
+            # closed-form survivors of the planted-URL blocklist
+            "select doc_id from documents "
+            "where doc_id % 2 = 1 and doc_id % 7 != 3"
+        ),
         "semantic_dedup": (
             # same planted copies; one-assignment k-means mirror (seed
             # ranks by salted md5 fraction as in the kmeans oracle,

@@ -23,6 +23,8 @@ __all__ = [
     "lines",
     "repetition_stats",
     "url_domains",
+    "domain_suffixes",
+    "filter_blocked_domains",
     "domain_counts",
     "URL_PATTERN",
     "char_ngrams",
@@ -1294,3 +1296,44 @@ def top_ngram_char_fraction_agg(
             .alias(out_col),
         )
     )
+
+
+def domain_suffixes(host) -> Column:
+    """All registrable suffixes of a host name, most-specific first:
+    ``a.b.c → [a.b.c, b.c, c]``. Turns parent-domain blocklist matching
+    into an EQUI-join (explode the suffixes, join the blocklist key) —
+    the alternative, ``endswith`` against every blocklist row, is a
+    broadcast nested-loop whose cost multiplies by the blocklist size."""
+    h = _col(host)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    )
+
+
+def filter_blocked_domains(
+    df, id_col: str, text_col: str, blocklist, domain_col: str = "domain"
+) -> "DataFrame":
+    """Drop documents containing a URL whose host — or any parent
+    domain of it — appears in ``blocklist`` (a DataFrame with
+    ``domain_col``): the standard web-curation blocklist pass (spam,
+    adult, SEO-farm domains).
+
+    Plan shape: extract+explode hosts (scan-side), explode each host's
+    suffix chain (:func:`domain_suffixes`, bounded by label count),
+    broadcast the blocklist into an equi-join on the suffix, and
+    anti-join the matched ids back. Document payloads never enter the
+    matching joins — only (id, suffix) pairs."""
+    hosts = df.select(
+        F.col(id_col), F.explode(url_domains(F.col(text_col))).alias("_host")
+    )
+    sufs = hosts.select(
+        F.col(id_col), F.explode(domain_suffixes(F.col("_host"))).alias("_suf")
+    )
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("_suf")).distinct()
+    )
+    blocked = sufs.join(bl, "_suf").select(id_col).distinct()
+    return df.join(blocked, id_col, "left_anti")

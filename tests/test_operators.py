@@ -1972,3 +1972,38 @@ class TestHeavyHittersDifferential:
                 truth.items(), key=lambda kv: (-kv[1], kv[0])
             )[:k]
             assert [(r.item, r.cnt) for r in got] == want, trial
+
+
+class TestDomainBlocklist:
+    def test_suffix_and_exact_matching(self, spark):
+        rows = [
+            (1, "see https://spam.bad.example/x now"),
+            (2, "see https://good.site.org/page ok"),
+            (3, "see https://bad.example/y there"),
+            (4, "visit https://sub.deep.bad.example/z too"),
+            (5, "no urls at all here"),
+            (6, "see https://notbad.example.com/q fine"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        bl = spark.createDataFrame([("bad.example",)], "domain string")
+        kept = sorted(
+            r.doc_id
+            for r in text.filter_blocked_domains(
+                df, "doc_id", "text", bl
+            ).collect()
+        )
+        # 1/3/4 match bad.example (exact or parent); 6's host is
+        # notbad.example.com — 'bad.example' is NOT one of its suffixes
+        assert kept == [2, 5, 6]
+
+    def test_suffix_expansion(self, spark):
+        df = spark.createDataFrame([("a.b.c",)], "h string")
+        got = df.select(text.domain_suffixes("h").alias("s")).collect()[0].s
+        assert got == ["a.b.c", "b.c", "c"]
+
+    def test_case_insensitive_blocklist(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x https://CDN.Example.NET/a y")], "doc_id long, text string"
+        )
+        bl = spark.createDataFrame([("Example.net",)], "domain string")
+        assert text.filter_blocked_domains(df, "doc_id", "text", bl).count() == 0
