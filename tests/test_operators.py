@@ -2007,3 +2007,76 @@ class TestDomainBlocklist:
         )
         bl = spark.createDataFrame([("Example.net",)], "domain string")
         assert text.filter_blocked_domains(df, "doc_id", "text", bl).count() == 0
+
+
+class TestRoundSixPlans:
+    """Plan-shape pins for the round-6 operators: the quality gates stay
+    shuffle-free scans, the join-based operators never plan a cartesian
+    or an unbounded nested loop."""
+
+    def test_quality_gates_no_exchange_no_python(self, documents):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        df = documents.select(
+            text.gopher_quality_flags("text").alias("g"),
+            text.c4_clean("text").alias("c"),
+            text.pretoken_count("text").alias("p"),
+            text.normalize_text("text").alias("n"),
+            text.quality_classifier_score("text").alias("q"),
+            text.top_ngram_char_fraction("text").alias("t"),
+        )
+        plan = explain_str(df)
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_blocklist_no_nested_loop(self, spark, documents):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        bl = spark.createDataFrame([("x.org",)], "domain string")
+        plan = explain_str(
+            text.filter_blocked_domains(documents, "doc_id", "text", bl)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_semantic_dedup_pairs_keyed_not_bnlj(self, embeddings):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        plan = explain_str(
+            similarity.semantic_dedup(
+                embeddings.filter(F.col("vec_id") < 30),
+                "vec_id", "embedding", k=3, iters=1, threshold=0.9, salt="p",
+            )
+        )
+        assert "CartesianProduct" not in plan
+        # every BNLJ must be the bounded k-row centroid fan-out (the
+        # `base` subtree replicates into L/R/join-back, so it appears
+        # up to 3x); the pairwise stage itself must be a keyed
+        # equi-join on the cluster id
+        assert plan.count("BroadcastNestedLoopJoin") <= 3
+        import re as _re
+
+        assert _re.search(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cluster",
+            plan,
+        ), plan
+
+    def test_heavy_hitters_partial_topk_and_broadcast(self, spark):
+        from datafusion_functions_json_spark.operators import sketch
+        from datafusion_functions_json_spark.plans import explain_str
+
+        df = spark.createDataFrame([("a",)] * 5, "item string")
+        plan = explain_str(sketch.heavy_hitters(df, "item", 2, capacity=4))
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan  # candidates broadcast
+        assert "CartesianProduct" not in plan
+
+    def test_curriculum_no_single_partition_sort(self, spark):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        df = spark.createDataFrame([(i, 0.5) for i in range(10)], "id long, s double")
+        plan = explain_str(split.curriculum_rank(df, "id", "s", n_buckets=4))
+        # the data-side window partitions by bucket; only the tiny
+        # n_buckets-row offset table may see a singlePartition exchange
+        data_side = plan.split("BroadcastExchange")[0]
+        assert "Exchange SinglePartition" not in data_side
