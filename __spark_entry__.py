@@ -1261,6 +1261,29 @@ def _q_domains(spark, sf_dir):
     return text.domain_counts(planted, "doc_id", "t")
 
 
+def _q_sentence_stats(spark, sf_dir):
+    # sentence segmentation over a planted multi-sentence fixture (the
+    # prose is unterminated single-line, so sentences are planted as
+    # id-derived terminated clauses): count + first-sentence text
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit("First sentence number "),
+        F.col("doc_id").cast("string"),
+        F.lit(". Second one here! A third?"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.lit(" Trailing fragment without terminator"),
+        ).otherwise(F.lit("")),
+    )
+    s = text.sentences(planted)
+    return docs.select(
+        "doc_id",
+        F.size(s).alias("n_sentences"),
+        F.element_at(s, 1).alias("first_sentence"),
+        F.element_at(s, -1).alias("last_sentence"),
+    )
+
+
 def _q_domain_blocklist(spark, sf_dir):
     # blocklist pass over planted URLs: every doc links
     # site{id%7}.example.org; even ids also link cdn.example.net. The
@@ -2989,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "random_project": _q_random_project,
         "domain_blocklist": _q_domain_blocklist,
+        "sentence_stats": _q_sentence_stats,
         "heavy_hitters": _q_heavy_hitters,
         "approx_distinct": _q_approx_distinct,
         "temperature_sample": _q_temperature_sample,
@@ -4001,6 +4025,18 @@ def oracle_sql() -> dict[str, str]:
             # closed-form survivors of the planted-URL blocklist
             "select doc_id from documents "
             "where doc_id % 2 = 1 and doc_id % 7 != 3"
+        ),
+        "sentence_stats": (
+            "with p as (select doc_id, 'First sentence number ' || "
+            "doc_id::varchar || '. Second one here! A third?' || "
+            "case when doc_id % 3 = 0 then "
+            "' Trailing fragment without terminator' else '' end as t "
+            "from documents), "
+            "s as (select doc_id, list_filter(list_transform("
+            "regexp_extract_all(t, '[^.!?]+[.!?]*'), x -> trim(x)), "
+            "x -> x != '') as ss from p) "
+            "select doc_id, len(ss)::int as n_sentences, "
+            "ss[1] as first_sentence, ss[-1] as last_sentence from s"
         ),
         "semantic_dedup": (
             # same planted copies; one-assignment k-means mirror (seed

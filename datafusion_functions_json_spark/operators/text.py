@@ -21,6 +21,8 @@ __all__ = [
     "tokens",
     "token_count",
     "lines",
+    "sentences",
+    "sentence_count",
     "repetition_stats",
     "url_domains",
     "domain_suffixes",
@@ -1337,3 +1339,29 @@ def filter_blocked_domains(
     )
     blocked = sufs.join(bl, "_suf").select(id_col).distinct()
     return df.join(blocked, id_col, "left_anti")
+
+
+def sentences(text) -> Column:
+    """Sentence segmentation (array<string>): split on runs of ``.!?``
+    followed by whitespace, trimmed, empties dropped — the line-free
+    twin of :func:`lines` for prose that arrives as one physical line
+    (C4 treats sentence candidates this way; a real system would use a
+    trained segmenter, the operator shape is identical). Terminal
+    punctuation stays attached to its sentence. Implemented as
+    ``regexp_extract_all('[^.!?]+[.!?]*')`` — the lookbehind-free form
+    both Java regex and RE2 execute identically (a split that keeps
+    delimiters needs lookbehind, which RE2 lacks). Pure Column
+    expressions, scan speed."""
+    t = _col(text)
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(t, F.lit(r"[^.!?]+[.!?]*"), F.lit(0)),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+
+
+def sentence_count(text) -> Column:
+    """Number of sentences (:func:`sentences` length; NULL for NULL)."""
+    return F.size(sentences(text))

@@ -2080,3 +2080,23 @@ class TestRoundSixPlans:
         # n_buckets-row offset table may see a singlePartition exchange
         data_side = plan.split("BroadcastExchange")[0]
         assert "Exchange SinglePartition" not in data_side
+
+
+class TestSentences:
+    def _s(self, spark, txt):
+        df = spark.createDataFrame([(txt,)], "t string")
+        return df.select(text.sentences("t").alias("s")).collect()[0].s
+
+    def test_segmentation(self, spark):
+        assert self._s(spark, "One. Two! Three? Four") == [
+            "One.", "Two!", "Three?", "Four"
+        ]
+        assert self._s(spark, "No terminators at all") == [
+            "No terminators at all"
+        ]
+        assert self._s(spark, "Wait... what?! Ok.") == [
+            "Wait...", "what?!", "Ok."
+        ]
+        assert self._s(spark, "") == []
+        df = spark.createDataFrame([(None,)], "t string")
+        assert df.select(text.sentence_count("t").alias("n")).collect()[0].n is None
