@@ -22,6 +22,7 @@ from .sinks import (
     estimate_files,
     write_bucketed,
     write_partitioned,
+    write_jsonl,
     write_training_shards,
 )
 
@@ -39,4 +40,5 @@ __all__ = [
     "write_bucketed",
     "estimate_files",
     "write_training_shards",
+    "write_jsonl",
 ]

@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_partitioned", "write_bucketed", "estimate_files", "write_training_shards"]
+__all__ = ["write_partitioned", "write_bucketed", "estimate_files", "write_training_shards", "write_jsonl"]
 
 
 def write_partitioned(
@@ -118,3 +118,28 @@ def write_training_shards(
         target_file_rows=target_file_rows,
         mode=mode,
     )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str] = (),
+    target_file_rows: Optional[int] = None,
+    compression: Optional[str] = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """NDJSON (json-lines) write — the interchange format most external
+    training/eval tooling reads. Same small-file discipline as
+    :func:`write_partitioned` (``maxRecordsPerFile``, low-cardinality
+    ``partition_by``); compressed by default (text JSON is ~5-10x
+    parquet's size — at 100 TB an uncompressed jsonl export is a
+    storage incident, pass ``compression=None`` deliberately)."""
+    writer = df.write.mode(mode).format("json")
+    if compression:
+        writer = writer.option("compression", compression)
+    if target_file_rows:
+        writer = writer.option("maxRecordsPerFile", int(target_file_rows))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

@@ -213,3 +213,35 @@ class TestTrainingShards:
 
         with _pytest.raises(ValueError):
             write_training_shards(df, str(tmp_path / "x"))
+
+
+class TestWriteJsonl:
+    def test_round_trip_with_reader(self, spark, tmp_path):
+        from datafusion_functions_json_spark.sources import (
+            read_jsonl,
+            write_jsonl,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", '{"k": 1}'), (2, "b", None)],
+            "id long, s string, props string",
+        )
+        out = str(tmp_path / "jl")
+        write_jsonl(df, out, compression=None)
+        back = read_jsonl(spark, out).orderBy("id")
+        got = [(r.id, r.s, r.props) for r in back.collect()]
+        assert got == [(1, "a", '{"k": 1}'), (2, "b", None)]
+
+    def test_compressed_partitioned(self, spark, tmp_path):
+        import glob
+
+        from datafusion_functions_json_spark.sources import write_jsonl
+
+        df = spark.createDataFrame(
+            [(i, "p" if i % 2 else "q") for i in range(20)], "id long, part string"
+        )
+        out = str(tmp_path / "jlz")
+        write_jsonl(df, out, partition_by=("part",))
+        files = glob.glob(out + "/part=*/*.json.gz")
+        assert files, "expected gzip part files"
+        assert spark.read.json(out).count() == 20
