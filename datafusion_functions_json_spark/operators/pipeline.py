@@ -148,6 +148,7 @@ def curate_strict(
     classifier_threshold: float | None = None,
     benchmark: DataFrame | None = None,
     fuzzy_threshold: float = 0.7,
+    stages=None,
 ) -> DataFrame:
     """The round-6 curation composition — the published-recipe gates
     chained cheapest-first:
@@ -166,7 +167,15 @@ def curate_strict(
 
     Returns survivors with ``lang``/``n_tokens``/``clf_score`` columns.
     Everything before stage 5 is shuffle-free; stage 5 is one
-    digest-keyed shuffle over the survivors only."""
+    digest-keyed shuffle over the survivors only.
+
+    Pass ``stages`` (a :class:`~.metrics.StageMetrics`) to get per-gate
+    row counts riding the SAME action that materializes the output —
+    zero extra passes (``stages.report()`` after the action)."""
+
+    def _track(d, name):
+        return stages.track(d, name) if stages is not None else d
+
     enriched = (
         docs.withColumn("lang", text.lang_id(F.col(text_col)))
         .withColumn("n_tokens", text.token_count(F.col(text_col)))
@@ -175,6 +184,7 @@ def curate_strict(
             F.round(text.quality_classifier_score(F.col(text_col)), 6),
         )
     )
+    enriched = _track(enriched, "input")
     kept = enriched.filter(
         (F.col("n_tokens") >= min_tokens) & F.col("lang").isin(*languages)
     )
@@ -183,6 +193,7 @@ def curate_strict(
             "keep"
         ]
     )
+    kept = _track(kept, "post_gates")
     if apply_c4:
         c = text.c4_clean(F.col(text_col))
         kept = (
@@ -201,8 +212,10 @@ def curate_strict(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    kept = _track(kept, "post_dedup")
     if benchmark is not None:
         kept = dedup.fuzzy_decontaminate(
             kept, id_col, text_col, benchmark, threshold=fuzzy_threshold
         )
+        kept = _track(kept, "post_decontam")
     return kept

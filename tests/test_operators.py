@@ -2100,3 +2100,23 @@ class TestSentences:
         assert self._s(spark, "") == []
         df = spark.createDataFrame([(None,)], "t string")
         assert df.select(text.sentence_count("t").alias("n")).collect()[0].n is None
+
+
+class TestCurateStrictMetrics:
+    def test_stage_counts_ride_one_action(self, spark):
+        from datafusion_functions_json_spark.operators import metrics, pipeline
+
+        rows = [
+            (1, "The quick brown fox jumps over the lazy dog to be of use "
+                "and share that fine day with friends. " * 3),
+            (2, "tiny"),
+            (3, "der hund ist ein tier und das ist gut heute so " * 6),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stages = metrics.StageMetrics()
+        out = pipeline.curate_strict(df, stages=stages)
+        out.write.format("noop").mode("overwrite").save()  # ONE action
+        rep = stages.report()
+        assert rep["input"]["n_rows"] == 3
+        assert rep["post_gates"]["n_rows"] == 1
+        assert rep["post_dedup"]["n_rows"] == 1
