@@ -310,3 +310,23 @@ def test_normalize_text_portable(txt):
     py = re.sub(r"[^a-z0-9\s]", " ", py)
     py = re.sub(r"\s+", " ", py).strip()
     assert py == duck, repr(txt)
+
+
+@settings(max_examples=200, deadline=None)
+@given(txt=st.text(alphabet="ab c.!? d\n\te…", max_size=60))
+def test_sentence_pattern_portable(txt):
+    """The sentence-extraction pattern must segment identically under
+    Python re (Java-regex stand-in) and DuckDB/RE2 — the oracle twin's
+    engine."""
+    import re
+
+    pat = r"[^.!?]+[.!?]*"
+    py = [m.strip() for m in re.findall(pat, txt)]
+    py = [x for x in py if x]
+    con = _pretoken_con()
+    duck = con.execute(
+        "select list_filter(list_transform(regexp_extract_all(?, ?), "
+        "x -> trim(x)), x -> x != '')",
+        [txt, pat],
+    ).fetchone()[0]
+    assert py == duck, repr(txt)
