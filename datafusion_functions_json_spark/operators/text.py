@@ -1343,7 +1343,8 @@ def filter_blocked_domains(
 
 def sentences(text) -> Column:
     """Sentence segmentation (array<string>): split on runs of ``.!?``
-    followed by whitespace, trimmed, empties dropped — the line-free
+    followed by whitespace, space-trimmed (both engines' trim
+    strips spaces only, not \n/\t — fuzz-pinned), empties dropped — the line-free
     twin of :func:`lines` for prose that arrives as one physical line
     (C4 treats sentence candidates this way; a real system would use a
     trained segmenter, the operator shape is identical). Terminal

@@ -321,7 +321,8 @@ def test_sentence_pattern_portable(txt):
     import re
 
     pat = r"[^.!?]+[.!?]*"
-    py = [m.strip() for m in re.findall(pat, txt)]
+    # both engines' trim() strips SPACES only (not \n/\t) — mirror that
+    py = [m.strip(" ") for m in re.findall(pat, txt)]
     py = [x for x in py if x]
     con = _pretoken_con()
     duck = con.execute(
