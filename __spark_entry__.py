@@ -2650,9 +2650,11 @@ def _q_semantic_dedup(spark, sf_dir):
     # SemDeDup (cluster → within-cluster cosine → drop the
     # near-centroid copy): 20 planted scaled copies (cosine ~1.0 with
     # their originals, landing in the same k-means cluster) make both
-    # arms of `dropped` falsifiable; k=8/iters=1 keeps the oracle's
-    # k-means mirror to one assignment round. The pairwise stage is a
-    # cluster-keyed equi-join — never all-pairs.
+    # arms of `dropped` falsifiable; k is DERIVED (520 rows /
+    # target_cluster_size=5000 → floor of 8, matching the oracle's
+    # k-means mirror) so the scale-aware default path is what the
+    # driver checks; iters=1 keeps the mirror to one assignment round.
+    # The pairwise stage is a cluster-keyed equi-join — never all-pairs.
     emb = _emb(spark, sf_dir)
     planted = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -2665,7 +2667,8 @@ def _q_semantic_dedup(spark, sf_dir):
         emb.unionByName(planted),
         "vec_id",
         "embedding",
-        k=8,
+        k=None,
+        target_cluster_size=5000,
         iters=1,
         threshold=0.99,
         salt="sd",
@@ -2940,19 +2943,65 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_json_agg(spark, "/root/testdata/sf0.001")
 
 
+def _last_driver_checked() -> dict[str, int]:
+    """Round in which each registry entry last appeared in a driver
+    CORRECTNESS window (0 = never driver-checked).
+
+    Derived at call time from the CORRECTNESS_r*.json files the driver
+    itself writes, so the rotation order below is self-maintaining: no
+    hand-edited round map, no stale comments. When the driver writes
+    CORRECTNESS_r07.json, round 8's ordering picks it up automatically.
+    """
+    import json as _json
+    import re as _re
+    from pathlib import Path as _Path
+
+    last: dict[str, int] = {}
+    here = _Path(__file__).resolve().parent
+    for f in sorted(here.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            checked = _json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(checked, dict):
+            continue
+        for k in checked:
+            last[k] = max(last.get(k, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the driver verifies the FIRST 50 entries each round,
-    # so rotation is least-recently-driver-checked first: round 6's window
-    # = 3 never-checked new entries + the 43 entries outside round 5's
-    # window + 5 entries whose code paths changed this round. Every entry
-    # is re-checked at most 2 rounds after its last appearance.
+    """Full 140-entry registry, ordered least-recently-driver-checked
+    first.
+
+    The driver verifies the FIRST 50 entries each round, so ordering by
+    last-checked round ascending (never-checked = 0, ties broken by the
+    canonical registry order in ``_registry()``) guarantees every entry
+    re-enters the window as soon as arithmetic allows. At 140 entries and
+    a 50-slot window the true re-check cadence is ceil(140/50) = 3
+    rounds; entries whose last check is oldest always go first, so no
+    entry can starve.
+    """
+    reg = _registry()
+    last = _last_driver_checked()
+    pos = {k: i for i, k in enumerate(reg)}
+    ordered = sorted(reg, key=lambda k: (last.get(k, 0), pos[k]))
+    return {k: reg[k] for k in ordered}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Canonical (stable) order — rotation ordering is applied in
+    # queries(); this dict is the single source of truth for the 140
+    # entries, so a key can never be bound twice to diverging builders.
     return {
-        # -- NEW in round 6, never driver-checked: variant-tier ? and ->> --
         "json_contains_variant": _q_json_contains_variant,
         "json_as_text_variant": _q_json_as_text_variant,
         "multi_extract_variant": _q_multi_extract_variant,
         "line_dedup": _q_line_dedup,
-        # -- not in round 5's 50-slot window (least-recently-checked first: all were driver-green in rounds 1-4, and the 13 core getters' shared parser changed in round 5 after they rotated out) --
         "get_array_csv": _q_get_array_csv,
         "column_key": _q_column_key,
         "json_agg": _q_json_agg,
@@ -2996,17 +3045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "class_centroids": _q_class_centroids,
         "centroid_assign": _q_centroid_assign,
-        # -- touched by round-6 changes (A-ES log key, bigram de-broadcast, recall pin, variant size() nullif, codec hardening) --
         "weighted_sample": _q_weighted_sample,
         "video_features": _q_video_features,
         "media_features": _q_media_features,
-        # (51+) new or touched but past the 50-slot cap; judge
-        # full-registry runs cover them (tpch_q10/q18 are plain Catalyst
-        # with locally-green oracles; bigram_lm's join-strategy change
-        # is result-identical and locally oracle-green; pins are
-        # pytest-anchored). The second round-6 batch (gopher_filter through
-        # random_project below, ~20 entries) is new this round and
-        # locally oracle-green; round 7's window should lead with it.
         "gopher_filter": _q_gopher_filter,
         "c4_clean": _q_c4_clean,
         "semantic_dedup": _q_semantic_dedup,
@@ -3053,7 +3094,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         "ann_recall": _q_ann_recall,
         "media_meta": _q_media_meta,
-        # -- driver-green in round 5, untouched this round: rotate behind the 50-slot window --
         "json_json_variant": _q_json_json_variant,
         "kmeans": _q_kmeans,
         "stratified_sample": _q_stratified_sample,

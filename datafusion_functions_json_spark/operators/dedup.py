@@ -751,6 +751,7 @@ def fuzzy_decontaminate(
     mode: str = "char",
     n: int = 5,
     threshold: float = 0.7,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fuzzy benchmark decontamination: drop training documents whose
     MinHash Jaccard against ANY benchmark document reaches
@@ -764,7 +765,21 @@ def fuzzy_decontaminate(
     candidates meet in the banded equi-join of
     :func:`minhash_dup_pairs_against`; contaminated ids anti-join back
     against the input. At 100 TB the train side is never shuffled by
-    content — only (band, id) pairs move."""
+    content — only (band, id) pairs move.
+
+    Cache contract (matches :func:`minhash_dup_pairs`): with
+    ``materialize=True`` (default) the benchmark index is persisted and
+    forced before the band join — the benchmark-side signature UDF would
+    otherwise re-run in the band branch AND the verification join (a
+    round-6 plan-audit finding: 18 ArrowEvalPython nodes in the lazy
+    lineage) — and the contaminated-id set is computed eagerly and
+    localCheckpoint'ed (it is a bounded id list — benchmark-hit
+    training ids — so executor-local storage is fine, same trade
+    :mod:`..graph` makes per CC round), so the RETURNED plan is just
+    scan + anti-join against an in-memory id table with zero Python
+    hops left. The index and pair caches are released before
+    returning. ``materialize=False`` returns the fully lazy
+    composition and persists nothing."""
     bench_text = bench_text_col or text_col
     idx = minhash_index(
         benchmark.select(
@@ -778,6 +793,8 @@ def fuzzy_decontaminate(
         mode=mode,
         n=n,
     )
+    if materialize:
+        idx = idx.persist()
     hits = minhash_dup_pairs_against(
         df.select(F.col(id_col), F.col(text_col)),
         idx,
@@ -789,6 +806,14 @@ def fuzzy_decontaminate(
         mode=mode,
         n=n,
         threshold=threshold,
+        materialize=materialize,
     )
     contaminated = hits.select(F.col("new_id").alias(id_col)).distinct()
+    if materialize:
+        # hits is already persisted+forced by minhash_dup_pairs_against;
+        # truncate lineage at the (even smaller) distinct-id set, then
+        # release every intermediate cache — only the id table remains.
+        contaminated = contaminated.localCheckpoint(eager=True)
+        hits.unpersist()
+        idx.unpersist()
     return df.join(contaminated, id_col, "left_anti")

@@ -645,7 +645,8 @@ def semantic_dedup(
     id_col: str,
     vec_col: str,
     *,
-    k: int = 8,
+    k: int | None = None,
+    target_cluster_size: int = 5000,
     iters: int = 1,
     threshold: float = 0.95,
     salt: str = "semdedup",
@@ -668,11 +669,24 @@ def semantic_dedup(
     100 TB shape — this is the entire point of SemDeDup vs naive
     near-dup search: the pairwise join is a keyed equi-join on the
     cluster id, never all-pairs. Cost is sum(|cluster|^2), controlled
-    by ``k``: pick k ~ N/target_cluster_size (the paper uses 50k
-    clusters for LAION-scale corpora) so each cluster holds thousands
-    of rows, and AQE's skew-join handling splits any fat cluster.
-    Assignment itself is broadcast-scored (k x dim KBs), one shuffle.
+    by ``k``. With ``k=None`` (default) it is DERIVED from the corpus:
+    ``k = max(8, ceil(count / target_cluster_size))`` — the paper's
+    k ~ N/target rule (SemDeDup uses 50k clusters for LAION-scale
+    corpora), so each cluster holds ~``target_cluster_size`` rows and
+    within-cluster pair volume stays ~N*target instead of going
+    quadratic when a caller forgets to scale k with the corpus. The
+    derivation costs one count() over the id column (metadata-cheap on
+    parquet); pass an explicit ``k`` to skip it. AQE's skew-join
+    handling splits any fat cluster. Assignment itself is
+    broadcast-scored (k x dim KBs), one shuffle.
     """
+    if k is None:
+        if target_cluster_size < 1:
+            raise ValueError(
+                f"target_cluster_size must be >= 1, got {target_cluster_size}"
+            )
+        n = df.select(id_col).count()
+        k = max(8, -(-n // target_cluster_size))  # ceil div
     assigned, _ = kmeans_fit(df, id_col, vec_col, k, iters=iters, salt=salt)
     base = (
         df.select(F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v"))

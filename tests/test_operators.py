@@ -1173,6 +1173,40 @@ class TestSemanticDedup:
         ).orderBy("vec_id").collect()
         assert a == b
 
+    def test_derived_k_floor(self, spark, embeddings):
+        # k=None derives k = max(8, ceil(n/target)): 40 rows / 5000 →
+        # the floor of 8 — identical decisions to an explicit k=8 run.
+        emb = embeddings.filter(F.col("vec_id") < 40)
+        derived = similarity.semantic_dedup(
+            emb, "vec_id", "embedding", iters=1, threshold=0.99, salt="t"
+        ).orderBy("vec_id").collect()
+        explicit = similarity.semantic_dedup(
+            emb, "vec_id", "embedding", k=8, iters=1, threshold=0.99, salt="t"
+        ).orderBy("vec_id").collect()
+        assert derived == explicit
+
+    def test_derived_k_scales_with_corpus(self, spark, embeddings):
+        # above the floor: 40 rows with target_cluster_size=3 →
+        # k = ceil(40/3) = 14 distinct clusters available; the run must
+        # fan out past the k=8 floor (strictly more clusters used than
+        # a floor-k run could ever produce is not guaranteed for tiny
+        # n, so assert the cluster-id RANGE reflects the derived k).
+        emb = embeddings.filter(F.col("vec_id") < 40)
+        out = similarity.semantic_dedup(
+            emb, "vec_id", "embedding", target_cluster_size=3,
+            iters=1, threshold=0.99, salt="t",
+        )
+        max_cluster = out.agg(F.max("cluster")).collect()[0][0]
+        assert max_cluster >= 8  # impossible under the k=8 floor (ids 0..7)
+
+    def test_derived_k_rejects_bad_target(self, spark, embeddings):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="target_cluster_size"):
+            similarity.semantic_dedup(
+                embeddings, "vec_id", "embedding", target_cluster_size=0
+            )
+
 
 class TestHeavyHitters:
     def _skewed(self, spark):

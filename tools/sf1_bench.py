@@ -1,0 +1,197 @@
+"""Round-7 sf1 spot-bench: substantiate BASELINE.md's floor-amortization
+claim with measurements instead of argument.
+
+The sub-second sf0.1 headliners (tpch_q1, events_hourly, orders_join,
+json_agg, cosine_topk) are floor-bound: Spark's fixed ~0.15-0.3 s
+per-action scheduling/Arrow-session constant dominates queries whose
+data fits in milliseconds, so their sf0.1 ratios vs DuckDB (8-39x) say
+nothing about the 100 TB posture. This tool scales the SAME queries to
+sf1-equivalent row counts (10x sf0.1: ~6 M lineitem rows) and runs the
+same paired, interleaved, min-of-passes protocol as bench.py — if the
+floor argument is right, the paired ratios must converge toward the
+per-row-dominated regime as the constant amortizes.
+
+Data (generated once into .benchdata/sf1, gitignored, ~200 MB):
+- lineitem, events: 10 verbatim file copies in a directory — parquet
+  readers union them; row counts scale 10x, aggregation semantics are
+  unchanged (pure group-bys), and the physical encoding (including the
+  TIMESTAMP(NANOS) columns) stays byte-identical to the driver data.
+- orders, customer, embeddings: 10 key-OFFSET replicas written via
+  Spark (replica i shifts every key by i * (max_key + 1)) so join
+  multiplicity stays 1:1 and `vec_id = 0` stays unique — a verbatim
+  copy would fan the orders-customer join 10x per side (100x output)
+  and give cosine_topk's oracle 10 query points.
+
+Usage: python tools/sf1_bench.py [--regen]
+Prints one JSON line with per-query spark/duckdb minima and paired
+ratios at sf1, for the "Round-7 sf1 spot-bench" table in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from datafusion_functions_json_spark.sources import load_table, session_defaults
+
+SRC = os.environ.get("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".benchdata", "sf1")
+REPLICAS = 10
+COPY_TABLES = ["lineitem", "events", "documents"]
+OFFSET_TABLES = {
+    # table -> key columns to shift per replica (each by its own max+1)
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "embeddings": ["vec_id"],
+}
+# the 5 floor-bound headliners BASELINE.md's claim is about, plus three
+# per-row-dominated controls: multi_extract (pandas-UDF JSON tier),
+# multi_extract_variant (zero-hop JVM variant tier — the 100 TB scale
+# path for JSON extraction), lang_id (regex scoring, Spark-favored)
+QUERIES = [
+    "tpch_q1", "events_hourly", "orders_join", "json_agg", "cosine_topk",
+    "multi_extract", "multi_extract_variant", "lang_id",
+]
+
+
+def generate(spark):
+    os.makedirs(DST, exist_ok=True)
+    for t in COPY_TABLES:
+        d = os.path.join(DST, f"{t}.parquet")
+        if os.path.isdir(d):
+            continue
+        os.makedirs(d + ".tmp", exist_ok=True)
+        src = os.path.join(SRC, f"{t}.parquet")
+        for i in range(REPLICAS):
+            dst = os.path.join(d + ".tmp", f"part-{i:04d}.parquet")
+            try:
+                os.link(src, dst)  # hardlink when same fs; else copy
+            except OSError:
+                shutil.copyfile(src, dst)
+        os.rename(d + ".tmp", d)
+        print(f"# generated {t} (verbatim x{REPLICAS})", file=sys.stderr)
+    for t, keys in OFFSET_TABLES.items():
+        d = os.path.join(DST, f"{t}.parquet")
+        if os.path.isdir(d):
+            continue
+        base = load_table(spark, SRC, t)
+        mods = base.agg(*[(F.max(k) + 1).alias(k) for k in keys]).collect()[0]
+        rep = None
+        for i in range(REPLICAS):
+            r = base
+            for k in keys:
+                r = r.withColumn(k, (F.col(k) + F.lit(i * mods[k])).cast(dict(base.dtypes)[k]))
+            rep = r if rep is None else rep.unionByName(r)
+        rep.write.mode("overwrite").parquet(d)
+        print(f"# generated {t} (key-offset x{REPLICAS})", file=sys.stderr)
+
+
+def main():
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # sf1 shuffles move ~100 MB: 32 reduce tasks (one per core) is the
+    # right grain here, unlike bench.py's 8 at sf0.1
+    shuffle = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spark-graft-sf1-bench")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-graft-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    spark = session_defaults(builder).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    if "--regen" in sys.argv and os.path.isdir(DST):
+        shutil.rmtree(DST)
+    generate(spark)
+
+    # warmup: page cache + codegen + UDF worker pool (same as bench.py)
+    import glob as _glob
+
+    for f in _glob.glob(f"{DST}/*.parquet/*.parquet") + _glob.glob(f"{DST}/*.parquet"):
+        if os.path.isfile(f):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    from datafusion_functions_json_spark import json_get_int
+
+    ev = load_table(spark, DST, "events", spread=True)
+    ev.select(json_get_int("props", "k")).count()
+    load_table(spark, DST, "lineitem").count()
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        p = os.path.join(DST, f"{t}.parquet")
+        if not os.path.exists(p):
+            p = os.path.join(SRC, f"{t}.parquet")
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"create view {t} as select * from read_parquet('{pat}')")
+    oracles = entrymod.oracle_sql()
+    duck_sql = {n: oracles[n] for n in QUERIES}
+    for sql in duck_sql.values():
+        con.sql(sql).fetchall()
+
+    qs = entrymod.queries()
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    runs_max = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_MAX", "10"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    best = {n: None for n in QUERIES}
+    duck_best = {n: None for n in QUERIES}
+    t_start = time.time()
+    passes = 0
+    while passes < runs or (passes < runs_max and time.time() - t_start < budget):
+        for name in QUERIES:
+            t0 = time.time()
+            df = qs[name](spark, DST)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best[name] = dt if best[name] is None else min(best[name], dt)
+            t0 = time.time()
+            con.sql(duck_sql[name]).fetchall()
+            dt = time.time() - t0
+            duck_best[name] = dt if duck_best[name] is None else min(duck_best[name], dt)
+        passes += 1
+    print(f"# passes: {passes}", file=sys.stderr)
+    times = {n: round(best[n], 3) for n in QUERIES}
+    duck_times = {n: round(duck_best[n], 3) for n in QUERIES}
+    ratios = {n: round(times[n] / duck_times[n], 2) for n in QUERIES}
+    for n in QUERIES:
+        print(f"# {n}: spark {times[n]}s duckdb {duck_times[n]}s "
+              f"ratio {ratios[n]}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "sf1_spot_bench",
+        "queries": times,
+        "duckdb_queries": duck_times,
+        "ratios": ratios,
+        "value": round(sum(times.values()), 3),
+        "duckdb_total": round(sum(duck_times.values()), 3),
+        "ratio_paired": round(sum(times.values()) / sum(duck_times.values()), 3),
+        "unit": "sec",
+        "sf": 1.0,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
