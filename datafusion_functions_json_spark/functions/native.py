@@ -29,10 +29,15 @@ Envelope summary:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "JsonProfile",
+    "recommend_tier",
+    "tier_callable",
     "jsonpath",
     "json_as_text_native",
     "json_length_native",
@@ -362,3 +367,170 @@ def json_length_variant(json_col, *path) -> Column:
         _size(_try_variant(json_col, path, "array<variant>")).cast("bigint"),
         _size(_try_variant(json_col, path, "map<string,variant>")).cast("bigint"),
     )
+
+
+# ------------------------------------------------------------- tier picker
+# The per-function equivalence envelopes above are precise but spread
+# across 20 docstrings; recommend_tier() folds them into one decision so
+# users describe their DATA once instead of hand-picking twins.
+
+
+@dataclass(frozen=True)
+class JsonProfile:
+    """What is true of your JSON columns and how you consume results —
+    the facts the per-function equivalence envelopes turn on. Every
+    flag defaults to the permissive value (the common analytics case);
+    set a flag True when the property applies and :func:`recommend_tier`
+    will keep the affected functions on the exact tier.
+
+    * ``special_key_chars`` — object keys can contain ``.``, ``[``,
+      or quotes. JSONPath (every JVM tier) cannot address such keys;
+      the exact tier's list-of-keys paths can.
+    * ``trailing_garbage`` — documents may carry bytes after the JSON
+      value. Jackson/variant parse strictly (NULL); the exact tier's
+      streaming parser reads the leading value.
+    * ``needs_raw_slices`` — extracted floats/containers must keep the
+      verbatim document bytes (``4.2e-1`` stays ``4.2e-1``). JVM tiers
+      re-serialize (minified, ``0.42``).
+    * ``mixed_types_at_paths`` — values at queried paths may have
+      unexpected types, so the typed getters' coercion rules matter
+      (the exact tier implements the reference's Rust parse rules;
+      Spark casts accept more, e.g. ``'123'`` string → 123).
+    * ``integral_float_arm`` — JSON floats with zero fraction (``5.0``)
+      must land in the union's FLOAT arm. The variant encoding turns
+      them into DECIMAL(p,0), which :func:`json_get_variant` maps to
+      the int arm.
+    * ``exponent_floats`` — union-to-text must render exponent-range
+      floats serde-style (``1e+17``); Spark's double→string cast says
+      ``1.0E17``.
+    * ``no_python_workers`` — the deployment cannot run Python UDFs
+      (pure-JVM executors, no Arrow memory budget). Prefer a JVM tier
+      wherever one is equivalent, even where the exact tier measured
+      faster; functions with no equivalent JVM tier still report
+      ``'exact'`` — treat those as unavailable in such a deployment.
+    """
+
+    special_key_chars: bool = False
+    trailing_garbage: bool = False
+    needs_raw_slices: bool = False
+    mixed_types_at_paths: bool = False
+    integral_float_arm: bool = False
+    exponent_floats: bool = False
+    no_python_workers: bool = False
+
+    @classmethod
+    def strict(cls) -> "JsonProfile":
+        """Full reference fidelity: every envelope flag on — recommends
+        the exact tier everywhere. Use when you cannot characterize the
+        data."""
+        return cls(
+            special_key_chars=True,
+            trailing_garbage=True,
+            needs_raw_slices=True,
+            mixed_types_at_paths=True,
+            integral_float_arm=True,
+            exponent_floats=True,
+        )
+
+
+# fastest-first JVM candidates per public function (measured at sf0.1,
+# BASELINE.md: the variant tier parses once per row into Spark's binary
+# encoding and is the fastest JVM path wherever it exists; the
+# get_json_object tier re-parses per call but needs no Spark 4)
+_JVM_CANDIDATES = {
+    "json_get": ("variant",),
+    "json_get_str": ("variant",),
+    "json_get_int": ("variant", "native"),
+    "json_get_float": ("variant", "native"),
+    "json_get_bool": ("variant",),
+    "json_get_json": ("variant",),
+    "json_get_array": ("variant",),
+    "json_as_text": ("variant", "native"),
+    "json_contains": ("variant",),
+    "json_length": ("variant", "native"),
+    "json_object_keys": ("variant", "native"),
+    "json_from_scalar": (),  # already pure Column exprs — nothing to beat
+    "json_union_to_text": ("native",),
+}
+
+# functions whose EXACT tier measured faster than the JVM twin (the
+# union-struct builders: one fused Arrow hop beats the schema_of_variant
+# dispatch tree ~2x, BASELINE.md round-5 note) — the JVM twin is a
+# deployment-reach option, recommended only under no_python_workers
+_EXACT_IS_FASTER = frozenset({"json_get", "json_union_to_text"})
+
+_TYPED_GETTERS = frozenset(
+    {"json_get_int", "json_get_float", "json_get_str", "json_get_bool"}
+)
+_RAW_SLICE_FNS = frozenset({"json_get_json", "json_get_array", "json_as_text"})
+
+
+def _jvm_tier_ok(name: str, tier: str, p: JsonProfile) -> bool:
+    if p.special_key_chars or p.trailing_garbage:
+        return False  # every JVM tier: JSONPath syntax + strict parse
+    if name in _TYPED_GETTERS and p.mixed_types_at_paths:
+        return False
+    if name in _RAW_SLICE_FNS and p.needs_raw_slices:
+        return False
+    if name == "json_get" and (p.needs_raw_slices or p.integral_float_arm):
+        return False
+    if name == "json_union_to_text" and p.exponent_floats:
+        return False
+    return True
+
+
+def recommend_tier(
+    spark_version: str | None = None, json_profile: JsonProfile | None = None
+) -> dict:
+    """The fastest provably-equivalent tier per public function, given
+    the Spark version and a :class:`JsonProfile` of the data: a dict
+    mapping each of the 13 function names to ``'exact'`` / ``'native'``
+    / ``'variant'``. Resolve a name+tier to the callable with
+    :func:`tier_callable`.
+
+    ``spark_version`` defaults to the installed pyspark's version; the
+    variant tier needs >= 4.0 (VariantType). ``json_profile`` defaults
+    to the permissive profile — pass :meth:`JsonProfile.strict` when the
+    data is uncharacterized and fidelity is paramount.
+    """
+    if spark_version is None:
+        import pyspark
+
+        spark_version = pyspark.__version__
+    try:
+        parts = spark_version.split(".")
+        ver = (int(parts[0]), int(parts[1]) if len(parts) > 1 else 0)
+    except (ValueError, IndexError):
+        raise ValueError(f"unparseable spark_version: {spark_version!r}")
+    p = json_profile or JsonProfile()
+    out = {}
+    for name, jvm in _JVM_CANDIDATES.items():
+        ok = [
+            t
+            for t in jvm
+            if (t != "variant" or ver >= (4, 0)) and _jvm_tier_ok(name, t, p)
+        ]
+        if not ok or (name in _EXACT_IS_FASTER and not p.no_python_workers):
+            out[name] = "exact"
+        else:
+            out[name] = ok[0]
+    return out
+
+
+def tier_callable(name: str, tier: str):
+    """Resolve a :func:`recommend_tier` entry to the actual function:
+    ``('json_as_text', 'variant')`` → :func:`json_as_text_variant`;
+    ``tier='exact'`` → the default exact-tier function from the package
+    API."""
+    if name not in _JVM_CANDIDATES:
+        raise KeyError(f"unknown function name: {name!r}")
+    if tier == "exact":
+        from . import api
+
+        return getattr(api, name)
+    if tier not in ("native", "variant"):
+        raise ValueError(f"unknown tier: {tier!r}")
+    fn = globals().get(f"{name}_{tier}")
+    if fn is None:
+        raise ValueError(f"{name} has no {tier}-tier twin")
+    return fn

@@ -11,6 +11,7 @@ deterministic + stateless (no accumulated state per row)."""
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -21,6 +22,7 @@ __all__ = [
     "windowed_json_counts",
     "enrich_stream",
     "curate_stream",
+    "decontaminate_stream",
     "contamination_alerts",
     "dedup_stream",
     "sessionize",
@@ -427,6 +429,81 @@ def curate_stream(
             .drop("_c4")
         )
     return out
+
+
+def decontaminate_stream(
+    stream: DataFrame,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str | None = None,
+    *,
+    n: int = 8,
+    max_hits: int = 0,
+    max_benchmark_grams: int = 5_000_000,
+) -> DataFrame:
+    """Streaming twin of the batch
+    :func:`~..operators.text.decontaminate_filter`: drop stream
+    documents with more than ``max_hits`` exact word-``n``-gram overlaps
+    with a STATIC eval benchmark. Adds ``contaminated_ngrams`` (count of
+    distinct overlapping grams, same semantics as the batch op) and
+    filters the leaking rows out.
+
+    Why not the batch plan shape: the batch op is explode → broadcast
+    semi-join → per-doc count → ANTI-join, and Structured Streaming
+    supports neither stream-static anti-joins nor a non-windowed
+    per-doc aggregation feeding a join. The streaming-native shape is
+    STATELESS: the distinct benchmark gram set is collected once
+    (bounded and validated — eval sets are MBs next to a training
+    corpus; ``max_benchmark_grams`` guards against passing a corpus as
+    the benchmark) and broadcast to executors, and the per-row hit
+    count is one Arrow-batched set-intersection over the JVM-computed
+    gram array. No state store, no watermark requirement, composes with
+    any downstream windowing/output mode — and the same plan runs
+    unchanged on batch DataFrames (pinned equivalent to the batch op
+    in tests/test_streaming.py).
+
+    At the 100 TB posture the trade is: the batch op never ships the
+    gram set (broadcast-hash join builds it executor-side from the
+    exchange), while this ships one compressed copy per executor —
+    the price of zero streaming state. The driver-side collect is the
+    documented bounded kind (benchmark-sized, like the k×dim centroid
+    state), never the stream side.
+    """
+    from ..operators.text import word_ngrams
+
+    bench_text_col = bench_text_col or text_col
+    gram_rows = (
+        benchmark.select(
+            F.explode(word_ngrams(bench_text_col, n)).alias("_gram")
+        )
+        .distinct()
+        .collect()
+    )
+    if len(gram_rows) > max_benchmark_grams:
+        raise ValueError(
+            f"benchmark produced {len(gram_rows)} distinct {n}-grams, over "
+            f"the {max_benchmark_grams} driver-side bound — this looks like "
+            "a corpus, not an eval benchmark; use the batch "
+            "decontaminate_filter (broadcast join, no collect) instead"
+        )
+    bench_set = frozenset(r["_gram"] for r in gram_rows)
+    bc = stream.sparkSession.sparkContext.broadcast(bench_set)
+
+    @F.pandas_udf("bigint")
+    def _hits(grams: pd.Series) -> pd.Series:
+        s = bc.value
+        return pd.Series(
+            [
+                sum(1 for g in doc if g in s) if doc is not None else 0
+                for doc in grams
+            ],
+            dtype="int64",
+        )
+
+    out = stream.withColumn(
+        "contaminated_ngrams", _hits(word_ngrams(F.col(text_col), n))
+    )
+    return out.filter(F.col("contaminated_ngrams") <= max_hits)
 
 
 def contamination_alerts(

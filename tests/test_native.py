@@ -505,3 +505,91 @@ class TestVariantRandomizedDifferential:
                         and isinstance(ev, float) and abs(ev - nv) < 1e-9
                     ), (e, tag, ev, nv, r.j)
         assert checked > 3000  # the skips must not hollow out the test
+
+
+class TestRecommendTier:
+    """recommend_tier folds the per-function envelope docstrings into
+    one decision; these pin the fold against the documented envelopes."""
+
+    def test_permissive_profile_picks_jvm_tiers(self):
+        rec = native.recommend_tier("4.1.2")
+        # the variant tier is the fastest equivalent path for clean data
+        assert rec["json_get_int"] == "variant"
+        assert rec["json_as_text"] == "variant"
+        assert rec["json_contains"] == "variant"
+        assert rec["json_length"] == "variant"
+        # the union builders measured FASTER on the exact tier; the JVM
+        # twin is a deployment option, not a speed recommendation
+        assert rec["json_get"] == "exact"
+        assert rec["json_union_to_text"] == "exact"
+        # nothing to beat: already pure Column exprs
+        assert rec["json_from_scalar"] == "exact"
+        assert len(rec) == 13
+
+    def test_spark3_falls_back_to_get_json_object_tier(self):
+        rec = native.recommend_tier("3.5.1")
+        # no VariantType before 4.0: functions with a get_json_object
+        # twin drop to it, variant-only functions drop to exact
+        assert rec["json_get_int"] == "native"
+        assert rec["json_as_text"] == "native"
+        assert rec["json_length"] == "native"
+        assert rec["json_get_str"] == "exact"
+        assert rec["json_contains"] == "exact"
+
+    def test_strict_profile_is_all_exact(self):
+        rec = native.recommend_tier("4.1.2", native.JsonProfile.strict())
+        assert set(rec.values()) == {"exact"}
+
+    def test_individual_envelope_flags(self):
+        P = native.JsonProfile
+        # special key chars kill every JSONPath tier
+        rec = native.recommend_tier("4.1.2", P(special_key_chars=True))
+        assert set(rec.values()) == {"exact"}
+        # raw-slice fidelity kills the re-serializing getters only
+        rec = native.recommend_tier("4.1.2", P(needs_raw_slices=True))
+        assert rec["json_get_json"] == "exact"
+        assert rec["json_as_text"] == "exact"
+        assert rec["json_get_array"] == "exact"
+        assert rec["json_get_int"] == "variant"  # ints have no raw-slice issue
+        assert rec["json_contains"] == "variant"
+        # coercion-rule parity kills the typed getters only
+        rec = native.recommend_tier("4.1.2", P(mixed_types_at_paths=True))
+        assert rec["json_get_int"] == "exact"
+        assert rec["json_get_str"] == "exact"
+        assert rec["json_length"] == "variant"
+
+    def test_no_python_workers_prefers_jvm_even_when_slower(self):
+        rec = native.recommend_tier(
+            "4.1.2", native.JsonProfile(no_python_workers=True)
+        )
+        assert rec["json_get"] == "variant"
+        assert rec["json_union_to_text"] == "native"
+        # exponent-float fidelity still wins over deployment preference
+        rec = native.recommend_tier(
+            "4.1.2",
+            native.JsonProfile(no_python_workers=True, exponent_floats=True),
+        )
+        assert rec["json_union_to_text"] == "exact"
+
+    def test_tier_callable_resolves_and_agrees(self, spark):
+        rec = native.recommend_tier()
+        fn = native.tier_callable("json_get_int", rec["json_get_int"])
+        exact = native.tier_callable("json_get_int", "exact")
+        df = spark.createDataFrame(
+            [('{"k": 7}',), ('{"k": null}',), ("not json",), (None,)], "j string"
+        )
+        got = df.select(
+            fn("j", "k").alias("a"), exact("j", "k").alias("b")
+        ).collect()
+        assert [(r.a, r.b) for r in got] == [(7, 7), (None, None),
+                                             (None, None), (None, None)]
+
+    def test_tier_callable_errors(self):
+        with pytest.raises(KeyError):
+            native.tier_callable("not_a_function", "exact")
+        with pytest.raises(ValueError):
+            native.tier_callable("json_contains", "native")  # no such twin
+        with pytest.raises(ValueError):
+            native.tier_callable("json_get_int", "warp")
+        with pytest.raises(ValueError):
+            native.recommend_tier("not-a-version")

@@ -467,3 +467,101 @@ class TestContaminationAlerts:
         stream = spark.readStream.schema(schema).json(str(p))
         with pytest.raises(ValueError):
             js.contamination_alerts(stream, "doc_id", "text", idx, num_perm=64)
+
+
+class TestDecontaminateStream:
+    BENCH = (
+        "What is the capital of France Paris is the capital city "
+        "and it has been so for many centuries of recorded history."
+    )
+    CLEAN = (
+        "The quick brown fox jumps over the lazy dog and shares a "
+        "fine afternoon with friends beside the quiet green river."
+    )
+
+    def _bench_df(self, spark):
+        return spark.createDataFrame(
+            [(100, self.BENCH)], "doc_id long, text string"
+        )
+
+    def test_stream_drops_leaking_docs(self, spark, tmp_path):
+        # doc 2 embeds a full benchmark sentence (many shared 8-grams);
+        # doc 1 shares no 8-gram run with the benchmark
+        docs = [
+            (1, self.CLEAN),
+            (2, "A study guide follows. " + self.BENCH + " End of guide."),
+        ]
+        p = tmp_path / "decontam_in"
+        p.mkdir(exist_ok=True)
+        with open(p / "part-0.jsonl", "w") as f:
+            for i, t in docs:
+                f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).json(str(p))
+        out = js.decontaminate_stream(
+            stream, "text", self._bench_df(spark), n=8
+        )
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("decontam_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.doc_id: r
+            for r in spark.sql("select * from decontam_stream").collect()
+        }
+        assert set(got) == {1}
+        assert got[1].contaminated_ngrams == 0
+
+    def test_batch_equivalence_with_decontaminate_filter(self, spark):
+        # the same plan runs on batch frames; its keep-set must match
+        # the batch operator's anti-join keep-set on identical inputs
+        from datafusion_functions_json_spark.operators import text as optext
+
+        docs = spark.createDataFrame(
+            [
+                (1, self.CLEAN),
+                (2, "Notes: " + self.BENCH),
+                (3, self.BENCH),
+                (4, self.CLEAN + " More harmless prose follows it all day."),
+            ],
+            "doc_id long, text string",
+        )
+        bench = self._bench_df(spark)
+        stream_kept = {
+            r.doc_id
+            for r in js.decontaminate_stream(docs, "text", bench, n=8).collect()
+        }
+        batch_kept = {
+            r.doc_id
+            for r in optext.decontaminate_filter(
+                docs, "doc_id", "text", bench, n=8
+            ).collect()
+        }
+        assert stream_kept == batch_kept == {1, 4}
+
+    def test_max_hits_threshold(self, spark):
+        docs = spark.createDataFrame(
+            [(1, self.CLEAN), (2, "Notes: " + self.BENCH)],
+            "doc_id long, text string",
+        )
+        kept = js.decontaminate_stream(
+            docs, "text", self._bench_df(spark), n=8, max_hits=1_000_000
+        )
+        assert {r.doc_id for r in kept.collect()} == {1, 2}
+
+    def test_benchmark_size_guard(self, spark):
+        docs = spark.createDataFrame([(1, self.CLEAN)], "doc_id long, text string")
+        with pytest.raises(ValueError, match="driver-side bound"):
+            js.decontaminate_stream(
+                docs, "text", self._bench_df(spark), n=8, max_benchmark_grams=3
+            )
