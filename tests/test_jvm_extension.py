@@ -1,0 +1,213 @@
+"""The optional JVM parser extension (jvm_extension/): native ``->`` /
+``->>`` / ``?`` tokens in un-preprocessed ``spark.sql(...)``.
+
+Two layers of pinning:
+
+1. A byte-for-byte DIFFERENTIAL of the Java rewriter against the
+   Python ``rewrite_sql`` (the source of truth) over a hand-curated
+   corpus PLUS every operator-bearing string literal harvested from
+   tests/test_sql_operators.py — so any query the Python suite
+   exercises is automatically replayed through the Java port, errors
+   included (messages must match exactly).
+2. An end-to-end subprocess run: fresh JVM with the jar on
+   ``spark.jars`` and ``spark.sql.extensions`` set, driving real
+   queries through ``spark.sql`` with no pre-processing — chains,
+   alias rendering, parse-time plan errors, untouched lambdas and
+   positional parameters.
+
+Both skip cleanly when no JDK is available (the pure-Python
+``jsonf.sql`` route is the default and needs none).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from datafusion_functions_json_spark.sql import rewrite_sql
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXT_DIR = os.path.join(REPO, "jvm_extension")
+BUILD = os.path.join(EXT_DIR, "build")
+JAR = os.path.join(BUILD, "json-spark-ext.jar")
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("javac") is None or shutil.which("java") is None,
+    reason="no JDK: the JVM extension is optional; jsonf.sql covers the "
+    "operator surface without it",
+)
+
+
+@pytest.fixture(scope="module")
+def ext_jar():
+    if not os.path.exists(JAR):
+        subprocess.run(
+            ["sh", os.path.join(EXT_DIR, "build.sh")],
+            check=True,
+            capture_output=True,
+            cwd=EXT_DIR,
+        )
+    return JAR
+
+
+CURATED = [
+    "select name, json_data->'foo' from test",
+    "select json_data->'foo'->0 from test",
+    "select json_data->'foo'->0->'bar' from test",
+    "select json_data->>'foo' from test",
+    "select json_data->'foo'->>'bar' from test",
+    "select id from test where json_data ? 'foo'",
+    "select json_data ? 'foo' from test",
+    "select t.json_data->'foo' from test t",
+    "select `quoted col`->'a' from test",
+    'select "dquoted"->\'a\' from test',
+    "select (json_data->'foo')::int from test",
+    "select cast(json_data->'foo' as bigint) from test",
+    "select (json_data->'foo'->0)::string from test",
+    "select json_data->('foo'::text) from test",
+    "select json_data->('foo') from test",
+    "select json_data->>('foo'::varchar) from test",
+    "select transform(arr, x -> x + 1) from test",
+    "select transform(arr, x -> 'lit') from test",
+    "select aggregate(arr, 0, (a, b) -> a + b) from test",
+    "select * from test where x = ? and y < ?",
+    "select json_get(json_data, 'a', 'b') from test",
+    "select json_get(json_data, null) from test",
+    "select json_get(json_data, 1.5) from test",
+    "select json_get_str(json_data, col_a, col_b) from test",
+    "select json_from_scalar() from test",
+    "select json_from_scalar(1, 2) from test",
+    "select json_data->null from test",
+    "select json_data->1.5 from test",
+    "select json_data->'a'--comment\nfrom test",
+    "select /* c */ json_data->'a' from test",
+    "select 'str with -> inside'->'k' from test",
+    "select json_data -> 'sp ace' from test",
+    "select nested.json.col->'k' from test",
+    "select json_data->'a', json_data->>'b', other from test",
+    "select max(json_data->'a') from test group by k",
+    "select case when j ? 'k' then j->'k' else null end from test",
+    "select j->'a' from t union select j->'b' from u",
+    "select ('{\"foo\": 42}'->>('foo'::text))",
+    "select '{\"a\": [1]}'->'a'->0",
+    "no operators here at all",
+    "",
+]
+
+
+def _harvest_corpus():
+    """Every operator-bearing string literal in the Python operator test
+    suite — keeps the differential in sync with whatever the Python
+    tests exercise, with no manual copying."""
+    src = open(os.path.join(REPO, "tests", "test_sql_operators.py")).read()
+    found = []
+    for m in re.finditer(r'"((?:[^"\\]|\\.)*)"|\'((?:[^\'\\]|\\.)*)\'', src):
+        s = m.group(1) if m.group(1) is not None else m.group(2)
+        if ("->" in s or "?" in s) and len(s) > 5:
+            try:
+                found.append(s.encode().decode("unicode_escape"))
+            except UnicodeDecodeError:
+                pass
+    return found
+
+
+def _python_results(queries):
+    out = []
+    for q in queries:
+        try:
+            out.append(rewrite_sql(q))
+        except ValueError as e:
+            out.append("!ERR!" + str(e))
+    return out
+
+
+def _java_results(queries, jar):
+    classes = os.path.join(BUILD, "classes")
+    proc = subprocess.run(
+        ["java", "-cp", classes, "jsonsparkext.JsonOperatorRewriter"],
+        input="\x00".join(queries).encode("utf-8"),
+        capture_output=True,
+        check=True,
+    )
+    return proc.stdout.decode("utf-8").split("\x00")
+
+
+class TestRewriterDifferential:
+    def test_curated_and_harvested_corpus(self, ext_jar):
+        corpus = CURATED + _harvest_corpus()
+        assert len(corpus) > 60  # the harvest must not silently go empty
+        py = _python_results(corpus)
+        jv = _java_results(corpus, ext_jar)
+        assert len(py) == len(jv)
+        for q, a, b in zip(corpus, py, jv):
+            assert a == b, f"rewriter divergence on {q!r}:\n py={a!r}\n jv={b!r}"
+
+
+E2E_SCRIPT = r"""
+import sys
+sys.path.insert(0, sys.argv[1])
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.jars", sys.argv[2])
+         .config("spark.sql.extensions", "jsonsparkext.JsonSqlExtension")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import datafusion_functions_json_spark as jsonf
+jsonf.register_all(spark)
+spark.createDataFrame(
+    [('{"foo": {"bar": [7, 8]}, "k": "v", "n": 4.2e-1}',)], "j string"
+).createOrReplaceTempView("t")
+
+df = spark.sql("select j->'foo'->'bar'->0 from t")
+assert df.columns == ["j -> 'foo' -> 'bar' -> 0"], df.columns
+row = df.collect()[0][0]
+assert row.type_id == 2 and row.int == 7, row
+
+df = spark.sql("select j->>'k' from t where j ? 'k'")
+assert df.columns == ["j ->> 'k'"], df.columns
+assert df.collect()[0][0] == "v"
+
+# raw-slice fidelity through the extension route too
+assert spark.sql("select json_get_json(j, 'n') from t").collect()[0][0] == "4.2e-1"
+
+# cast elision: (j->'foo'->'bar'->0)::int => json_get_int chain
+assert spark.sql("select (j->'foo'->'bar'->0)::int from t").collect()[0][0] == 7
+
+# parse-time plan-error parity (reference tests/main.rs:291-298)
+for bad in ("select json_get(j, null) from t", "select j->null from t",
+            "select j->1.5 from t"):
+    try:
+        spark.sql(bad)
+        raise SystemExit(f"expected plan error for {bad!r}")
+    except Exception as e:
+        assert "Error during planning" in str(e), (bad, str(e)[:200])
+
+# lambdas and positional parameters pass through untouched
+assert spark.sql("select transform(array(1,2), x -> x + 1)").collect()[0][0] == [2, 3]
+assert spark.sql("select ? + 1", args=[41]).collect()[0][0] == 42
+
+print("E2E_OK")
+"""
+
+
+class TestExtensionEndToEnd:
+    def test_spark_sql_operators_no_preprocessing(self, ext_jar, tmp_path):
+        script = tmp_path / "ext_e2e.py"
+        script.write_text(E2E_SCRIPT)
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, str(script), REPO, ext_jar],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            env=env,
+            cwd=str(tmp_path),  # foreign cwd, same as the verify recipe
+        )
+        assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+        assert "E2E_OK" in proc.stdout
