@@ -312,6 +312,32 @@ def _q_json_agg(spark, sf_dir):
     )
 
 
+def _q_json_agg_variant(spark, sf_dir):
+    # the flagship composition on the zero-hop VARIANT tier — the scale
+    # path when raw-slice union fidelity isn't needed: same conditional
+    # aggregation as _q_json_agg but json_contains_variant /
+    # json_get_int_variant are pure Catalyst expressions, so the whole
+    # plan is one scan + one partial-agg exchange with NO Python hop
+    # (the sf1 spot-bench showed the exact tier's json_agg ratio is
+    # Arrow-hop-bound; this twin is what a 100 TB deployment runs).
+    from datafusion_functions_json_spark.functions import native
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            native.json_contains_variant("props", "k").alias("c"),
+            native.json_get_int_variant("props", "k").alias("v"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("c"), F.col("v"))).alias("sum_k"),
+            F.count(F.when(F.col("c"), F.lit(1))).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
 def _q_nested_get_int(spark, sf_dir):
     li = _lineitem(spark, sf_dir).withColumn("j", _nested_json_col())
     return li.select(
@@ -566,6 +592,36 @@ def _q_orders_join(spark, sf_dir):
     )
 
 
+def _q_bloom_join(spark, sf_dir):
+    # Bloom-prefiltered selective join: the BUILDING customers are ~20%
+    # of the dim side, so the bloom pass drops ~80% of orders BEFORE
+    # the join's exchange — at 100 TB that is the difference between
+    # shuffling the corpus and shuffling the matches. Result is EXACTLY
+    # the plain join (FPs removed by the real join), which is what the
+    # oracle runs.
+    orders = load_table(spark, sf_dir, "orders")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    j = joins.bloom_prefilter_join(orders, cust, ("o_custkey", "c_custkey"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def _q_skew_report(spark, sf_dir):
+    # shuffle-planning diagnosis: hottest user_ids with share and
+    # x-over-uniform ratio — one keyed partial agg + 1-row broadcast +
+    # global top-k, no collect
+    from datafusion_functions_json_spark.operators import stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats.skew_report(ev, "user_id", k=20)
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return dedup.exact_dup_groups(docs, "text", "doc_id").select(
@@ -801,6 +857,24 @@ def _q_decontam(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return text.decontaminate(train, "doc_id", "text", bench, n=4)
+
+
+def _q_stream_decontam(spark, sf_dir):
+    # the STREAMING decontamination twin (stateless broadcast-set
+    # membership; streaming/decontaminate_stream), run on a batch frame
+    # — the identical plan serves both — with max_hits high enough to
+    # keep every doc, so the per-doc overlap COUNTS (zeros included,
+    # unlike batch decontaminate's hits-only frame) are what the oracle
+    # hashes. Same bench/train split and n=4 grams as `decontam`.
+    from datafusion_functions_json_spark import streaming as js
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    out = js.decontaminate_stream(
+        train, "text", bench, n=4, max_hits=1_000_000_000
+    )
+    return out.select("doc_id", "contaminated_ngrams")
 
 
 def _q_mixture_sample(spark, sf_dir):
@@ -2975,14 +3049,13 @@ def _last_driver_checked() -> dict[str, int]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Full 140-entry registry, ordered least-recently-driver-checked
-    first.
+    """Full registry, ordered least-recently-driver-checked first.
 
     The driver verifies the FIRST 50 entries each round, so ordering by
     last-checked round ascending (never-checked = 0, ties broken by the
     canonical registry order in ``_registry()``) guarantees every entry
-    re-enters the window as soon as arithmetic allows. At 140 entries and
-    a 50-slot window the true re-check cadence is ceil(140/50) = 3
+    re-enters the window as soon as arithmetic allows. At ~140 entries
+    and a 50-slot window the true re-check cadence is ceil(n/50) = 3
     rounds; entries whose last check is oldest always go first, so no
     entry can starve.
     """
@@ -2995,8 +3068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Canonical (stable) order — rotation ordering is applied in
-    # queries(); this dict is the single source of truth for the 140
-    # entries, so a key can never be bound twice to diverging builders.
+    # queries(); this dict is the single source of truth for the
+    # registry, so a key can never be bound twice to diverging builders.
     return {
         "json_contains_variant": _q_json_contains_variant,
         "json_as_text_variant": _q_json_as_text_variant,
@@ -3048,6 +3121,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "video_features": _q_video_features,
         "media_features": _q_media_features,
+        "stream_decontam": _q_stream_decontam,
+        "json_agg_variant": _q_json_agg_variant,
+        "bloom_join": _q_bloom_join,
+        "skew_report": _q_skew_report,
         "gopher_filter": _q_gopher_filter,
         "c4_clean": _q_c4_clean,
         "semantic_dedup": _q_semantic_dedup,
@@ -3263,6 +3340,15 @@ def oracle_sql() -> dict[str, str]:
             f"from lineitem"
         ),
         "json_agg": (
+            "select event_type, sum(try_cast(json_extract(props,'$.k') as bigint))::bigint as sum_k, "
+            "count(*) as n from events "
+            "where json_type(props,'$.k') is not null group by event_type"
+        ),
+        # identical twin for the variant-tier flagship: present-'k'
+        # filter + int extraction agree across tiers on this data
+        # (props.k values are JSON ints; variant's extra string
+        # coercions never fire)
+        "json_agg_variant": (
             "select event_type, sum(try_cast(json_extract(props,'$.k') as bigint))::bigint as sum_k, "
             "count(*) as n from events "
             "where json_type(props,'$.k') is not null group by event_type"
@@ -4546,6 +4632,40 @@ def oracle_sql() -> dict[str, str]:
             "select ng.doc_id, count(*)::bigint as contaminated_ngrams "
             "from ng join bench using (g) "
             "where ng.doc_id % 20 <> 0 group by ng.doc_id"
+        ),
+        "bloom_join": (
+            # the bloom prefilter is exact-by-construction (FPs removed
+            # by the real join), so the oracle is the PLAIN join
+            "select o_orderpriority, count(*) as n_orders, "
+            "round(sum(o_totalprice), 2) as total "
+            "from orders join customer on o_custkey = c_custkey "
+            "where c_mktsegment = 'BUILDING' group by o_orderpriority"
+        ),
+        "skew_report": (
+            "with c as (select user_id as key, count(*)::bigint as n "
+            "from events group by 1), "
+            "t as (select sum(n)::bigint as total, count(*)::bigint as dk from c) "
+            "select key, n, round(n / total, 6) as share, "
+            "round(n / (total / dk), 6) as skew_vs_uniform, "
+            "total as total_rows, dk as distinct_keys "
+            "from c, t order by n desc, key asc limit 20"
+        ),
+        "stream_decontam": (
+            # the streaming twin emits a count for EVERY train doc
+            # (zeros included) — left join + coalesce, else as `decontam`
+            "with tok as (select doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') as toks from documents), "
+            "idx as (select doc_id, toks, "
+            "unnest(generate_series(1, greatest(len(toks) - 3, 1))) as i from tok), "
+            "ng as (select distinct doc_id, "
+            "array_to_string(list_slice(toks, i, i + 3), ' ') as g from idx), "
+            "bench as (select distinct g from ng where doc_id % 20 = 0), "
+            "hits as (select ng.doc_id, count(*)::bigint as c "
+            "from ng join bench using (g) "
+            "where ng.doc_id % 20 <> 0 group by ng.doc_id) "
+            "select d.doc_id, coalesce(h.c, 0)::bigint as contaminated_ngrams "
+            "from documents d left join hits h using (doc_id) "
+            "where d.doc_id % 20 <> 0"
         ),
         "mixture_sample": (
             "with f as (select doc_id, source, "

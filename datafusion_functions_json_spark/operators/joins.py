@@ -33,11 +33,13 @@ the tied rows (unspecified which — same contract as DuckDB ASOF); pass
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["asof_join", "range_join", "salted_join"]
+__all__ = ["asof_join", "range_join", "salted_join", "bloom_prefilter_join"]
 
 
 def _epoch_seconds(df: DataFrame, colname: str) -> "F.Column":
@@ -310,3 +312,93 @@ def salted_join(
         if lc == rc:
             out = out.drop(r[rc])
     return out
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on,
+    *,
+    how: str = "inner",
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+    max_build_rows: int = 50_000_000,
+) -> DataFrame:
+    """Join with a Bloom-filter pre-pass on the big side — the classic
+    100 TB shuffle reducer for selective joins where the small side is
+    too LARGE to broadcast as exact keys but its Bloom filter is a few
+    MBs. The big side drops rows whose join key cannot possibly match
+    BEFORE the join's exchange, so shuffle volume scales with the
+    match rate instead of the corpus. The result is EXACTLY the plain
+    ``big.join(small, on, how)``: the filter only has false positives,
+    and the real join removes them (hence ``how`` is restricted to
+    inner/semi shapes — an outer/anti join would need the dropped
+    rows).
+
+    Engine-consistent hashing: both sides hash the key JVM-side with
+    ``xxhash64`` (h1) and ``xxhash64(key, 1)`` (h2); probe positions
+    are double-hashed ``(h1 + i*h2) mod num_bits`` in uint64 numpy
+    arithmetic, identical in the build and probe paths. The build
+    collects the small side's DISTINCT (h1, h2) pairs driver-side —
+    16 bytes per distinct key, guarded by ``max_build_rows`` (beyond
+    it you want Spark's own runtime row-level filtering / a plain
+    shuffle join, not a driver bitmap); the probe ships one
+    ``num_bits/8``-byte bitmap per executor via broadcast and tests
+    membership in one Arrow-batched numpy pass.
+
+    False-positive rate ~ (1 - e^(-k*n/m))^k; the 1 MiB default
+    (2^23 bits, k=5) holds ~1 M keys under 1% FP. Size ``num_bits``
+    ~10x the distinct-key count for that regime.
+    """
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_prefilter_join supports inner/semi joins, got {how!r}: "
+            "outer/anti shapes need the rows the prefilter drops"
+        )
+    if isinstance(on, str):
+        big_key, small_key = on, on
+    else:
+        big_key, small_key = on
+    # build: distinct key hashes from the small side, JVM-computed
+    hashes = (
+        small.select(
+            F.xxhash64(small_key).alias("_h1"),
+            F.xxhash64(small_key, F.lit(1)).alias("_h2"),
+        )
+        .where(F.col("_h1").isNotNull())
+        .distinct()
+    )
+    n_keys = hashes.count()
+    if n_keys > max_build_rows:
+        raise ValueError(
+            f"small side has {n_keys} distinct keys, over the "
+            f"{max_build_rows} driver-side build bound — at that size use "
+            "a plain shuffle join (AQE) instead of a driver-built bloom"
+        )
+    pdf = hashes.toPandas()
+    m = int(num_bits)
+    bits = np.zeros(m, dtype=bool)
+    h1 = pdf["_h1"].to_numpy().astype(np.uint64)
+    h2 = pdf["_h2"].to_numpy().astype(np.uint64)
+    for i in range(num_hashes):
+        bits[((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)] = True
+    bc = big.sparkSession.sparkContext.broadcast(np.packbits(bits))
+    k = num_hashes
+
+    @F.pandas_udf("boolean")
+    def _might_contain(a: pd.Series, b: pd.Series) -> pd.Series:
+        bm = np.unpackbits(bc.value)
+        ha = a.to_numpy().astype(np.uint64)
+        hb = b.to_numpy().astype(np.uint64)
+        keep = np.ones(len(ha), dtype=bool)
+        for i in range(k):
+            keep &= bm[((ha + np.uint64(i) * hb) % np.uint64(m)).astype(np.int64)] != 0
+        return pd.Series(keep)
+
+    pref = big.filter(
+        _might_contain(
+            F.xxhash64(big_key), F.xxhash64(big_key, F.lit(1))
+        )
+    )
+    cond = pref[big_key] == small[small_key] if big_key != small_key else big_key
+    return pref.join(small, cond, how)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_percentiles", "cohort_retention"]
+__all__ = ["grouped_percentiles", "cohort_retention", "skew_report"]
 
 
 def grouped_percentiles(
@@ -105,4 +105,49 @@ def cohort_retention(
         j.filter(F.col("period_offset") <= max_offset)
         .groupBy("cohort_period", "period_offset")
         .agg(F.countDistinct("user").alias("n_users"))
+    )
+
+
+def skew_report(df: DataFrame, key, k: int = 20) -> DataFrame:
+    """Key-skew diagnosis for a planned shuffle: the top-``k`` hottest
+    values of ``key`` with their row counts, share of the table, and
+    the ratio to a perfectly uniform distribution — the numbers that
+    decide between a plain shuffle join, :func:`~.joins.salted_join`,
+    and AQE skew-split before you burn a 100 TB shuffle discovering a
+    hot key the hard way.
+
+    Returns one row per hot key, ordered by (n desc, key asc):
+    ``(key, n, share, skew_vs_uniform, total_rows, distinct_keys)``
+    with share and skew_vs_uniform = ``n / (total/distinct)`` rounded
+    to 6 decimals (1.0 = perfectly uniform; 100 = this key is 100x a
+    fair share — salt it). 6 decimals, not 2: coarse rounding lands
+    ratios like 1.275 on a half-tie where engines disagree on the
+    binary double's direction; at 6 the division's decimal expansion
+    is usually exact and rounding is a no-op.
+
+    Plan shape: one partial-agg count per key (map-side combine
+    collapses the scan), one 1-row global agg over the count table,
+    broadcast back (1 row), and a global top-k
+    (TakeOrderedAndProject — no full sort). Scales as a count-distinct,
+    never collects.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(kc.alias("key")).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("_total"), F.count("*").alias("_distinct")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n") / (F.col("_total") / F.col("_distinct")), 6
+            ).alias("skew_vs_uniform"),
+            F.col("_total").alias("total_rows"),
+            F.col("_distinct").alias("distinct_keys"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(k)
     )

@@ -1,0 +1,74 @@
+"""Driver-contract pins for __spark_entry__.py: registry shape and the
+self-maintaining rotation ordering (the driver verifies only the FIRST
+50 ``queries()`` entries per round, so ordering bugs silently starve
+entries of their correctness gate — worth a real test, not a comment).
+
+No SparkSession needed: these test the registry plumbing, not the
+queries themselves (tools/check_oracle.py and the driver cover those).
+"""
+
+from __future__ import annotations
+
+import json
+
+import __spark_entry__ as entrymod
+
+
+def test_registry_keys_unique_and_oracle_subset():
+    reg = entrymod._registry()
+    q = entrymod.queries()
+    assert set(reg) == set(q)
+    o = entrymod.oracle_sql()
+    # every oracle key must name a real query (a typo'd oracle entry
+    # would silently never be compared)
+    assert set(o) <= set(reg), sorted(set(o) - set(reg))
+    # the documented rows-only exceptions are the ONLY oracle-less ones
+    oracle_less = set(reg) - set(o)
+    assert oracle_less == {
+        "ann_recall", "minhash_pairs", "percentiles_approx",
+        "minhash_incremental", "knn_graph", "simhash_pairs",
+        "ann_topk", "ivf_topk", "ivf_recall", "embedding_dups",
+    }, sorted(oracle_less)
+
+
+def test_rotation_orders_least_recently_checked_first():
+    last = entrymod._last_driver_checked()
+    order = list(entrymod.queries())
+    seen_rounds = [last.get(k, 0) for k in order]
+    # non-decreasing: an entry can never sit behind one checked later
+    assert seen_rounds == sorted(seen_rounds)
+    # never-checked entries (round 0) must lead
+    n_never = sum(1 for r in seen_rounds if r == 0)
+    assert order[:n_never] == [k for k in order if last.get(k, 0) == 0]
+
+
+def test_last_checked_reads_correctness_files(tmp_path, monkeypatch):
+    # point the scanner at a synthetic history and check the fold
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": {}, "b": {}})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"b": {}}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text("not json")  # ignored
+    import pathlib
+
+    real_resolve = pathlib.Path.resolve
+
+    def fake_resolve(self):
+        p = real_resolve(self)
+        if p.name == "__spark_entry__.py":
+            return tmp_path / "__spark_entry__.py"
+        return p
+
+    monkeypatch.setattr(pathlib.Path, "resolve", fake_resolve)
+    last = entrymod._last_driver_checked()
+    assert last == {"a": 1, "b": 3}
+
+
+def test_window_holds_the_full_stale_set():
+    # with <= 50 never-checked entries, all of them must be in the
+    # window the driver will verify next round
+    last = entrymod._last_driver_checked()
+    order = list(entrymod.queries())
+    never = [k for k in order if last.get(k, 0) == 0]
+    if len(never) <= 50:
+        assert set(never) <= set(order[:50])

@@ -370,3 +370,84 @@ class TestSaltedJoin:
         )
         assert n_sub > 1  # hot key split across sub-keys
         assert out.count() == left.join(right, "k").count()
+
+
+class TestBloomPrefilterJoin:
+    def _tables(self, spark):
+        big = spark.createDataFrame(
+            [(i, i % 100) for i in range(2000)], "id long, k long"
+        )
+        # selective small side: only 7 of the 100 key values match
+        small = spark.createDataFrame(
+            [(k, f"dim{k}") for k in (3, 17, 31, 45, 59, 73, 97)],
+            "k long, name string",
+        )
+        return big, small
+
+    def test_inner_exactly_matches_plain_join(self, spark):
+        big, small = self._tables(spark)
+        plain = big.join(small, "k", "inner").select("id", "k", "name")
+        bloomed = joins.bloom_prefilter_join(big, small, "k").select(
+            "id", "k", "name"
+        )
+        assert bloomed.exceptAll(plain).count() == 0
+        assert plain.exceptAll(bloomed).count() == 0
+        assert bloomed.count() == 140  # 2000/100 per key * 7 keys
+
+    def test_renamed_keys(self, spark):
+        big = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, bk long")
+        small = spark.createDataFrame([(10, "x"), (30, "y")], "sk long, v string")
+        out = joins.bloom_prefilter_join(big, small, ("bk", "sk"))
+        assert sorted((r.id, r.v) for r in out.collect()) == [(1, "x"), (3, "y")]
+
+    def test_prefilter_reduces_rows_before_join(self, spark):
+        # the bloom pass itself (pre-join) must keep all matches and,
+        # at 1 MiB / 7 keys, essentially nothing else
+        big, small = self._tables(spark)
+        bloomed = joins.bloom_prefilter_join(big, small, "k")
+        # exact result equality already proven; here pin the plan shape:
+        # the filter sits under the join (ArrowEvalPython before exchange)
+        plan = bloomed._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
+
+    def test_rejects_outer_and_oversized_build(self, spark):
+        big, small = self._tables(spark)
+        with pytest.raises(ValueError, match="inner/semi"):
+            joins.bloom_prefilter_join(big, small, "k", how="left")
+        with pytest.raises(ValueError, match="build bound"):
+            joins.bloom_prefilter_join(big, small, "k", max_build_rows=3)
+
+    def test_null_keys_drop_like_plain_inner(self, spark):
+        big = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "id long, k long"
+        )
+        small = spark.createDataFrame(
+            [(10, "x"), (None, "n")], "k long, v string"
+        )
+        plain = big.join(small, big["k"] == small["k"], "inner")
+        out = joins.bloom_prefilter_join(big, small, "k")
+        assert out.count() == plain.count() == 1
+
+
+class TestSkewReport:
+    def test_counts_shares_and_skew(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+        df = spark.createDataFrame(rows, "k string").repartition(4)
+        rep = stats.skew_report(df, "k", k=2).collect()
+        assert [r.key for r in rep] == ["hot", "warm"]
+        top = rep[0]
+        assert top.n == 80 and top.total_rows == 100 and top.distinct_keys == 3
+        assert abs(top.share - 0.8) < 1e-9
+        # fair share is 100/3 = 33.33 rows -> hot is 2.4x
+        assert top.skew_vs_uniform == 2.4
+
+    def test_tie_break_is_deterministic(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [("b",), ("a",), ("c",), ("a",), ("b",), ("c",)], "k string"
+        )
+        rep = stats.skew_report(df, "k", k=3).collect()
+        assert [r.key for r in rep] == ["a", "b", "c"]
