@@ -395,8 +395,14 @@ def bloom_prefilter_join(
             keep &= bm[((ha + np.uint64(i) * hb) % np.uint64(m)).astype(np.int64)] != 0
         return pd.Series(keep)
 
+    # optimizer fence, not a semantic claim (membership is pure):
+    # without it Catalyst's join-condition inference COPIES the bloom
+    # predicate onto the small side too — every small-side row tested
+    # against its own filter, pure waste. Fenced, the filter stays
+    # exactly where the algorithm puts it: on the big side, above its
+    # scan filters, below the join.
     pref = big.filter(
-        _might_contain(
+        _might_contain.asNondeterministic()(
             F.xxhash64(big_key), F.xxhash64(big_key, F.lit(1))
         )
     )

@@ -500,8 +500,15 @@ def decontaminate_stream(
             dtype="int64",
         )
 
+    # asNondeterministic is an OPTIMIZER FENCE, not a semantic claim
+    # (the count is pure): without it Catalyst pushes the max_hits
+    # filter below the projection, re-inlining the alias, and both the
+    # UDF and the JVM gram expansion feeding it evaluate TWICE per row
+    # (two ArrowEvalPython nodes in one stage). Fenced, the plan is one
+    # evaluation + a filter on the materialized column.
+    hits_once = _hits.asNondeterministic()
     out = stream.withColumn(
-        "contaminated_ngrams", _hits(word_ngrams(F.col(text_col), n))
+        "contaminated_ngrams", hits_once(word_ngrams(F.col(text_col), n))
     )
     return out.filter(F.col("contaminated_ngrams") <= max_hits)
 

@@ -147,6 +147,29 @@ class TestRewriterDifferential:
         for q, a, b in zip(corpus, py, jv):
             assert a == b, f"rewriter divergence on {q!r}:\n py={a!r}\n jv={b!r}"
 
+    def test_token_soup_fuzz(self, ext_jar):
+        # deterministic fuzz: random token soups heavy on the operator
+        # tokens and their boundary shapes, all batched through ONE java
+        # call; both rewriters must agree byte-for-byte, errors included
+        import random
+
+        rnd = random.Random(7)
+        pool = [
+            "j", "t.j", "a.b.c", "`q col`", '"dq"', "'str'", "'a''b'",
+            "42", "1.5", "0.5e3", "null", "NULL", "->", "->>", "?",
+            "(", ")", ",", "select", "from", "where", "and", "case",
+            "end", "transform", "json_get", "json_as_text", "x",
+            "--c\n", "/*b*/", "::", "int", "text", "as", "+", "=",
+        ]
+        corpus = []
+        for _ in range(300):
+            k = rnd.randint(2, 14)
+            corpus.append(" ".join(rnd.choice(pool) for _ in range(k)))
+        py = _python_results(corpus)
+        jv = _java_results(corpus, ext_jar)
+        for q, a, b in zip(corpus, py, jv):
+            assert a == b, f"fuzz divergence on {q!r}:\n py={a!r}\n jv={b!r}"
+
 
 E2E_SCRIPT = r"""
 import sys
