@@ -220,8 +220,53 @@ def _variant_multi(json_col, specs) -> Column:
     )[0]
 
 
+def _auto_tier(specs, json_profile) -> str:
+    """Resolve ``tier='auto'``: the variant tier iff Spark >= 4, every
+    requested kind/path is variant-expressible, and the
+    :class:`~.native.JsonProfile` doesn't disqualify the corresponding
+    function's envelope (same rules as :func:`~.native.recommend_tier`);
+    otherwise the exact tier. A disqualified AUTO silently falls back —
+    the point is "fastest equivalent without reading envelope docs";
+    callers who want a hard error opt into ``tier='variant'``."""
+    import pyspark
+
+    from .native import JsonProfile, _jvm_tier_ok, jsonpath
+
+    try:
+        parts = pyspark.__version__.split(".")
+        ver = (int(parts[0]), int(parts[1]) if len(parts) > 1 else 0)
+    except (ValueError, IndexError):
+        return "exact"
+    if ver < (4, 0):
+        return "exact"
+    p = json_profile or JsonProfile()
+    kind_fn = {
+        "str": "json_get_str",
+        "int": "json_get_int",
+        "float": "json_get_float",
+        "bool": "json_get_bool",
+        "text": "json_as_text",
+        "length": "json_length",
+        "exists": "json_contains",
+    }
+    for _, kind, path in specs:
+        if kind not in _VARIANT_KINDS or kind not in kind_fn:
+            return "exact"
+        if not _jvm_tier_ok(kind_fn[kind], "variant", p):
+            return "exact"
+        try:
+            jsonpath(path)
+        except ValueError:
+            return "exact"  # key inexpressible in JSONPath syntax
+    return "variant"
+
+
 def json_extract_multi(
-    json_col, fields: Mapping[str, Tuple], *, tier: str = "exact"
+    json_col,
+    fields: Mapping[str, Tuple],
+    *,
+    tier: str = "exact",
+    json_profile=None,
 ) -> Column:
     """Extract N typed fields from one JSON column with ONE parse per
     document.
@@ -248,9 +293,16 @@ def json_extract_multi(
     coercions; see native.py's envelope docs); union kinds and
     JSONPath-inexpressible keys raise. The bench shows the Arrow hop
     alone costs ~0.3 s/600k rows — this path removes it entirely.
+
+    ``tier="auto"`` — pick the fastest PROVABLY-EQUIVALENT tier for a
+    :class:`~.native.JsonProfile` (``json_profile`` kwarg, default
+    permissive): variant when Spark >= 4 and every field's envelope
+    allows it, exact otherwise — the :func:`~.native.recommend_tier`
+    rules applied per field, with silent fallback instead of the
+    variant tier's hard errors.
     """
-    if tier not in ("exact", "variant"):
-        raise ValueError(f"unknown tier {tier!r}; expected exact|variant")
+    if tier not in ("exact", "variant", "auto"):
+        raise ValueError(f"unknown tier {tier!r}; expected exact|variant|auto")
     if isinstance(json_col, str):
         json_col = F.col(json_col)
     specs = []
@@ -262,6 +314,8 @@ def json_extract_multi(
                 f"of {sorted(FIELD_KINDS)}"
             )
         specs.append((name, kind, tuple(path)))
+    if tier == "auto":
+        tier = _auto_tier(specs, json_profile)
     if tier == "variant":
         bad = sorted({k for _, k, _ in specs if k not in _VARIANT_KINDS})
         if bad:

@@ -230,3 +230,69 @@ class TestVariantTierMulti:
             )
         with pytest.raises(ValueError, match="unknown tier"):
             jsonf.json_extract_multi("j", {"x": ("int", "a")}, tier="native")
+
+
+class TestAutoTierMulti:
+    DOCS = [
+        ('{"a": 1, "b": "x", "c": [1, 2], "f": 0.5}',),
+        ('{"a": null}',),
+        ("not json",),
+        (None,),
+    ]
+    FIELDS = {
+        "i": ("int", "a"),
+        "s": ("str", "b"),
+        "n": ("length", "c"),
+        "e": ("exists", "a"),
+    }
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, "j string")
+
+    def test_auto_picks_variant_and_matches_exact(self, spark):
+        from datafusion_functions_json_spark.functions.multi import _auto_tier
+
+        specs = [(n, k[0], tuple(k[1:])) for n, k in self.FIELDS.items()]
+        assert _auto_tier(specs, None) == "variant"
+        df = self._df(spark)
+        auto = df.select(
+            jsonf.json_extract_multi("j", self.FIELDS, tier="auto").alias("u")
+        ).select("u.*").collect()
+        exact = df.select(
+            jsonf.json_extract_multi("j", self.FIELDS, tier="exact").alias("u")
+        ).select("u.*").collect()
+        assert auto == exact
+        # and the auto plan carries no Python hop
+        plan = (
+            self._df(spark)
+            .select(jsonf.json_extract_multi("j", self.FIELDS, tier="auto"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan
+
+    def test_auto_falls_back_on_envelope(self, spark):
+        from datafusion_functions_json_spark.functions.multi import _auto_tier
+        from datafusion_functions_json_spark.functions.native import JsonProfile
+
+        specs = [("i", "int", ("a",))]
+        # typed-getter coercion concern -> exact
+        assert _auto_tier(specs, JsonProfile(mixed_types_at_paths=True)) == "exact"
+        # raw-slice concern hits text, not int
+        assert _auto_tier(specs, JsonProfile(needs_raw_slices=True)) == "variant"
+        assert (
+            _auto_tier([("t", "text", ("a",))], JsonProfile(needs_raw_slices=True))
+            == "exact"
+        )
+        # union kinds never ride auto-variant
+        assert _auto_tier([("u", "union", ("a",))], None) == "exact"
+        # JSONPath-inexpressible key -> exact (silent, no raise)
+        assert _auto_tier([("i", "int", ("a.b",))], None) == "exact"
+        df = self._df(spark)
+        out = df.select(
+            jsonf.json_extract_multi(
+                "j", {"i": ("int", "a")}, tier="auto",
+                json_profile=JsonProfile.strict(),
+            ).alias("u")
+        ).select("u.*")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan  # strict profile -> exact tier
