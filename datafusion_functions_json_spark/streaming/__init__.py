@@ -36,17 +36,45 @@ def extract_json_stream(
     json_col: str,
     fields: dict,
     ts_col: str = "ts",
+    *,
+    tier: str = "exact",
 ) -> DataFrame:
     """Project typed fields out of a JSON column on a (possibly
     streaming) DataFrame. ``fields``: {out_name: (kind, *path)} with kind
-    in {str,int,float,bool,text}."""
-    getters = {
-        "str": jsonf.json_get_str,
-        "int": jsonf.json_get_int,
-        "float": jsonf.json_get_float,
-        "bool": jsonf.json_get_bool,
-        "text": jsonf.json_as_text,
-    }
+    in {str,int,float,bool,text}.
+
+    ``tier``: ``"exact"`` (reference-faithful pandas kernels, default),
+    ``"variant"`` (zero-Python JVM path — the right choice for
+    streaming deployments without Python workers; envelope caveats in
+    functions/native.py), or ``"auto"`` (fastest provably-equivalent
+    per :func:`~..functions.native.recommend_tier`'s permissive
+    profile). Streaming plans carry tier choice unchanged — every tier
+    is a stateless projection."""
+    if tier == "auto":
+        from ..functions.multi import _auto_tier
+
+        specs = [(n, s[0], tuple(s[1:])) for n, s in fields.items()]
+        tier = _auto_tier(specs, None)
+    if tier == "variant":
+        from ..functions import native
+
+        getters = {
+            "str": native.json_get_str_variant,
+            "int": native.json_get_int_variant,
+            "float": native.json_get_float_variant,
+            "bool": native.json_get_bool_variant,
+            "text": native.json_as_text_variant,
+        }
+    elif tier == "exact":
+        getters = {
+            "str": jsonf.json_get_str,
+            "int": jsonf.json_get_int,
+            "float": jsonf.json_get_float,
+            "bool": jsonf.json_get_bool,
+            "text": jsonf.json_as_text,
+        }
+    else:
+        raise ValueError(f"unknown tier {tier!r}; expected exact|variant|auto")
     cols = [F.col(ts_col)] if ts_col in stream.columns else []
     cols += [F.col(c) for c in stream.columns if c not in (json_col, ts_col)]
     for out_name, (kind, *path) in fields.items():
