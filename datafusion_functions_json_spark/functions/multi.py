@@ -230,12 +230,11 @@ def _auto_tier(specs, json_profile) -> str:
     callers who want a hard error opt into ``tier='variant'``."""
     import pyspark
 
-    from .native import JsonProfile, _jvm_tier_ok, jsonpath
+    from .native import JsonProfile, _jvm_tier_ok, jsonpath, parse_spark_version
 
     try:
-        parts = pyspark.__version__.split(".")
-        ver = (int(parts[0]), int(parts[1]) if len(parts) > 1 else 0)
-    except (ValueError, IndexError):
+        ver = parse_spark_version(pyspark.__version__)
+    except ValueError:
         return "exact"
     if ver < (4, 0):
         return "exact"

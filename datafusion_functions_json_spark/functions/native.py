@@ -403,6 +403,13 @@ class JsonProfile:
     * ``exponent_floats`` — union-to-text must render exponent-range
       floats serde-style (``1e+17``); Spark's double→string cast says
       ``1.0E17``.
+    * ``paths_on_length_keys`` — callers pass PATH arguments to
+      ``json_length`` / ``json_object_keys`` (``json_length(j, 'a')``).
+      Their ``_native`` twins are path-less (the Spark built-ins they
+      wrap take only the document), so recommending 'native' would hand
+      back a narrower signature that raises ``TypeError`` on the first
+      path call; with this flag those two drop to variant (which
+      supports paths) or exact.
     * ``no_python_workers`` — the deployment cannot run Python UDFs
       (pure-JVM executors, no Arrow memory budget). Prefer a JVM tier
       wherever one is equivalent, even where the exact tier measured
@@ -416,6 +423,7 @@ class JsonProfile:
     mixed_types_at_paths: bool = False
     integral_float_arm: bool = False
     exponent_floats: bool = False
+    paths_on_length_keys: bool = False
     no_python_workers: bool = False
 
     @classmethod
@@ -430,6 +438,7 @@ class JsonProfile:
             mixed_types_at_paths=True,
             integral_float_arm=True,
             exponent_floats=True,
+            paths_on_length_keys=True,
         )
 
 
@@ -465,6 +474,16 @@ _TYPED_GETTERS = frozenset(
 _RAW_SLICE_FNS = frozenset({"json_get_json", "json_get_array", "json_as_text"})
 
 
+def parse_spark_version(spark_version: str) -> tuple:
+    """``'4.1.2'`` → ``(4, 1)`` — the shared version gate for
+    :func:`recommend_tier` and ``json_extract_multi(tier='auto')``."""
+    try:
+        parts = spark_version.split(".")
+        return (int(parts[0]), int(parts[1]) if len(parts) > 1 else 0)
+    except (ValueError, IndexError):
+        raise ValueError(f"unparseable spark_version: {spark_version!r}")
+
+
 def _jvm_tier_ok(name: str, tier: str, p: JsonProfile) -> bool:
     if p.special_key_chars or p.trailing_garbage:
         return False  # every JVM tier: JSONPath syntax + strict parse
@@ -476,6 +495,12 @@ def _jvm_tier_ok(name: str, tier: str, p: JsonProfile) -> bool:
         return False
     if name == "json_union_to_text" and p.exponent_floats:
         return False
+    if (
+        tier == "native"
+        and name in ("json_length", "json_object_keys")
+        and p.paths_on_length_keys
+    ):
+        return False  # the native twins are path-less
     return True
 
 
@@ -497,11 +522,7 @@ def recommend_tier(
         import pyspark
 
         spark_version = pyspark.__version__
-    try:
-        parts = spark_version.split(".")
-        ver = (int(parts[0]), int(parts[1]) if len(parts) > 1 else 0)
-    except (ValueError, IndexError):
-        raise ValueError(f"unparseable spark_version: {spark_version!r}")
+    ver = parse_spark_version(spark_version)
     p = json_profile or JsonProfile()
     out = {}
     for name, jvm in _JVM_CANDIDATES.items():
@@ -521,7 +542,10 @@ def tier_callable(name: str, tier: str):
     """Resolve a :func:`recommend_tier` entry to the actual function:
     ``('json_as_text', 'variant')`` → :func:`json_as_text_variant`;
     ``tier='exact'`` → the default exact-tier function from the package
-    API."""
+    API. Signature caveat: the 'native' twins of json_length /
+    json_object_keys are PATH-LESS (set
+    ``JsonProfile(paths_on_length_keys=True)`` if your call sites pass
+    paths — the recommendation then avoids them)."""
     if name not in _JVM_CANDIDATES:
         raise KeyError(f"unknown function name: {name!r}")
     if tier == "exact":

@@ -359,23 +359,60 @@ def bloom_prefilter_join(
         big_key, small_key = on, on
     else:
         big_key, small_key = on
-    # build: distinct key hashes from the small side, JVM-computed
+
+    # xxhash64 is TYPE-sensitive (an int and a long holding the same
+    # value hash differently) while the join's equality coerces — so
+    # mismatched key widths must hash through one common type on BOTH
+    # sides or every true match silently misses the bitmap (false
+    # negatives, breaking the exactness contract). Coerce the common
+    # integral/fractional cases; refuse exotic mixes loudly.
+    dt_big = dict(big.dtypes)[big_key]
+    dt_small = dict(small.dtypes)[small_key]
+    common = None
+    if dt_big != dt_small:
+        integral = {"tinyint", "smallint", "int", "bigint"}
+        numeric = integral | {"float", "double"}
+        if dt_big in integral and dt_small in integral:
+            common = "bigint"
+        elif dt_big in numeric and dt_small in numeric:
+            common = "double"
+        else:
+            raise ValueError(
+                f"join key types differ ({big_key}: {dt_big} vs "
+                f"{small_key}: {dt_small}) and cannot be safely hash-"
+                "coerced; cast them to one type before "
+                "bloom_prefilter_join"
+            )
+
+    def _hash_pair(col):
+        c = F.col(col) if isinstance(col, str) else col
+        if common is not None:
+            c = c.cast(common)
+        return F.xxhash64(c), F.xxhash64(c, F.lit(1))
+
+    # build: distinct key hashes from the small side, JVM-computed.
+    # NULL keys are dropped BEFORE hashing (xxhash64(NULL) returns the
+    # seed, not NULL — a post-hash null check is dead code) so the
+    # bitmap never admits big-side NULL keys, which can't join anyway.
+    sh1, sh2 = _hash_pair(small_key)
     hashes = (
-        small.select(
-            F.xxhash64(small_key).alias("_h1"),
-            F.xxhash64(small_key, F.lit(1)).alias("_h2"),
-        )
-        .where(F.col("_h1").isNotNull())
+        small.where(F.col(small_key).isNotNull())
+        .select(sh1.alias("_h1"), sh2.alias("_h2"))
         .distinct()
+        .persist()  # count() guards, toPandas() collects: one compute
     )
-    n_keys = hashes.count()
-    if n_keys > max_build_rows:
-        raise ValueError(
-            f"small side has {n_keys} distinct keys, over the "
-            f"{max_build_rows} driver-side build bound — at that size use "
-            "a plain shuffle join (AQE) instead of a driver-built bloom"
-        )
-    pdf = hashes.toPandas()
+    try:
+        n_keys = hashes.count()
+        if n_keys > max_build_rows:
+            raise ValueError(
+                f"small side has {n_keys} distinct keys, over the "
+                f"{max_build_rows} driver-side build bound — at that size "
+                "use a plain shuffle join (AQE) instead of a driver-built "
+                "bloom"
+            )
+        pdf = hashes.toPandas()
+    finally:
+        hashes.unpersist()
     m = int(num_bits)
     bits = np.zeros(m, dtype=bool)
     h1 = pdf["_h1"].to_numpy().astype(np.uint64)
@@ -387,12 +424,14 @@ def bloom_prefilter_join(
 
     @F.pandas_udf("boolean")
     def _might_contain(a: pd.Series, b: pd.Series) -> pd.Series:
-        bm = np.unpackbits(bc.value)
+        bm = bc.value  # PACKED bitmap: test bits in place — unpacking
+        # 8x per Arrow batch on the hot probe path is allocation churn
         ha = a.to_numpy().astype(np.uint64)
         hb = b.to_numpy().astype(np.uint64)
         keep = np.ones(len(ha), dtype=bool)
         for i in range(k):
-            keep &= bm[((ha + np.uint64(i) * hb) % np.uint64(m)).astype(np.int64)] != 0
+            idx = ((ha + np.uint64(i) * hb) % np.uint64(m)).astype(np.int64)
+            keep &= ((bm[idx >> 3] >> (7 - (idx & 7))) & 1).astype(bool)
         return pd.Series(keep)
 
     # optimizer fence, not a semantic claim (membership is pure):
@@ -401,10 +440,7 @@ def bloom_prefilter_join(
     # against its own filter, pure waste. Fenced, the filter stays
     # exactly where the algorithm puts it: on the big side, above its
     # scan filters, below the join.
-    pref = big.filter(
-        _might_contain.asNondeterministic()(
-            F.xxhash64(big_key), F.xxhash64(big_key, F.lit(1))
-        )
-    )
+    bh1, bh2 = _hash_pair(big_key)
+    pref = big.filter(_might_contain.asNondeterministic()(bh1, bh2))
     cond = pref[big_key] == small[small_key] if big_key != small_key else big_key
     return pref.join(small, cond, how)

@@ -500,21 +500,22 @@ def decontaminate_stream(
     from ..operators.text import word_ngrams
 
     bench_text_col = bench_text_col or text_col
-    gram_rows = (
-        benchmark.select(
-            F.explode(word_ngrams(bench_text_col, n)).alias("_gram")
-        )
-        .distinct()
-        .collect()
-    )
-    if len(gram_rows) > max_benchmark_grams:
+    grams_df = benchmark.select(
+        F.explode(word_ngrams(bench_text_col, n)).alias("_gram")
+    ).distinct()
+    # guard BEFORE collecting — a post-collect length check can't stop
+    # the driver blow-up it exists to prevent. limit(bound+1).count()
+    # lets Spark stop counting at the bound instead of aggregating a
+    # corpus-sized gram set just to report its size.
+    probe = grams_df.limit(max_benchmark_grams + 1).count()
+    if probe > max_benchmark_grams:
         raise ValueError(
-            f"benchmark produced {len(gram_rows)} distinct {n}-grams, over "
-            f"the {max_benchmark_grams} driver-side bound — this looks like "
-            "a corpus, not an eval benchmark; use the batch "
-            "decontaminate_filter (broadcast join, no collect) instead"
+            f"benchmark produced over {max_benchmark_grams} distinct "
+            f"{n}-grams (driver-side bound) — this looks like a corpus, "
+            "not an eval benchmark; use the batch decontaminate_filter "
+            "(broadcast join, no collect) instead"
         )
-    bench_set = frozenset(r["_gram"] for r in gram_rows)
+    bench_set = frozenset(r["_gram"] for r in grams_df.collect())
     bc = stream.sparkSession.sparkContext.broadcast(bench_set)
 
     @F.pandas_udf("bigint")

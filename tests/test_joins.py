@@ -451,3 +451,39 @@ class TestSkewReport:
         )
         rep = stats.skew_report(df, "k", k=3).collect()
         assert [r.key for r in rep] == ["a", "b", "c"]
+
+
+class TestBloomReviewFindings:
+    """Regression pins for the round-7 adversarial review findings."""
+
+    def test_mismatched_key_widths_hash_coerced(self, spark):
+        # xxhash64 is type-sensitive: int vs long of the same value hash
+        # differently — without coercion the prefilter dropped ALL
+        # matches (confirmed failing before the fix)
+        big = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "id long, k int"
+        )
+        small = spark.createDataFrame([(10,), (30,)], "k long")
+        plain = big.join(small, big["k"] == small["k"], "inner")
+        out = joins.bloom_prefilter_join(big, small, "k")
+        assert out.count() == plain.count() == 2
+
+    def test_int_double_keys_coerced(self, spark):
+        big = spark.createDataFrame([(1, 10), (2, 20)], "id long, k int")
+        small = spark.createDataFrame([(10.0,), (99.5,)], "k double")
+        out = joins.bloom_prefilter_join(big, small, "k")
+        assert [r.id for r in out.collect()] == [1]
+
+    def test_uncoercible_key_types_raise(self, spark):
+        big = spark.createDataFrame([(1, "10")], "id long, k string")
+        small = spark.createDataFrame([(10,)], "k long")
+        with pytest.raises(ValueError, match="key types differ"):
+            joins.bloom_prefilter_join(big, small, "k")
+
+    def test_null_small_keys_not_inserted(self, spark):
+        # a NULL small key hashes to the seed pattern; before the fix it
+        # was inserted and admitted big-side NULLs through the prefilter
+        big = spark.createDataFrame([(1, None), (2, 20)], "id long, k long")
+        small = spark.createDataFrame([(None,), (20,)], "k long")
+        out = joins.bloom_prefilter_join(big, small, "k")
+        assert [r.id for r in out.collect()] == [2]
