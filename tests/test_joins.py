@@ -487,3 +487,27 @@ class TestBloomReviewFindings:
         small = spark.createDataFrame([(None,), (20,)], "k long")
         out = joins.bloom_prefilter_join(big, small, "k")
         assert [r.id for r in out.collect()] == [2]
+
+
+class TestBloomRandomDifferential:
+    def test_matches_plain_join_under_heavy_false_positives(self, spark):
+        # tiny bitmap (256 bits, 12 keys, k=3) => high FP rate: the
+        # prefilter passes junk and the real join must remove ALL of it
+        import random as _random
+
+        rnd = _random.Random(3)
+        for trial in range(3):
+            vals_big = [rnd.randrange(0, 50) for _ in range(300)]
+            vals_small = rnd.sample(range(0, 50), 12)
+            big = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vals_big)], "id long, k long"
+            )
+            small = spark.createDataFrame(
+                [(v, f"d{v}") for v in vals_small], "k long, v string"
+            )
+            plain = big.join(small, big["k"] == small["k"]).select("id", "v")
+            bl = joins.bloom_prefilter_join(
+                big, small, "k", num_bits=256, num_hashes=3
+            ).select("id", "v")
+            assert bl.exceptAll(plain).count() == 0, trial
+            assert plain.exceptAll(bl).count() == 0, trial
