@@ -3923,9 +3923,9 @@ def oracle_sql() -> dict[str, str]:
             "gram, row_number() over (partition by doc_id "
             "order by cnt desc, gram desc) as rn from c) where rn = 1) "
             "select w.doc_id, case when len(w.toks) < 2 then 0.0 else "
-            "round(best.cnt * (length(best.gram) - 1) / greatest("
+            "least(1.0, round(best.cnt * (length(best.gram) - 1) / greatest("
             "coalesce(list_sum(list_transform(w.toks, x -> length(x))), "
-            "0), 1), 6) end as top2gram_frac "
+            "0), 1), 6)) end as top2gram_frac "
             "from w left join best using (doc_id)"
         ),
         "curriculum": (

@@ -112,8 +112,12 @@ def exact_dup_groups(
 def shingle_hashes(text, *, mode: str = "char", n: int = 5) -> Column:
     """Distinct shingles hashed to non-negative ints < 2^31 via xxhash64
     (JVM). ``mode``: 'char' (character n-grams) or 'word' (token
-    n-grams)."""
+    n-grams). Empty-string shingles are dropped — char_ngrams('') yields
+    [''], which would give every EMPTY document a real (identical)
+    signature instead of the documented NULL, re-enabling the
+    mega-bucket the NULL guard exists to prevent."""
     sh = char_ngrams(text, n) if mode == "char" else word_ngrams(text, n)
+    sh = F.filter(sh, lambda s: F.length(s) > 0)
     return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
 
 
@@ -145,11 +149,28 @@ def minhash_signature(
     ``impl='expr'`` keeps the pure-JVM single-pass fold (useful where
     Python workers are unavailable).
 
-    Empty/blank documents get NULL signatures so they never collide into
-    a mega-bucket."""
+    Empty documents get NULL signatures so they never collide into
+    a mega-bucket.
+
+    SIGNATURE FAMILIES: char-mode signatures are identical across
+    impls (both hash the same JVM shingle strings through the same
+    permutations). WORD-mode signatures are NOT — the pandas default
+    mixes per-token xxhash64 values numerically (and NULLs docs with
+    fewer than ``n`` tokens), while ``impl='expr'`` hashes the n-gram
+    STRINGS; never band one family against the other (zero collisions,
+    silent total recall loss). :func:`minhash_index` and every operator
+    in this module build on the pandas family."""
     coeffs = _perm_coeffs(num_perm, seed)
     if impl == "expr":
-        hashes = shingle_hashes(text, mode=mode, n=n)
+        if mode == "word":
+            # mirror the pandas family's short-doc contract: fewer than
+            # n tokens => NULL (word_ngrams would emit one partial gram)
+            hashes = F.when(
+                F.size(tokens(_col(text))) >= n,
+                shingle_hashes(text, mode=mode, n=n),
+            )
+        else:
+            hashes = shingle_hashes(text, mode=mode, n=n)
         sig = F.aggregate(
             hashes,
             F.array_repeat(F.lit(_MH_PRIME).cast("bigint"), num_perm),
@@ -444,11 +465,19 @@ def minhash_dup_pairs_against(
     n: int = 5,
     threshold: float = 0.7,
     materialize: bool = True,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Incremental near-dup detection: verified pairs ``(new_id,
     index_id, jaccard)`` between a NEW batch and an existing
     :func:`minhash_index` (built with the SAME num_perm/seed/mode/n —
     signatures are only comparable under one permutation family).
+
+    ``exclude_same_id=True`` (default) drops pairs whose ids are equal —
+    right when the batch and index share an id namespace (re-submitted
+    rows must not match themselves). Pass ``False`` when the two sides
+    use UNRELATED id spaces (e.g. training ids vs benchmark ids in
+    :func:`fuzzy_decontaminate`): there an accidental numeric collision
+    would otherwise silently suppress a genuine match.
 
     ``materialize=True`` (default) caches the batch's signatures while
     the pairs compute (the signature UDF otherwise re-runs in the band
@@ -499,11 +528,11 @@ def minhash_dup_pairs_against(
     ib = index.withColumn(
         "_band", F.explode(lsh_bands(F.col("sig"), bands=bands, rows=rows))
     ).select(F.col("_band"), F.col("id").alias("index_id"))
-    cand = (
-        nb.join(ib, "_band")
-        .filter(F.col("new_id") != F.col("index_id"))
-        .select("new_id", "index_id")
-        .dropDuplicates(["new_id", "index_id"])
+    cand = nb.join(ib, "_band")
+    if exclude_same_id:
+        cand = cand.filter(F.col("new_id") != F.col("index_id"))
+    cand = cand.select("new_id", "index_id").dropDuplicates(
+        ["new_id", "index_id"]
     )
     nh = newx.select(F.col("id").alias("_nid"), F.col("hashes").alias("ha"))
     ih = index.select(F.col("id").alias("_iid"), F.col("hashes").alias("hb"))
@@ -541,13 +570,16 @@ def minhash_dedup(
     ``method="components"``: exact single-link clustering — connected
     components (O(log n) alternating-star rounds, operators/graph.py)
     over the pair graph, keeping the minimum id per component."""
+    if method not in ("pairs", "components"):
+        # validate BEFORE minhash_dup_pairs eagerly materializes the
+        # whole LSH pipeline — a typo'd method must not cost a corpus
+        # pass before erroring
+        raise ValueError(f"unknown dedup method: {method!r}")
     pairs = minhash_dup_pairs(df, id_col, text_col, **kwargs)
     if method == "components":
         from .graph import dedup_by_components
 
         return dedup_by_components(df, id_col, pairs)
-    if method != "pairs":
-        raise ValueError(f"unknown dedup method: {method!r}")
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
@@ -645,7 +677,20 @@ def simhash_dup_pairs(
     unpersists the base before returning; ``materialize=False`` returns
     a lazy plan with no caching at all.
     """
+    if block_bits < 1 or 64 % block_bits:
+        raise ValueError(
+            f"block_bits ({block_bits}) must divide 64; a remainder would "
+            "silently drop high bits from blocking and degrade recall"
+        )
     n_blocks = 64 // block_bits
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) breaks the pigeonhole guarantee "
+            f"for {n_blocks} blocks of {block_bits} bits: a pair can "
+            f"differ in every block at distance > {n_blocks - 1} and never "
+            "become a candidate — use smaller block_bits (more blocks) or "
+            "a lower max_hamming"
+        )
     df = _spread(df)
     base = df.select(
         F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")
@@ -807,6 +852,10 @@ def fuzzy_decontaminate(
         n=n,
         threshold=threshold,
         materialize=materialize,
+        # training ids and benchmark ids are UNRELATED namespaces: a
+        # numeric collision (train id 7 vs benchmark doc_id 7) must not
+        # suppress a real contamination hit
+        exclude_same_id=False,
     )
     contaminated = hits.select(F.col("new_id").alias(id_col)).distinct()
     if materialize:

@@ -140,12 +140,19 @@ def cosine_to_query_np(vec_col, query: Sequence[float]) -> Column:
 
     @F.pandas_udf("double")
     def _cos(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="float64")
-        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0.0] = 1.0
-        return pd.Series((m @ q) / (norms * qn))
+        # NULL-safe: a None vector yields SQL NULL like the HOF twin
+        # (np.vstack over a 0-d nan would otherwise crash the task)
+        vals = v.tolist()
+        valid = [i for i, x in enumerate(vals) if x is not None]
+        out = [None] * len(vals)
+        if valid:
+            m = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            cos = (m @ q) / (norms * qn)
+            for j, i in enumerate(valid):
+                out[i] = float(cos[j])
+        return pd.Series(out, dtype="object")
 
     return _cos(_col(vec_col))
 
@@ -158,16 +165,24 @@ def pair_cosine_np(a_col, b_col) -> Column:
 
     @F.pandas_udf("double")
     def _pc(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        ma = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
-        mb = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
-        num = np.einsum("ij,ij->i", ma, mb)
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
-        na[na == 0.0] = 1.0
-        nb[nb == 0.0] = 1.0
-        return pd.Series(num / (na * nb))
+        # NULL-safe: either side None -> SQL NULL (HOF-twin parity)
+        av, bv = a.tolist(), b.tolist()
+        valid = [
+            i for i in range(len(av)) if av[i] is not None and bv[i] is not None
+        ]
+        out = [None] * len(av)
+        if valid:
+            ma = np.vstack([np.asarray(av[i], dtype=np.float64) for i in valid])
+            mb = np.vstack([np.asarray(bv[i], dtype=np.float64) for i in valid])
+            num = np.einsum("ij,ij->i", ma, mb)
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            na[na == 0.0] = 1.0
+            nb[nb == 0.0] = 1.0
+            cos = num / (na * nb)
+            for j, i in enumerate(valid):
+                out[i] = float(cos[j])
+        return pd.Series(out, dtype="object")
 
     return _pc(_col(a_col), _col(b_col))
 
@@ -259,14 +274,29 @@ def ann_topk(
         proj = sum(float(a) * float(b) for a, b in zip(query, h))
         if proj >= 0:
             qsig |= 1 << i
+    if multiprobe < 0:
+        raise ValueError(f"multiprobe must be >= 0, got {multiprobe}")
+    # all buckets at Hamming distance <= multiprobe — generated fully
+    # (the first cut silently capped at distance 2, so raising
+    # multiprobe past 2 bought no recall). sum(C(n_planes, r)) probes;
+    # bounded so a huge (n_planes, multiprobe) pair fails loudly
+    # instead of building a million-element isin list.
+    import itertools
+
+    n_probes = sum(math.comb(n_planes, r) for r in range(multiprobe + 1))
+    if n_probes > 65536:
+        raise ValueError(
+            f"multiprobe={multiprobe} over n_planes={n_planes} probes "
+            f"{n_probes} buckets; lower multiprobe or n_planes (or use "
+            "the IVF path)"
+        )
     probes = {qsig}
-    if multiprobe >= 1:
-        for i in range(n_planes):
-            probes.add(qsig ^ (1 << i))
-    if multiprobe >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(qsig ^ (1 << i) ^ (1 << j))
+    for r in range(1, multiprobe + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            mask = 0
+            for i in combo:
+                mask |= 1 << i
+            probes.add(qsig ^ mask)
     bucketed = add_lsh_buckets(df, vec_col, dim, n_planes=n_planes, seed=seed)
     cand = bucketed.filter(F.col("lsh_bucket").isin(*sorted(probes)))
     return cosine_topk(cand, vec_col, query, k, id_cols=id_cols)
@@ -321,10 +351,15 @@ def ivf_build(
     """
     rows = (
         df.select(vec_col)
+        .where(F.col(vec_col).isNotNull())  # a NULL row would crash list()
         .orderBy(F.rand(seed))
         .limit(sample)
         .collect()
     )  # bounded, uniformly-random driver-side sample
+    if not rows:
+        raise ValueError(
+            "ivf_build: no non-null vectors to train on (empty input?)"
+        )
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
@@ -762,10 +797,15 @@ def random_project(
 
     @F.pandas_udf("array<double>")
     def _proj(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
-        out = m @ r
-        return pd.Series([row.tolist() for row in out])
+        # NULL-safe: None vector -> NULL projection, not a task crash
+        vals = v.tolist()
+        valid = [i for i, x in enumerate(vals) if x is not None]
+        out = [None] * len(vals)
+        if valid:
+            m = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+            proj = m @ r
+            for j, i in enumerate(valid):
+                out[i] = proj[j].tolist()
+        return pd.Series(out, dtype=object)
 
     return _proj(_col(vec_col))

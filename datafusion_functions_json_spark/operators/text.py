@@ -1077,7 +1077,15 @@ def normalize_text(
     if casefold:
         t = F.lower(t)
     if strip_punct:
-        keep = r"[^a-z0-9\s]" if casefold else r"[^A-Za-z0-9\s]"
+        if strip_accents:
+            keep = r"[^a-z0-9\s]" if casefold else r"[^A-Za-z0-9\s]"
+        else:
+            # the caller opted OUT of accent folding: an ASCII-only
+            # class would strip every accented letter as "punctuation"
+            # ('café' -> 'caf '), colliding genuinely different words.
+            # \p{L}/\p{N} keep all letters/digits (portable: Java regex
+            # and RE2 both support the unicode classes).
+            keep = r"[^\p{L}\p{N}\s]"
         t = F.regexp_replace(t, keep, " ")
     if collapse_ws:
         t = F.trim(F.regexp_replace(t, r"\s+", " "))
@@ -1097,7 +1105,8 @@ def top_ngram_char_fraction(text, n: int = 2) -> Column:
     occurrences of the single most frequent word n-gram — boilerplate
     and template spam repeat short phrases and score high; clean prose
     scores near n/word_count. Returns NULL for NULL text, 0.0 when the
-    document has fewer than ``n`` tokens.
+    document has fewer than ``n`` tokens, clamped to [0, 1] (overlapping
+    occurrences would otherwise overcount coverage past 1.0).
 
     Most-frequent is (count, gram) lexicographic max, so ties break on
     the later gram deterministically on every engine. Pure Column
@@ -1146,10 +1155,18 @@ def top_ngram_char_fraction(text, n: int = 2) -> Column:
     covered = best["cnt"] * (
         F.length(best["gram"]) - F.lit(int(n) - 1)
     )
+    # least(1.0): overlapping occurrences ("a a a a a", n=2) overcount
+    # coverage past the document's characters; a "fraction" above 1
+    # breaks any threshold gate comparing to true coverage
     return (
         F.when(_col(text).isNull(), F.lit(None).cast("double"))
         .when(m < n, F.lit(0.0))
-        .otherwise(F.round(covered / F.greatest(total_chars, F.lit(1)), 6))
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.round(covered / F.greatest(total_chars, F.lit(1)), 6),
+            )
+        )
     )
 
 
@@ -1293,7 +1310,12 @@ def top_ngram_char_fraction_agg(
             F.when(F.col("_m").isNull(), F.lit(None).cast("double"))
             .when(F.col("_m") < n, F.lit(0.0))
             .otherwise(
-                F.round(covered / F.greatest(F.col("_chars"), F.lit(1)), 6)
+                F.least(
+                    F.lit(1.0),
+                    F.round(
+                        covered / F.greatest(F.col("_chars"), F.lit(1)), 6
+                    ),
+                )
             )
             .alias(out_col),
         )

@@ -1543,7 +1543,9 @@ class TestNormalizeText:
             self._n(spark, "a-b", strip_punct=False, collapse_ws=False)
             == "a-b"
         )
-        assert self._n(spark, "é", strip_accents=False) == ""  # é is punct-class
+        # opting out of accent folding PRESERVES accented letters (the
+        # earlier behavior stripped them as punctuation — reviewed bug)
+        assert self._n(spark, "é", strip_accents=False) == "é"
         assert self._n(spark, None) is None
 
     def test_dedup_key_groups_variants(self, spark):
@@ -2154,3 +2156,135 @@ class TestCurateStrictMetrics:
         assert rep["input"]["n_rows"] == 3
         assert rep["post_gates"]["n_rows"] == 1
         assert rep["post_dedup"]["n_rows"] == 1
+
+
+class TestReviewFindingsRound7:
+    """Regression pins for the round-7 adversarial review of
+    dedup/similarity/text (each was a confirmed defect)."""
+
+    def test_fuzzy_decontam_survives_id_collision(self, spark):
+        # train id 7 is a near-copy of benchmark doc_id 7: the shared
+        # numeric id must NOT suppress the contamination hit
+        leak = (
+            "the quick brown fox jumps over the lazy dog and shares a "
+            "fine afternoon beside the quiet green river with friends"
+        )
+        clean = (
+            "completely different prose about orbital mechanics and the "
+            "slow drift of continents across geological ages of earth"
+        )
+        train = spark.createDataFrame(
+            [(7, leak), (8, clean)], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([(7, leak)], "doc_id long, text string")
+        out = dedup.fuzzy_decontaminate(
+            train, "doc_id", "text", bench, threshold=0.7
+        )
+        assert [r.doc_id for r in out.collect()] == [8]
+
+    def test_empty_docs_get_null_signatures_char_mode(self, spark):
+        df = spark.createDataFrame(
+            [("",), ("   ",), ("hello world",), (None,)], "t string"
+        )
+        for impl in ("pandas", "expr"):
+            rows = df.select(
+                dedup.minhash_signature("t", num_perm=8, impl=impl).alias("s")
+            ).collect()
+            # empty doc: NULL (was an identical real signature pre-fix)
+            assert rows[0].s is None, impl
+            assert rows[2].s is not None, impl
+            assert rows[3].s is None, impl
+
+    def test_word_expr_short_doc_null_matches_pandas(self, spark):
+        df = spark.createDataFrame([("one two three",)], "t string")
+        for impl in ("pandas", "expr"):
+            row = df.select(
+                dedup.minhash_signature(
+                    "t", num_perm=8, mode="word", n=5, impl=impl
+                ).alias("s")
+            ).collect()[0]
+            assert row.s is None, impl
+
+    def test_null_embedding_rows_yield_null_not_crash(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = df.select(
+            "vec_id",
+            similarity.cosine_to_query_np("embedding", [1.0, 0.0]).alias("c"),
+            similarity.pair_cosine_np("embedding", "embedding").alias("p"),
+            similarity.random_project("embedding", 2, 2).alias("r"),
+        ).orderBy("vec_id").collect()
+        assert got[0].c == 1.0 and got[0].p == 1.0 and got[0].r is not None
+        assert got[1].c is None and got[1].p is None and got[1].r is None
+        top = similarity.cosine_topk(df, "embedding", [1.0, 0.0], k=2)
+        assert [r.vec_id for r in top.collect()] == [1, 3]
+
+    def test_simhash_block_validation(self, spark, documents):
+        with pytest.raises(ValueError, match="divide 64"):
+            dedup.simhash_dup_pairs(documents, "doc_id", "text", block_bits=24)
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dedup.simhash_dup_pairs(
+                documents, "doc_id", "text", max_hamming=4, block_bits=16
+            )
+
+    def test_minhash_dedup_validates_method_before_compute(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id long, text string").select(
+            "id", F.assert_true(F.lit(False)).cast("string").alias("text")
+        )
+        # validation must fire BEFORE the LSH pipeline materializes —
+        # with the poisoned column, computing anything would raise the
+        # assert error instead of the argument error
+        with pytest.raises(ValueError, match="unknown dedup method"):
+            dedup.minhash_dedup(df, "id", "text", method="component")
+
+    def test_ann_multiprobe_beyond_two(self, spark, embeddings):
+        from __spark_entry__ import _query_vector
+
+        q = _query_vector("/root/testdata/sf0.001")
+        r2 = similarity.ann_topk(
+            embeddings, "embedding", q, k=5, multiprobe=2
+        ).collect()
+        r3 = similarity.ann_topk(
+            embeddings, "embedding", q, k=5, multiprobe=3
+        ).collect()
+        # distance<=3 probes a superset of distance<=2's buckets: the
+        # candidate set can only grow, so top-5 cosine is >= pointwise
+        assert len(r3) >= len(r2)
+        if r2 and r3:
+            assert r3[0].cosine >= r2[0].cosine
+        with pytest.raises(ValueError, match="probes"):
+            similarity.ann_topk(
+                embeddings, "embedding", q, multiprobe=12, n_planes=20
+            )
+
+    def test_ivf_build_null_and_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        assigned, cents = similarity.ivf_build(df, "embedding", 2, n_clusters=2)
+        got = {r.vec_id: r.ivf_cluster for r in assigned.collect()}
+        assert got[2] is None and got[1] is not None
+        empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="no non-null vectors"):
+            similarity.ivf_build(empty, "embedding", 2)
+
+    def test_top_ngram_fraction_clamped(self, spark):
+        df = spark.createDataFrame([(1, "a a a a a")], "id long, t string")
+        frac = df.select(
+            text.top_ngram_char_fraction("t", n=2).alias("f")
+        ).collect()[0].f
+        assert frac == 1.0  # was 1.6 pre-fix
+        agg = text.top_ngram_char_fraction_agg(df, "id", "t", n=2).collect()[0]
+        assert agg.top_ngram_frac == 1.0
+
+    def test_normalize_keeps_accents_when_not_folding(self, spark):
+        df = spark.createDataFrame([("Café au lait!",)], "t string")
+        kept = df.select(
+            text.normalize_text("t", strip_accents=False).alias("n")
+        ).collect()[0].n
+        assert kept == "café au lait"  # was 'caf au lait' pre-fix
+        folded = df.select(text.normalize_text("t").alias("n")).collect()[0].n
+        assert folded == "cafe au lait"
