@@ -94,30 +94,36 @@ def connected_components(
 
     Vertex ids may be any orderable type (the min-id is the canonical
     component representative). Self-loops and duplicate/reversed edges
-    are tolerated.
+    are tolerated — a vertex appearing ONLY in self-loops is its own
+    singleton component (the src!=dst propagation filter must not erase
+    it from the output, honoring the one-row-per-vertex contract).
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint()
+    e_all = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
+    self_loops = (
+        e_all.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    e = e_all.filter(F.col("src") != F.col("dst")).localCheckpoint()
     prev = _checksum(e)
-    if prev[0] == 0:
-        return e.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
+    if prev[0] > 0:
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint()
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
     # converged edge set is a star forest: src → component-min. Roots
     # appear only on the dst side — add their self-mapping.
-    return (
+    mapping = (
         e.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
         .union(e.select(F.col("dst").alias("node"), F.col("dst").alias("comp")))
         .distinct()
     )
+    lonely = self_loops.join(mapping, "node", "left_anti")
+    return mapping.union(lonely.select("node", F.col("node").alias("comp")))
 
 
 def dedup_by_components(
@@ -182,7 +188,11 @@ def pagerank(
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    out = e.join(deg, "src")  # (src, dst, _deg)
+    # checkpoint ONCE: without it the scan + distinct + degree agg +
+    # join rebuild from source on EVERY round (the loop's lineage would
+    # re-derive `out` iters times — the docstring's one-join-per-round
+    # cost only holds with the build materialized)
+    out = e.join(deg, "src").localCheckpoint()  # (src, dst, _deg)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iters):
         contrib = (
@@ -194,7 +204,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_rank"))
         )
-        ranks = (
+        raw = (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
@@ -203,16 +213,21 @@ def pagerank(
                     + damping * F.coalesce(F.col("in_rank"), F.lit(0.0))
                 ).alias("rank"),
             )
+            # cached so the total branch and the renormalize branch
+            # below share ONE computation of the contribution subtree
+            # (the crossJoin plan otherwise contains it twice per round)
+            .persist()
         )
         # renormalize (dangling mass) via a broadcast 1-row total —
         # stays in-plan, so the eager localCheckpoint is the round's
         # ONLY action (no separate driver collect round-trip)
-        total = ranks.agg(F.sum("rank").alias("_total"))
+        total = raw.agg(F.sum("rank").alias("_total"))
         ranks = (
-            ranks.crossJoin(F.broadcast(total))
+            raw.crossJoin(F.broadcast(total))
             .select("node", (F.col("rank") / F.col("_total")).alias("rank"))
             .localCheckpoint()
         )
+        raw.unpersist()
     if round_decimals is not None:
         ranks = ranks.withColumn("rank", F.round("rank", round_decimals))
     return ranks

@@ -211,6 +211,12 @@ def range_join(
     pairs = _normalize_on(on) if on is not None else []
     lkeys = [lc for lc, _ in pairs]
     payload = list(payload)
+    if bucket_seconds <= 0:
+        raise ValueError(
+            f"bucket_seconds must be positive, got {bucket_seconds} "
+            "(zero would floor(inf) inside the plan; negative would "
+            "misalign every bucket)"
+        )
     w = float(bucket_seconds)
 
     isel = [F.col(rc).alias(lc) for lc, rc in pairs]
@@ -308,9 +314,21 @@ def salted_join(
         return out.drop("__salt")
     out = out.drop(l["__salt"]).drop(r["__rsalt"])
     # same-named keys: keep only the left side's copy, like join(on=str)
-    for lc, rc in pairs:
-        if lc == rc:
-            out = out.drop(r[rc])
+    same = [lc for lc, rc in pairs if lc == rc]
+    for k in same:
+        out = out.drop(r[k])
+    if same:
+        # plain join(on=str) HOISTS the key columns first; mirror that
+        # ordering so this really is the drop-in replacement the
+        # contract claims (positional consumers — union, insertInto —
+        # would otherwise silently misalign)
+        left_rest = [c for c in left.columns if c not in same]
+        right_rest = [c for c in right.columns if c not in same]
+        out = out.select(
+            *[l[k] for k in same],
+            *[l[c] for c in left_rest],
+            *[r[c] for c in right_rest],
+        )
     return out
 
 

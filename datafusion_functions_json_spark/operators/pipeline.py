@@ -25,6 +25,19 @@ from . import dedup, split as split_ops, text
 __all__ = ["curate", "curate_strict", "curation_stats", "training_prep"]
 
 
+def _dedup_min_id(df: DataFrame, key_expr, id_col: str) -> DataFrame:
+    """Exact dedup keeping the minimum ``id_col`` per ``key_expr``
+    group — the digest-keyed window shared by :func:`curate` and
+    :func:`curate_strict` (one definition, so a tie-break or key-
+    handling fix reaches both)."""
+    w = Window.partitionBy(key_expr).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def curate(
     docs: DataFrame,
     *,
@@ -53,12 +66,7 @@ def curate(
     # never the document itself: at 100 TB, shuffling full documents as
     # keys is the difference between a dedup and a cluster outage. Equal
     # digest is treated as equal text (2^-256 collision odds).
-    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
-    kept = (
-        kept.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    kept = _dedup_min_id(kept, F.sha2(F.col(text_col), 256), id_col)
 
     if near_dedup:
         kw = dict(num_perm=32, bands=8, mode="word", n=3, threshold=0.8)
@@ -127,11 +135,24 @@ def training_prep(
 
 
 def curation_stats(docs: DataFrame, kept: DataFrame) -> DataFrame:
-    """One-row summary: input/output counts and survival rate."""
-    n_in = docs.count()
-    n_out = kept.count()
+    """One-row summary: input/output counts and survival rate.
+
+    Both counts ride ONE Spark job (a tagged union-aggregate), not two
+    separate count() actions — still one full evaluation of the
+    ``kept`` pipeline, which is inherent to counting a frame the caller
+    built. When the stats should ride the SAME action that writes the
+    output (zero extra passes), thread a
+    :class:`~.metrics.StageMetrics` through :func:`curate_strict`'s
+    ``stages`` hook instead — this helper is the simple after-the-fact
+    convenience."""
+    u = docs.select(
+        F.lit(1).alias("_in"), F.lit(0).alias("_out")
+    ).unionAll(kept.select(F.lit(0).alias("_in"), F.lit(1).alias("_out")))
+    row = u.agg(
+        F.sum("_in").alias("n_in"), F.sum("_out").alias("n_out")
+    ).collect()[0]
     return docs.sparkSession.createDataFrame(
-        [(n_in, n_out, round(n_out / max(n_in, 1), 6))],
+        [(row.n_in, row.n_out, round(row.n_out / max(row.n_in, 1), 6))],
         "n_in bigint, n_out bigint, survival_rate double",
     )
 
@@ -202,15 +223,22 @@ def curate_strict(
             .withColumn(text_col, F.col("_c4")["cleaned_text"])
             .drop("_c4")
         )
+        # the returned lang/n_tokens/clf_score must describe the text
+        # the caller GETS (and the classifier gate below must score the
+        # cleaned text per the documented stage order) — recompute over
+        # the rewritten column; still scan-speed projections
+        kept = (
+            kept.withColumn("lang", text.lang_id(F.col(text_col)))
+            .withColumn("n_tokens", text.token_count(F.col(text_col)))
+            .withColumn(
+                "clf_score",
+                F.round(text.quality_classifier_score(F.col(text_col)), 6),
+            )
+        )
     if classifier_threshold is not None:
         kept = kept.filter(F.col("clf_score") >= float(classifier_threshold))
-    w = Window.partitionBy(
-        text.normalized_dedup_key(F.col(text_col))
-    ).orderBy(F.col(id_col))
-    kept = (
-        kept.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    kept = _dedup_min_id(
+        kept, text.normalized_dedup_key(F.col(text_col)), id_col
     )
     kept = _track(kept, "post_dedup")
     if benchmark is not None:

@@ -66,6 +66,11 @@ def hash_split(
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    bad = {k: v for k, v in splits.items() if not 0.0 <= v <= 1.0}
+    if bad:
+        # {'train': 1.5, 'val': -0.5} sums to 1 but assigns every row
+        # to train — the sum check alone lets a typo corrupt the split
+        raise ValueError(f"split fractions must be in [0, 1]: {bad}")
     frac = split_fraction(id_col, salt)
     expr = None
     cum = 0.0
@@ -168,6 +173,21 @@ def pack_batches(
     nondeterministic (pass e.g. ``[doc_id, chunk_id]`` for chunked
     rows).
     """
+    return _packed_prefix(
+        df, id_col, n_tokens, budget, shards, shard_expr, order_by
+    ).withColumn(
+        "batch_id",
+        F.floor(F.col("_prefix") / F.lit(budget)).cast("bigint"),
+    ).drop("_prefix")
+
+
+def _packed_prefix(
+    df, id_col, n_tokens, budget, shards, shard_expr, order_by
+) -> DataFrame:
+    """Shared packing core for :func:`pack_batches` /
+    :func:`pack_positions`: shard assignment + the per-shard token
+    prefix sum as ``_prefix`` — ONE definition so the shard hashing and
+    window semantics can never silently diverge between the two."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     tok = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
@@ -186,9 +206,8 @@ def pack_batches(
         .orderBy(*(order_by or [id_col]))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return out.withColumn(
-        "batch_id", F.floor(prefix / F.lit(budget)).cast("bigint")
+        "_prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
 
 
@@ -214,24 +233,8 @@ def pack_positions(
     the budget boundary stays in the batch its first token landed in,
     so its ``seq_end`` may exceed ``budget`` — the trainer truncates or
     wraps; gaps never occur."""
-    if budget <= 0:
-        raise ValueError("budget must be positive")
-    tok = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
-    shard = (
-        shard_expr
-        if shard_expr is not None
-        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int")
-    )
-    out = df.withColumn("shard", shard).withColumn(
-        "n_tokens", tok.cast("bigint")
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy(*(order_by or [id_col]))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    out = out.withColumn(
-        "_prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = _packed_prefix(
+        df, id_col, n_tokens, budget, shards, shard_expr, order_by
     )
     batch = F.floor(F.col("_prefix") / F.lit(budget)).cast("bigint")
     start = F.col("_prefix") - batch * F.lit(budget)

@@ -456,6 +456,11 @@ def curate_stream(
             .withColumn(text_col, F.col("_c4")["cleaned_text"])
             .drop("_c4")
         )
+        # lang/n_tokens must describe the REWRITTEN text the consumer
+        # reads (same contract as the batch curate_strict)
+        out = out.withColumn(
+            "lang", optext.lang_id(F.col(text_col))
+        ).withColumn("n_tokens", optext.token_count(F.col(text_col)))
     return out
 
 

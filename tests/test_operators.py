@@ -2288,3 +2288,95 @@ class TestReviewFindingsRound7:
         assert kept == "café au lait"  # was 'caf au lait' pre-fix
         folded = df.select(text.normalize_text("t").alias("n")).collect()[0].n
         assert folded == "cafe au lait"
+
+
+class TestReviewFindingsRound7b:
+    """Regression pins for the second review batch
+    (split/graph/pipeline/joins)."""
+
+    def test_curate_strict_c4_columns_describe_returned_text(self, spark):
+        good = (
+            "This is a perfectly good long sentence line with the usual "
+            "words to be of use and that will have weight.\n"
+            "Another proper long sentence line sits right here to help!\n"
+            "A third proper long sentence line finishes the document well.\n"
+            "noise fragment with no terminal punctuation at all here"
+        )
+        df = spark.createDataFrame([(1, good)], "doc_id long, text string")
+        from datafusion_functions_json_spark.operators import pipeline
+
+        out = pipeline.curate_strict(
+            df, min_tokens=5,
+            gopher_kwargs=dict(min_words=5, min_required_stopwords=1),
+            apply_c4=True,
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # the returned n_tokens must count the REWRITTEN text's tokens
+        assert r.n_tokens == len(r.text.split())
+        assert "noise fragment" not in r.text
+
+    def test_connected_components_keeps_self_loop_vertices(self, spark):
+        edges = spark.createDataFrame(
+            [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11), (7, 7)],
+            "src long, dst long",
+        )
+        cc = {r.node: r.comp for r in graph.connected_components(edges).collect()}
+        assert cc[7] == 7  # self-loop-only vertex: singleton component
+        assert cc[5] == 1 and cc[10] == 10 and cc[11] == 10
+        assert len(cc) == 8
+
+    def test_connected_components_all_self_loops(self, spark):
+        edges = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+        cc = {r.node: r.comp for r in graph.connected_components(edges).collect()}
+        assert cc == {1: 1, 2: 2}
+
+    def test_pagerank_results_unchanged_by_caching(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+        )
+        ranks = {r.node: r.rank for r in graph.pagerank(edges, iters=5).collect()}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-4
+        assert ranks[1] > ranks[4]  # 1 has in-links, 4 has none
+
+    def test_salted_join_column_order_matches_plain(self, spark):
+        from datafusion_functions_json_spark.operators import joins
+
+        left = spark.createDataFrame([(10, 1)], "lid long, k long")
+        right = spark.createDataFrame([(1, "x")], "k long, v string")
+        plain = left.join(right, "k", "inner")
+        salted = joins.salted_join(left, right, "k", salts=2, salt_on=["lid"])
+        assert salted.columns == plain.columns  # key hoisted first
+
+    def test_range_join_rejects_nonpositive_bucket(self, spark):
+        from datafusion_functions_json_spark.operators import joins
+
+        pts = spark.createDataFrame([(1, 5.0)], "id long, ts double")
+        iv = spark.createDataFrame([(1, 0.0, 10.0)], "iid long, s double, e double")
+        with pytest.raises(ValueError, match="bucket_seconds"):
+            joins.range_join(pts, iv, "ts", "s", "e", ["iid"], bucket_seconds=0)
+
+    def test_hash_split_rejects_out_of_range_fractions(self, spark, documents):
+        with pytest.raises(ValueError, match=r"\[0, 1\]"):
+            split.hash_split(documents, "doc_id", {"train": 1.5, "val": -0.5})
+
+    def test_pack_batches_positions_share_assignment(self, spark, documents):
+        from datafusion_functions_json_spark.operators import text as t
+
+        base = documents.select(
+            "doc_id", t.token_count("text").alias("nt")
+        )
+        b = split.pack_batches(base, "doc_id", "nt", budget=500, shards=4)
+        p = split.pack_positions(base, "doc_id", "nt", budget=500, shards=4)
+        bb = {r.doc_id: (r.shard, r.batch_id) for r in b.collect()}
+        pp = {r.doc_id: (r.shard, r.batch_id) for r in p.collect()}
+        assert bb == pp  # one shared prefix-sum core
+
+    def test_curation_stats_single_job(self, spark, documents):
+        from datafusion_functions_json_spark.operators import pipeline
+
+        kept = documents.filter(F.col("doc_id") % 2 == 0)
+        row = pipeline.curation_stats(documents, kept).collect()[0]
+        assert row.n_in == documents.count()
+        assert row.n_out == kept.count()
+        assert 0 < row.survival_rate < 1
