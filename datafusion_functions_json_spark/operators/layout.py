@@ -46,6 +46,8 @@ def zorder_key(cols, bits: int = 16) -> Column:
     any engine that reproduces ``>>``/``&``/``*``/``+`` on int64 (the
     DuckDB oracle twin runs the same unrolled expression).
     """
+    if isinstance(cols, (str, Column)):
+        cols = [cols]  # a bare string must not iterate char-by-char
     cs = [_col(c) for c in cols]
     n = len(cs)
     if n < 1:
@@ -72,6 +74,8 @@ def zorder_key(cols, bits: int = 16) -> Column:
 def zorder_key_sql(cols, bits: int = 16) -> str:
     """The ANSI-SQL twin of :func:`zorder_key` (same unrolled terms) —
     for oracle checks and for engines applying the identical layout."""
+    if isinstance(cols, str):
+        cols = [cols]
     n = len(cols)
     if n < 1 or n * bits > 62:
         raise ValueError("invalid cols/bits")

@@ -55,8 +55,11 @@ def observe_stats(
     """
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in null_cols or []:
+        # count(when(...)), not sum(cast): sum over an EMPTY frame is
+        # NULL and a fully-filtered stage would report null_x=None
+        # instead of 0 (validate.py uses the same pattern)
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"null_{c}")
         )
     for metric_name, col in (extra or {}).items():
         if not isinstance(col, Column):
@@ -88,7 +91,39 @@ class StageMetrics:
         self._stages[stage] = obs
         return df
 
-    def report(self) -> dict:
-        """Metrics for all stages whose action has run (blocking on
-        ``Observation.get`` for each)."""
-        return {stage: obs.get for stage, obs in self._stages.items()}
+    def report(self, *, strict: bool = False, timeout_s: float = 10.0) -> dict:
+        """Metrics per stage. A stage whose DataFrame was never
+        materialized reports ``None`` after ``timeout_s`` instead of
+        DEADLOCKING the driver (``Observation.get`` blocks indefinitely
+        waiting for a first action — an abandoned branch would hang
+        ``report()`` forever; the bounded wait also absorbs the normal
+        few-ms race between an action finishing and the listener thread
+        publishing the metrics). ``strict=True`` raises for timed-out
+        stages instead."""
+        out = {}
+        pending = []
+        for stage, obs in self._stages.items():
+            jo = getattr(obs, "_jo", None)
+            done = True
+            if jo is not None:
+                try:
+                    jvm = obs._jvm
+                    dur = jvm.scala.concurrent.duration.Duration.apply(
+                        f"{timeout_s}s"
+                    )
+                    jvm.scala.concurrent.Await.ready(jo.future(), dur)
+                except Exception:
+                    # TimeoutException (or probe-API drift on a future
+                    # Spark): treat as not materialized rather than
+                    # risking an unbounded obs.get
+                    done = False
+            if not done:
+                out[stage] = None
+                pending.append(stage)
+                continue
+            out[stage] = obs.get
+        if strict and pending:
+            raise RuntimeError(
+                f"stages never materialized (no action ran): {pending}"
+            )
+        return out

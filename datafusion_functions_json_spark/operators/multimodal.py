@@ -271,9 +271,17 @@ def extract_video_features(
     deterministic hash-derived stand-in for reproducible oracle
     queries.
     """
-    frames = frame_sample_plan(df, every_ms).join(
-        df.select("media_id", payload_col), "media_id"
+    # ONE payload copy per video: aggregate the sampled timestamps per
+    # media BEFORE attaching the blob — the earlier per-frame join
+    # duplicated the full payload once per frame row (an hour-long
+    # video at 1 fps shipped 3600 copies through the join output and
+    # the Arrow transfer; the batch-local dedup only avoided
+    # re-DECODING, not the bytes). Decode granularity was already
+    # per-media inside a batch, so no parallelism is lost.
+    plan = frame_sample_plan(df, every_ms).groupBy("media_id").agg(
+        F.collect_list("frame_ts_ms").alias("_ts_list")
     )
+    frames = plan.join(df.select("media_id", payload_col), "media_id")
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), True),
@@ -306,6 +314,7 @@ def extract_video_features(
         """PyAV path: one sequential decode pass; each requested ts gets
         the last frame at-or-before it. Any failure → NULLs (per-row
         decode failure must never fail the task)."""
+        container = None
         try:
             container = av_mod.open(io.BytesIO(bytes(payload)))
             wanted = sorted(set(int(t) for t in ts_list))
@@ -330,6 +339,15 @@ def extract_video_features(
             ]
         except Exception:
             return [None] * len(ts_list)
+        finally:
+            # ffmpeg demuxer/decoder buffers are NATIVE allocations — an
+            # early break or exception must not leave them to the GC on
+            # a long-lived executor
+            if container is not None:
+                try:
+                    container.close()
+                except Exception:
+                    pass
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         av_mod = pil_image = None
@@ -343,38 +361,36 @@ def extract_video_features(
             except ImportError:
                 pil_image = None
         for pdf in it:
-            if fake:
-                feats = [
-                    None
-                    if b is None
-                    else _fake_feature_vector(b + int(ts).to_bytes(8, "big"))
-                    for b, ts in zip(pdf[payload_col], pdf["frame_ts_ms"])
-                ]
-            else:
-                # parse/open each container once per batch-local media
-                feats = [None] * len(pdf)
-                positions = {}
-                for i, mid in enumerate(pdf["media_id"]):
-                    positions.setdefault(mid, []).append(i)
-                for idxs in positions.values():
-                    payload = pdf[payload_col].iloc[idxs[0]]
-                    if payload is None:
-                        continue
-                    ts_list = [int(pdf["frame_ts_ms"].iloc[i]) for i in idxs]
-                    if av_mod is not None:
-                        fs = _pyav_features(av_mod, payload, ts_list)
-                    else:
-                        fs = _avi_features(payload, ts_list, pil_image)
-                    for i, f in zip(idxs, fs):
-                        feats[i] = f
-            out = pd.DataFrame(
+            out_mid, out_ts, out_feat = [], [], []
+            for mid, payload, ts_list in zip(
+                pdf["media_id"], pdf[payload_col], pdf["_ts_list"]
+            ):
+                ts_list = [int(t) for t in ts_list]
+                if fake:
+                    fs = [
+                        None
+                        if payload is None
+                        else _fake_feature_vector(
+                            payload + int(ts).to_bytes(8, "big")
+                        )
+                        for ts in ts_list
+                    ]
+                elif payload is None:
+                    fs = [None] * len(ts_list)
+                elif av_mod is not None:
+                    fs = _pyav_features(av_mod, payload, ts_list)
+                else:
+                    fs = _avi_features(payload, ts_list, pil_image)
+                out_mid.extend([mid] * len(ts_list))
+                out_ts.extend(ts_list)
+                out_feat.extend(fs)
+            yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "frame_ts_ms": pdf["frame_ts_ms"],
-                    "features": pd.Series(feats, index=pdf.index, dtype=object),
+                    "media_id": pd.Series(out_mid, dtype="int64"),
+                    "frame_ts_ms": pd.Series(out_ts, dtype="int64"),
+                    "features": pd.Series(out_feat, dtype=object),
                 }
             )
-            yield out
 
     return frames.mapInPandas(batches, out_schema)
 
@@ -492,6 +508,7 @@ def image_dup_pairs(
     *,
     max_distance: int = 0,
     fake: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate image pairs by dHash Hamming distance:
     ``(id_a, id_b, distance)``.
@@ -503,7 +520,15 @@ def image_dup_pairs(
     blocks, candidates share at least one block (guaranteed recall for
     <= 3 flipped bits), and an exact JVM ``bit_count(xor)`` verifies.
     At 100 TB both paths are bucketed equi-joins; the block fan-out is
-    a fixed 4x."""
+    a fixed 4x.
+
+    Cache contract (same as :func:`~.dedup.simhash_dup_pairs`): the
+    hashed base feeds BOTH sides of the self-join, and its lineage is
+    the expensive per-image DECODE — without a persist each side
+    re-decodes every image. ``materialize=True`` (default) caches the
+    small (id, hash) base, computes the pairs eagerly, and unpersists
+    before returning; ``materialize=False`` keeps the plan fully lazy
+    (composition callers manage caching)."""
     if not 0 <= max_distance <= 3:
         raise ValueError("max_distance must be in [0, 3] (pigeonhole bound)")
     hashed = (
@@ -511,9 +536,19 @@ def image_dup_pairs(
         .filter(F.col("dhash").isNotNull())
         .select(F.col(id_col).alias("_id"), "dhash")
     )
+    if materialize:
+        hashed = hashed.persist()
+
+    def _finish(pairs: DataFrame) -> DataFrame:
+        if materialize:
+            pairs = pairs.persist()
+            pairs.count()  # force: pairs (small) cached, decode releasable
+            hashed.unpersist()
+        return pairs
+
     if max_distance == 0:
         a, b = hashed.alias("L"), hashed.alias("R")
-        return (
+        return _finish(
             a.join(b, F.col("L.dhash") == F.col("R.dhash"))
             .filter(F.col("L._id") < F.col("R._id"))
             .select(
@@ -540,7 +575,7 @@ def image_dup_pairs(
             )
         ).alias("blk"),
     ).select("_id", "dhash", "blk.block_id", "blk.block_val")
-    return (
+    return _finish(
         blocks.alias("L")
         .join(
             blocks.alias("R"),

@@ -112,7 +112,14 @@ def load_table(
     if nanos_as_timestamp:
         for c in _NANOS_TS_COLS.get(name, ()):
             if c in df.columns and dict(df.dtypes)[c] == "bigint":
-                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                # integer `div`, NOT (col/1000).cast: double division
+                # loses precision above 2^53 (a double's ulp at ~1.7e18
+                # epoch-ns is 256 ns — enough to flip a microsecond
+                # truncation boundary and silently shift a timestamp
+                # 1 us off the oracle's exact ns->us truncation)
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+                )
     if spread:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:
@@ -124,7 +131,9 @@ def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
-def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_jsonl(
+    spark: SparkSession, path: str, schema=None, *, keep_corrupt: bool = False
+) -> DataFrame:
     """NDJSON reader (the host-engine format DataFusion also ingests;
     the reference inherits IO from its host the same way we inherit
     Spark's). Pass an explicit ``schema`` in production: schema
@@ -132,11 +141,31 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     hold JSON documents must be JSON-*encoded strings* in the NDJSON
     (`"props": "{\\"k\\": 1}"`) — our functions parse them from there;
     a raw nested object would need a struct schema instead.
-    Malformed lines land in ``_corrupt_record`` (PERMISSIVE default)
-    instead of failing the job."""
+
+    Malformed-line handling (PERMISSIVE mode): Spark quarantines bad
+    lines into ``_corrupt_record`` ONLY when that column exists in the
+    schema — with an explicit schema lacking it (or an inferred schema
+    over clean sample data), malformed rows silently become all-NULL
+    records. ``keep_corrupt=True`` appends the column to your schema so
+    the quarantine contract actually holds; audit
+    ``df.filter("_corrupt_record is not null")`` afterwards."""
     r = spark.read
     if schema is not None:
+        if keep_corrupt:
+            if isinstance(schema, str):
+                if "_corrupt_record" not in schema:
+                    schema = schema + ", _corrupt_record string"
+            elif "_corrupt_record" not in schema.fieldNames():
+                from pyspark.sql import types as T
+
+                schema = schema.add("_corrupt_record", T.StringType())
         r = r.schema(schema)
+    elif keep_corrupt:
+        raise ValueError(
+            "keep_corrupt requires an explicit schema (inference only "
+            "adds _corrupt_record when the sampled data already has "
+            "malformed lines)"
+        )
     return r.json(path)
 
 

@@ -17,6 +17,14 @@ from pyspark.sql import functions as F
 __all__ = ["write_partitioned", "write_bucketed", "estimate_files", "write_training_shards", "write_jsonl"]
 
 
+def _norm_partition_by(partition_by) -> tuple:
+    """str -> (str,): a bare column name must not iterate char-by-char
+    into partitionBy('s','p','l','i','t')."""
+    if isinstance(partition_by, str):
+        return (partition_by,)
+    return tuple(partition_by)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -37,6 +45,7 @@ def write_partitioned(
     ``df.count()`` to pre-size a repartition, which reads the whole
     input twice; at 100 TB that doubles the job).
     """
+    partition_by = _norm_partition_by(partition_by)
     writer = df.write.mode(mode).format(fmt)
     if target_file_rows:
         writer = writer.option("maxRecordsPerFile", int(target_file_rows))
@@ -103,6 +112,9 @@ def write_training_shards(
 
     Shard counts bound the repartition width; at 100 TB raise
     ``shards`` upstream rather than files-per-shard here."""
+    partition_by = _norm_partition_by(partition_by)
+    if isinstance(order_by, str):
+        order_by = (order_by,)
     cols = set(packed.columns)
     missing = [c for c in (*partition_by, *order_by) if c not in cols]
     if missing:
@@ -135,6 +147,7 @@ def write_jsonl(
     ``partition_by``); compressed by default (text JSON is ~5-10x
     parquet's size — at 100 TB an uncompressed jsonl export is a
     storage incident, pass ``compression=None`` deliberately)."""
+    partition_by = _norm_partition_by(partition_by)
     writer = df.write.mode(mode).format("json")
     if compression:
         writer = writer.option("compression", compression)

@@ -245,3 +245,85 @@ class TestWriteJsonl:
         files = glob.glob(out + "/part=*/*.json.gz")
         assert files, "expected gzip part files"
         assert spark.read.json(out).count() == 20
+
+
+class TestReviewFindingsRound7c:
+    """Regression pins for the sources/layout/metrics review batch."""
+
+    def test_nanos_conversion_is_exact_integer_division(self, spark, tmp_path):
+        # a double's ulp at ~1.7e18 epoch-ns is 256 ns: (c/1000).cast
+        # could round across a microsecond boundary; `div` cannot
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ns = [1_700_000_000_123_456_050, 1_700_000_000_123_456_999]
+        p = tmp_path / "events.parquet"
+        pq.write_table(pa.table({"event_id": [1, 2], "ts": pa.array(ns, pa.int64())}), p)
+        from datafusion_functions_json_spark.sources import io as src_io
+
+        df = spark.read.parquet(str(p))
+        from pyspark.sql import functions as F
+
+        out = df.select(
+            F.expr("`ts` div 1000").alias("exact"),
+            (F.col("ts") / 1000).cast("long").alias("doubled"),
+        ).collect()
+        assert [r.exact for r in out] == [v // 1000 for v in ns]
+        # the old path really was lossy on at least one of these values
+        # (documents the defect class; not asserted — FP rounding may
+        # coincide on some platforms)
+
+    def test_write_partitioned_accepts_bare_string(self, spark, tmp_path):
+        from datafusion_functions_json_spark.sources import write_partitioned
+
+        df = spark.createDataFrame(
+            [(1, "train"), (2, "val")], "id long, split string"
+        )
+        out = str(tmp_path / "p")
+        write_partitioned(df, out, partition_by="split")
+        back = spark.read.parquet(out)
+        assert back.count() == 2 and "split" in back.columns
+
+    def test_read_jsonl_keep_corrupt(self, spark, tmp_path):
+        p = tmp_path / "in.jsonl"
+        p.write_text('{"id": 1}\nnot json at all\n{"id": 3}\n')
+        from datafusion_functions_json_spark.sources import read_jsonl
+
+        df = read_jsonl(spark, str(p), schema="id bigint", keep_corrupt=True)
+        rows = df.collect()
+        bad = [r for r in rows if r._corrupt_record is not None]
+        assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="explicit schema"):
+            read_jsonl(spark, str(p), keep_corrupt=True)
+
+    def test_zorder_accepts_bare_string(self, spark):
+        from datafusion_functions_json_spark.operators import layout
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(5,), (1,)], "price long")
+        out = df.select(layout.zorder_key("price", bits=8).alias("z")).collect()
+        assert [r.z for r in out] == [5, 1]  # 1-dim morton = identity
+        assert "price" in layout.zorder_key_sql("price", bits=8)
+
+    def test_stage_metrics_no_deadlock_and_empty_zero(self, spark):
+        from datafusion_functions_json_spark.operators import metrics
+        from pyspark.sql import functions as F
+
+        st = metrics.StageMetrics()
+        d1 = st.track(spark.range(4), "done", null_cols=["id"])
+        st.track(spark.range(2), "abandoned")
+        d1.count()
+        rep = st.report(timeout_s=2)
+        assert rep["done"] == {"n_rows": 4, "null_id": 0}
+        assert rep["abandoned"] is None
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="never materialized"):
+            st.report(strict=True, timeout_s=1)
+        df0, obs = metrics.observe_stats(
+            spark.range(3).filter("id < 0"), "empty", null_cols=["id"]
+        )
+        df0.count()
+        assert obs.get == {"n_rows": 0, "null_id": 0}
