@@ -72,12 +72,29 @@ class JsonColumn(Column):
       guards.
     """
 
-    def __init__(self, underlying: Column, *, root=None, path=None, is_text=False):
+    def __init__(
+        self,
+        underlying: Column,
+        *,
+        root=None,
+        path=None,
+        is_text=False,
+        cast_root=None,
+        cast_path=None,
+    ):
         # Classic-mode Column wraps a py4j java column handle.
         super().__init__(underlying._jc)
         self._root = root
         self._path = path  # tuple of literals, or None (= not flattenable)
         self._is_text = is_text  # True when wrapping raw JSON text
+        # cast-elision provenance: like (root, path) but may carry a
+        # COLUMN key — the reference's cast elision (rewrite.rs:36-54)
+        # has no literal-path guard (that guard belongs to call
+        # un-nesting only), so json_get(j, col).cast('bigint') must
+        # still rewrite to json_get_int(j, col) instead of attempting
+        # a real (failing) struct cast
+        self._cast_root = cast_root if cast_root is not None else root
+        self._cast_path = cast_path if cast_path is not None else path
 
     # -- provenance ----------------------------------------------------
 
@@ -229,23 +246,44 @@ class JsonColumn(Column):
         name = None
         if isinstance(dataType, str):
             name = dataType.lower()
-        elif isinstance(dataType, T.LongType | T.IntegerType | T.ShortType | T.ByteType):
+        elif isinstance(dataType, T.LongType):
             name = "bigint"
+        elif isinstance(dataType, T.IntegerType):
+            # each width keeps ITS name so the narrowing re-cast below
+            # fires for DataType instances exactly like for strings —
+            # mapping them all to "bigint" made cast(T.IntegerType())
+            # silently return a BIGINT column while cast('int')
+            # returned INT (same expression, two schemas)
+            name = "int"
+        elif isinstance(dataType, T.ShortType):
+            name = "smallint"
+        elif isinstance(dataType, T.ByteType):
+            name = "tinyint"
         elif isinstance(dataType, T.BooleanType):
             name = "boolean"
-        elif isinstance(dataType, T.DoubleType | T.FloatType | T.DecimalType):
+        elif isinstance(dataType, T.FloatType):
+            name = "float"
+        elif isinstance(dataType, T.DoubleType | T.DecimalType):
             name = "double"
         elif isinstance(dataType, T.StringType):
             name = "string"
         fn_key = self._CAST_MAP.get(name) if name else None
-        if fn_key is not None and self._root is not None and self._path is not None:
+        if (
+            fn_key is not None
+            and self._cast_root is not None
+            and self._cast_path is not None
+        ):
             fn = getattr(api, fn_key)
-            out = fn(self._root, *self._path)
+            out = fn(self._cast_root, *self._cast_path)
             # Decimal targets re-cast the float result (reference
             # rewrite keeps the cast shell for decimals, rs:46-48)
             if isinstance(dataType, T.DecimalType):
                 out = Column(out._jc).cast(dataType)
             elif fn_key == "json_get_int" and name in ("tinyint", "smallint", "int", "integer"):
+                out = Column(out._jc).cast(dataType)
+            elif fn_key == "json_get_float" and name == "float":
+                # the float getter returns DOUBLE; a float target must
+                # narrow like a plain Spark cast would
                 out = Column(out._jc).cast(dataType)
             return out
         return super().cast(dataType)

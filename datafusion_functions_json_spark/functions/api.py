@@ -154,7 +154,16 @@ def json_get(json, *path):
         )
     if key_col is not None:
         raw = udfs.column_path_udf("json_get")(text_col, key_col)
-        return JsonColumn(union_mod.mask_null_arm(raw), root=None, path=None)
+        # no LITERAL provenance (un-nesting requires literal paths) but
+        # cast elision has no such guard — keep enough to rewrite
+        # .cast('bigint') into json_get_int(text, key_col)
+        return JsonColumn(
+            union_mod.mask_null_arm(raw),
+            root=None,
+            path=None,
+            cast_root=text_col,
+            cast_path=tuple(path),
+        )
     raw = udfs.literal_path_udf("json_get", lit_path)(text_col)
     root = text_col if not isinstance(json, JsonColumn) else None
     return JsonColumn(

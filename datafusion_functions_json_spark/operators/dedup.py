@@ -452,6 +452,36 @@ def minhash_index(
     )
 
 
+def validate_index_meta(
+    index: DataFrame, *, num_perm: int, seed: int, mode: str, n: int
+) -> None:
+    """Reject a :func:`minhash_index` built under a different
+    permutation family (signatures are only comparable within one) —
+    the ONE definition shared by the batch matcher and the streaming
+    :func:`~..streaming.contamination_alerts` monitor. An index written
+    by other tooling, without the metadata, is trusted as-is."""
+    try:
+        idx_meta = dict(index.schema["sig"].metadata or {})
+    except (KeyError, TypeError):
+        idx_meta = {}
+    want = {"num_perm": num_perm, "seed": seed, "mode": mode, "n": n}
+    mismatch = {
+        k: (idx_meta[k], v)
+        for k, v in want.items()
+        if k in idx_meta and idx_meta[k] != v
+    }
+    if mismatch:
+        detail = ", ".join(
+            f"{k}: index={a!r} vs requested={b!r}"
+            for k, (a, b) in sorted(mismatch.items())
+        )
+        raise ValueError(
+            "minhash index was built under a different permutation family "
+            f"({detail}); signatures are not comparable — rebuild the index "
+            "or match its parameters"
+        )
+
+
 def minhash_dup_pairs_against(
     new_df: DataFrame,
     index: DataFrame,
@@ -500,23 +530,7 @@ def minhash_dup_pairs_against(
     other tooling, without the metadata, is trusted as-is).
     """
     rows = _band_rows(num_perm, bands)
-    try:
-        idx_meta = dict(index.schema["sig"].metadata or {})
-    except (KeyError, TypeError):
-        idx_meta = {}
-    want = {"num_perm": num_perm, "seed": seed, "mode": mode, "n": n}
-    mismatch = {
-        k: (idx_meta[k], v) for k, v in want.items() if k in idx_meta and idx_meta[k] != v
-    }
-    if mismatch:
-        detail = ", ".join(
-            f"{k}: index={a!r} vs requested={b!r}" for k, (a, b) in sorted(mismatch.items())
-        )
-        raise ValueError(
-            "minhash index was built under a different permutation family "
-            f"({detail}); signatures are not comparable — rebuild the index "
-            "or match its parameters"
-        )
+    validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
     newx = minhash_index(
         new_df, id_col, text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
     )

@@ -255,9 +255,15 @@ def _from_scalar_udf():
             tid = pc.if_else(
                 pc.is_valid(s), pa.scalar(arm, pa.int8()), pa.scalar(None, pa.int8())
             )
+        # WHOLE-STRUCT null for typed-NULL inputs (mask=tid's nulls):
+        # without the mask the null row is a NON-null struct whose
+        # type_id is null, so `json_from_scalar(x) IS NULL` says false
+        # on the SQL surface while the Python API (api.py masks to a
+        # whole-struct NULL) and the reference both say true
         return pa.StructArray.from_arrays(
             [tid] + [cols[name] for name, _ in _UNION_ARROW_FIELDS[1:]],
             names=[name for name, _ in _UNION_ARROW_FIELDS],
+            mask=pc.is_null(tid),
         )
 
     fn.__name__ = "json_from_scalar"

@@ -40,46 +40,31 @@ def extract_json_stream(
     tier: str = "exact",
 ) -> DataFrame:
     """Project typed fields out of a JSON column on a (possibly
-    streaming) DataFrame. ``fields``: {out_name: (kind, *path)} with kind
-    in {str,int,float,bool,text}.
+    streaming) DataFrame. ``fields``: {out_name: (kind, *path)} with
+    kind in {str,int,float,bool,text,length,exists} — the full
+    :func:`~..functions.multi.json_extract_multi` kind set, because the
+    extraction IS the fused extractor: one parse and at most one Arrow
+    hop per document however many fields you pull (K separate getter
+    calls would pay K parses and K JVM->Python round trips on the
+    streaming hot path — the exact cost multi.py exists to remove).
 
-    ``tier``: ``"exact"`` (reference-faithful pandas kernels, default),
+    ``tier``: ``"exact"`` (reference-faithful pandas kernel, default),
     ``"variant"`` (zero-Python JVM path — the right choice for
     streaming deployments without Python workers; envelope caveats in
     functions/native.py), or ``"auto"`` (fastest provably-equivalent
     per :func:`~..functions.native.recommend_tier`'s permissive
     profile). Streaming plans carry tier choice unchanged — every tier
     is a stateless projection."""
-    if tier == "auto":
-        from ..functions.multi import _auto_tier
+    from ..functions.multi import json_extract_multi
 
-        specs = [(n, s[0], tuple(s[1:])) for n, s in fields.items()]
-        tier = _auto_tier(specs, None)
-    if tier == "variant":
-        from ..functions import native
-
-        getters = {
-            "str": native.json_get_str_variant,
-            "int": native.json_get_int_variant,
-            "float": native.json_get_float_variant,
-            "bool": native.json_get_bool_variant,
-            "text": native.json_as_text_variant,
-        }
-    elif tier == "exact":
-        getters = {
-            "str": jsonf.json_get_str,
-            "int": jsonf.json_get_int,
-            "float": jsonf.json_get_float,
-            "bool": jsonf.json_get_bool,
-            "text": jsonf.json_as_text,
-        }
-    else:
-        raise ValueError(f"unknown tier {tier!r}; expected exact|variant|auto")
+    u = json_extract_multi(json_col, fields, tier=tier)
     cols = [F.col(ts_col)] if ts_col in stream.columns else []
     cols += [F.col(c) for c in stream.columns if c not in (json_col, ts_col)]
-    for out_name, (kind, *path) in fields.items():
-        cols.append(getters[kind](json_col, *path).alias(out_name))
-    return stream.select(*cols)
+    tmp = "_jx_fused"
+    out = stream.withColumn(tmp, u)
+    return out.select(
+        *cols, *[F.col(f"{tmp}.{name}").alias(name) for name in fields]
+    )
 
 
 def windowed_json_counts(
@@ -276,7 +261,10 @@ def sessionize(
 
         ts_all = []
         for pdf in pdf_iter:
-            ts_all.extend(t.timestamp() for t in pdf["_ts"] if t is not None)
+            # pd.notna, NOT `is not None`: a NULL/uncastable timestamp
+            # arrives as NaT, which passes an identity check and then
+            # raises on .timestamp(), killing the whole streaming query
+            ts_all.extend(t.timestamp() for t in pdf["_ts"] if pd.notna(t))
         ts_all.sort()
         if state.exists:
             start, last, n = state.get
@@ -358,22 +346,29 @@ def sessionize_tws(
 
     class _SessionProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("session", _SESSION_STATE_DDL)
+            # extends the shared session tuple with the live timer's
+            # expiry so stale timers are detectable (see below)
+            self._state = handle.getValueState(
+                "session", _SESSION_STATE_DDL + ", timer_ms bigint"
+            )
             self._handle = handle
 
         def handleInputRows(self, key, rows, timerValues):
             ts_all = []
             for pdf in rows:
+                # pd.notna: NaT passes `is not None` then raises on
+                # .timestamp() (same hazard as the sessionize twin)
                 ts_all.extend(
-                    t.timestamp() for t in pdf["_ts"] if t is not None
+                    t.timestamp() for t in pdf["_ts"] if pd.notna(t)
                 )
             ts_all.sort()
             cur = self._state.get()
             if cur is not None:
-                start, last, n = cur
+                start, last, n, old_timer = cur
             else:
                 start = last = None
                 n = 0
+                old_timer = None
             out = []
             for t in ts_all:
                 if last is None:
@@ -385,18 +380,41 @@ def sessionize_tws(
                     last = t
                     n += 1
             if last is not None:
-                self._state.update((float(start), float(last), int(n)))
-                self._handle.registerTimer(
-                    timerValues.getCurrentProcessingTimeInMs()
-                    + int(gap * 1000)
+                # one LIVE timer per key: delete the previous batch's
+                # timer and remember the new one — without this, a
+                # stale timer from batch 1 fires mid-session and
+                # handleExpiredTimer would close a still-active
+                # session, splitting it into fragments (the
+                # applyInPandasWithState twin's setTimeoutDuration
+                # resets implicitly; explicit timers must do it here)
+                new_timer = timerValues.getCurrentProcessingTimeInMs() + int(
+                    gap * 1000
                 )
+                if old_timer is not None and int(old_timer) != new_timer:
+                    try:
+                        self._handle.deleteTimer(int(old_timer))
+                    except Exception:
+                        pass  # already fired/cleaned — staleness check below
+                self._state.update(
+                    (float(start), float(last), int(n), int(new_timer))
+                )
+                self._handle.registerTimer(new_timer)
             if out:
                 yield _session_frame(pd, out)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             cur = self._state.get()
             if cur is not None:
-                start, last, n = cur
+                start, last, n, live_timer = cur
+                # staleness guard: only the LATEST registered timer may
+                # close the session (belt to deleteTimer's suspenders —
+                # a timer that fired in the same batch as new events
+                # must not emit the refreshed session early)
+                if (
+                    live_timer is not None
+                    and expiredTimerInfo.getExpiryTimeInMs() < int(live_timer)
+                ):
+                    return
                 self._state.clear()
                 yield _session_frame(pd, [(key[0], start, last, int(n))])
 
@@ -508,19 +526,21 @@ def decontaminate_stream(
     grams_df = benchmark.select(
         F.explode(word_ngrams(bench_text_col, n)).alias("_gram")
     ).distinct()
-    # guard BEFORE collecting — a post-collect length check can't stop
-    # the driver blow-up it exists to prevent. limit(bound+1).count()
-    # lets Spark stop counting at the bound instead of aggregating a
-    # corpus-sized gram set just to report its size.
-    probe = grams_df.limit(max_benchmark_grams + 1).count()
-    if probe > max_benchmark_grams:
+    # guard AND collect in ONE job: limit(bound+1) caps driver memory
+    # at bound+1 rows whatever the benchmark size (Spark stops pulling
+    # past the limit), the length check then rejects oversized inputs
+    # — a post-collect check on an unlimited collect couldn't stop the
+    # blow-up, and a separate count() probe would run the explode +
+    # distinct shuffle twice
+    gram_rows = grams_df.limit(max_benchmark_grams + 1).collect()
+    if len(gram_rows) > max_benchmark_grams:
         raise ValueError(
             f"benchmark produced over {max_benchmark_grams} distinct "
             f"{n}-grams (driver-side bound) — this looks like a corpus, "
             "not an eval benchmark; use the batch decontaminate_filter "
             "(broadcast join, no collect) instead"
         )
-    bench_set = frozenset(r["_gram"] for r in grams_df.collect())
+    bench_set = frozenset(r["_gram"] for r in gram_rows)
     bc = stream.sparkSession.sparkContext.broadcast(bench_set)
 
     @F.pandas_udf("bigint")
@@ -582,26 +602,9 @@ def contamination_alerts(
     from ..operators import dedup as dd
 
     rows = dd._band_rows(num_perm, bands)
-    try:
-        idx_meta = dict(benchmark_index.schema["sig"].metadata or {})
-    except (KeyError, TypeError):
-        idx_meta = {}
-    want = {"num_perm": num_perm, "seed": seed, "mode": mode, "n": n}
-    mismatch = {
-        k: (idx_meta[k], v)
-        for k, v in want.items()
-        if k in idx_meta and idx_meta[k] != v
-    }
-    if mismatch:
-        detail = ", ".join(
-            f"{k}: index={a!r} vs requested={b!r}"
-            for k, (a, b) in sorted(mismatch.items())
-        )
-        raise ValueError(
-            "minhash index was built under a different permutation family "
-            f"({detail}); signatures are not comparable — rebuild the index "
-            "or match its parameters"
-        )
+    dd.validate_index_meta(
+        benchmark_index, num_perm=num_perm, seed=seed, mode=mode, n=n
+    )
     sig = dd._signature_with_hashes(
         text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
     )

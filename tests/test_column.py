@@ -133,3 +133,37 @@ class TestDeterminismPushdown:
         out = df.filter(F.col("id") == 3).select(jsonf.json_get_int("j", "a"))
         plan = physical_plan(out)
         assert "PushedFilters: [IsNotNull(id), EqualTo(id,3)]" in plan
+
+
+class TestCastElisionReviewFixes:
+    def test_datatype_instances_match_string_targets(self, spark):
+        import datafusion_functions_json_spark as jsonf
+        from pyspark.sql import types as T
+
+        df = spark.createDataFrame([('{"a": 7}',)], "j string")
+        jc = jsonf.col("j")
+        for s_name, inst, want in [
+            ("int", T.IntegerType(), "int"),
+            ("smallint", T.ShortType(), "smallint"),
+            ("tinyint", T.ByteType(), "tinyint"),
+            ("bigint", T.LongType(), "bigint"),
+            ("float", T.FloatType(), "float"),
+            ("double", T.DoubleType(), "double"),
+        ]:
+            a = df.select(jc["a"].cast(s_name).alias("x")).schema["x"].dataType
+            b = df.select(jc["a"].cast(inst).alias("x")).schema["x"].dataType
+            assert a.simpleString() == b.simpleString() == want, (s_name, a, b)
+
+    def test_column_key_cast_elides_to_typed_getter(self, spark):
+        import datafusion_functions_json_spark as jsonf
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [('{"a": 7, "b": 8}', "a"), ('{"a": 7, "b": 8}', "b")],
+            "j string, k string",
+        )
+        out = df.select(
+            jsonf.col("j")[F.col("k")].cast("bigint").alias("v")
+        )
+        assert out.schema["v"].dataType.simpleString() == "bigint"
+        assert [r.v for r in out.collect()] == [7, 8]

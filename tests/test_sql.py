@@ -203,3 +203,21 @@ class TestRegisterPipeline:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert df.collect()[0].l == "en"
+
+
+class TestFromScalarNullParity:
+    def test_sql_is_null_matches_python_api(self, spark):
+        # typed NULL input: the SQL surface must produce a WHOLE-struct
+        # NULL (IS NULL true), matching the Python API and the reference
+        import datafusion_functions_json_spark as jsonf
+
+        jsonf.register_all(spark)
+        spark.createDataFrame(
+            [(7,), (None,)], "i bigint"
+        ).createOrReplaceTempView("fs_null_t")
+        rows = spark.sql(
+            "select json_from_scalar(i) is null as isn, "
+            "json_union_to_text(json_from_scalar(i)) as txt "
+            "from fs_null_t order by isn"
+        ).collect()
+        assert [(r.isn, r.txt) for r in rows] == [(False, "7"), (True, None)]

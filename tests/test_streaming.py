@@ -603,3 +603,68 @@ class TestExtractTiers:
         with pytest.raises(ValueError, match="unknown tier"):
             js.extract_json_stream(stream, "payload", {"n2": ("int", "n")},
                                    tier="warp")
+
+
+class TestReviewFindingsRound7d:
+    """Regression pins for the streaming/column/register review batch."""
+
+    def test_sessionize_tolerates_null_timestamps(self, spark, tmp_path):
+        # NaT passes `is not None` and then raises on .timestamp() — a
+        # single NULL/garbage ts must not kill the streaming query
+        rows = [
+            {"ts": "2024-01-01T00:00:00", "payload": '{"user": "a"}'},
+            {"ts": None, "payload": '{"user": "a"}'},
+            {"ts": "2024-01-01T00:00:30", "payload": '{"user": "a"}'},
+            {"ts": "2024-01-01T00:05:00", "payload": '{"user": "a"}'},
+        ]
+        p = tmp_path / "sess_nat"
+        p.mkdir()
+        with open(p / "part-0.jsonl", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        stream = spark.readStream.schema(SCHEMA).json(str(p))
+        sessions = js.sessionize(
+            stream, "payload", ("user",), ts_col="ts", gap_seconds=60
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sessions_nat")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("select * from sessions_nat").count() >= 1:
+                break
+            time.sleep(1)
+        q.stop()
+        got = [
+            (r.key, r.n_events)
+            for r in spark.sql("select * from sessions_nat").collect()
+        ]
+        # the NULL-ts row is skipped; the in-batch gap still closes the
+        # first (2-event) session — pre-fix this crashed the query
+        assert got == [("a", 2)]
+
+    def test_extract_json_stream_is_fused_single_hop(self, spark, json_dir):
+        df = spark.read.schema(SCHEMA).json(json_dir)
+        out = js.extract_json_stream(
+            df, "payload",
+            {"n2": ("int", "n"), "u": ("str", "user"),
+             "has": ("exists", "n"), "ln": ("length",)},
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1  # K fields, ONE hop
+        got = out.orderBy("n2").collect()
+        assert [r.n2 for r in got if r.n2 is not None] == [1, 2, 3]
+        assert all(r.has in (True, False) for r in got)
+
+    def test_extract_json_stream_rejects_bad_kind_descriptively(
+        self, spark, json_dir
+    ):
+        df = spark.read.schema(SCHEMA).json(json_dir)
+        with pytest.raises(ValueError, match="unknown kind"):
+            js.extract_json_stream(df, "payload", {"x": ("warp", "n")})
