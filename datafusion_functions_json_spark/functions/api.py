@@ -314,7 +314,22 @@ def json_from_scalar(col, dtype: str | None = None):
             )
             .when(t.isin("float", "double"), build(3, "float", col.cast("double")))
             .when(t == "string", build(4, "str", col.cast("string")))
-            .otherwise(F.lit(None).cast(union_mod.UNION_DDL))
+            .when(t.isin("void", "null"), F.lit(None).cast(union_mod.UNION_DDL))
+            # unsupported type: raise the reference's plan-error text at
+            # execution (the SQL surface and reference both ERROR here —
+            # a silent all-null-arm column hid the mistake entirely)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "Unexpected argument type to "
+                            "'json_from_scalar', got "
+                        ),
+                        t,
+                        F.lit("."),
+                    )
+                ).cast(union_mod.UNION_DDL)
+            )
         )
     return JsonColumn(out, root=None, path=None)
 
@@ -334,7 +349,14 @@ def json_union_to_text(u) -> Column:
 
     if isinstance(u, str):
         u = F.col(u)
-    if isinstance(u, JsonColumn) and not u._is_text:
+    if isinstance(u, JsonColumn):
+        if u._is_text:
+            raise TypeError(
+                "json_union_to_text expects a union struct (a json_get "
+                "result), got a raw JSON text column — a text-mode "
+                "JsonColumn would crash the kernel at runtime; pass "
+                "json_get(col) or use the text column directly"
+            )
         prov = u._flatten_provenance()
         if prov is not None:
             root, path = prov
@@ -351,10 +373,16 @@ def json_is_null(u) -> Column:
     if isinstance(u, str):
         u = F.col(u)
     if isinstance(u, JsonColumn):
-        if not u._is_text:
-            prov = u._flatten_provenance()
-            if prov is not None:
-                root, path = prov
-                return udfs.literal_path_udf("json_is_null_fused", path)(root)
+        if u._is_text:
+            raise TypeError(
+                "json_is_null expects a union struct (a json_get "
+                "result), got a raw JSON text column — use "
+                "col.isNull() for SQL-null text, or json_get(col) "
+                "first for JSON-null semantics"
+            )
+        prov = u._flatten_provenance()
+        if prov is not None:
+            root, path = prov
+            return udfs.literal_path_udf("json_is_null_fused", path)(root)
         u = ClassicColumn(u._jc)
     return union_mod.json_is_null(u)

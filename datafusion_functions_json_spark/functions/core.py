@@ -305,6 +305,12 @@ def find_scalar(s, path):
     """
     if s is None:
         return MISSING, None
+    if not isinstance(s, str):
+        # never-throw contract: a non-string document (int column fed
+        # to a getter, boolean from a rewritten `?`) must yield MISSING
+        # like :func:`find`, not a TypeError that kills the task on the
+        # `in`/`count` guards below
+        return MISSING, None
     if "\\" in s:
         return find(s, path)
     for p in path:

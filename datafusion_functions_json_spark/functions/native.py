@@ -165,11 +165,11 @@ def json_get_float_variant(json_col, *path) -> Column:
     return variant_extract(json_col, path, "double")
 
 
-def _try_variant(json_col, path, dtype: str) -> Column:
-    """try_variant_get: NULL (not an error) when the value at ``path``
-    can't cast to ``dtype`` — the null-on-mismatch contract of the exact
-    tier's typed getters."""
-    return F.try_variant_get(parse_variant(json_col), jsonpath(path), dtype)
+# one kernel, one definition: _try_variant was a byte-identical copy of
+# variant_extract (both wrap try_variant_get — NULL on cast mismatch,
+# the exact tier's null-on-mismatch contract); keep the internal name
+# as an alias so the getter bodies below read uniformly
+_try_variant = variant_extract
 
 
 def json_get_bool_variant(json_col, *path) -> Column:

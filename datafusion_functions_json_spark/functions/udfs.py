@@ -25,6 +25,7 @@ from __future__ import annotations
 import itertools
 from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -109,11 +110,25 @@ def literal_path_udf(fn_key: str, path: tuple):
 def _key_to_elem(v):
     """Normalize one per-row key value from a column path: numpy ints →
     int, None/NaN → None (null key ⇒ null result, reference:
-    src/common.rs:118-127)."""
+    src/common.rs:118-127). Booleans and datetimes are REJECTED like
+    the SQL surface and the reference's plan check — int()-coercing
+    them would silently turn ``True`` into array index 1 (defeating
+    core's bool guard, which fires on the path element, not here) and
+    a timestamp into a nanosecond 'index'."""
     if v is None or v != v:  # NaN check for float keys from pandas
         return None
     if isinstance(v, str):
         return v
+    if isinstance(v, (bool, np.bool_)):
+        raise ValueError(
+            "Unexpected argument type at position 2, expected string or "
+            "int, got Boolean."
+        )
+    if not isinstance(v, (int, float, np.integer, np.floating)):
+        raise ValueError(
+            "Unexpected argument type at position 2, expected string or "
+            f"int, got {type(v).__name__}."
+        )
     return int(v)
 
 

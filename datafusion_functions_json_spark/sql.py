@@ -192,7 +192,28 @@ def _next(toks, i) -> int:
 
 
 def _is_int_literal(t: _Tok) -> bool:
-    return t.kind == "number" and re.fullmatch(r"\d+", t.text) is not None
+    return t.kind == "number" and re.fullmatch(r"-?\d+", t.text) is not None
+
+
+def _scan_type_params(toks, ty):
+    """After a cast-type ident at ``ty``: span end and the literal
+    ``(p, q)`` parameter text (empty when none). Returns (-1, "") for
+    an unbalanced parameter list (elision must not fire — dropping
+    ``(10,2)`` from ``::decimal(10,2)`` emitted invalid SQL)."""
+    nx = _next(toks, ty)
+    if not (nx >= 0 and toks[nx].kind == "punct" and toks[nx].text == "("):
+        return ty, ""
+    depth, k = 0, nx
+    while k < len(toks):
+        tk = toks[k]
+        if tk.kind == "punct" and tk.text == "(":
+            depth += 1
+        elif tk.kind == "punct" and tk.text == ")":
+            depth -= 1
+            if depth == 0:
+                return k, "".join(tok.text for tok in toks[nx : k + 1])
+        k += 1
+    return -1, ""
 
 
 def _plan_error(fn: str, pos: int, got: str):
@@ -282,7 +303,30 @@ def _left_operand(toks, op_idx):
             start = p
             fn = toks[p].text.lower()
         src = "".join(tok.text for tok in toks[start : end + 1])
-        info = {"start": start, "end": end, "tok": None, "repr": src, "bare_ident": False}
+        # lambda-parameter detection: a bare paren group holding only
+        # comma-separated identifiers — `(x, y) -> 'z'` inside a HOF is
+        # a lambda head, not a JSON operand (the bare_ident guard only
+        # covered the single-parameter `x -> 'z'` spelling)
+        param_list = False
+        if fn is None:
+            inner = [
+                tok
+                for tok in toks[j + 1 : end]
+                if tok.kind not in _TRIVIA
+            ]
+            param_list = bool(inner) and all(
+                tok.kind == "ident"
+                or (tok.kind == "punct" and tok.text == ",")
+                for tok in inner
+            ) and any(tok.kind == "ident" for tok in inner)
+        info = {
+            "start": start,
+            "end": end,
+            "tok": None,
+            "repr": src,
+            "bare_ident": False,
+            "param_list": param_list,
+        }
         if fn is not None:
             args = _split_call_args(toks, j, end)
             info["tok"] = _Tok(
@@ -319,7 +363,7 @@ def _split_call_args(toks, open_idx, close_idx) -> List[str]:
 
 
 _LITERAL_ARG_RE = re.compile(
-    r"^(?:'(?:[^'\\]|\\.|'')*'|\d+)$"
+    r"^(?:'(?:[^'\\]|\\.|'')*'|-?\d+)$"
 )
 
 
@@ -364,9 +408,38 @@ def _validate_path_args(fn: str, args: List[str]):
 _CAST_KEY_TYPES = {"text", "varchar", "string", "int", "integer", "bigint"}
 
 
+_INT_KEY_TYPES = {"int", "integer", "bigint"}
+_TEXT_KEY_TYPES = {"text", "varchar", "string"}
+
+
+def _fold_cast_key(lit: _Tok, cast_ty):
+    """Constant-fold ``(<literal> :: type)`` into the literal the CAST
+    evaluates to — discarding the type turned ``('0'::int)`` (array
+    index 0) into object key '0' (a reviewed silent-wrong-result bug).
+    Returns None when the fold can't be proven (skip the collapse)."""
+    if cast_ty is None:
+        return lit  # bare parens: pure grouping
+    if cast_ty in _TEXT_KEY_TYPES:
+        if lit.kind == "string":
+            return lit
+        if _is_int_literal(lit):
+            return _Tok("string", "'%s'" % lit.text)
+        return None
+    if cast_ty in _INT_KEY_TYPES:
+        if _is_int_literal(lit):
+            return lit
+        if lit.kind == "string":
+            inner = lit.text[1:-1]
+            if re.fullmatch(r"-?\d+", inner):
+                return _Tok("number", inner)
+        return None
+    return None
+
+
 def _collapse_cast_keys(toks) -> None:
     """In place: after an ``->``/``->>`` operator, rewrite the token span
-    ``( <literal> )`` or ``( <literal> :: type )`` to the bare literal."""
+    ``( <literal> )`` or ``( <literal> :: type )`` to the literal the
+    cast EVALUATES to (string type ⇒ key, int type ⇒ index)."""
     i = 0
     while i < len(toks):
         if toks[i].kind in ("arrow", "longarrow"):
@@ -375,6 +448,7 @@ def _collapse_cast_keys(toks) -> None:
                 k = _next(toks, j)
                 if k >= 0 and (toks[k].kind == "string" or _is_int_literal(toks[k])):
                     m = _next(toks, k)
+                    cast_ty = None
                     # optional ::type
                     if (
                         m >= 0
@@ -391,13 +465,15 @@ def _collapse_cast_keys(toks) -> None:
                             and toks[m3].kind == "ident"
                             and toks[m3].text.lower() in _CAST_KEY_TYPES
                         ):
+                            cast_ty = toks[m3].text.lower()
                             m = _next(toks, m3)
                         else:
                             i += 1
                             continue
                     if m >= 0 and toks[m].kind == "punct" and toks[m].text == ")":
-                        lit = toks[k]
-                        toks[j:m + 1] = [lit]
+                        lit = _fold_cast_key(toks[k], cast_ty)
+                        if lit is not None:
+                            toks[j:m + 1] = [lit]
         i += 1
 
 
@@ -431,6 +507,17 @@ def rewrite_sql(query: str) -> str:
         r_idx = _next(toks, op_idx)
         right = toks[r_idx] if r_idx >= 0 else None
 
+        # negative index: `j -> -1` tokenizes as punct '-' + number; an
+        # unmerged pair left the arrow unrewritten and the query
+        # unparseable — merge into one signed number token (the
+        # reference accepts negative int paths; the getter yields NULL)
+        if right is not None and right.kind == "punct" and right.text == "-":
+            r2 = _next(toks, r_idx)
+            if r2 >= 0 and toks[r2].kind == "number":
+                merged = _Tok("number", "-" + toks[r2].text)
+                toks[r_idx : r2 + 1] = [merged]
+                right = merged
+
         right_is_path = right is not None and (
             right.kind == "string" or _is_int_literal(right)
         )
@@ -451,10 +538,12 @@ def rewrite_sql(query: str) -> str:
         )
         if (
             left is not None
-            and left["bare_ident"]
+            and (left["bare_ident"] or left.get("param_list"))
             and _enclosing_call_name(toks, left["start"]) in _HOF_NAMES
         ):
-            left = None  # lambda parameter, not a JSON operand
+            # lambda head, not a JSON operand: covers both the bare
+            # `x -> 'a'` and the parenthesized `(x, y) -> 'z'` spellings
+            left = None
         if left is None:
             # not a JSON-operator shape: neutralize the token kind so the
             # scan can move on (text preserved verbatim — e.g. genuine
@@ -510,26 +599,32 @@ def rewrite_sql(query: str) -> str:
             if t.kind != "call" or t.fn != "json_get":
                 continue
             span_start, span_end = i, i
-            p = _prev(toks, i)
-            n = _next(toks, i)
-            # unwrap (call) — only a PURE paren wrap
-            if (
-                p >= 0
-                and toks[p].kind == "punct"
-                and toks[p].text == "("
-                and n >= 0
-                and toks[n].kind == "punct"
-                and toks[n].text == ")"
-            ):
-                pp = _prev(toks, p)
-                if not (
-                    pp >= 0
-                    and toks[pp].kind == "ident"
-                    and toks[pp].text.lower() not in _KEYWORDS
-                ):  # not a function call's arg list
+            # unwrap EVERY pure paren wrap (one-level unwrap left
+            # ((j->'a'))::int casting the raw struct — a reviewed bug)
+            while True:
+                p = _prev(toks, span_start)
+                n = _next(toks, span_end)
+                if (
+                    p >= 0
+                    and toks[p].kind == "punct"
+                    and toks[p].text == "("
+                    and n >= 0
+                    and toks[n].kind == "punct"
+                    and toks[n].text == ")"
+                ):
+                    pp = _prev(toks, p)
+                    if (
+                        pp >= 0
+                        and toks[pp].kind == "ident"
+                        and toks[pp].text.lower() not in _KEYWORDS
+                    ):  # a function call's arg list, not pure grouping
+                        break
                     span_start, span_end = p, n
+                    continue
+                break
             after = _next(toks, span_end)
             new_fn = None
+            shell_type = None  # original type text when the cast stays
             if (
                 after >= 0
                 and toks[after].kind == "punct"
@@ -540,18 +635,25 @@ def rewrite_sql(query: str) -> str:
             ):
                 ty = _next(toks, after + 1)
                 if ty >= 0 and toks[ty].kind == "ident":
-                    new_fn = _CAST_ELISION.get(toks[ty].text.lower())
-                    if new_fn:
-                        span_end = ty
-            elif span_start == i:
-                # cast( CALL as TYPE ) — the call is the sole argument
-                if (
-                    p >= 0
-                    and toks[p].kind == "punct"
-                    and toks[p].text == "("
-                ):
+                    cand = _CAST_ELISION.get(toks[ty].text.lower())
+                    if cand:
+                        ty_end, params = _scan_type_params(toks, ty)
+                        if ty_end >= 0:
+                            new_fn = cand
+                            span_end = ty_end
+                            if params or toks[ty].text.lower() == "decimal":
+                                # decimal keeps the cast shell
+                                # (reference rewrite.rs:46-48); so does
+                                # any parameterized type — dropping
+                                # '(10,2)' emitted invalid SQL before
+                                shell_type = toks[ty].text + params
+            else:
+                # cast( CALL as TYPE ) — the (possibly paren-wrapped)
+                # call is the sole argument
+                p = _prev(toks, span_start)
+                if p >= 0 and toks[p].kind == "punct" and toks[p].text == "(":
                     pp = _prev(toks, p)
-                    a = _next(toks, i)
+                    a = _next(toks, span_end)
                     if (
                         pp >= 0
                         and toks[pp].kind == "ident"
@@ -561,22 +663,31 @@ def rewrite_sql(query: str) -> str:
                         and toks[a].text.lower() == "as"
                     ):
                         ty = _next(toks, a)
-                        close = _next(toks, ty) if ty >= 0 else -1
-                        if (
-                            ty >= 0
-                            and toks[ty].kind == "ident"
-                            and close >= 0
-                            and toks[close].kind == "punct"
-                            and toks[close].text == ")"
-                        ):
-                            new_fn = _CAST_ELISION.get(toks[ty].text.lower())
-                            if new_fn:
-                                span_start, span_end = pp, close
+                        if ty >= 0 and toks[ty].kind == "ident":
+                            cand = _CAST_ELISION.get(toks[ty].text.lower())
+                            if cand:
+                                ty_end, params = _scan_type_params(toks, ty)
+                                close = _next(toks, ty_end) if ty_end >= 0 else -1
+                                if (
+                                    close >= 0
+                                    and toks[close].kind == "punct"
+                                    and toks[close].text == ")"
+                                ):
+                                    new_fn = cand
+                                    span_start, span_end = pp, close
+                                    if (
+                                        params
+                                        or toks[ty].text.lower() == "decimal"
+                                    ):
+                                        shell_type = toks[ty].text + params
             if new_fn:
+                call_src = f"{new_fn}({', '.join(t.args)})"
+                if shell_type is not None:
+                    call_src = f"cast({call_src} as {shell_type})"
                 toks[span_start : span_end + 1] = [
                     _Tok(
                         "call",
-                        f"{new_fn}({', '.join(t.args)})",
+                        call_src,
                         fn=new_fn,
                         args=t.args,
                         alias=t.alias,

@@ -79,8 +79,13 @@ public final class JsonOperatorRewriter {
         CAST_ELISION.put("int", "json_get_int");
         CAST_ELISION.put("integer", "json_get_int");
         CAST_ELISION.put("bigint", "json_get_int");
+        CAST_ELISION.put("long", "json_get_int");
+        CAST_ELISION.put("smallint", "json_get_int");
+        CAST_ELISION.put("tinyint", "json_get_int");
         CAST_ELISION.put("float", "json_get_float");
         CAST_ELISION.put("double", "json_get_float");
+        CAST_ELISION.put("real", "json_get_float");
+        CAST_ELISION.put("decimal", "json_get_float");
         CAST_ELISION.put("boolean", "json_get_bool");
         CAST_ELISION.put("bool", "json_get_bool");
         CAST_ELISION.put("string", "json_get_str");
@@ -117,9 +122,9 @@ public final class JsonOperatorRewriter {
     private static final Set<String> CAST_KEY_TYPES = new HashSet<>(
         Arrays.asList("text", "varchar", "string", "int", "integer", "bigint"));
 
-    private static final Pattern INT_LIT = Pattern.compile("\\d+");
+    private static final Pattern INT_LIT = Pattern.compile("-?\\d+");
     private static final Pattern LITERAL_ARG =
-        Pattern.compile("^(?:'(?:[^'\\\\]|\\\\.|'')*'|\\d+)$");
+        Pattern.compile("^(?:'(?:[^'\\\\]|\\\\.|'')*'|-?\\d+)$");
     private static final Pattern FLOAT_LIT = Pattern.compile(
         "\\d+\\.\\d*|\\.\\d+|\\d+[eE][+-]?\\d+|\\d+\\.\\d*[eE][+-]?\\d+");
     private static final Pattern IDENT_PATH =
@@ -202,6 +207,7 @@ public final class JsonOperatorRewriter {
         Tok tok;        // call metadata when the operand is a function call
         String repr;
         boolean bareIdent;
+        boolean paramList; // bare paren group of comma-separated idents
     }
 
     private static Operand leftOperand(List<Tok> toks, int opIdx) {
@@ -270,6 +276,20 @@ public final class JsonOperatorRewriter {
             StringBuilder src = new StringBuilder();
             for (int k = start; k <= end; k++) src.append(toks.get(k).text);
             o.start = start; o.end = end; o.repr = src.toString();
+            if (fn == null) {
+                // lambda-parameter list detection: (x, y) inside a HOF
+                boolean any = false;
+                boolean all = true;
+                for (int k = j + 1; k < end; k++) {
+                    Tok tk = toks.get(k);
+                    if (TRIVIA.contains(tk.kind)) continue;
+                    if (tk.kind.equals("ident")) { any = true; continue; }
+                    if (tk.kind.equals("punct") && tk.text.equals(",")) continue;
+                    all = false;
+                    break;
+                }
+                o.paramList = any && all;
+            }
             if (fn != null) {
                 List<String> args = splitCallArgs(toks, j, end);
                 Tok call = new Tok("call", src.toString());
@@ -337,6 +357,59 @@ public final class JsonOperatorRewriter {
         }
     }
 
+    /** After a cast-type ident: {typeSpanEnd, paramOpenIdx}; end = -1
+     *  for an unbalanced parameter list (elision must not fire),
+     *  paramOpenIdx = -1 when the type has no parameters. */
+    private static int[] scanTypeParams(List<Tok> toks, int ty) {
+        int nx = next(toks, ty);
+        if (!(nx >= 0 && toks.get(nx).kind.equals("punct")
+                && toks.get(nx).text.equals("("))) {
+            return new int[] {ty, -1};
+        }
+        int depth = 0;
+        for (int k = nx; k < toks.size(); k++) {
+            Tok tk = toks.get(k);
+            if (tk.kind.equals("punct") && tk.text.equals("(")) depth += 1;
+            else if (tk.kind.equals("punct") && tk.text.equals(")")) {
+                depth -= 1;
+                if (depth == 0) return new int[] {k, nx};
+            }
+        }
+        return new int[] {-1, -1};
+    }
+
+    private static String paramsText(List<Tok> toks, int ty, int[] scan) {
+        if (scan[1] < 0) return "";
+        StringBuilder sb = new StringBuilder();
+        for (int k = scan[1]; k <= scan[0]; k++) sb.append(toks.get(k).text);
+        return sb.toString();
+    }
+
+    private static final Set<String> INT_KEY_TYPES =
+        new HashSet<>(Arrays.asList("int", "integer", "bigint"));
+    private static final Set<String> TEXT_KEY_TYPES =
+        new HashSet<>(Arrays.asList("text", "varchar", "string"));
+
+    /** Constant-fold (<literal> :: type) to the literal the cast
+     *  evaluates to; null = fold unproven, skip the collapse. */
+    private static Tok foldCastKey(Tok lit, String castTy) {
+        if (castTy == null) return lit;
+        if (TEXT_KEY_TYPES.contains(castTy)) {
+            if (lit.kind.equals("string")) return lit;
+            if (isIntLiteral(lit)) return new Tok("string", "'" + lit.text + "'");
+            return null;
+        }
+        if (INT_KEY_TYPES.contains(castTy)) {
+            if (isIntLiteral(lit)) return lit;
+            if (lit.kind.equals("string")) {
+                String inner = lit.text.substring(1, lit.text.length() - 1);
+                if (inner.matches("-?\\d+")) return new Tok("number", inner);
+            }
+            return null;
+        }
+        return null;
+    }
+
     private static void collapseCastKeys(List<Tok> toks) {
         int i = 0;
         while (i < toks.size()) {
@@ -350,6 +423,7 @@ public final class JsonOperatorRewriter {
                             || isIntLiteral(toks.get(k)))) {
                         int m = next(toks, k);
                         boolean ok = true;
+                        String castTy = null;
                         if (m >= 0 && toks.get(m).kind.equals("punct")
                                 && toks.get(m).text.equals(":")) {
                             int m2 = next(toks, m);
@@ -360,6 +434,7 @@ public final class JsonOperatorRewriter {
                                     && toks.get(m3).kind.equals("ident")
                                     && CAST_KEY_TYPES.contains(
                                         toks.get(m3).text.toLowerCase())) {
+                                castTy = toks.get(m3).text.toLowerCase();
                                 m = next(toks, m3);
                             } else {
                                 ok = false;
@@ -367,10 +442,12 @@ public final class JsonOperatorRewriter {
                         }
                         if (ok && m >= 0 && toks.get(m).kind.equals("punct")
                                 && toks.get(m).text.equals(")")) {
-                            Tok lit = toks.get(k);
-                            // replace span [j, m] with the bare literal
-                            for (int d = m; d >= j; d--) toks.remove(d);
-                            toks.add(j, lit);
+                            Tok lit = foldCastKey(toks.get(k), castTy);
+                            if (lit != null) {
+                                // replace span [j, m] with the folded literal
+                                for (int d = m; d >= j; d--) toks.remove(d);
+                                toks.add(j, lit);
+                            }
                         }
                     }
                 }
@@ -397,6 +474,18 @@ public final class JsonOperatorRewriter {
             int rIdx = next(toks, opIdx);
             Tok right = rIdx >= 0 ? toks.get(rIdx) : null;
 
+            // negative index: merge punct '-' + number into one token
+            if (right != null && right.kind.equals("punct")
+                    && right.text.equals("-")) {
+                int r2 = next(toks, rIdx);
+                if (r2 >= 0 && toks.get(r2).kind.equals("number")) {
+                    Tok merged = new Tok("number", "-" + toks.get(r2).text);
+                    for (int d = r2; d >= rIdx; d--) toks.remove(d);
+                    toks.add(rIdx, merged);
+                    right = merged;
+                }
+            }
+
             boolean rightIsPath = right != null
                 && (right.kind.equals("string") || isIntLiteral(right));
             boolean rightIsNull = right != null && right.kind.equals("ident")
@@ -405,7 +494,7 @@ public final class JsonOperatorRewriter {
                 && !isIntLiteral(right);
             Operand left = (rightIsPath || rightIsNull || rightIsFloat)
                 ? leftOperand(toks, opIdx) : null;
-            if (left != null && left.bareIdent) {
+            if (left != null && (left.bareIdent || left.paramList)) {
                 String encl = enclosingCallName(toks, left.start);
                 if (encl != null && HOF_NAMES.contains(encl)) left = null;
             }
@@ -457,20 +546,29 @@ public final class JsonOperatorRewriter {
                 Tok t = toks.get(i);
                 if (!t.kind.equals("call") || !"json_get".equals(t.fn)) continue;
                 int spanStart = i, spanEnd = i;
-                int p = prev(toks, i);
-                int n = next(toks, i);
-                if (p >= 0 && toks.get(p).kind.equals("punct")
-                        && toks.get(p).text.equals("(")
-                        && n >= 0 && toks.get(n).kind.equals("punct")
-                        && toks.get(n).text.equals(")")) {
-                    int pp = prev(toks, p);
-                    boolean isCallArgs = pp >= 0
-                        && toks.get(pp).kind.equals("ident")
-                        && !KEYWORDS.contains(toks.get(pp).text.toLowerCase());
-                    if (!isCallArgs) { spanStart = p; spanEnd = n; }
+                // unwrap EVERY pure paren wrap
+                while (true) {
+                    int p = prev(toks, spanStart);
+                    int n = next(toks, spanEnd);
+                    if (p >= 0 && toks.get(p).kind.equals("punct")
+                            && toks.get(p).text.equals("(")
+                            && n >= 0 && toks.get(n).kind.equals("punct")
+                            && toks.get(n).text.equals(")")) {
+                        int pp = prev(toks, p);
+                        boolean isCallArgs = pp >= 0
+                            && toks.get(pp).kind.equals("ident")
+                            && !KEYWORDS.contains(
+                                toks.get(pp).text.toLowerCase());
+                        if (isCallArgs) break;
+                        spanStart = p;
+                        spanEnd = n;
+                        continue;
+                    }
+                    break;
                 }
                 int after = next(toks, spanEnd);
                 String newFn = null;
+                String shellType = null;
                 if (after >= 0 && toks.get(after).kind.equals("punct")
                         && toks.get(after).text.equals(":")
                         && after + 1 < toks.size()
@@ -478,37 +576,70 @@ public final class JsonOperatorRewriter {
                         && toks.get(after + 1).text.equals(":")) {
                     int ty = next(toks, after + 1);
                     if (ty >= 0 && toks.get(ty).kind.equals("ident")) {
-                        newFn = CAST_ELISION.get(toks.get(ty).text.toLowerCase());
-                        if (newFn != null) spanEnd = ty;
+                        String cand = CAST_ELISION.get(
+                            toks.get(ty).text.toLowerCase());
+                        if (cand != null) {
+                            int[] scan = scanTypeParams(toks, ty);
+                            if (scan[0] >= 0) {
+                                newFn = cand;
+                                spanEnd = scan[0];
+                                String params = paramsText(toks, ty, scan);
+                                if (!params.isEmpty()
+                                        || toks.get(ty).text.toLowerCase()
+                                            .equals("decimal")) {
+                                    shellType = toks.get(ty).text + params;
+                                }
+                            }
+                        }
                     }
-                } else if (spanStart == i) {
+                } else {
+                    int p = prev(toks, spanStart);
                     if (p >= 0 && toks.get(p).kind.equals("punct")
                             && toks.get(p).text.equals("(")) {
                         int pp = prev(toks, p);
-                        int a = next(toks, i);
+                        int a = next(toks, spanEnd);
                         if (pp >= 0 && toks.get(pp).kind.equals("ident")
                                 && toks.get(pp).text.toLowerCase().equals("cast")
                                 && a >= 0 && toks.get(a).kind.equals("ident")
                                 && toks.get(a).text.toLowerCase().equals("as")) {
                             int ty = next(toks, a);
-                            int close = ty >= 0 ? next(toks, ty) : -1;
-                            if (ty >= 0 && toks.get(ty).kind.equals("ident")
-                                    && close >= 0
-                                    && toks.get(close).kind.equals("punct")
-                                    && toks.get(close).text.equals(")")) {
-                                newFn = CAST_ELISION.get(
+                            if (ty >= 0 && toks.get(ty).kind.equals("ident")) {
+                                String cand = CAST_ELISION.get(
                                     toks.get(ty).text.toLowerCase());
-                                if (newFn != null) {
-                                    spanStart = pp;
-                                    spanEnd = close;
+                                if (cand != null) {
+                                    int[] scan = scanTypeParams(toks, ty);
+                                    int close = scan[0] >= 0
+                                        ? next(toks, scan[0]) : -1;
+                                    if (close >= 0
+                                            && toks.get(close).kind
+                                                .equals("punct")
+                                            && toks.get(close).text
+                                                .equals(")")) {
+                                        newFn = cand;
+                                        String params =
+                                            paramsText(toks, ty, scan);
+                                        spanStart = pp;
+                                        spanEnd = close;
+                                        if (!params.isEmpty()
+                                                || toks.get(ty).text
+                                                    .toLowerCase()
+                                                    .equals("decimal")) {
+                                            shellType =
+                                                toks.get(ty).text + params;
+                                        }
+                                    }
                                 }
                             }
                         }
                     }
                 }
                 if (newFn != null) {
-                    Tok call = new Tok("call",
-                        newFn + "(" + String.join(", ", t.args) + ")");
+                    String callSrc =
+                        newFn + "(" + String.join(", ", t.args) + ")";
+                    if (shellType != null) {
+                        callSrc = "cast(" + callSrc + " as " + shellType + ")";
+                    }
+                    Tok call = new Tok("call", callSrc);
                     call.fn = newFn;
                     call.args = t.args;
                     call.alias = t.alias;

@@ -439,3 +439,80 @@ class TestAggregationComposition:
             .collect()
         )
         assert [(r.has, r.n) for r in got] == [(False, 3), (True, 4)]
+
+
+class TestReviewFindingsRound7e:
+    """Regression pins for the functions-layer review batch."""
+
+    def test_non_string_document_never_throws(self, spark):
+        # find_scalar's textual guards ran before any type check: an int
+        # column fed to a getter raised TypeError and killed the task
+        from datafusion_functions_json_spark.functions import core
+
+        assert core.find_scalar(5, ("a",)) == (core.MISSING, None)
+        assert core.find_scalar(True, ("a",)) == (core.MISSING, None)
+        df = spark.createDataFrame([(1,)], "i bigint")
+        got = df.select(
+            jsonf.json_get_int(F.col("i").cast("string"), "a").alias("v")
+        ).collect()
+        assert got[0].v is None
+
+    def test_boolean_column_key_rejected(self, spark):
+        df = spark.createDataFrame([('["x","y"]', True)], "j string, b boolean")
+        with pytest.raises(Exception, match="Boolean"):
+            df.select(jsonf.json_get_str("j", F.col("b"))).collect()
+
+    def test_union_to_text_rejects_text_mode_jsoncolumn(self, spark):
+        jc = jsonf.col("j")
+        with pytest.raises(TypeError, match="union struct"):
+            jsonf.json_union_to_text(jc)
+        with pytest.raises(TypeError, match="union struct"):
+            jsonf.json_is_null(jc)
+
+    def test_from_scalar_unsupported_type_errors(self, spark):
+        df = spark.createDataFrame([("2024-01-01",)], "d string").select(
+            F.col("d").cast("date").alias("d")
+        )
+        with pytest.raises(Exception, match="json_from_scalar"):
+            df.select(jsonf.json_from_scalar(F.col("d"))).collect()
+
+    def test_sql_rewrite_negative_index_runs(self, spark):
+        import datafusion_functions_json_spark as jf
+
+        jf.register_all(spark)
+        spark.createDataFrame([('["a","b"]',)], "j string").createOrReplaceTempView(
+            "neg_idx_t"
+        )
+        row = jf.sql(spark, "select j -> -1 from neg_idx_t").collect()[0]
+        assert row[0] is None  # negative index -> NULL (reference jiter)
+
+    def test_sql_rewrite_decimal_cast_runs(self, spark):
+        import datafusion_functions_json_spark as jf
+
+        jf.register_all(spark)
+        spark.createDataFrame([('{"a": 1.5}',)], "j string").createOrReplaceTempView(
+            "dec_t"
+        )
+        out = jf.sql(spark, "select (j->'a')::decimal(10,2) as v from dec_t")
+        assert out.schema["v"].dataType.simpleString() == "decimal(10,2)"
+        assert str(out.collect()[0].v) == "1.50"
+
+    def test_sql_rewrite_paren_lambda_untouched(self, spark):
+        import datafusion_functions_json_spark as jf
+
+        row = jf.sql(
+            spark,
+            "select zip_with(array(1,2), array(3,4), (x, y) -> 'z') as v",
+        ).collect()[0]
+        assert row.v == ["z", "z"]
+
+    def test_sql_cast_key_constant_folds(self, spark):
+        import datafusion_functions_json_spark as jf
+
+        jf.register_all(spark)
+        spark.createDataFrame([('[10, 20]',)], "j string").createOrReplaceTempView(
+            "fold_t"
+        )
+        # ('0'::int) is array index 0, not object key '0'
+        row = jf.sql(spark, "select j->('0'::int) as v from fold_t").collect()[0]
+        assert row.v.int == 10

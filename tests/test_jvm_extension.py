@@ -97,6 +97,22 @@ CURATED = [
     "select '{\"a\": [1]}'->'a'->0",
     "no operators here at all",
     "",
+    # round-7 review cases: both rewriters must agree on these too
+    "select (j->'a')::decimal(10,2) from t",
+    "select (j->'a')::decimal from t",
+    "select (j->'a')::varchar(10) from t",
+    "select cast(j->'a' as decimal(10,2)) from t",
+    "select zip_with(a, b, (x, y) -> 'z') from t",
+    "select aggregate(arr, 0, (acc, x) -> 'lit') from t",
+    "select cast((j->'a') as int) from t",
+    "select ((j->'a'))::int from t",
+    "select j->('0'::int) from t",
+    "select j->(0::text) from t",
+    "select j -> -1 from t",
+    "select j->'a'->-2 from t",
+    "select j -> -1.5 from t",
+    "select (j->'a')::smallint from t",
+    "select (j->'a')::real from t",
 ]
 
 
