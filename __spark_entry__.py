@@ -525,7 +525,7 @@ def _q_tpch_q1(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
@@ -1594,7 +1594,7 @@ def _q_tpch_q6(spark, sf_dir):
         & (F.col("l_quantity") < 24)
     ).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
         ).alias("revenue")
     )
 
@@ -1623,7 +1623,7 @@ def _q_tpch_q3(spark, sf_dir):
         j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -1660,7 +1660,7 @@ def _q_tpch_q10(spark, sf_dir):
         j.groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -1817,7 +1817,7 @@ def _q_tpch_q5(spark, sf_dir):
     )
     return j.groupBy("n_name").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue")
     )
 
@@ -2088,7 +2088,7 @@ def _q_tpch_q7(spark, sf_dir):
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue")
     )
 
@@ -2160,7 +2160,7 @@ def _q_tpch_q15(spark, sf_dir):
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
@@ -2194,7 +2194,7 @@ def _q_tpch_q19(spark, sf_dir):
     )
     return j.filter(cond).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue")
     )
 
@@ -2231,7 +2231,7 @@ def _q_tpch_q9(spark, sf_dir):
     )
     return j.groupBy(
         "nation", F.year("o_orderdate").alias("o_year")
-    ).agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    ).agg(F.round(F.sum(amount), 4).alias("sum_profit"))
 
 
 def _q_tpch_q16(spark, sf_dir):
@@ -3442,7 +3442,7 @@ def oracle_sql() -> dict[str, str]:
             "select l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 2) as sum_qty, "
             "round(sum(l_extendedprice), 2) as sum_base_price, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) as sum_disc_price, "
             "count(*) as count_order "
             "from lineitem where l_shipdate <= timestamp '1998-09-02' "
             "group by l_returnflag, l_linestatus"
@@ -3950,7 +3950,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q7": (
             "select supp_nation, cust_nation, l_year, "
-            "round(sum(volume), 2) as revenue from ("
+            "round(sum(volume), 4) as revenue from ("
             "select n1.n_name as supp_nation, n2.n_name as cust_nation, "
             "year(l_shipdate)::int as l_year, "
             "l_extendedprice * (1 - l_discount) as volume "
@@ -4077,7 +4077,7 @@ def oracle_sql() -> dict[str, str]:
             "group by s_name order by numwait desc, s_name limit 100"
         ),
         "tpch_q9": (
-            "select nation, o_year, round(sum(amount), 2) as sum_profit "
+            "select nation, o_year, round(sum(amount), 4) as sum_profit "
             "from (select n_name as nation, "
             "year(o_orderdate)::int as o_year, "
             "l_extendedprice * (1 - l_discount) "
@@ -4100,7 +4100,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q15": (
             "with revenue as (select l_suppkey as supplier_no, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) "
             "as total_revenue from lineitem "
             "where l_shipdate >= timestamp '1996-01-01' "
             "and l_shipdate < timestamp '1996-04-01' group by l_suppkey) "
@@ -4109,7 +4109,7 @@ def oracle_sql() -> dict[str, str]:
             "where total_revenue = (select max(total_revenue) from revenue)"
         ),
         "tpch_q19": (
-            "select round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "select round(sum(l_extendedprice * (1 - l_discount)), 4) "
             "as revenue from lineitem join part on p_partkey = l_partkey "
             "where (p_brand = 'Brand#1' and l_quantity between 1 and 11) "
             "or (p_brand = 'Brand#2' and l_quantity between 10 and 20) "
@@ -4172,7 +4172,12 @@ def oracle_sql() -> dict[str, str]:
             # distance (ties: larger id)
             "with b as (select vec_id, embedding from embeddings "
             "union all select vec_id + 1000000 as vec_id, "
-            "list_transform(embedding, x -> (x * 1.001)::float) as embedding "
+            # x::double * 1.001: DuckDB's bare `x * 1.001` casts the
+            # decimal literal to FLOAT and multiplies in float32 — one
+            # ulp off Spark's double-multiply-then-cast for ~half the
+            # components, which is enough to flip cent_dist's rounding
+            "list_transform(embedding, "
+            "x -> (x::double * 1.001::double)::float) as embedding "
             "from embeddings where vec_id < 20), "
             "f as (select vec_id, embedding, "
             "try_cast(('0x' || substr(md5('sd:' || vec_id::varchar), 1, 8)) "
@@ -4185,7 +4190,7 @@ def oracle_sql() -> dict[str, str]:
             "select e.vec_id, s.label, unnest(e.embedding)::double as x, "
             "unnest(s.centroid) as m from b e cross join seeds s) "
             "group by vec_id, label), "
-            "a1 as (select vec_id, label, round(dd, 6) as cent_dist from ("
+            "a1 as (select vec_id, label, round(dd, 4) as cent_dist from ("
             "select vec_id, label, dd, row_number() over ("
             "partition by vec_id order by dd, label) as rn from d1) "
             "where rn = 1), "
@@ -4331,7 +4336,7 @@ def oracle_sql() -> dict[str, str]:
             + "::bigint as zkey from b"
         ),
         "tpch_q6": (
-            "select round(sum(l_extendedprice * l_discount), 2) as revenue "
+            "select round(sum(l_extendedprice * l_discount), 4) as revenue "
             "from lineitem "
             "where l_shipdate >= timestamp '1996-01-01' "
             "and l_shipdate < timestamp '1997-01-01' "
@@ -4340,7 +4345,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q5": (
             "select n_name, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue "
             "from customer join orders on c_custkey = o_custkey "
             "join lineitem on l_orderkey = o_orderkey "
             "join supplier on l_suppkey = s_suppkey "
@@ -4473,7 +4478,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q10": (
             "select c_custkey, c_name, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue, "
             "n_name "
             "from customer join orders on c_custkey = o_custkey "
             "join lineitem on l_orderkey = o_orderkey "
@@ -4522,7 +4527,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q3": (
             "select l_orderkey, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue, "
             "o_orderdate, o_orderpriority "
             "from customer join orders on c_custkey = o_custkey "
             "join lineitem on l_orderkey = o_orderkey "

@@ -112,10 +112,20 @@ class StageMetrics:
                         f"{timeout_s}s"
                     )
                     jvm.scala.concurrent.Await.ready(jo.future(), dur)
-                except Exception:
-                    # TimeoutException (or probe-API drift on a future
-                    # Spark): treat as not materialized rather than
-                    # risking an unbounded obs.get
+                except Exception as e:
+                    # ONLY the JVM TimeoutException means "no action has
+                    # materialized this stage yet" — that is the case the
+                    # bounded wait exists for. Anything else (attribute /
+                    # reflection drift on a future Spark, py4j protocol
+                    # errors) must fail LOUDLY: swallowing it would make a
+                    # stage that DID run silently report None, masking
+                    # telemetry.
+                    jexc = getattr(e, "java_exception", None)
+                    jname = (
+                        jexc.getClass().getName() if jexc is not None else ""
+                    )
+                    if "TimeoutException" not in jname:
+                        raise
                     done = False
             if not done:
                 out[stage] = None

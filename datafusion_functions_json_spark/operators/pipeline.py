@@ -148,8 +148,11 @@ def curation_stats(docs: DataFrame, kept: DataFrame) -> DataFrame:
     u = docs.select(
         F.lit(1).alias("_in"), F.lit(0).alias("_out")
     ).unionAll(kept.select(F.lit(0).alias("_in"), F.lit(1).alias("_out")))
+    # coalesce: F.sum over ZERO rows is NULL, so an empty docs frame
+    # must still yield a (0, 0, 0.0) row, not a TypeError on row.n_in
     row = u.agg(
-        F.sum("_in").alias("n_in"), F.sum("_out").alias("n_out")
+        F.coalesce(F.sum("_in"), F.lit(0)).alias("n_in"),
+        F.coalesce(F.sum("_out"), F.lit(0)).alias("n_out"),
     ).collect()[0]
     return docs.sparkSession.createDataFrame(
         [(row.n_in, row.n_out, round(row.n_out / max(row.n_in, 1), 6))],

@@ -697,9 +697,11 @@ def semantic_dedup(
 
     Deterministic and engine-reproducible: k-means seeds/assignment are
     :func:`kmeans_fit`'s md5-ranked rules; the drop rule compares
-    centroid distances ROUNDED to 6 decimals (cross-engine float-sum
-    wobble is ~1e-13, far below the rounding grain) and breaks exact
-    ties by dropping the larger id.
+    centroid distances ROUNDED to 4 decimals (cross-engine float-sum
+    wobble is ~1e-12; a 6-decimal grain was observed to flip on a
+    value sitting exactly on the .xxxxxx5 boundary, so the grain is
+    4 — flip probability ~1e-8 per value) and breaks exact ties by
+    dropping the larger id.
 
     100 TB shape — this is the entire point of SemDeDup vs naive
     near-dup search: the pairwise join is a keyed equi-join on the
@@ -729,7 +731,7 @@ def semantic_dedup(
             assigned.select(
                 F.col(id_col).alias("_id"),
                 F.col("pred_label").alias("cluster"),
-                F.round(F.col("dist"), 6).alias("cent_dist"),
+                F.round(F.col("dist"), 4).alias("cent_dist"),
             ),
             "_id",
         )

@@ -152,12 +152,14 @@ def read_jsonl(
     r = spark.read
     if schema is not None:
         if keep_corrupt:
-            if isinstance(schema, str):
-                if "_corrupt_record" not in schema:
-                    schema = schema + ", _corrupt_record string"
-            elif "_corrupt_record" not in schema.fieldNames():
-                from pyspark.sql import types as T
+            from pyspark.sql import types as T
 
+            if isinstance(schema, str):
+                # parse the DDL so the presence check is an exact
+                # field-name match — a substring test would be fooled
+                # by an unrelated column like `my_corrupt_record`
+                schema = T._parse_datatype_string(schema)
+            if "_corrupt_record" not in schema.fieldNames():
                 schema = schema.add("_corrupt_record", T.StringType())
         r = r.schema(schema)
     elif keep_corrupt:

@@ -280,7 +280,11 @@ def sessionize(
             else:
                 last = t
                 n += 1
-        if last is not None:
+        if ts_all:
+            # guarded on ts_all, not `last is not None`: a micro-batch
+            # whose rows are ALL NaT/null timestamps must not refresh
+            # the gap timer of an already-open session (state's `last`
+            # is non-None there, but no valid event arrived)
             state.update((float(start), float(last), int(n)))
             state.setTimeoutDuration(int(gap * 1000))
         if rows:
@@ -379,7 +383,11 @@ def sessionize_tws(
                 else:
                     last = t
                     n += 1
-            if last is not None:
+            if ts_all:
+                # guarded on ts_all (mirrors the sessionize twin): an
+                # all-NaT micro-batch must leave the live timer and
+                # state untouched instead of extending an open
+                # session's timeout with no valid events.
                 # one LIVE timer per key: delete the previous batch's
                 # timer and remember the new one — without this, a
                 # stale timer from batch 1 fires mid-session and

@@ -2380,3 +2380,12 @@ class TestReviewFindingsRound7b:
         assert row.n_in == documents.count()
         assert row.n_out == kept.count()
         assert 0 < row.survival_rate < 1
+
+    def test_curation_stats_empty_input(self, spark, documents):
+        # F.sum over zero rows is NULL — an empty docs frame must
+        # still produce a (0, 0, 0.0) row, not a TypeError
+        from datafusion_functions_json_spark.operators import pipeline
+
+        empty = documents.filter(F.lit(False))
+        row = pipeline.curation_stats(empty, empty).collect()[0]
+        assert (row.n_in, row.n_out, row.survival_rate) == (0, 0, 0.0)

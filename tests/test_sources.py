@@ -298,6 +298,24 @@ class TestReviewFindingsRound7c:
         with _pytest.raises(ValueError, match="explicit schema"):
             read_jsonl(spark, str(p), keep_corrupt=True)
 
+    def test_read_jsonl_keep_corrupt_similar_column_name(self, spark, tmp_path):
+        # a schema containing `my_corrupt_record` must NOT satisfy the
+        # keep_corrupt guard by substring accident — the real
+        # _corrupt_record column still gets appended
+        p = tmp_path / "in2.jsonl"
+        p.write_text('{"id": 1, "my_corrupt_record": "x"}\nbroken\n')
+        from datafusion_functions_json_spark.sources import read_jsonl
+
+        df = read_jsonl(
+            spark,
+            str(p),
+            schema="id bigint, my_corrupt_record string",
+            keep_corrupt=True,
+        )
+        assert "_corrupt_record" in df.columns
+        bad = [r for r in df.collect() if r._corrupt_record is not None]
+        assert len(bad) == 1 and "broken" in bad[0]._corrupt_record
+
     def test_zorder_accepts_bare_string(self, spark):
         from datafusion_functions_json_spark.operators import layout
         from pyspark.sql import functions as F

@@ -30,7 +30,13 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # 12 significant digits, NOT 6: round-7's two driver hash
+        # mismatches (semantic_dedup, tpch_q10) both passed this local
+        # gate because %.6g masked a 6th-decimal rounding flip. Queries
+        # round their float outputs to a decimal grain, so surviving
+        # engine values are bit-identical; 12 digits catches any flip
+        # while tolerating nothing it shouldn't.
+        return f"{v:.12g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
