@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import datafusion_functions_json_spark as jsonf  # noqa: E402
 from datafusion_functions_json_spark.operators import (  # noqa: E402
+    cdc,
     dedup,
     graph,
     joins,
@@ -3012,6 +3013,138 @@ def _q_ivf_recall(spark, sf_dir):
     )
 
 
+def _q_merge_upsert(spark, sf_dir):
+    # MERGE on plain frames (operators/cdc.merge_upsert): planted
+    # updates (%7 keys -> MERGED), deletes (%13 keys), and inserts
+    # (shifted +1e8 keys for %5) against the orders table — every MERGE
+    # arm is exercised and falsifiable. Plan: one left-anti hash join +
+    # union, no window, no Python.
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    upd = base.filter((k % 7 == 0) | (k % 13 == 0)).select(
+        k.alias("o_orderkey"),
+        "o_orderstatus",
+        F.lit("MERGED").alias("o_orderpriority"),
+        (k % 13 == 0).alias("_d"),
+    )
+    ins = base.filter(k % 5 == 0).select(
+        (k + 100000000).alias("o_orderkey"),
+        "o_orderstatus",
+        F.lit("NEW").alias("o_orderpriority"),
+        F.lit(False).alias("_d"),
+    )
+    return cdc.merge_upsert(
+        base, upd.unionByName(ins), "o_orderkey", delete_col="_d"
+    )
+
+
+def _q_cdc_compact(spark, sf_dir):
+    # CDC-log compaction (operators/cdc.apply_cdc_log): a planted
+    # 4-wave event log over orders — seq1 upserts (%3 -> FIRST), seq2
+    # re-upserts (%6 -> SECOND, overriding seq1), seq3 deletes (%9),
+    # plus inserts of shifted keys — so latest-event-wins, the
+    # override chain, and the delete arm are all falsifiable. The
+    # compaction is row_number DESC -> WindowGroupLimit partial top-1.
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+
+    def ev(pred, prio, op, seq, shift=0):
+        return base.filter(pred).select(
+            (k + shift).alias("o_orderkey"),
+            "o_orderstatus",
+            F.lit(prio).alias("o_orderpriority"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("bigint").alias("seq"),
+        )
+
+    log = (
+        ev(k % 3 == 0, "FIRST", "U", 1)
+        .unionByName(ev(k % 6 == 0, "SECOND", "U", 2))
+        .unionByName(ev(k % 9 == 0, None, "D", 3))
+        .unionByName(ev(k % 4 == 0, "NEW", "I", 1, shift=100000000))
+    )
+    return cdc.apply_cdc_log(base, log, "o_orderkey", seq_col="seq")
+
+
+def _q_scd2(spark, sf_dir):
+    # SCD2 interval history (operators/cdc.scd2_history) over each
+    # customer's order-priority timeline; the (key, eff) pre-agg makes
+    # the effective timestamp unique as the operator requires. lead()
+    # rides the same key exchange. Timestamps compare engine-stable
+    # (micros on both sides).
+    ch = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderpriority").alias("prio"))
+    )
+    return cdc.scd2_history(ch, "o_custkey", "o_orderdate").select(
+        "o_custkey", "prio", "valid_from", "valid_to", "is_current"
+    )
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    # snapshot delta report (operators/cdc.snapshot_diff): old = the
+    # documents table; new = planted removals (%17), edits (%11=3), and
+    # additions (shifted %23=5 keys) — all three emitted classes are
+    # falsifiable, and a doc that is both %17 and %11=3 must classify
+    # as removed (the filter wins). Null-safe compares; full-outer
+    # sort-merge join on the key.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    edited = F.when(
+        F.col("doc_id") % 11 == 3, F.concat(F.col("text"), F.lit(" [edited]"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select("doc_id", edited.alias("text"), "lang")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    return cdc.snapshot_diff(docs, new, "doc_id")
+
+
+def _q_rrf_fusion(spark, sf_dir):
+    # hybrid-retrieval fusion (operators/rank.rrf_fuse): two
+    # deterministic top-50 rankings over documents — a quality prior
+    # (n_chars desc) and a salted-md5 pseudo-relevance order standing
+    # in for a query-dependent retriever — fused by reciprocal rank,
+    # top-20 reported. Scale shape: each list is TakeOrderedAndProject
+    # top-k FIRST, then row_number over the 50 survivors (the window
+    # never sees the corpus); fusion is one hash agg over 100 rows.
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def ranked(order_cols):
+        top = docs.orderBy(*order_cols).limit(50).select("doc_id", "n_chars")
+        w = Window.orderBy(*order_cols)
+        return top.select(
+            "doc_id", F.row_number().over(w).cast("int").alias("rnk")
+        )
+
+    quality = ranked([F.col("n_chars").desc(), F.col("doc_id").asc()])
+    relevance = ranked(
+        [
+            F.md5(
+                F.concat(F.lit("rrf:"), F.col("doc_id").cast("string"))
+            ).asc(),
+            F.col("doc_id").asc(),
+        ]
+    )
+    fused = rank.rrf_fuse([quality, relevance], "doc_id", k=60)
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_json_agg(spark, "/root/testdata/sf0.001")
@@ -3215,6 +3348,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_roundtrip": _q_union_roundtrip,
         "multi_extract": _q_multi_extract,
         "json_get_json": _q_json_get_json,
+        "merge_upsert": _q_merge_upsert,
+        "cdc_compact": _q_cdc_compact,
+        "scd2": _q_scd2,
+        "snapshot_diff": _q_snapshot_diff,
+        "rrf_fusion": _q_rrf_fusion,
     }
 
 
@@ -4750,5 +4888,85 @@ def oracle_sql() -> dict[str, str]:
             "union "
             "select r.a, und.v from reach r join und on und.u = r.b) "
             "select a as node, min(b) as comp from reach group by a"
+        ),
+        "merge_upsert": (
+            # same planted MERGE arms: %7 updates, %13 deletes, %5
+            # inserts at +1e8; survivors = NOT EXISTS on the source key
+            "with base as (select o_orderkey, o_orderstatus, "
+            "o_orderpriority from orders), "
+            "src as (select o_orderkey, o_orderstatus, "
+            "'MERGED' as o_orderpriority, (o_orderkey % 13 = 0) as d "
+            "from base where o_orderkey % 7 = 0 or o_orderkey % 13 = 0 "
+            "union all select o_orderkey + 100000000, o_orderstatus, "
+            "'NEW', false from base where o_orderkey % 5 = 0) "
+            "select b.* from base b where not exists "
+            "(select 1 from src s where s.o_orderkey = b.o_orderkey) "
+            "union all select o_orderkey, o_orderstatus, o_orderpriority "
+            "from src where not d"
+        ),
+        "cdc_compact": (
+            # same planted event log; latest-per-key via row_number DESC
+            "with base as (select o_orderkey, o_orderstatus, "
+            "o_orderpriority from orders), "
+            "log as ("
+            "select o_orderkey, o_orderstatus, 'FIRST' as o_orderpriority, "
+            "'U' as op, 1::bigint as seq from base where o_orderkey % 3 = 0 "
+            "union all select o_orderkey, o_orderstatus, 'SECOND', 'U', 2 "
+            "from base where o_orderkey % 6 = 0 "
+            "union all select o_orderkey, o_orderstatus, null, 'D', 3 "
+            "from base where o_orderkey % 9 = 0 "
+            "union all select o_orderkey + 100000000, o_orderstatus, "
+            "'NEW', 'I', 1 from base where o_orderkey % 4 = 0), "
+            "latest as (select o_orderkey, o_orderstatus, o_orderpriority, "
+            "op from (select *, row_number() over (partition by o_orderkey "
+            "order by seq desc) as rn from log) where rn = 1) "
+            "select b.* from base b where not exists "
+            "(select 1 from latest l where l.o_orderkey = b.o_orderkey) "
+            "union all select o_orderkey, o_orderstatus, o_orderpriority "
+            "from latest where op <> 'D'"
+        ),
+        "scd2": (
+            "with ch as (select o_custkey, o_orderdate, "
+            "min(o_orderpriority) as prio from orders group by 1, 2) "
+            "select o_custkey, prio, o_orderdate as valid_from, "
+            "lead(o_orderdate) over (partition by o_custkey "
+            "order by o_orderdate) as valid_to, "
+            "(lead(o_orderdate) over (partition by o_custkey "
+            "order by o_orderdate) is null) as is_current from ch"
+        ),
+        "snapshot_diff": (
+            # same planted removals/edits/additions; presence via side
+            # tags, null-safe compares, unchanged dropped
+            "with old as (select doc_id, text, lang from documents), "
+            "new as (select doc_id, case when doc_id % 11 = 3 "
+            "then text || ' [edited]' else text end as text, lang "
+            "from documents where doc_id % 17 <> 0 "
+            "union all select doc_id + 1000000, text, lang "
+            "from documents where doc_id % 23 = 5), "
+            "j as (select coalesce(o.doc_id, n.doc_id) as doc_id, "
+            "case when o.doc_id is null then 'added' "
+            "when n.doc_id is null then 'removed' "
+            "when not (o.text is not distinct from n.text "
+            "and o.lang is not distinct from n.lang) then 'changed' "
+            "else 'unchanged' end as change "
+            "from old o full outer join new n on o.doc_id = n.doc_id) "
+            "select doc_id, change from j where change <> 'unchanged'"
+        ),
+        "rrf_fusion": (
+            # same two top-50 lists; terms forced to DOUBLE division
+            # (DuckDB's bare 1.0/(60+rnk) is DECIMAL arithmetic)
+            "with a as (select doc_id, rn::int as rnk from ("
+            "select doc_id, row_number() over (order by n_chars desc, "
+            "doc_id asc) as rn from documents) where rn <= 50), "
+            "b as (select doc_id, rn::int as rnk from ("
+            "select doc_id, row_number() over (order by "
+            "md5('rrf:' || doc_id::varchar) asc, doc_id asc) as rn "
+            "from documents) where rn <= 50), "
+            "u as (select doc_id, 1.0::double / (60 + rnk)::double as t "
+            "from a union all "
+            "select doc_id, 1.0::double / (60 + rnk)::double from b) "
+            "select doc_id, round(sum(t), 9) as rrf_score, "
+            "count(*)::int as n_lists from u group by doc_id "
+            "order by rrf_score desc, doc_id asc limit 20"
         ),
     }

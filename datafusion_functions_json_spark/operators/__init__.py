@@ -10,6 +10,7 @@ for opaque binary payloads.
 """
 
 from . import (
+    cdc,
     dedup,
     graph,
     joins,
@@ -24,6 +25,7 @@ from . import (
 )
 
 __all__ = [
+    "cdc",
     "dedup",
     "graph",
     "joins",

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["top_k_per_group"]
+__all__ = ["top_k_per_group", "rrf_fuse"]
 
 _RANKERS = {
     "row_number": F.row_number,
@@ -83,3 +83,58 @@ def top_k_per_group(
     name = rank_col or "__rk"
     out = df.withColumn(name, ranker().over(w)).filter(F.col(name) <= k)
     return out if rank_col else out.drop(name)
+
+
+def rrf_fuse(
+    rankings: list,
+    id_cols,
+    *,
+    rank_col: str = "rnk",
+    k: int = 60,
+    score_col: str = "rrf_score",
+    found_col: str | None = "n_lists",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    ``score(d) = Σ_lists 1 / (k + rank_list(d))`` — the standard
+    zero-tuning way to combine lexical (BM25) and semantic (embedding
+    cosine) retrieval into one hybrid ranking, and the fusion rule most
+    hybrid-search engines ship as the default.
+
+    Each input frame carries the document key ``id_cols`` plus a
+    1-based integer ``rank_col`` (produce them with
+    :func:`top_k_per_group` / ``row_number``). Documents absent from a
+    list simply contribute nothing (the top-k-truncated-list convention).
+    ``found_col`` (optional) counts how many lists surfaced the doc —
+    a useful confidence signal downstream.
+
+    The score is ROUNDED to 9 decimals: each term 1/(k+r) is computed
+    identically by any IEEE engine, but the SUM across lists is
+    order-sensitive in the last bit once N > 2; terms are ≥ 1e-4-ish
+    for sane k so a 1e-9 grain is far above the wobble and far below
+    adjacent-score gaps.
+
+    Scale shape: tag + union + one hash aggregation on the doc key —
+    input volume is Σ list sizes (top-k truncated upstream), so this
+    runs on candidate sets, never the corpus.
+    """
+    if not rankings:
+        raise ValueError("rankings must be a non-empty list of DataFrames")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    parts = [
+        r.select(
+            *ids,
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "_term"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    aggs = [F.round(F.sum("_term"), 9).alias(score_col)]
+    if found_col is not None:
+        aggs.append(F.count("*").cast("int").alias(found_col))
+    return u.groupBy(*ids).agg(*aggs)

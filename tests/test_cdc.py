@@ -1,0 +1,157 @@
+"""Incremental-ingestion operators: merge_upsert, apply_cdc_log,
+scd2_history, snapshot_diff, and rrf_fuse."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_json_spark.operators import cdc, rank
+
+
+@pytest.fixture(scope="module")
+def target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, name string, score double",
+    )
+
+
+class TestMergeUpsert:
+    def test_update_insert(self, spark, target):
+        src = spark.createDataFrame(
+            [(2, "B2", 22.0), (9, "i", 90.0)],
+            "id bigint, name string, score double",
+        )
+        out = {r.id: (r.name, r.score) for r in cdc.merge_upsert(
+            target, src, "id").collect()}
+        assert out == {
+            1: ("a", 10.0), 2: ("B2", 22.0), 3: ("c", 30.0), 9: ("i", 90.0)
+        }
+
+    def test_delete_flag(self, spark, target):
+        src = spark.createDataFrame(
+            [(2, "B2", 22.0, False), (3, None, None, True), (9, "i", 9.0, None)],
+            "id bigint, name string, score double, is_del boolean",
+        )
+        out = cdc.merge_upsert(target, src, "id", delete_col="is_del")
+        got = {r.id for r in out.collect()}
+        # 3 deleted; 9's NULL flag coalesces to keep (upsert)
+        assert got == {1, 2, 9}
+        assert "is_del" not in out.columns
+
+    def test_composite_key(self, spark):
+        t = spark.createDataFrame(
+            [("en", 1, "x"), ("fr", 1, "y")], "lang string, id bigint, v string"
+        )
+        s = spark.createDataFrame(
+            [("en", 1, "X")], "lang string, id bigint, v string"
+        )
+        out = {(r.lang, r.id): r.v for r in cdc.merge_upsert(
+            t, s, ["lang", "id"]).collect()}
+        assert out == {("en", 1): "X", ("fr", 1): "y"}
+
+    def test_no_python_no_cartesian(self, target, spark):
+        src = spark.createDataFrame([(2, "B", 2.0)], target.schema)
+        plan = cdc.merge_upsert(target, src, "id")._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestApplyCdcLog:
+    def test_latest_event_wins(self, spark, target):
+        log = spark.createDataFrame(
+            [
+                (2, "first", 1.0, "U", 10),
+                (2, "last", 2.0, "U", 20),
+                (3, None, None, "D", 15),
+                (9, "new", 9.0, "I", 5),
+                (9, None, None, "D", 6),
+                (9, "resurrected", 99.0, "I", 7),
+            ],
+            "id bigint, name string, score double, op string, seq bigint",
+        )
+        out = {r.id: r.name for r in cdc.apply_cdc_log(
+            target, log, "id", seq_col="seq").collect()}
+        assert out == {1: "a", 2: "last", 9: "resurrected"}
+
+    def test_delete_as_last_event(self, spark, target):
+        log = spark.createDataFrame(
+            [(1, "upd", 0.0, "U", 1), (1, None, None, "D", 2)],
+            "id bigint, name string, score double, op string, seq bigint",
+        )
+        out = {r.id for r in cdc.apply_cdc_log(
+            target, log, "id", seq_col="seq").collect()}
+        assert out == {2, 3}
+
+
+class TestScd2History:
+    def test_intervals(self, spark):
+        ch = spark.createDataFrame(
+            [(1, "bronze", 100), (1, "silver", 200), (1, "gold", 300),
+             (2, "bronze", 150)],
+            "id bigint, tier string, eff bigint",
+        )
+        rows = {(r.id, r.tier): (r.valid_from, r.valid_to, r.is_current)
+                for r in cdc.scd2_history(ch, "id", "eff").collect()}
+        assert rows[(1, "bronze")] == (100, 200, False)
+        assert rows[(1, "silver")] == (200, 300, False)
+        assert rows[(1, "gold")] == (300, None, True)
+        assert rows[(2, "bronze")] == (150, None, True)
+
+    def test_point_in_time_lookup(self, spark):
+        ch = spark.createDataFrame(
+            [(1, "v1", 10), (1, "v2", 20)], "id bigint, v string, eff bigint"
+        )
+        h = cdc.scd2_history(ch, "id", "eff")
+        at15 = h.filter(
+            (F.col("valid_from") <= 15)
+            & (F.col("valid_to").isNull() | (F.lit(15) < F.col("valid_to")))
+        ).collect()
+        assert [(r.id, r.v) for r in at15] == [(1, "v1")]
+
+
+class TestSnapshotDiff:
+    def test_classes(self, spark):
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "was"), (3, "gone"), (4, None)],
+            "id bigint, v string",
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "now"), (5, "fresh"), (4, None)],
+            "id bigint, v string",
+        )
+        d = {r.id: r.change for r in cdc.snapshot_diff(old, new, "id").collect()}
+        assert d == {2: "changed", 3: "removed", 5: "added"}
+
+    def test_null_vs_value_is_change_and_unchanged_kept(self, spark):
+        old = spark.createDataFrame([(1, None), (2, "x")], "id bigint, v string")
+        new = spark.createDataFrame([(1, "v"), (2, "x")], "id bigint, v string")
+        d = {r.id: r.change for r in cdc.snapshot_diff(
+            old, new, "id", include_unchanged=True).collect()}
+        assert d == {1: "changed", 2: "unchanged"}
+
+    def test_compare_cols_subset(self, spark):
+        old = spark.createDataFrame([(1, "a", 1.0)], "id bigint, v string, w double")
+        new = spark.createDataFrame([(1, "a", 2.0)], "id bigint, v string, w double")
+        assert cdc.snapshot_diff(old, new, "id", compare_cols=["v"]).count() == 0
+        d = cdc.snapshot_diff(old, new, "id").collect()
+        assert [(r.id, r.change) for r in d] == [(1, "changed")]
+
+
+class TestRrfFuse:
+    def test_fusion_math(self, spark):
+        a = spark.createDataFrame([(1, 1), (2, 2)], "doc bigint, rnk int")
+        b = spark.createDataFrame([(2, 1), (3, 2)], "doc bigint, rnk int")
+        out = {r.doc: (r.rrf_score, r.n_lists) for r in rank.rrf_fuse(
+            [a, b], "doc").collect()}
+        assert out[1] == (round(1 / 61, 9), 1)
+        assert out[2] == (round(1 / 62 + 1 / 61, 9), 2)
+        assert out[3] == (round(1 / 62, 9), 1)
+        # doc 2 (in both lists) outranks doc 1 (top of one list)
+        assert out[2][0] > out[1][0]
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError, match="non-empty"):
+            rank.rrf_fuse([], "doc")
+        a = spark.createDataFrame([(1, 1)], "doc bigint, rnk int")
+        with pytest.raises(ValueError, match="k must be"):
+            rank.rrf_fuse([a], "doc", k=-1)
