@@ -3145,6 +3145,43 @@ def _q_rrf_fusion(spark, sf_dir):
     ).limit(20)
 
 
+def _q_leakage_split(spark, sf_dir):
+    # leakage-safe split (operators/split.leakage_safe_split): near-dup
+    # components (the dedup_cc edge set) assign splits by COMPONENT
+    # hash, so duplicate chains can never straddle train/test; isolated
+    # docs fall back to their own id. Oracle: recursive-CTE closure +
+    # the same salted-md5 thresholds.
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("src"), F.col("text").alias("ta"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("src"),
+        F.col("doc_id").alias("dst"),
+        F.col("text").alias("tb"),
+    )
+    edges = (
+        a.join(b, "src")
+        .withColumn(
+            "jac",
+            dedup.jaccard_tokens(
+                F.array_distinct(text.tokens(F.col("ta"))),
+                F.array_distinct(text.tokens(F.col("tb"))),
+            ),
+        )
+        .filter(F.col("jac") >= 0.8)
+        .select("src", "dst")
+    )
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    out = split_ops.leakage_safe_split(
+        docs.select("doc_id"),
+        "doc_id",
+        edges,
+        {"train": 0.6, "val": 0.2, "test": 0.2},
+        salt="ls",
+    )
+    return out.select("doc_id", "split_group", "split")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_json_agg(spark, "/root/testdata/sf0.001")
@@ -3353,6 +3390,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2": _q_scd2,
         "snapshot_diff": _q_snapshot_diff,
         "rrf_fusion": _q_rrf_fusion,
+        "leakage_split": _q_leakage_split,
     }
 
 
@@ -4968,5 +5006,32 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, round(sum(t), 9) as rrf_score, "
             "count(*)::int as n_lists from u group by doc_id "
             "order by rrf_score desc, doc_id asc limit 20"
+        ),
+        "leakage_split": (
+            # dedup_cc's closure -> component reps; singletons fall
+            # back to their own id; split thresholds on the salted
+            # component hash (train<0.6, val<0.8, else test)
+            "with recursive "
+            f"toks as (select doc_id, list_distinct({_TOKENS_SQL}) as tk "
+            "from documents), "
+            "edges as (select a.doc_id as u, b.doc_id as v "
+            "from toks a join toks b on b.doc_id = a.doc_id + 1 "
+            "where case when len(list_distinct(list_concat(a.tk, b.tk))) > 0 "
+            "then len(list_intersect(a.tk, b.tk))::double / "
+            "len(list_distinct(list_concat(a.tk, b.tk))) else 0.0 end >= 0.8), "
+            "und as (select u, v from edges union select v, u from edges), "
+            "reach(a, b) as (select u, u from und "
+            "union "
+            "select r.a, und.v from reach r join und on und.u = r.b), "
+            "comp as (select a as node, min(b) as comp from reach "
+            "group by a), "
+            "g as (select d.doc_id, "
+            "coalesce(c.comp, d.doc_id) as split_group "
+            "from documents d left join comp c on d.doc_id = c.node), "
+            "f as (select doc_id, split_group, "
+            "try_cast(('0x' || substr(md5('ls:' || split_group::varchar), "
+            "1, 8)) as bigint) / 4294967296.0 as b from g) "
+            "select doc_id, split_group, case when b < 0.6 then 'train' "
+            "when b < 0.8 then 'val' else 'test' end as split from f"
         ),
     }

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_split",
+    "leakage_safe_split",
     "split_fraction",
     "mixture_sample",
     "mixture_resample",
@@ -482,3 +483,47 @@ def curriculum_rank(
         .withColumn(out_col, (F.col("_off") + F.col("_r")).cast("bigint"))
         .drop("_bkt", "_s", "_r", "_off")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    edges: DataFrame,
+    splits: dict[str, float] | None = None,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    salt: str = "",
+    out_col: str = "split",
+    group_col: str = "split_group",
+) -> DataFrame:
+    """:func:`hash_split` that cannot leak near-duplicates across
+    splits: rows connected by ``edges`` (a near-dup pair list from
+    MinHash/SimHash/embedding candidates) are first clustered with
+    :func:`~.graph.connected_components`, and the split is assigned
+    from the salted hash of the COMPONENT representative, so an entire
+    duplicate cluster lands in one split. Rows absent from the edge
+    list are their own singleton group (``coalesce(comp, id)``).
+
+    This is the eval-integrity primitive: a plain per-id split puts one
+    copy of a duplicated document in train and its twin in test, and
+    the model gets judged on memorized text. Splitting by component
+    closes that hole *transitively* (A~B, B~C ⇒ A, B, C together —
+    exactly the chain one-shot pair dedup misses).
+
+    Output adds ``group_col`` (the component representative driving the
+    assignment) and ``out_col``. Scale shape: the component table is
+    edge-vertex-sized (dup pairs only, not the corpus), the join back
+    is keyed on the id, and the split label stays a pure projection —
+    the corpus itself never shuffles on content.
+    """
+    from . import graph
+
+    comps = graph.connected_components(edges, src, dst)
+    joined = (
+        df.join(comps, df[id_col] == comps["node"], "left")
+        .drop("node")
+        .withColumn(group_col, F.coalesce(F.col("comp"), F.col(id_col)))
+        .drop("comp")
+    )
+    return hash_split(joined, group_col, splits, salt=salt, out_col=out_col)

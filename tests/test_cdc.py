@@ -155,3 +155,38 @@ class TestRrfFuse:
         a = spark.createDataFrame([(1, 1)], "doc bigint, rnk int")
         with pytest.raises(ValueError, match="k must be"):
             rank.rrf_fuse([a], "doc", k=-1)
+
+
+class TestLeakageSafeSplit:
+    def test_components_share_split(self, spark):
+        from datafusion_functions_json_spark.operators import split as split_ops
+
+        df = spark.createDataFrame([(i,) for i in range(1, 21)], "doc_id bigint")
+        # chain 1-2-3 and pair 10-11; everything else singleton
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+        )
+        out = split_ops.leakage_safe_split(
+            df, "doc_id", edges, {"train": 0.5, "val": 0.25, "test": 0.25},
+            salt="t",
+        ).collect()
+        by_id = {r.doc_id: (r.split_group, r.split) for r in out}
+        assert by_id[1] == by_id[2] == by_id[3]   # whole chain together
+        assert by_id[1][0] == 1                    # min-id representative
+        assert by_id[10] == by_id[11]
+        assert by_id[7][0] == 7                    # singleton fallback
+        assert len(out) == 20
+
+    def test_matches_hash_split_on_group(self, spark):
+        from datafusion_functions_json_spark.operators import split as split_ops
+
+        df = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id bigint")
+        edges = spark.createDataFrame([(4, 5)], "src bigint, dst bigint")
+        lk = {r.doc_id: r.split for r in split_ops.leakage_safe_split(
+            df, "doc_id", edges, salt="s").collect()}
+        # singleton rows must get exactly the plain hash_split label
+        plain = {r.doc_id: r.split for r in split_ops.hash_split(
+            df, "doc_id", salt="s").collect()}
+        for i in (1, 2, 3, 6, 7, 8):
+            assert lk[i] == plain[i]
+        assert lk[4] == lk[5] == plain[4]  # comp rep = min id 4
