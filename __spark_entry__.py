@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import datafusion_functions_json_spark as jsonf  # noqa: E402
 from datafusion_functions_json_spark.operators import (  # noqa: E402
+    bpe,
     cdc,
     dedup,
     graph,
@@ -3182,6 +3183,74 @@ def _q_leakage_split(spark, sf_dir):
     return out.select("doc_id", "split_group", "split")
 
 
+_BPE_STEPS = 8
+
+
+def _q_bpe_merges(spark, sf_dir):
+    # distributed BPE training (operators/bpe.py): 8 merges learned
+    # from the documents word table. Each step is one Spark job over
+    # the VOCAB (corpus touched once by word_table); the 1-row argmax
+    # collects are the model itself — bounded driver state by design.
+    # Oracle: DuckDB replays training step-for-step on marker-wrapped
+    # symbol strings (deterministic tie-break: freq desc, pair asc).
+    docs = _docs(spark, sf_dir)
+    wt = bpe.word_table(docs, "text")
+    merges, _ = bpe.bpe_train(wt, n_merges=_BPE_STEPS)
+    return spark.createDataFrame(
+        [(s, l, r, l + r, f) for s, l, r, f in merges],
+        "step int, lft string, rgt string, merged string, freq bigint",
+    )
+
+
+def _q_bpe_encode(spark, sf_dir):
+    # BPE encoding as a keyed join against the trained segmentation
+    # table (bpe_encode_words): per-doc word + BPE-token counts, zero
+    # per-token Python — the 100 TB encode path.
+    docs = _docs(spark, sf_dir)
+    wt = bpe.word_table(docs, "text")
+    _, seg = bpe.bpe_train(wt, n_merges=_BPE_STEPS)
+    return bpe.bpe_encode_words(docs, "text", seg)
+
+
+def _bpe_oracle_ctes(n_steps: int) -> str:
+    """Unrolled BPE training in DuckDB SQL: words as marker-wrapped
+    symbol strings (``<l><o><w>``) so pair replacement anchors on whole
+    symbols and stays greedy left-to-right like the Spark fold.
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines CTEs by default,
+    and the w0→w8 chain (each step referencing the previous twice via
+    the scalar subqueries) otherwise expands exponentially — the
+    un-hinted query never finishes."""
+    ctes = [
+        "wt as materialized (select word, count(*) as cnt from ("
+        "select unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) "
+        "as word from documents) group by word)",
+        "w0 as materialized (select word, cnt, '<' || "
+        "array_to_string(string_split(word, ''), '><') || '>' as s from wt)",
+    ]
+    for k in range(1, n_steps + 1):
+        prev = f"w{k - 1}"
+        ctes.append(
+            f"p{k} as materialized (select l[i] as lft, l[i + 1] as rgt, "
+            "sum(cnt)::bigint as freq from ("
+            "select cnt, string_split(trim(s, '<>'), '><') as l, "
+            "unnest(generate_series(1, "
+            "len(string_split(trim(s, '<>'), '><')) - 1)) as i "
+            f"from {prev}) group by 1, 2)"
+        )
+        ctes.append(
+            f"m{k} as materialized (select lft, rgt, freq from p{k} "
+            "order by freq desc, lft asc, rgt asc limit 1)"
+        )
+        ctes.append(
+            f"w{k} as materialized (select word, cnt, replace(s, "
+            f"(select '<' || lft || '><' || rgt || '>' from m{k}), "
+            f"(select '<' || lft || rgt || '>' from m{k})) as s "
+            f"from {prev})"
+        )
+    return "with " + ", ".join(ctes)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_json_agg(spark, "/root/testdata/sf0.001")
@@ -3391,6 +3460,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "rrf_fusion": _q_rrf_fusion,
         "leakage_split": _q_leakage_split,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
     }
 
 
@@ -5033,5 +5104,25 @@ def oracle_sql() -> dict[str, str]:
             "1, 8)) as bigint) / 4294967296.0 as b from g) "
             "select doc_id, split_group, case when b < 0.6 then 'train' "
             "when b < 0.8 then 'val' else 'test' end as split from f"
+        ),
+        "bpe_merges": (
+            _bpe_oracle_ctes(_BPE_STEPS)
+            + ", merges as ("
+            + " union all ".join(
+                f"select {k} as step, lft, rgt, lft || rgt as merged, "
+                f"freq from m{k}"
+                for k in range(1, _BPE_STEPS + 1)
+            )
+            + ") select step, lft, rgt, merged, freq from merges"
+        ),
+        "bpe_encode": (
+            _bpe_oracle_ctes(_BPE_STEPS)
+            + ", dw as (select doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) as word "
+            "from documents) "
+            "select doc_id, count(*) as n_words, "
+            "sum(len(string_split(trim(s, '<>'), '><')))::bigint "
+            f"as n_bpe_tokens from dw join w{_BPE_STEPS} using (word) "
+            "group by doc_id"
         ),
     }

@@ -10,6 +10,7 @@ for opaque binary payloads.
 """
 
 from . import (
+    bpe,
     cdc,
     dedup,
     graph,
@@ -25,6 +26,7 @@ from . import (
 )
 
 __all__ = [
+    "bpe",
     "cdc",
     "dedup",
     "graph",

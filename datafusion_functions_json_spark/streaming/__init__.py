@@ -28,6 +28,8 @@ __all__ = [
     "sessionize",
     "sessionize_batch",
     "sessionize_tws",
+    "upsert_sink",
+    "read_current",
 ]
 
 
@@ -644,3 +646,125 @@ def contamination_alerts(
         .filter(F.col("jaccard") >= threshold)
         .select(id_col, "bench_id", "jaccard")
     )
+
+
+_LATEST = "_LATEST"
+
+
+def read_current(spark, target_dir: str):
+    """Current state of an :func:`upsert_sink` target: resolve the
+    ``_LATEST`` pointer file and read that version's parquet. Returns
+    ``None`` before the first commit."""
+    import os
+
+    ptr = os.path.join(target_dir, _LATEST)
+    try:
+        with open(ptr) as f:
+            name = f.read().strip()
+    except OSError:
+        return None
+    if not name:
+        return None
+    return spark.read.parquet(os.path.join(target_dir, name))
+
+
+def upsert_sink(
+    stream: DataFrame,
+    target_dir: str,
+    keys,
+    *,
+    delete_col: str | None = None,
+    seq_col: str | None = None,
+    op_col: str = "op",
+    delete_op: str = "D",
+    keep_versions: int = 2,
+):
+    """Maintain a keyed table under a CDC/upsert stream — the streaming
+    twin of :func:`~.operators.cdc.merge_upsert` /
+    :func:`~.operators.cdc.apply_cdc_log`.
+
+    Every micro-batch merges into the current state copy-on-write:
+    read the live version, merge the batch (full CDC compaction when
+    ``seq_col`` is given — latest event per key wins, ``delete_op``
+    drops the key; plain upsert otherwise, with the optional
+    ``delete_col`` flag arm), write a NEW version directory
+    ``v<batch_id>``, then commit by atomically replacing the
+    ``_LATEST`` pointer file. Readers (:func:`read_current`) never see
+    a half-written version — pointer-file commit is exactly how the
+    production table formats publish snapshots on object stores, where
+    directory renames aren't atomic.
+
+    Restart safety: foreachBatch is at-least-once, so a replayed batch
+    rewrites the SAME ``v<batch_id>`` directory (idempotent — upserts
+    and deletes of identical rows converge) and a stale replay can
+    never regress the pointer (monotonic batch-id guard). Old versions
+    beyond ``keep_versions`` are pruned best-effort after commit.
+
+    Returns a started-ready ``DataStreamWriter`` — caller adds
+    ``.option("checkpointLocation", ...)`` and ``.start()``.
+    """
+    import os
+    import re as _re
+    import shutil
+
+    from ..operators import cdc as _cdc
+
+    ks = [keys] if isinstance(keys, str) else list(keys)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = read_current(spark, target_dir)
+        if seq_col is not None:
+            if cur is None:
+                drop = {seq_col, op_col}
+                cur = spark.createDataFrame(
+                    [],
+                    batch_df.drop(*drop).schema,
+                )
+            merged = _cdc.apply_cdc_log(
+                cur,
+                batch_df,
+                ks,
+                seq_col=seq_col,
+                op_col=op_col,
+                delete_op=delete_op,
+            )
+        else:
+            if cur is None:
+                drop = {delete_col} if delete_col else set()
+                cur = spark.createDataFrame([], batch_df.drop(*drop).schema)
+            merged = _cdc.merge_upsert(
+                cur, batch_df, ks, delete_col=delete_col
+            )
+        name = f"v{batch_id:020d}"
+        ptr = os.path.join(target_dir, _LATEST)
+        try:
+            with open(ptr) as f:
+                committed = f.read().strip()
+        except OSError:
+            committed = ""
+        if committed and committed >= name:
+            # already durably applied (== : re-merging would also read
+            # and overwrite the same version dir), or a stale replay
+            # behind a newer committed snapshot — both no-ops
+            return
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target_dir, name)
+        )
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, ptr)  # atomic pointer commit
+        if keep_versions >= 1:
+            vs = sorted(
+                d
+                for d in os.listdir(target_dir)
+                if _re.fullmatch(r"v\d{20}", d)
+            )
+            for stale in vs[:-keep_versions]:
+                shutil.rmtree(
+                    os.path.join(target_dir, stale), ignore_errors=True
+                )
+
+    os.makedirs(target_dir, exist_ok=True)
+    return stream.writeStream.foreachBatch(_merge)

@@ -1,0 +1,108 @@
+"""Distributed BPE training (operators/bpe.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_functions_json_spark.operators import bpe
+
+
+@pytest.fixture(scope="module")
+def sennrich(spark):
+    # the canonical corpus from the BPE paper's worked example
+    return spark.createDataFrame(
+        [
+            (1, "low low low low low"),
+            (2, "lower lower"),
+            (3, "newest newest newest newest newest newest"),
+            (4, "widest widest widest"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+class TestWordTable:
+    def test_counts(self, spark, sennrich):
+        wt = {r.word: r.wcount for r in bpe.word_table(
+            sennrich, "text").collect()}
+        assert wt == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    def test_lowercase_and_regex(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "Foo BAR foo, bar! 123")], "doc_id bigint, text string"
+        )
+        wt = {r.word: r.wcount for r in bpe.word_table(docs, "text").collect()}
+        assert wt == {"foo": 2, "bar": 2}
+
+    def test_min_count(self, spark, sennrich):
+        wt = {r.word for r in bpe.word_table(
+            sennrich, "text", min_count=3).collect()}
+        assert wt == {"low", "newest", "widest"}
+
+
+class TestBpeTrain:
+    def test_sennrich_merge_order(self, spark, sennrich):
+        wt = bpe.word_table(sennrich, "text")
+        merges, seg = bpe.bpe_train(wt, n_merges=6)
+        # the paper's worked example: es, est, lo, low, then the
+        # (e,w)/(ew,est) chain at freq 6 (deterministic tie-breaks)
+        assert [(m[1], m[2]) for m in merges] == [
+            ("e", "s"), ("es", "t"), ("l", "o"),
+            ("lo", "w"), ("e", "w"), ("ew", "est"),
+        ]
+        assert [m[3] for m in merges] == [9, 9, 7, 7, 6, 6]
+        got = {r.word: list(r.syms) for r in seg.collect()}
+        assert got["low"] == ["low"]
+        assert got["newest"] == ["n", "ewest"]
+        assert got["widest"] == ["w", "i", "d", "est"]
+        assert got["lower"] == ["low", "e", "r"]
+
+    def test_early_stop_when_no_pairs(self, spark):
+        wt = spark.createDataFrame(
+            [("a", 5), ("b", 3)], "word string, wcount bigint"
+        )
+        merges, _ = bpe.bpe_train(wt, n_merges=10)
+        assert merges == []
+
+    def test_greedy_nonoverlapping(self, spark):
+        # 'aaa' + merge (a,a) must give [aa, a], not [a, aa] or [aaa]
+        wt = spark.createDataFrame([("aaa", 9)], "word string, wcount bigint")
+        merges, seg = bpe.bpe_train(wt, n_merges=1)
+        assert (merges[0][1], merges[0][2], merges[0][3]) == ("a", "a", 18)
+        assert list(seg.collect()[0].syms) == ["aa", "a"]
+
+    def test_validation(self, spark, sennrich):
+        wt = bpe.word_table(sennrich, "text")
+        with pytest.raises(ValueError, match="n_merges"):
+            bpe.bpe_train(wt, n_merges=0)
+
+    def test_checkpoint_path(self, spark, sennrich):
+        # crossing checkpoint_every must not change results
+        wt = bpe.word_table(sennrich, "text")
+        m1, _ = bpe.bpe_train(wt, n_merges=5, checkpoint_every=2)
+        m2, _ = bpe.bpe_train(wt, n_merges=5, checkpoint_every=100)
+        assert m1 == m2
+
+
+class TestBpeApply:
+    def test_replays_training(self, spark, sennrich):
+        wt = bpe.word_table(sennrich, "text")
+        merges, seg = bpe.bpe_train(wt, n_merges=6)
+        fresh = wt.withColumn("syms", F.split("word", ""))
+        replayed = bpe.bpe_apply(fresh, "syms", merges)
+        a = {r.word: list(r.syms) for r in replayed.collect()}
+        b = {r.word: list(r.syms) for r in seg.collect()}
+        assert a == b
+
+
+class TestBpeEncodeWords:
+    def test_counts_and_oov_fallback(self, spark, sennrich):
+        wt = bpe.word_table(sennrich, "text")
+        _, seg = bpe.bpe_train(wt, n_merges=6)
+        docs = spark.createDataFrame(
+            [(1, "low lower"), (2, "newest zzzz")],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+               for r in bpe.bpe_encode_words(docs, "text", seg).collect()}
+        # low=1 token, lower=3 tokens; newest=2, zzzz OOV -> 4 chars
+        assert out == {1: (2, 4), 2: (2, 6)}

@@ -668,3 +668,107 @@ class TestReviewFindingsRound7d:
         df = spark.read.schema(SCHEMA).json(json_dir)
         with pytest.raises(ValueError, match="unknown kind"):
             js.extract_json_stream(df, "payload", {"x": ("warp", "n")})
+
+
+class TestUpsertSink:
+    def test_multi_batch_upsert_with_deletes(self, spark, tmp_path):
+        src = tmp_path / "ups_in"
+        src.mkdir()
+        tgt = str(tmp_path / "ups_tgt")
+        ckpt = str(tmp_path / "ups_ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("is_del", T.BooleanType()),
+            ]
+        )
+        with open(src / "b0.jsonl", "w") as f:
+            f.write(json.dumps({"id": 1, "v": "a", "is_del": False}) + "\n")
+            f.write(json.dumps({"id": 2, "v": "b", "is_del": False}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            js.upsert_sink(stream, tgt, "id", delete_col="is_del")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            mid = {r.id: r.v for r in js.read_current(spark, tgt).collect()}
+            assert mid == {1: "a", 2: "b"}
+            with open(src / "b1.jsonl", "w") as f:
+                f.write(
+                    json.dumps({"id": 2, "v": "B", "is_del": False}) + "\n"
+                )
+                f.write(
+                    json.dumps({"id": 3, "v": "c", "is_del": False}) + "\n"
+                )
+                f.write(
+                    json.dumps({"id": 1, "v": None, "is_del": True}) + "\n"
+                )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = {r.id: r.v for r in js.read_current(spark, tgt).collect()}
+        assert final == {2: "B", 3: "c"}
+        # committed pointer + pruned version dirs
+        import os
+        import re
+
+        vs = [d for d in os.listdir(tgt) if re.fullmatch(r"v\d{20}", d)]
+        assert len(vs) <= 2 and os.path.exists(os.path.join(tgt, "_LATEST"))
+
+    def test_cdc_mode_compacts_log(self, spark, tmp_path):
+        from datafusion_functions_json_spark.operators import cdc
+
+        src = tmp_path / "cdc_in"
+        src.mkdir()
+        tgt = str(tmp_path / "cdc_tgt")
+        ckpt = str(tmp_path / "cdc_ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.StringType()),
+                T.StructField("op", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+        events = [
+            {"id": 1, "v": "x1", "op": "I", "seq": 1},
+            {"id": 1, "v": "x2", "op": "U", "seq": 2},
+            {"id": 2, "v": "y", "op": "I", "seq": 3},
+            {"id": 2, "v": None, "op": "D", "seq": 4},
+            {"id": 3, "v": "z", "op": "I", "seq": 5},
+        ]
+        with open(src / "b0.jsonl", "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            js.upsert_sink(stream, tgt, "id", seq_col="seq")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.id: r.v for r in js.read_current(spark, tgt).collect()}
+        assert got == {1: "x2", 3: "z"}
+        # batch-equivalence: same result as apply_cdc_log on an empty
+        # target with the identical log
+        log = spark.createDataFrame(
+            [(e["id"], e["v"], e["op"], e["seq"]) for e in events],
+            "id bigint, v string, op string, seq bigint",
+        )
+        empty = spark.createDataFrame([], "id bigint, v string")
+        batch = {
+            r.id: r.v
+            for r in cdc.apply_cdc_log(
+                empty, log, "id", seq_col="seq"
+            ).collect()
+        }
+        assert got == batch
+
+    def test_read_current_before_first_commit(self, spark, tmp_path):
+        assert js.read_current(spark, str(tmp_path / "nope")) is None
