@@ -702,6 +702,13 @@ def upsert_sink(
 
     Returns a started-ready ``DataStreamWriter`` — caller adds
     ``.option("checkpointLocation", ...)`` and ``.start()``.
+
+    Filesystem contract: the pointer file is written with local file
+    APIs, so ``target_dir`` must be a driver-mounted path (local disk,
+    NFS, fuse mounts). On a raw object store, atomic publish needs a
+    real table format's commit log — this sink demonstrates the same
+    pointer-commit PATTERN those formats use, on filesystems that give
+    you an atomic rename.
     """
     import os
     import re as _re
@@ -756,12 +763,17 @@ def upsert_sink(
             f.write(name)
         os.replace(tmp, ptr)  # atomic pointer commit
         if keep_versions >= 1:
-            vs = sorted(
+            # prune ONLY versions strictly below the pointer just
+            # committed — never trust recency alone (an uncommitted
+            # newer directory must not be able to push the committed
+            # snapshot out of the keep window)
+            older = sorted(
                 d
                 for d in os.listdir(target_dir)
-                if _re.fullmatch(r"v\d{20}", d)
+                if _re.fullmatch(r"v\d{20}", d) and d < name
             )
-            for stale in vs[:-keep_versions]:
+            cut = keep_versions - 1
+            for stale in older[: len(older) - cut] if cut else older:
                 shutil.rmtree(
                     os.path.join(target_dir, stale), ignore_errors=True
                 )
