@@ -127,6 +127,11 @@ def bpe_train(
         F.col(count_col).cast("bigint").alias("wcount"),
         F.split(F.col(word_col), "").alias("syms"),
     )
+    # materialize the vocab ONCE up front — without this the lazy plan
+    # re-aggregates the corpus inside every step's pair-count job until
+    # the first periodic checkpoint, breaking the one-corpus-scan
+    # contract this formulation exists for
+    wt = wt.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         top = (

@@ -144,12 +144,16 @@ def scd2_history(
     """
     ks = _keylist(keys)
     w = Window.partitionBy(*ks).orderBy(F.col(eff_col).asc())
-    return (
+    out = (
         changes.withColumn(valid_from_col, F.col(eff_col))
         .withColumn(valid_to_col, F.lead(eff_col).over(w))
         .withColumn(current_col, F.col(valid_to_col).isNull())
-        .drop(eff_col)
     )
+    if valid_from_col != eff_col:
+        # (guarded: with valid_from_col == eff_col the rename is the
+        # output itself — dropping would erase it)
+        out = out.drop(eff_col)
+    return out
 
 
 def snapshot_diff(

@@ -519,11 +519,17 @@ def leakage_safe_split(
     """
     from . import graph
 
-    comps = graph.connected_components(edges, src, dst)
+    # internal names prefixed so a df that already carries node/comp
+    # columns (it owns the vertex table too) can't collide
+    comps = graph.connected_components(edges, src, dst).select(
+        F.col("node").alias("__lss_node"), F.col("comp").alias("__lss_comp")
+    )
     joined = (
-        df.join(comps, df[id_col] == comps["node"], "left")
-        .drop("node")
-        .withColumn(group_col, F.coalesce(F.col("comp"), F.col(id_col)))
-        .drop("comp")
+        df.join(comps, df[id_col] == comps["__lss_node"], "left")
+        .drop("__lss_node")
+        .withColumn(
+            group_col, F.coalesce(F.col("__lss_comp"), F.col(id_col))
+        )
+        .drop("__lss_comp")
     )
     return hash_split(joined, group_col, splits, salt=salt, out_col=out_col)

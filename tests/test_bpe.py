@@ -106,3 +106,80 @@ class TestBpeEncodeWords:
                for r in bpe.bpe_encode_words(docs, "text", seg).collect()}
         # low=1 token, lower=3 tokens; newest=2, zzzz OOV -> 4 chars
         assert out == {1: (2, 4), 2: (2, 6)}
+
+
+def _py_bpe(word_counts: dict, n_merges: int):
+    """Pure-Python reference BPE (greedy left-to-right, same tie-break)."""
+    wt = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = {}
+        for w, syms in wt.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        (l, r), f = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, f))
+        for w, syms in wt.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            wt[w] = out
+    return merges, wt
+
+
+class TestBpeDifferential:
+    def test_randomized_against_python_reference(self, spark):
+        import random
+
+        rng = random.Random(42)
+        alpha = "abcde"
+        words = {}
+        for _ in range(80):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 9))
+            )
+            words[w] = words.get(w, 0) + rng.randint(1, 50)
+        wt = spark.createDataFrame(
+            list(words.items()), "word string, wcount bigint"
+        )
+        merges, seg = bpe.bpe_train(wt, n_merges=12, checkpoint_every=5)
+        ref_merges, ref_wt = _py_bpe(words, 12)
+        assert merges == ref_merges
+        got = {r.word: list(r.syms) for r in seg.collect()}
+        assert got == ref_wt
+
+
+class TestRound8Guards:
+    def test_scd2_valid_from_same_as_eff(self, spark):
+        from datafusion_functions_json_spark.operators import cdc
+
+        ch = spark.createDataFrame(
+            [(1, "a", 10), (1, "b", 20)], "id bigint, v string, eff bigint"
+        )
+        out = cdc.scd2_history(ch, "id", "eff", valid_from_col="eff")
+        rows = {r.v: (r.eff, r.valid_to) for r in out.collect()}
+        assert rows == {"a": (10, 20), "b": (20, None)}
+
+    def test_leakage_split_with_node_comp_columns(self, spark):
+        from datafusion_functions_json_spark.operators import split as split_ops
+
+        df = spark.createDataFrame(
+            [(1, 99, 98), (2, 99, 98), (3, 99, 98)],
+            "doc_id bigint, node bigint, comp bigint",
+        )
+        edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+        out = split_ops.leakage_safe_split(df, "doc_id", edges).collect()
+        by_id = {r.doc_id: r.split_group for r in out}
+        assert by_id == {1: 1, 2: 1, 3: 3}
+        # caller's own node/comp columns survive untouched
+        assert all(r.node == 99 and r.comp == 98 for r in out)
