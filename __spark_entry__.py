@@ -3251,6 +3251,41 @@ def _bpe_oracle_ctes(n_steps: int) -> str:
     return "with " + ", ".join(ctes)
 
 
+def _q_corpus_drift(spark, sf_dir):
+    # token-distribution drift (operators/stats.distribution_drift):
+    # new snapshot = src2 turned off + a planted token on every 7th
+    # doc, so both the removed-mass and injected-token directions move
+    # the divergences. One vocab-keyed join, 1-row totals broadcast.
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("source") != "src2").select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" driftword")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return stats.distribution_drift(docs, new, "text")
+
+
+def _q_psi_drift(spark, sf_dir):
+    # numeric-feature drift (operators/stats.psi): new snapshot drops
+    # every 3rd order and inflates every 5th price by 1.1, so mass
+    # moves across the fixed 10-bin [0, 400000) grid in both
+    # directions. Histogram cells only ever shuffle — never rows.
+    orders = load_table(spark, sf_dir, "orders")
+    new = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice")
+    )
+    return stats.psi(
+        orders, new, "o_totalprice", lo=0.0, hi=400000.0, bins=10
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_json_agg(spark, "/root/testdata/sf0.001")
@@ -3462,6 +3497,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": _q_leakage_split,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "corpus_drift": _q_corpus_drift,
+        "psi_drift": _q_psi_drift,
     }
 
 
@@ -5124,5 +5161,65 @@ def oracle_sql() -> dict[str, str]:
             "sum(len(string_split(trim(s, '<>'), '><')))::bigint "
             f"as n_bpe_tokens from dw join w{_BPE_STEPS} using (word) "
             "group by doc_id"
+        ),
+        "corpus_drift": (
+            # same planted drift; arithmetic mirrors the Spark column
+            # expressions op-for-op so the per-term doubles are
+            # bit-identical (only the final sums wobble, absorbed by
+            # the 6-decimal rounding)
+            f"with oldt as (select unnest({_TOKENS_SQL}) as tok "
+            "from documents), "
+            "newd as (select case when doc_id % 7 = 0 "
+            "then text || ' driftword' else text end as text "
+            "from documents where source <> 'src2'), "
+            f"newt as (select unnest({_TOKENS_SQL}) as tok from newd), "
+            "co as (select tok, count(*) as c_old from oldt group by tok), "
+            "cn as (select tok, count(*) as c_new from newt group by tok), "
+            "j as (select coalesce(c_old, 0) as c_old, "
+            "coalesce(c_new, 0) as c_new "
+            "from co full outer join cn using (tok)), "
+            "t as (select sum(c_old) as n_old, sum(c_new) as n_new, "
+            "count(*) as v from j), "
+            "x as (select (c_old + 0.5::double) / (n_old + 0.5::double * v) "
+            "as p, (c_new + 0.5::double) / (n_new + 0.5::double * v) as q, "
+            "n_old, n_new, v from j cross join t) "
+            "select max(n_old)::bigint as n_tokens_old, "
+            "max(n_new)::bigint as n_tokens_new, max(v)::bigint as vocab, "
+            "round(sum(p * ln(p / q)), 6) as kl_old_new, "
+            "round(sum(q * ln(q / p)), 6) as kl_new_old, "
+            "round(sum(p * ln(p / ((p + q) / 2)) / 2 "
+            "+ q * ln(q / ((p + q) / 2)) / 2), 6) as js, "
+            "round(sum(abs(p - q)) / 2, 6) as tv from x"
+        ),
+        "psi_drift": (
+            # same planted shift; 1.1 forced ::double (DuckDB decimal
+            # literals otherwise change the arithmetic), bucket math
+            # op-mirrored to the Spark expressions
+            "with oldv as (select o_totalprice::double as v from orders "
+            "where o_totalprice is not null), "
+            "newv as (select (case when o_orderkey % 5 = 0 "
+            "then o_totalprice * 1.1::double else o_totalprice end)::double "
+            "as v from orders where o_orderkey % 3 <> 0 "
+            "and o_totalprice is not null), "
+            "spine as (select unnest(generate_series(-1, 10)) as bucket), "
+            "ho as (select case when v < 0.0 then -1 "
+            "when v >= 400000.0 then 10 "
+            "else floor((v - 0.0) / 40000.0)::int end as bucket, "
+            "count(*) as c_old from oldv group by 1), "
+            "hn as (select case when v < 0.0 then -1 "
+            "when v >= 400000.0 then 10 "
+            "else floor((v - 0.0) / 40000.0)::int end as bucket, "
+            "count(*) as c_new from newv group by 1), "
+            "j as (select coalesce(c_old, 0) as c_old, "
+            "coalesce(c_new, 0) as c_new from spine "
+            "left join ho using (bucket) left join hn using (bucket)), "
+            "t as (select sum(c_old) as n_old, sum(c_new) as n_new from j), "
+            "x as (select (c_old + 0.5::double) / "
+            "(n_old + 0.5::double * 12) as p, "
+            "(c_new + 0.5::double) / (n_new + 0.5::double * 12) as q, "
+            "n_old, n_new from j cross join t) "
+            "select max(n_old)::bigint as n_old, "
+            "max(n_new)::bigint as n_new, "
+            "round(sum((p - q) * ln(p / q)), 6) as psi from x"
         ),
     }

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_percentiles", "cohort_retention", "skew_report"]
+__all__ = [
+    "grouped_percentiles",
+    "cohort_retention",
+    "skew_report",
+    "distribution_drift",
+    "psi",
+]
 
 
 def grouped_percentiles(
@@ -150,4 +156,153 @@ def skew_report(df: DataFrame, key, k: int = 20) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), F.col("key").asc())
         .limit(k)
+    )
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    *,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots: KL
+    divergences (both directions), Jensen-Shannon divergence, and total
+    variation distance over the smoothed unigram distributions — the
+    monitoring complement to :func:`~.cdc.snapshot_diff` (that one says
+    WHICH rows changed; this one says whether the corpus' language
+    moved, e.g. after a merge wave or a source being turned off).
+
+    Additive smoothing ``alpha`` over the UNION vocabulary keeps both
+    KLs finite when a token exists on one side only. Returns one row:
+    ``(n_tokens_old, n_tokens_new, vocab, kl_old_new, kl_new_old, js,
+    tv)``, each divergence ROUNDED to ``round_to`` decimals (the
+    vocab-sized log-sums differ in the last bits across engines).
+
+    Scale shape: two token-count aggregations (map-side partial), one
+    vocab-sized full-outer join on the token, one global agg — the
+    corpus shuffles 8-byte counts keyed by token, never documents.
+    Natural-log based (nats).
+    """
+    from . import text as _text
+
+    def counts(df, side):
+        return (
+            df.select(F.explode(_text.tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias(f"c_{side}"))
+        )
+
+    a = float(alpha)
+    if a <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    j = counts(old, "old").join(counts(new, "new"), "tok", "full_outer")
+    j = j.select(
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    tot = j.agg(
+        F.sum("c_old").alias("n_old"),
+        F.sum("c_new").alias("n_new"),
+        F.count("*").alias("v"),
+    )
+    jt = j.crossJoin(F.broadcast(tot))  # 1-row totals broadcast
+    p = (F.col("c_old") + a) / (F.col("n_old") + a * F.col("v"))
+    q = (F.col("c_new") + a) / (F.col("n_new") + a * F.col("v"))
+    m = (p + q) / 2
+    r = jt.agg(
+        F.max("n_old").cast("bigint").alias("n_tokens_old"),
+        F.max("n_new").cast("bigint").alias("n_tokens_new"),
+        F.max("v").cast("bigint").alias("vocab"),
+        F.round(F.sum(p * F.log(p / q)), round_to).alias("kl_old_new"),
+        F.round(F.sum(q * F.log(q / p)), round_to).alias("kl_new_old"),
+        F.round(
+            F.sum(p * F.log(p / m) / 2 + q * F.log(q / m) / 2), round_to
+        ).alias("js"),
+        F.round(F.sum(F.abs(p - q)) / 2, round_to).alias("tv"),
+    )
+    return r
+
+
+def psi(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population stability index over a numeric column — the standard
+    ML-monitoring drift score for scores/norms/lengths (the numeric twin
+    of :func:`distribution_drift`): fixed ``bins`` equal-width buckets
+    on ``[lo, hi)`` plus under/overflow buckets, additive-smoothed
+    shares, ``PSI = Σ (p - q) · ln(p / q)``.
+
+    Fixed EXPLICIT bounds, not data-derived quantiles: the bucketing
+    must be identical across snapshots (and engines) for shares to be
+    comparable — derive ``lo``/``hi`` once from the baseline and pin
+    them in the monitor config. Rule-of-thumb reading: < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 investigate.
+
+    Returns one row ``(n_old, n_new, psi)`` plus the per-bucket table
+    columns folded in via ``round_to`` rounding. NULL values are
+    dropped (they carry no position on the axis; track the null RATE
+    with :func:`~.validate.check_constraints`). Scale: one partial-agg
+    histogram pass per side (bins+2 cells each), a cells-sized join —
+    nothing corpus-sized moves.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got lo={lo}, hi={hi}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    w = (float(hi) - float(lo)) / bins
+
+    def hist(df, side):
+        v = F.col(value_col).cast("double")
+        b = (
+            F.when(v < F.lit(float(lo)), F.lit(-1))
+            .when(v >= F.lit(float(hi)), F.lit(bins))
+            .otherwise(
+                F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int")
+            )
+        )
+        return (
+            df.filter(v.isNotNull())
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(f"c_{side}"))
+        )
+
+    # full bucket spine (bins + under/overflow): a bucket EMPTY on both
+    # sides still contributes its smoothed (p - q)·ln(p/q) term when the
+    # corpus sizes differ — joining observed buckets only would silently
+    # drop it
+    spine = (
+        old.sparkSession.range(-1, bins + 1)
+        .select(F.col("id").cast("int").alias("bucket"))
+    )
+    j = (
+        spine.join(hist(old, "old"), "bucket", "left")
+        .join(hist(new, "new"), "bucket", "left")
+        .select(
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    a = float(alpha)
+    nb = bins + 2  # + under/overflow
+    tot = j.agg(F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new"))
+    jt = j.crossJoin(F.broadcast(tot))
+    p = (F.col("c_old") + a) / (F.col("n_old") + a * F.lit(nb))
+    q = (F.col("c_new") + a) / (F.col("n_new") + a * F.lit(nb))
+    return jt.agg(
+        F.max("n_old").cast("bigint").alias("n_old"),
+        F.max("n_new").cast("bigint").alias("n_new"),
+        F.round(F.sum((p - q) * F.log(p / q)), round_to).alias("psi"),
     )

@@ -190,3 +190,82 @@ class TestLeakageSafeSplit:
         for i in (1, 2, 3, 6, 7, 8):
             assert lk[i] == plain[i]
         assert lk[4] == lk[5] == plain[4]  # comp rep = min id 4
+
+
+class TestDistributionDrift:
+    def test_identical_corpora_zero_drift(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        docs = spark.createDataFrame(
+            [(1, "aa bb cc"), (2, "bb cc dd")], "doc_id bigint, text string"
+        )
+        r = stats.distribution_drift(docs, docs).collect()[0]
+        assert (r.kl_old_new, r.kl_new_old, r.js, r.tv) == (0.0, 0.0, 0.0, 0.0)
+        assert r.n_tokens_old == r.n_tokens_new == 6
+        assert r.vocab == 4
+
+    def test_known_drift_math(self, spark):
+        import math
+
+        from datafusion_functions_json_spark.operators import stats
+
+        old = spark.createDataFrame([(1, "a a b")], "doc_id bigint, text string")
+        new = spark.createDataFrame([(1, "a b b b")], "doc_id bigint, text string")
+        r = stats.distribution_drift(old, new).collect()[0]
+        # vocab {a,b}, alpha=0.5: p=(2.5/4, 1.5/4), q=(1.5/5, 3.5/5)
+        p = [2.5 / 4, 1.5 / 4]
+        q = [1.5 / 5, 3.5 / 5]
+        kl = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
+        assert r.kl_old_new == round(kl, 6)
+        assert r.tv == round(sum(abs(pi - qi) for pi, qi in zip(p, q)) / 2, 6)
+        assert 0 < r.js < r.kl_old_new  # JS is the bounded symmetric one
+
+    def test_alpha_validation(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="alpha"):
+            stats.distribution_drift(docs, docs, alpha=0.0)
+
+
+class TestPsi:
+    def test_identical_is_zero(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(100)], "x double"
+        )
+        r = stats.psi(df, df, "x", lo=0.0, hi=100.0, bins=10).collect()[0]
+        assert r.psi == 0.0 and r.n_old == r.n_new == 100
+
+    def test_shift_detected_and_nulls_dropped(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        old = spark.createDataFrame(
+            [(float(i % 10),) for i in range(100)] + [(None,)], "x double"
+        )
+        new = spark.createDataFrame(
+            [(float(i % 10) + 5.0,) for i in range(100)], "x double"
+        )
+        r = stats.psi(old, new, "x", lo=0.0, hi=10.0, bins=10).collect()[0]
+        assert r.n_old == 100  # the NULL row dropped
+        assert r.psi > 0.25   # half the mass moved out of [0,5)
+
+    def test_overflow_underflow_buckets(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        old = spark.createDataFrame([(5.0,)] * 10, "x double")
+        new = spark.createDataFrame(
+            [(-1.0,)] * 5 + [(100.0,)] * 5, "x double"
+        )
+        r = stats.psi(old, new, "x", lo=0.0, hi=10.0, bins=2).collect()[0]
+        assert r.psi > 1.0  # all mass left the grid
+
+    def test_validation(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError, match="bins"):
+            stats.psi(df, df, "x", lo=0.0, hi=1.0, bins=0)
+        with pytest.raises(ValueError, match="hi > lo"):
+            stats.psi(df, df, "x", lo=1.0, hi=1.0)
