@@ -960,10 +960,14 @@ def _q_ann_recall(spark, sf_dir):
         "k",
         "hits",
         "recall",
+        # cast: assert_true yields a NullType column; the string cast
+        # gives it an oracle-comparable type (still raises on failure)
         F.assert_true(
             F.col("recall") >= 0.5,
             F.lit("SRP-LSH recall regression: below pinned 0.5"),
-        ).alias("recall_gate"),
+        )
+        .cast("string")
+        .alias("recall_gate"),
     )
 
 
@@ -3286,6 +3290,73 @@ def _q_psi_drift(spark, sf_dir):
     )
 
 
+def _planes_values_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """The deterministic SRP hyperplanes as a SQL VALUES list
+    ``(i, DOUBLE[])`` — repr() literals round-trip to the identical
+    doubles on any engine."""
+    planes = similarity._hyperplanes(dim, n_planes, seed)
+    return ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in h)}]::DOUBLE[])"
+        for i, h in enumerate(planes)
+    )
+
+
+def _multitable_planes_sql(
+    n_tables: int, n_planes: int, dim: int = 64, seed: int = 42
+) -> str:
+    """Multi-table SRP planes as ``(t, i, DOUBLE[])`` VALUES rows —
+    table ``t`` uses seed ``seed + t`` exactly like knn_graph."""
+    rows = []
+    for t in range(n_tables):
+        for i, h in enumerate(similarity._hyperplanes(dim, n_planes, seed + t)):
+            rows.append(
+                f"({t}, {i}, [{', '.join(repr(x) for x in h)}]::DOUBLE[])"
+            )
+    return ", ".join(rows)
+
+
+def _ann_oracle_sql(n_planes: int, multiprobe: int, k: int) -> str:
+    """SRP-LSH ANN replayed in DuckDB: the hyperplanes are
+    deterministic Python floats (random.Random(42).gauss), so they
+    inline as DOUBLE literals — the same trick as random_project's
+    oracle — and the multiprobe masks are static ints. The query
+    vector and its signature stay IN SQL (they depend on the data), so
+    one oracle string serves every SF. Sign parity is robust: a
+    projection would need |dot| < ~1e-12 to flip between engines."""
+    import itertools
+
+    rows = _planes_values_sql(n_planes)
+    masks = {0}
+    for r in range(1, multiprobe + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            m = 0
+            for i in combo:
+                m |= 1 << i
+            masks.add(m)
+    masks_sql = ", ".join(str(m) for m in sorted(masks))
+    return (
+        "with q as (select embedding::DOUBLE[] as qv from embeddings "
+        "where vec_id = 0), "
+        f"pl as (select * from (values {rows}) as t(i, h)), "
+        "qs as (select sum(case when list_dot_product(qv, h) >= 0 "
+        "then (1::bigint << i) else 0 end)::bigint as sig "
+        "from q cross join pl), "
+        "bk as (select vec_id, sum(case when "
+        "list_dot_product(embedding::DOUBLE[], h) >= 0 "
+        "then (1::bigint << i) else 0 end)::bigint as b "
+        "from embeddings cross join pl group by vec_id), "
+        "pr as (select distinct xor(sig, m) as pb from qs cross join "
+        f"(select unnest([{masks_sql}]) as m) ms), "
+        "cand as (select e.vec_id, e.embedding::DOUBLE[] as v "
+        "from embeddings e join bk using (vec_id) "
+        "join pr on bk.b = pr.pb) "
+        "select vec_id, round(list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), "
+        "6) as cosine from cand, q "
+        f"order by cosine desc, vec_id asc limit {k}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_json_agg(spark, "/root/testdata/sf0.001")
@@ -5221,5 +5292,65 @@ def oracle_sql() -> dict[str, str]:
             "select max(n_old)::bigint as n_old, "
             "max(n_new)::bigint as n_new, "
             "round(sum((p - q) * ln(p / q)), 6) as psi from x"
+        ),
+        # SRP-LSH replayed with the hyperplanes inlined as literals —
+        # converts the last LSH-tier rows-only entries to full oracles
+        "ann_topk": _ann_oracle_sql(10, 1, 5),
+        "embedding_dups": (
+            "with b as (select vec_id, embedding from embeddings "
+            "union all select vec_id + 1000000 as vec_id, "
+            "list_transform(embedding, "
+            "x -> (x::double * 1.001::double)::float) as embedding "
+            "from embeddings where vec_id < 5), "
+            f"pl as (select * from (values {_planes_values_sql(10)}) "
+            "as t(i, h)), "
+            "bk as (select vec_id, embedding::DOUBLE[] as v, "
+            "sum(case when list_dot_product(embedding::DOUBLE[], h) >= 0 "
+            "then (1::bigint << i) else 0 end)::bigint as bkt "
+            "from b cross join pl group by vec_id, embedding), "
+            "p as (select a.vec_id as id_a, r.vec_id as id_b, "
+            "round(list_dot_product(a.v, r.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * "
+            "sqrt(list_dot_product(r.v, r.v))), 6) as cosine "
+            "from bk a join bk r on a.bkt = r.bkt "
+            "and a.vec_id < r.vec_id) "
+            "select distinct id_a, id_b, cosine from p "
+            "where cosine >= 0.95"
+        ),
+        "knn_graph": (
+            f"with pl as (select * from (values "
+            f"{_multitable_planes_sql(4, 8)}) as tt(t, i, h)), "
+            "bk as (select t, vec_id, embedding::DOUBLE[] as v, "
+            "sum(case when list_dot_product(embedding::DOUBLE[], h) >= 0 "
+            "then (1::bigint << i) else 0 end)::bigint as b "
+            "from embeddings cross join pl group by t, vec_id, embedding), "
+            "pairs as (select distinct a.vec_id as id, "
+            "r.vec_id as nbr_id, a.v as va, r.v as vb "
+            "from bk a join bk r on a.t = r.t and a.b = r.b "
+            "and a.vec_id <> r.vec_id), "
+            "scored as (select id, nbr_id, "
+            "round(list_dot_product(va, vb) / "
+            "(sqrt(list_dot_product(va, va)) * "
+            "sqrt(list_dot_product(vb, vb))), 6) as cosine from pairs) "
+            "select id, nbr_id, cosine from (select *, row_number() over ("
+            "partition by id order by cosine desc, nbr_id asc) as rn "
+            "from scored) where rn <= 5"
+        ),
+        "ann_recall": (
+            "with approx as ("
+            + _ann_oracle_sql(4, 2, 10)
+            + "), exact as ("
+            "with q as (select embedding::DOUBLE[] as qv from embeddings "
+            "where vec_id = 0) "
+            "select vec_id from (select vec_id, round("
+            "list_dot_product(embedding::DOUBLE[], qv) / "
+            "(sqrt(list_dot_product(embedding::DOUBLE[], "
+            "embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv))), 6) "
+            "as cosine from embeddings, q "
+            "order by cosine desc, vec_id asc limit 10)"
+            "), h as (select count(*)::bigint as hits "
+            "from approx semi join exact using (vec_id)) "
+            "select 10 as k, hits, hits / 10.0::double as recall, "
+            "null::varchar as recall_gate from h"
         ),
     }

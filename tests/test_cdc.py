@@ -269,3 +269,116 @@ class TestPsi:
             stats.psi(df, df, "x", lo=0.0, hi=1.0, bins=0)
         with pytest.raises(ValueError, match="hi > lo"):
             stats.psi(df, df, "x", lo=1.0, hi=1.0)
+
+
+class TestCdcDuckDifferential:
+    """Randomized differential: the cdc operators vs their relational
+    definitions executed by DuckDB on identical data."""
+
+    def _to_duck(self, con, name, rows):
+        import pandas as pd
+
+        con.register(name, pd.DataFrame(rows, columns=["id", "v"]))
+
+    def test_merge_and_diff_random(self, spark):
+        import random
+
+        import duckdb
+
+        rng = random.Random(7)
+        for trial in range(3):
+            tgt = [(i, rng.choice("abc")) for i in rng.sample(range(30), 12)]
+            # source: unique keys, some overlapping, some new, some deletes
+            skeys = rng.sample(range(40), 10)
+            src = [
+                (k, rng.choice("xyz"), rng.random() < 0.3) for k in skeys
+            ]
+            t = spark.createDataFrame(tgt, "id bigint, v string")
+            s = spark.createDataFrame(src, "id bigint, v string, d boolean")
+            got = sorted(
+                (r.id, r.v)
+                for r in cdc.merge_upsert(t, s, "id", delete_col="d").collect()
+            )
+            con = duckdb.connect()
+            import pandas as pd
+
+            con.register("t", pd.DataFrame(tgt, columns=["id", "v"]))
+            con.register(
+                "s", pd.DataFrame(src, columns=["id", "v", "d"])
+            )
+            want = sorted(
+                tuple(r)
+                for r in con.execute(
+                    "select id, v from t where not exists "
+                    "(select 1 from s where s.id = t.id) "
+                    "union all select id, v from s where not d"
+                ).fetchall()
+            )
+            assert got == want, f"trial {trial}"
+            # snapshot_diff vs its SQL definition on the same frames
+            got_d = sorted(
+                (r.id, r.change)
+                for r in cdc.snapshot_diff(
+                    t, s.filter(~F.col("d")).drop("d"), "id"
+                ).collect()
+            )
+            want_d = sorted(
+                tuple(r)
+                for r in con.execute(
+                    "with n as (select id, v from s where not d), "
+                    "j as (select coalesce(t.id, n.id) as id, "
+                    "case when t.id is null then 'added' "
+                    "when n.id is null then 'removed' "
+                    "when not (t.v is not distinct from n.v) then 'changed' "
+                    "else 'unchanged' end as c "
+                    "from t full outer join n on t.id = n.id) "
+                    "select id, c from j where c <> 'unchanged'"
+                ).fetchall()
+            )
+            assert got_d == want_d, f"diff trial {trial}"
+
+    def test_cdc_log_random(self, spark):
+        import random
+
+        import duckdb
+        import pandas as pd
+
+        rng = random.Random(11)
+        tgt = [(i, "base") for i in range(8)]
+        log = []
+        seq = 0
+        for _ in range(40):
+            seq += 1
+            log.append(
+                (
+                    rng.randrange(12),
+                    rng.choice(["p", "q", "r"]),
+                    rng.choice(["I", "U", "U", "D"]),
+                    seq,
+                )
+            )
+        t = spark.createDataFrame(tgt, "id bigint, v string")
+        lg = spark.createDataFrame(
+            log, "id bigint, v string, op string, seq bigint"
+        )
+        got = sorted(
+            (r.id, r.v)
+            for r in cdc.apply_cdc_log(t, lg, "id", seq_col="seq").collect()
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(tgt, columns=["id", "v"]))
+        con.register(
+            "lg", pd.DataFrame(log, columns=["id", "v", "op", "seq"])
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "with latest as (select id, v, op from ("
+                "select *, row_number() over (partition by id "
+                "order by seq desc) as rn from lg) where rn = 1) "
+                "select id, v from t where not exists "
+                "(select 1 from latest l where l.id = t.id) "
+                "union all select id, v from latest where op <> 'D'"
+            ).fetchall()
+        )
+        assert got == want
