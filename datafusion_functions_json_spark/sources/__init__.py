@@ -22,6 +22,7 @@ from .sinks import (
     estimate_files,
     write_bucketed,
     write_partitioned,
+    compact_parquet,
     write_jsonl,
     write_training_shards,
 )
@@ -41,4 +42,5 @@ __all__ = [
     "estimate_files",
     "write_training_shards",
     "write_jsonl",
+    "compact_parquet",
 ]

@@ -14,7 +14,14 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["write_partitioned", "write_bucketed", "estimate_files", "write_training_shards", "write_jsonl"]
+__all__ = [
+    "write_partitioned",
+    "write_bucketed",
+    "estimate_files",
+    "write_training_shards",
+    "write_jsonl",
+    "compact_parquet",
+]
 
 
 def _norm_partition_by(partition_by) -> tuple:
@@ -156,3 +163,75 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files — the maintenance
+    pass every long-lived ingest target needs (streaming sinks, hourly
+    appends, and CDC merges all accrete small files, and at 100 TB the
+    per-file open/footer cost dominates scans long before data volume
+    does).
+
+    Sizing comes from FILE METADATA (a directory walk summing on-disk
+    parquet sizes), not a data pass; the rewrite itself is
+    one coalesce-shaped job into a staging directory which then
+    atomically replaces the input (rename swap — same driver-mounted
+    filesystem contract as :func:`~..streaming.upsert_sink`). Skips and
+    reports when the directory already has fewer than ``min_files``
+    files.
+
+    Returns ``{"files_before", "files_after", "bytes", "compacted"}``.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    n_files = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n_files += 1
+    if n_files < min_files:
+        return {
+            "files_before": n_files,
+            "files_after": n_files,
+            "bytes": total,
+            "compacted": False,
+        }
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    staging = path.rstrip("/") + ".compacting"
+    # repartition, not coalesce: coalesce(1) would also collapse the
+    # UPSTREAM read parallelism into one task; repartition keeps the
+    # scan wide and only narrows the write
+    spark.read.parquet(path).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    backup = path.rstrip("/") + ".precompact"
+    os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(backup, path)  # restore on failure
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+    out_files = sum(
+        1
+        for _r, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_before": n_files,
+        "files_after": out_files,
+        "bytes": total,
+        "compacted": True,
+    }

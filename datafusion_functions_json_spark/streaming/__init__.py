@@ -30,6 +30,8 @@ __all__ = [
     "sessionize_tws",
     "upsert_sink",
     "read_current",
+    "read_version",
+    "list_versions",
 ]
 
 
@@ -780,3 +782,37 @@ def upsert_sink(
 
     os.makedirs(target_dir, exist_ok=True)
     return stream.writeStream.foreachBatch(_merge)
+
+
+def list_versions(target_dir: str) -> list[int]:
+    """Batch ids of the snapshot versions still on disk for an
+    :func:`upsert_sink` target (ascending). Pruned versions are gone;
+    the committed one is always last-or-absent-only-if-never-committed."""
+    import os
+    import re as _re
+
+    try:
+        names = os.listdir(target_dir)
+    except OSError:
+        return []
+    return sorted(
+        int(d[1:]) for d in names if _re.fullmatch(r"v\d{20}", d)
+    )
+
+
+def read_version(spark, target_dir: str, batch_id: int):
+    """Time-travel read of a specific retained :func:`upsert_sink`
+    snapshot. Raises ``ValueError`` (listing what IS retained) for a
+    pruned or never-written version — a silent fallback to current
+    state would corrupt a reproducibility-sensitive consumer."""
+    import os
+
+    name = f"v{batch_id:020d}"
+    path = os.path.join(target_dir, name)
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"version {batch_id} not retained under {target_dir}; "
+            f"available: {list_versions(target_dir)} "
+            "(raise keep_versions to retain more history)"
+        )
+    return spark.read.parquet(path)

@@ -345,3 +345,40 @@ class TestReviewFindingsRound7c:
         )
         df0.count()
         assert obs.get == {"n_rows": 0, "null_id": 0}
+
+
+class TestCompactParquet:
+    def test_compacts_small_files(self, spark, tmp_path):
+        from datafusion_functions_json_spark.sources import compact_parquet
+
+        p = str(tmp_path / "frag")
+        df = spark.range(0, 1000).selectExpr("id", "id * 2 as y")
+        df.repartition(16).write.parquet(p)
+        import os
+
+        before = sum(
+            1 for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        assert before >= 8
+        rpt = compact_parquet(spark, p, target_file_bytes=1 << 30)
+        assert rpt["compacted"] and rpt["files_before"] == before
+        assert rpt["files_after"] == 1
+        back = spark.read.parquet(p)
+        assert back.count() == 1000
+        assert back.agg({"y": "sum"}).collect()[0][0] == 999 * 1000
+        # no staging/backup leftovers
+        assert not os.path.exists(p + ".compacting")
+        assert not os.path.exists(p + ".precompact")
+
+    def test_skips_already_compact(self, spark, tmp_path):
+        from datafusion_functions_json_spark.sources import compact_parquet
+
+        p = str(tmp_path / "one")
+        spark.range(10).coalesce(1).write.parquet(p)
+        rpt = compact_parquet(spark, p)
+        assert rpt == {
+            "files_before": 1,
+            "files_after": 1,
+            "bytes": rpt["bytes"],
+            "compacted": False,
+        }

@@ -772,3 +772,36 @@ class TestUpsertSink:
 
     def test_read_current_before_first_commit(self, spark, tmp_path):
         assert js.read_current(spark, str(tmp_path / "nope")) is None
+
+
+class TestVersionReads:
+    def test_time_travel_and_listing(self, spark, tmp_path):
+        src = tmp_path / "tt_in"
+        src.mkdir()
+        tgt = str(tmp_path / "tt_tgt")
+        ckpt = str(tmp_path / "tt_ckpt")
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+        )
+        with open(src / "b0.jsonl", "w") as f:
+            f.write(json.dumps({"id": 1, "v": "a"}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            js.upsert_sink(stream, tgt, "id", keep_versions=5)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            with open(src / "b1.jsonl", "w") as f:
+                f.write(json.dumps({"id": 1, "v": "b"}) + "\n")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert js.list_versions(tgt) == [0, 1]
+        v0 = {r.id: r.v for r in js.read_version(spark, tgt, 0).collect()}
+        v1 = {r.id: r.v for r in js.read_version(spark, tgt, 1).collect()}
+        assert v0 == {1: "a"} and v1 == {1: "b"}
+        with pytest.raises(ValueError, match="available: \\[0, 1\\]"):
+            js.read_version(spark, tgt, 7)
+        assert js.list_versions(str(tmp_path / "nope")) == []
