@@ -24,10 +24,15 @@ def test_registry_keys_unique_and_oracle_subset():
     assert set(o) <= set(reg), sorted(set(o) - set(reg))
     # the documented rows-only exceptions are the ONLY oracle-less ones
     oracle_less = set(reg) - set(o)
+    # round 8 converted the SRP-LSH tier (ann_topk/ann_recall/
+    # embedding_dups/knn_graph) to full oracles by inlining the
+    # deterministic hyperplanes; these six are structurally
+    # non-mirrorable (xxhash64 minhash/simhash, GK sketch, the
+    # rand()-sampled numpy IVF build)
     assert oracle_less == {
-        "ann_recall", "minhash_pairs", "percentiles_approx",
-        "minhash_incremental", "knn_graph", "simhash_pairs",
-        "ann_topk", "ivf_topk", "ivf_recall", "embedding_dups",
+        "minhash_pairs", "percentiles_approx",
+        "minhash_incremental", "simhash_pairs",
+        "ivf_topk", "ivf_recall",
     }, sorted(oracle_less)
 
 
