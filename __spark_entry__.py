@@ -2666,10 +2666,14 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_ivf_topk(spark, sf_dir):
-    # second ANN tier: k-means IVF build + nprobe-bounded exact re-rank
+    # second ANN tier, DISTRIBUTED deterministic build (round 8): the
+    # md5-seeded two-iteration kmeans_fit index is engine-reproducible,
+    # so the oracle replays build + nprobe probing + exact re-rank in
+    # SQL (the sample+numpy ivf_build stays pytest-covered — its rand()
+    # sample is inherently non-mirrorable).
     emb = _emb(spark, sf_dir)
-    assigned, cents = similarity.ivf_build(
-        emb, "embedding", dim=64, n_clusters=8, sample=512
+    assigned, cents = similarity.ivf_build_distributed(
+        emb, "vec_id", "embedding", n_clusters=8, iters=2, salt="ivf"
     )
     return similarity.ivf_topk(
         assigned, cents, "embedding", _query_vector(sf_dir), k=5, nprobe=2
@@ -2994,17 +2998,17 @@ def _q_video_features(spark, sf_dir):
 
 
 def _q_ivf_recall(spark, sf_dir):
-    # recall gate for the IVF tier (rows-only: centroids are k-means on
-    # a sampled fraction, not SQL-reproducible). The assert_true column
-    # PINS recall >= 0.55 (observed 0.8 at the driver's sf0.01 and 0.6
-    # at the tiny sf0.001, nprobe=4 of 8 lists): a silent ANN regression
-    # (bucketing/centroid bug collapses recall toward k/n) now errors
-    # the row red instead of reporting a quietly-worse number.
+    # recall gate for the IVF tier — ORACLE-checked since round 8 (the
+    # distributed md5-seeded build replays in SQL). The assert_true
+    # column still PINS recall >= 0.55 (nprobe=4 of 8 lists): a silent
+    # ANN regression (bucketing/centroid bug collapses recall toward
+    # k/n) errors the row red instead of reporting a quietly-worse
+    # number, independent of the hash compare.
     emb = _emb(spark, sf_dir)
     q = _query_vector(sf_dir)
     exact = similarity.cosine_topk(emb, "embedding", q, k=10)
-    assigned, cents = similarity.ivf_build(
-        emb, "embedding", dim=64, n_clusters=8, sample=512
+    assigned, cents = similarity.ivf_build_distributed(
+        emb, "vec_id", "embedding", n_clusters=8, iters=2, salt="ivf"
     )
     approx = similarity.ivf_topk(assigned, cents, "embedding", q, k=10, nprobe=4)
     r = similarity.recall_at_k(approx, exact, k=10)
@@ -3014,7 +3018,9 @@ def _q_ivf_recall(spark, sf_dir):
         "recall",
         F.assert_true(
             F.col("recall") >= 0.55, F.lit("IVF recall regression: below pinned 0.55")
-        ).alias("recall_gate"),
+        )
+        .cast("string")
+        .alias("recall_gate"),
     )
 
 
@@ -3313,6 +3319,59 @@ def _multitable_planes_sql(
                 f"({t}, {i}, [{', '.join(repr(x) for x in h)}]::DOUBLE[])"
             )
     return ", ".join(rows)
+
+
+def _ivf_oracle_sql(nprobe: int, k: int) -> str:
+    """The distributed IVF tier replayed in DuckDB: the kmeans mirror
+    (md5('ivf:')-ranked seeds, one assignment, 6-decimal-rounded mean
+    update, final assignment — the exact CTE chain the `kmeans` oracle
+    proves), then the query's ``nprobe`` nearest centroids, candidates
+    from those lists, exact-cosine top-k."""
+    return (
+        "with f as (select vec_id, embedding, "
+        "try_cast(('0x' || substr(md5('ivf:' || vec_id::varchar), 1, 8)) "
+        "as bigint) / 4294967296.0 as b from embeddings), "
+        "sr as (select vec_id, embedding, "
+        "row_number() over (order by b, vec_id) - 1 as label from f), "
+        "seeds as (select label, embedding as centroid from sr "
+        "where label < 8), "
+        "d1 as (select vec_id, label, sum((x - m) * (x - m)) as dd from ("
+        "select e.vec_id, s.label, unnest(e.embedding)::double as x, "
+        "unnest(s.centroid)::double as m "
+        "from embeddings e cross join seeds s) group by vec_id, label), "
+        "a1 as (select vec_id, label from (select vec_id, label, "
+        "row_number() over (partition by vec_id order by dd, label) as rn "
+        "from d1) where rn = 1), "
+        "c1 as (select label, list(round(m, 6) order by pos) as centroid "
+        "from (select a1.label as label, t.pos, avg(t.x) as m from ("
+        "select vec_id, unnest(embedding)::double as x, "
+        "generate_subscripts(embedding, 1) as pos from embeddings) t "
+        "join a1 using (vec_id) group by a1.label, t.pos) group by label), "
+        "d2 as (select vec_id, label, sum((x - m) * (x - m)) as dd from ("
+        "select e.vec_id, c.label, unnest(e.embedding)::double as x, "
+        "unnest(c.centroid) as m "
+        "from embeddings e cross join c1 c) group by vec_id, label), "
+        "a2 as (select vec_id, label from (select vec_id, label, "
+        "row_number() over (partition by vec_id order by dd, label) as rn "
+        "from d2) where rn = 1), "
+        "q as (select embedding::DOUBLE[] as qv from embeddings "
+        "where vec_id = 0), "
+        "qd as (select cl.label, sum((cm - qx) * (cm - qx)) as dd from ("
+        "select label, unnest(centroid) as cm, "
+        "generate_subscripts(centroid, 1) as pos from c1) cl join ("
+        "select unnest(qv)::double as qx, generate_subscripts(qv, 1) as pos "
+        "from q) qq using (pos) group by cl.label), "
+        "pr as (select label from (select label, row_number() over ("
+        "order by dd, label) as rn from qd) "
+        f"where rn <= {nprobe}), "
+        "cand as (select e.vec_id, e.embedding::DOUBLE[] as v "
+        "from embeddings e join a2 on e.vec_id = a2.vec_id "
+        "join pr on a2.label = pr.label) "
+        "select vec_id, round(list_dot_product(v, qv) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), "
+        "6) as cosine from cand, q "
+        f"order by cosine desc, vec_id asc limit {k}"
+    )
 
 
 def _ann_oracle_sql(n_planes: int, multiprobe: int, k: int) -> str:
@@ -5296,6 +5355,24 @@ def oracle_sql() -> dict[str, str]:
         # SRP-LSH replayed with the hyperplanes inlined as literals —
         # converts the last LSH-tier rows-only entries to full oracles
         "ann_topk": _ann_oracle_sql(10, 1, 5),
+        "ivf_topk": _ivf_oracle_sql(2, 5),
+        "ivf_recall": (
+            "with approx as ("
+            + _ivf_oracle_sql(4, 10)
+            + "), exact as ("
+            "with q as (select embedding::DOUBLE[] as qv from embeddings "
+            "where vec_id = 0) "
+            "select vec_id from (select vec_id, round("
+            "list_dot_product(embedding::DOUBLE[], qv) / "
+            "(sqrt(list_dot_product(embedding::DOUBLE[], "
+            "embedding::DOUBLE[])) * sqrt(list_dot_product(qv, qv))), 6) "
+            "as cosine from embeddings, q "
+            "order by cosine desc, vec_id asc limit 10)"
+            "), h as (select count(*)::bigint as hits "
+            "from approx semi join exact using (vec_id)) "
+            "select 10 as k, hits, hits / 10.0::double as recall, "
+            "null::varchar as recall_gate from h"
+        ),
         "embedding_dups": (
             "with b as (select vec_id, embedding from embeddings "
             "union all select vec_id + 1000000 as vec_id, "

@@ -45,6 +45,7 @@ __all__ = [
     "ann_topk",
     "recall_at_k",
     "ivf_build",
+    "ivf_build_distributed",
     "ivf_topk",
     "embedding_dup_pairs",
     "knn_graph",
@@ -388,7 +389,54 @@ def ivf_build(
     return df.withColumn("ivf_cluster", _assign(F.col(vec_col))), centroids
 
 
+def ivf_build_distributed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_clusters: int = 16,
+    iters: int = 2,
+    salt: str = "ivf",
+):
+    """IVF index built with the DISTRIBUTED deterministic k-means
+    (:func:`kmeans_fit`) instead of the driver-side numpy sample —
+    the fully engine-reproducible build: md5-ranked seeds, rounded
+    means, tie-stable assignment, so the index (and therefore every
+    probe result) is identical on any engine and the driver oracle can
+    replay it in SQL. Same return contract as :func:`ivf_build`:
+    ``(assigned_df, centroids)`` with an ``ivf_cluster`` column and a
+    positionally-indexed centroid list (kmeans labels are re-mapped to
+    list positions, which matters when Lloyd dropout leaves label
+    gaps).
+
+    When to use which: ``ivf_build`` (sample+numpy) converges harder
+    for the same wall-clock and is fine when reproducibility across
+    engines/runs isn't required; this one is the auditable path —
+    training cost is ``iters`` full passes (the MLlib pattern, one
+    keyed partial-agg shuffle each). The k×dim centroid collect is the
+    same bounded driver state kmeans_fit already documents.
+    """
+    assigned, cent = kmeans_fit(
+        df, id_col, vec_col, n_clusters, iters=iters, salt=salt
+    )
+    rows = sorted(cent.collect(), key=lambda r: r["label"])
+    centroids = [[float(x) for x in r["centroid"]] for r in rows]
+    mapping = {r["label"]: i for i, r in enumerate(rows)}
+    map_expr = F.create_map(
+        *[F.lit(x) for kv in mapping.items() for x in kv]
+    )
+    out = (
+        df.join(assigned.select(id_col, "pred_label"), id_col)
+        .withColumn(
+            "ivf_cluster", map_expr[F.col("pred_label")].cast("int")
+        )
+        .drop("pred_label")
+    )
+    return out, centroids
+
+
 def ivf_topk(
+
     assigned_df: DataFrame,
     centroids,
     vec_col: str,

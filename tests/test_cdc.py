@@ -382,3 +382,52 @@ class TestCdcDuckDifferential:
             ).fetchall()
         )
         assert got == want
+
+
+class TestIvfDistributed:
+    def test_deterministic_and_self_consistent(self, spark):
+        from datafusion_functions_json_spark.operators import similarity
+
+        rows = []
+        for c, base in enumerate([0.0, 10.0, -10.0]):
+            for i in range(6):
+                rows.append(
+                    (c * 100 + i, [base + 0.01 * i, base - 0.01 * i])
+                )
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        a1, c1 = similarity.ivf_build_distributed(
+            df, "vec_id", "embedding", n_clusters=3, iters=2, salt="t"
+        )
+        a2, c2 = similarity.ivf_build_distributed(
+            df, "vec_id", "embedding", n_clusters=3, iters=2, salt="t"
+        )
+        g1 = {r.vec_id: r.ivf_cluster for r in a1.collect()}
+        g2 = {r.vec_id: r.ivf_cluster for r in a2.collect()}
+        assert g1 == g2 and c1 == c2  # engine-reproducible build
+        assert set(g1.values()) <= set(range(len(c1)))
+        # self-consistency: every vector's list IS its nearest centroid
+        # (the returned centroids are the ones the final assignment used)
+        vecs = {r[0]: r[1] for r in rows}
+        for vid, cl in g1.items():
+            d = [
+                sum((float(x) - m) ** 2 for x, m in zip(vecs[vid], cc))
+                for cc in c1
+            ]
+            assert d[cl] == min(d)
+
+    def test_probe_returns_list_members(self, spark):
+        from datafusion_functions_json_spark.operators import similarity
+
+        rows = [(i, [float(i), float(-i)]) for i in range(12)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        assigned, cents = similarity.ivf_build_distributed(
+            df, "vec_id", "embedding", n_clusters=2, iters=2, salt="p"
+        )
+        got = similarity.ivf_topk(
+            assigned, cents, "embedding", [11.0, -11.0], k=3, nprobe=1
+        ).collect()
+        # the probed list is the one whose centroid is nearest the
+        # query; all results must come from that single list
+        members = {r.vec_id: r.ivf_cluster for r in assigned.collect()}
+        lists = {members[r.vec_id] for r in got}
+        assert len(got) >= 1 and len(lists) == 1

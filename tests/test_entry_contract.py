@@ -25,14 +25,13 @@ def test_registry_keys_unique_and_oracle_subset():
     # the documented rows-only exceptions are the ONLY oracle-less ones
     oracle_less = set(reg) - set(o)
     # round 8 converted the SRP-LSH tier (ann_topk/ann_recall/
-    # embedding_dups/knn_graph) to full oracles by inlining the
-    # deterministic hyperplanes; these six are structurally
-    # non-mirrorable (xxhash64 minhash/simhash, GK sketch, the
-    # rand()-sampled numpy IVF build)
+    # embedding_dups/knn_graph — deterministic hyperplanes inlined)
+    # and the IVF tier (switched to the md5-seeded distributed build)
+    # to full oracles; these four are structurally non-mirrorable
+    # (xxhash64-based minhash/simhash candidates, the GK sketch)
     assert oracle_less == {
         "minhash_pairs", "percentiles_approx",
         "minhash_incremental", "simhash_pairs",
-        "ivf_topk", "ivf_recall",
     }, sorted(oracle_less)
 
 
