@@ -236,9 +236,16 @@ def test_rewrite_sql_never_crashes_on_garbage(junk):
 @settings(max_examples=200, deadline=None)
 @given(junk=st.text(alphabet="abc_019 (),'.=<>!%+-*/\n\t", max_size=80))
 def test_rewrite_sql_identity_without_operators(junk):
-    # no -> / ->> / ? / registered-function names => byte-identical output
+    # no -> / ->> / ? / registered-function names => byte-identical output.
+    # The alphabet contains '-' and '>', so the generator CAN assemble a
+    # real `->` operator (hypothesis found '0->0', which the rewriter
+    # correctly rewrites) — assume it away; the identity contract only
+    # covers operator-free text.
+    from hypothesis import assume
+
     from datafusion_functions_json_spark.sql import rewrite_sql
 
+    assume("->" not in junk)
     assert rewrite_sql(junk) == junk
 
 
