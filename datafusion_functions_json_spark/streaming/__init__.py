@@ -29,6 +29,7 @@ __all__ = [
     "sessionize_batch",
     "sessionize_tws",
     "upsert_sink",
+    "merge_batch_fn",
     "read_current",
     "read_version",
     "list_versions",
@@ -713,6 +714,37 @@ def upsert_sink(
     you an atomic rename.
     """
     import os
+
+    _merge = merge_batch_fn(
+        target_dir,
+        keys,
+        delete_col=delete_col,
+        seq_col=seq_col,
+        op_col=op_col,
+        delete_op=delete_op,
+        keep_versions=keep_versions,
+    )
+    os.makedirs(target_dir, exist_ok=True)
+    return stream.writeStream.foreachBatch(_merge)
+
+
+def merge_batch_fn(
+    target_dir: str,
+    keys,
+    *,
+    delete_col: str | None = None,
+    seq_col: str | None = None,
+    op_col: str = "op",
+    delete_op: str = "D",
+    keep_versions: int = 2,
+):
+    """The per-micro-batch merge-and-commit step of :func:`upsert_sink`
+    as a standalone ``(batch_df, batch_id) -> None`` callable — exposed
+    so the crash-window semantics (version written but pointer not yet
+    committed; stale replays; prune safety) are directly testable, and
+    so a batch job can apply an incremental file drop through the exact
+    code path the streaming sink uses."""
+    import os
     import re as _re
     import shutil
 
@@ -780,8 +812,7 @@ def upsert_sink(
                     os.path.join(target_dir, stale), ignore_errors=True
                 )
 
-    os.makedirs(target_dir, exist_ok=True)
-    return stream.writeStream.foreachBatch(_merge)
+    return _merge
 
 
 def list_versions(target_dir: str) -> list[int]:

@@ -805,3 +805,62 @@ class TestVersionReads:
         with pytest.raises(ValueError, match="available: \\[0, 1\\]"):
             js.read_version(spark, tgt, 7)
         assert js.list_versions(str(tmp_path / "nope")) == []
+
+
+class TestMergeBatchCrashWindows:
+    def _b(self, spark, rows):
+        return spark.createDataFrame(rows, "id bigint, v string")
+
+    def test_crash_before_pointer_commit_recovers_on_replay(
+        self, spark, tmp_path
+    ):
+        import os
+
+        tgt = str(tmp_path / "crash_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(self._b(spark, [(1, "a")]), 0)
+        # simulate: batch 1 wrote its version dir but crashed BEFORE
+        # the pointer commit
+        self._b(spark, [(1, "b"), (2, "c")]).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tgt, f"v{1:020d}"))
+        assert {r.id: r.v for r in js.read_current(spark, tgt).collect()} == {
+            1: "a"
+        }  # readers still see the committed snapshot
+        # the checkpoint replays batch 1 through the normal path
+        merge(self._b(spark, [(1, "b"), (2, "c")]), 1)
+        assert {r.id: r.v for r in js.read_current(spark, tgt).collect()} == {
+            1: "b",
+            2: "c",
+        }
+
+    def test_replay_of_committed_batch_is_noop(self, spark, tmp_path):
+        tgt = str(tmp_path / "noop_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(self._b(spark, [(1, "a")]), 0)
+        merge(self._b(spark, [(2, "b")]), 1)
+        # at-least-once delivery replays batch 0 after batch 1 committed
+        merge(self._b(spark, [(1, "SHOULD_NOT_APPLY")]), 0)
+        got = {r.id: r.v for r in js.read_current(spark, tgt).collect()}
+        assert got == {1: "a", 2: "b"}
+        # and replaying the LATEST committed batch is also a no-op
+        # (re-merging would read and overwrite the same version dir)
+        merge(self._b(spark, [(9, "z")]), 1)
+        got = {r.id: r.v for r in js.read_current(spark, tgt).collect()}
+        assert got == {1: "a", 2: "b"}
+
+    def test_prune_never_removes_committed_snapshot(self, spark, tmp_path):
+        import os
+
+        tgt = str(tmp_path / "prune_tgt")
+        merge = js.merge_batch_fn(tgt, "id", keep_versions=1)
+        merge(self._b(spark, [(1, "a")]), 0)
+        # an uncommitted NEWER dir (crash after write, before commit)
+        self._b(spark, [(1, "x")]).write.parquet(
+            os.path.join(tgt, f"v{5:020d}")
+        )
+        merge(self._b(spark, [(2, "b")]), 1)
+        # v0 pruned (below committed v1), v1 retained; the stray v5
+        # was never eligible to push v1 out
+        assert js.list_versions(tgt) == [1, 5]
+        assert {r.id for r in js.read_current(spark, tgt).collect()} == {1, 2}
