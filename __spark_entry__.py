@@ -3278,6 +3278,27 @@ def _q_corpus_drift(spark, sf_dir):
     return stats.distribution_drift(docs, new, "text")
 
 
+def _q_grouped_drift(spark, sf_dir):
+    # per-source drift (operators/stats.grouped_drift): src1 loses half
+    # its documents and every 7th doc corpus-wide gains a planted
+    # token, so one group drifts hard and the rest mildly — the
+    # "which slice moved" report. Totals join keyed by group (groups
+    # unbounded at scale), everything (group, token)-keyed.
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    new = docs.filter(
+        ~((F.col("source") == "src1") & (F.col("doc_id") % 2 == 0))
+    ).select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" driftword")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return stats.grouped_drift(docs, new, "source", "text")
+
+
 def _q_psi_drift(spark, sf_dir):
     # numeric-feature drift (operators/stats.psi): new snapshot drops
     # every 3rd order and inflates every 5th price by 1.1, so mass
@@ -3628,6 +3649,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "corpus_drift": _q_corpus_drift,
+        "grouped_drift": _q_grouped_drift,
         "psi_drift": _q_psi_drift,
     }
 
@@ -5320,6 +5342,39 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(p * ln(p / ((p + q) / 2)) / 2 "
             "+ q * ln(q / ((p + q) / 2)) / 2), 6) as js, "
             "round(sum(abs(p - q)) / 2, 6) as tv from x"
+        ),
+        "grouped_drift": (
+            # per-source twin of corpus_drift: counts and totals keyed
+            # by source; same op-mirrored arithmetic
+            f"with oldt as (select source, unnest({_TOKENS_SQL}) as tok "
+            "from documents), "
+            "newd as (select source, case when doc_id % 7 = 0 "
+            "then text || ' driftword' else text end as text "
+            "from documents where not (source = 'src1' "
+            "and doc_id % 2 = 0)), "
+            f"newt as (select source, unnest({_TOKENS_SQL}) as tok "
+            "from newd), "
+            "co as (select source, tok, count(*) as c_old from oldt "
+            "group by source, tok), "
+            "cn as (select source, tok, count(*) as c_new from newt "
+            "group by source, tok), "
+            "j as (select coalesce(co.source, cn.source) as source, "
+            "coalesce(c_old, 0) as c_old, coalesce(c_new, 0) as c_new "
+            "from co full outer join cn "
+            "on co.source = cn.source and co.tok = cn.tok), "
+            "t as (select source, sum(c_old) as n_old, "
+            "sum(c_new) as n_new, count(*) as v from j group by source), "
+            "x as (select j.source, "
+            "(c_old + 0.5::double) / (n_old + 0.5::double * v) as p, "
+            "(c_new + 0.5::double) / (n_new + 0.5::double * v) as q, "
+            "n_old, n_new, v from j join t on j.source = t.source) "
+            "select source, max(n_old)::bigint as n_tokens_old, "
+            "max(n_new)::bigint as n_tokens_new, max(v)::bigint as vocab, "
+            "round(sum(p * ln(p / q)), 6) as kl_old_new, "
+            "round(sum(q * ln(q / p)), 6) as kl_new_old, "
+            "round(sum(p * ln(p / ((p + q) / 2)) / 2 "
+            "+ q * ln(q / ((p + q) / 2)) / 2), 6) as js, "
+            "round(sum(abs(p - q)) / 2, 6) as tv from x group by source"
         ),
         "psi_drift": (
             # same planted shift; 1.1 forced ::double (DuckDB decimal

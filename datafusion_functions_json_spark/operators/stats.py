@@ -27,6 +27,7 @@ __all__ = [
     "cohort_retention",
     "skew_report",
     "distribution_drift",
+    "grouped_drift",
     "psi",
 ]
 
@@ -185,33 +186,74 @@ def distribution_drift(
     corpus shuffles 8-byte counts keyed by token, never documents.
     Natural-log based (nats).
     """
+    return _drift_impl(
+        old, new, text_col, None, alpha=alpha, round_to=round_to
+    )
+
+
+def grouped_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    *,
+    alpha: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group :func:`distribution_drift` — one divergence row per
+    ``group_col`` value (source, language, domain bucket), answering
+    the question the global number can't: WHICH slice of the corpus
+    moved. Groups present on only one side still report (the other
+    side's distribution is the pure-smoothing uniform, so their
+    divergence is large — a source turned off IS drift).
+
+    Same arithmetic and smoothing as the global version; totals join
+    keyed by group instead of broadcasting (group count is unbounded),
+    so everything stays (group, token)-keyed partial aggregation."""
+    return _drift_impl(
+        old, new, text_col, group_col, alpha=alpha, round_to=round_to
+    )
+
+
+def _drift_impl(old, new, text_col, group_col, *, alpha, round_to):
     from . import text as _text
+
+    gcols = [group_col] if group_col else []
 
     def counts(df, side):
         return (
-            df.select(F.explode(_text.tokens(F.col(text_col))).alias("tok"))
-            .groupBy("tok")
+            df.select(
+                *gcols,
+                F.explode(_text.tokens(F.col(text_col))).alias("tok"),
+            )
+            .groupBy(*gcols, "tok")
             .agg(F.count("*").alias(f"c_{side}"))
         )
 
     a = float(alpha)
     if a <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    j = counts(old, "old").join(counts(new, "new"), "tok", "full_outer")
+    j = counts(old, "old").join(
+        counts(new, "new"), [*gcols, "tok"], "full_outer"
+    )
     j = j.select(
+        *gcols,
         F.coalesce("c_old", F.lit(0)).alias("c_old"),
         F.coalesce("c_new", F.lit(0)).alias("c_new"),
     )
-    tot = j.agg(
+    tot = j.groupBy(*gcols).agg(
         F.sum("c_old").alias("n_old"),
         F.sum("c_new").alias("n_new"),
         F.count("*").alias("v"),
     )
-    jt = j.crossJoin(F.broadcast(tot))  # 1-row totals broadcast
+    if group_col:
+        jt = j.join(tot, gcols)  # group-keyed totals: groups unbounded
+    else:
+        jt = j.crossJoin(F.broadcast(tot))  # 1-row totals broadcast
     p = (F.col("c_old") + a) / (F.col("n_old") + a * F.col("v"))
     q = (F.col("c_new") + a) / (F.col("n_new") + a * F.col("v"))
     m = (p + q) / 2
-    r = jt.agg(
+    return jt.groupBy(*gcols).agg(
         F.max("n_old").cast("bigint").alias("n_tokens_old"),
         F.max("n_new").cast("bigint").alias("n_tokens_new"),
         F.max("v").cast("bigint").alias("vocab"),
@@ -222,7 +264,6 @@ def distribution_drift(
         ).alias("js"),
         F.round(F.sum(F.abs(p - q)) / 2, round_to).alias("tv"),
     )
-    return r
 
 
 def psi(

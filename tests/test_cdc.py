@@ -431,3 +431,39 @@ class TestIvfDistributed:
         members = {r.vec_id: r.ivf_cluster for r in assigned.collect()}
         lists = {members[r.vec_id] for r in got}
         assert len(got) >= 1 and len(lists) == 1
+
+
+class TestGroupedDrift:
+    def test_group_absent_on_one_side_still_reports(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        # s2's counts are deliberately SKEWED: a uniform old
+        # distribution would exactly match the empty side's
+        # pure-smoothing uniform and legitimately report zero
+        old = spark.createDataFrame(
+            [("s1", "a a b"), ("s2", "x x x x x x y z")],
+            "src string, text string",
+        )
+        new = spark.createDataFrame(
+            [("s1", "a a b")], "src string, text string"
+        )
+        rows = {r.src: r for r in stats.grouped_drift(
+            old, new, "src", "text").collect()}
+        assert rows["s1"].tv == 0.0  # untouched group: zero drift
+        assert rows["s2"].n_tokens_new == 0
+        assert rows["s2"].tv > 0.3  # the turned-off source IS drift
+
+    def test_matches_global_for_single_group(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        old = spark.createDataFrame(
+            [("g", "a a b c"), ("g", "b c d")], "src string, text string"
+        )
+        new = spark.createDataFrame(
+            [("g", "a b b"), ("g", "c d d e")], "src string, text string"
+        )
+        g = stats.grouped_drift(old, new, "src", "text").collect()[0]
+        fl = stats.distribution_drift(old, new, "text").collect()[0]
+        assert (g.kl_old_new, g.kl_new_old, g.js, g.tv) == (
+            fl.kl_old_new, fl.kl_new_old, fl.js, fl.tv,
+        )
