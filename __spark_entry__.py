@@ -1074,6 +1074,34 @@ def _q_dedup_cc(spark, sf_dir):
     return graph.connected_components(edges, "src", "dst")
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    # canonical-document selection: same near-dup edge set as dedup_cc,
+    # but each duplicate component keeps its LONGEST text (ties -> min
+    # doc_id) instead of the min id — the keep-the-best-copy policy real
+    # corpora ship. Oracle: recursive-CTE closure + row_number ranking.
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("src"), F.col("text").alias("ta"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("src"),
+        F.col("doc_id").alias("dst"),
+        F.col("text").alias("tb"),
+    )
+    edges = (
+        a.join(b, "src")
+        .withColumn(
+            "jac",
+            dedup.jaccard_tokens(
+                F.array_distinct(text.tokens(F.col("ta"))),
+                F.array_distinct(text.tokens(F.col("tb"))),
+            ),
+        )
+        .filter(F.col("jac") >= 0.8)
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    scored = docs.select("doc_id", F.length("text").cast("int").alias("n_chars"))
+    return graph.dedup_keep_best(scored, "doc_id", edges, "n_chars")
+
+
 def _q_token_stats(spark, sf_dir):
     # repetition-class quality signals: single-pass entropy identity
     # H = ln(N) - sum(c ln c)/N over (doc, token) counts
@@ -3540,6 +3568,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "tf_idf": _q_tf_idf,
         "dedup_cc": _q_dedup_cc,
+        "dedup_keep_best": _q_dedup_keep_best,
         "hash_split": _q_hash_split,
         "class_centroids": _q_class_centroids,
         "centroid_assign": _q_centroid_assign,
@@ -5186,6 +5215,30 @@ def oracle_sql() -> dict[str, str]:
             "union "
             "select r.a, und.v from reach r join und on und.u = r.b) "
             "select a as node, min(b) as comp from reach group by a"
+        ),
+        "dedup_keep_best": (
+            # same closure as dedup_cc, then rank each component by
+            # (n_chars desc, doc_id asc) and drop everything but rank 1;
+            # docs never in the pair graph survive untouched
+            "with recursive "
+            f"toks as (select doc_id, list_distinct({_TOKENS_SQL}) as tk "
+            "from documents), "
+            "edges as (select a.doc_id as u, b.doc_id as v "
+            "from toks a join toks b on b.doc_id = a.doc_id + 1 "
+            "where case when len(list_distinct(list_concat(a.tk, b.tk))) > 0 "
+            "then len(list_intersect(a.tk, b.tk))::double / "
+            "len(list_distinct(list_concat(a.tk, b.tk))) else 0.0 end >= 0.8), "
+            "und as (select u, v from edges union select v, u from edges), "
+            "reach(a, b) as (select u, u from und "
+            "union "
+            "select r.a, und.v from reach r join und on und.u = r.b), "
+            "cc as (select a as node, min(b) as comp from reach group by a), "
+            "ranked as (select cc.node, row_number() over "
+            "(partition by cc.comp order by length(d.text) desc, cc.node asc) "
+            "as rn from cc join documents d on d.doc_id = cc.node), "
+            "losers as (select node from ranked where rn > 1) "
+            "select doc_id, length(text)::int as n_chars from documents "
+            "where doc_id not in (select node from losers)"
         ),
         "merge_upsert": (
             # same planted MERGE arms: %7 updates, %13 deletes, %5

@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_by_components", "pagerank"]
+__all__ = [
+    "connected_components",
+    "dedup_by_components",
+    "dedup_keep_best",
+    "pagerank",
+]
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -140,6 +145,50 @@ def dedup_by_components(
     cc = connected_components(pairs, id_a, id_b)
     losers = cc.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep the HIGHEST-``score_col`` row per duplicate component (ties →
+    minimum id) — canonical-document selection, the form of near-dup
+    removal production corpora actually ship: inside a duplicate chain
+    you keep the best-quality copy, not an arbitrary/min-id one.
+
+    Rows never mentioned in ``pairs`` survive untouched. A pair-graph id
+    missing from ``df`` simply loses (NULL score sorts last), so stale
+    edges cannot resurrect deleted rows.
+
+    100 TB shape: the component table holds only duped nodes (typically
+    a small fraction of the corpus), so the score join, the per-component
+    rank window, and its sort all shuffle that small table — the full
+    corpus is touched only by the final id-keyed left-anti join. (The
+    ``rn > 1`` losers filter cannot plan as WindowGroupLimit — every
+    row's rank is consumed — but the sort it pays is per-component over
+    dup nodes only, never corpus-wide.)
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, id_a, id_b)
+    scored = cc.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
+        "node",
+        "left",
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("_s").desc_nulls_last(), F.col("node").asc()
+    )
+    losers = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("node").alias(id_col))
     )
     return df.join(losers, on=id_col, how="left_anti")
 

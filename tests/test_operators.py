@@ -388,6 +388,38 @@ class TestConnectedComponents:
         )
         assert kept == [0, 1, 4]
 
+    def test_dedup_keep_best_picks_highest_score(self, spark):
+        # component {1,2,3}: best score at id 3; component {4,5}: tie →
+        # min id 4; id 0 untouched (never in pairs)
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, 5.0), (2, 9.0), (3, 9.5), (4, 2.0), (5, 2.0)],
+            "id long, score double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r.id
+            for r in graph.dedup_keep_best(df, "id", pairs, "score").collect()
+        )
+        assert kept == [0, 3, 4]
+
+    def test_dedup_keep_best_null_and_missing_scores_lose(self, spark):
+        # id 7 has NULL score, id 9 is in the pair graph but absent from
+        # df — both must lose to the scored id 8; absent ids never
+        # resurrect.
+        df = spark.createDataFrame(
+            [(7, None), (8, 0.5)], "id long, score double"
+        )
+        pairs = spark.createDataFrame(
+            [(7, 8), (8, 9)], "id_a long, id_b long"
+        )
+        kept = sorted(
+            r.id
+            for r in graph.dedup_keep_best(df, "id", pairs, "score").collect()
+        )
+        assert kept == [8]
+
 
 class TestSplit:
     def test_fraction_matches_hashlib(self, spark):
