@@ -804,6 +804,23 @@ def _q_hash_split(spark, sf_dir):
     )
 
 
+def _q_domain_cap(spark, sf_dir):
+    # per-source quality cap (split.cap_per_group): keep each source's
+    # 10 longest docs (ties -> min doc_id). The rank<=k filter plans as
+    # WindowGroupLimit — map-side top-k per group BEFORE the shuffle, so
+    # no group ever transfers more than ~k rows per input partition.
+    from datafusion_functions_json_spark.operators import split as split_ops
+
+    docs = _docs(spark, sf_dir)
+    return split_ops.cap_per_group(
+        docs.select("doc_id", "source", "n_chars"),
+        "source",
+        "n_chars",
+        "doc_id",
+        10,
+    )
+
+
 def _q_class_centroids(spark, sf_dir):
     # per-label mean embedding: explode + (label,pos) hash agg — partial
     # aggregation collapses each partition to labels×dim rows pre-shuffle;
@@ -3570,6 +3587,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc": _q_dedup_cc,
         "dedup_keep_best": _q_dedup_keep_best,
         "hash_split": _q_hash_split,
+        "domain_cap": _q_domain_cap,
         "class_centroids": _q_class_centroids,
         "centroid_assign": _q_centroid_assign,
         "weighted_sample": _q_weighted_sample,
@@ -5031,6 +5049,13 @@ def oracle_sql() -> dict[str, str]:
             "when b < 0.95 then 'val' else 'test' end as split from f) "
             "select split, count(*) as n, min(doc_id) as min_id "
             "from lab group by split"
+        ),
+        "domain_cap": (
+            # same top-10-per-source ordering: n_chars desc, doc_id asc
+            "select doc_id, source, n_chars from ("
+            "select doc_id, source, n_chars, row_number() over "
+            "(partition by source order by n_chars desc, doc_id asc) as rn "
+            "from documents) where rn <= 10"
         ),
         "class_centroids": (
             "with per as (select label, pos, avg(x) as m from ("

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cap_per_group",
     "hash_split",
     "leakage_safe_split",
     "split_fraction",
@@ -297,6 +298,43 @@ def stratified_sample(
     else:
         budget = F.lit(int(n_per_stratum))
     return ranked.filter(F.col("_rank") <= budget).drop("_rank")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col,
+    id_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``k`` rows per ``group_col`` value, preferring the
+    highest ``order_col`` (ties → min id; NULLs lose) — domain capping,
+    the crawl-corpus balancing step that stops a handful of boilerplate
+    domains from dominating the mixture while keeping each domain's
+    best-quality documents. ``descending=False`` flips the preference.
+
+    Deterministic (pure ordering, no RNG), unlike ``df.sampleBy``.
+    Contrast :func:`stratified_sample`, which picks a hash-random subset
+    per stratum; this picks the TOP-of-an-ordering subset.
+
+    Plan shape: one hash shuffle on the group key, and the ``rank <= k``
+    filter plans as WindowGroupLimit — Spark keeps a running top-k per
+    group on the map side BEFORE the shuffle, so a 100 TB group never
+    materializes, sorts, or even transfers more than ~k rows per input
+    partition.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    o = F.col(order_col) if isinstance(order_col, str) else order_col
+    first = o.desc_nulls_last() if descending else o.asc_nulls_last()
+    w = Window.partitionBy(group_col).orderBy(first, F.col(id_col).asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= F.lit(int(k)))
+        .drop("_rank")
+    )
 
 
 def weighted_sample(

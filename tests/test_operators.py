@@ -564,6 +564,42 @@ class TestSplit:
         )
         assert got.exceptAll(pre).count() == 0 and pre.count() == 10
 
+    def test_cap_per_group_keeps_best_k(self, spark):
+        # group a: scores 0..9 → keep ids of the 2 highest (8, 9);
+        # group b: all-tied scores → min ids win; NULL score loses
+        rows = [(i, "a", float(i)) for i in range(10)]
+        rows += [(100 + i, "b", 1.0) for i in range(3)]
+        rows.append((200, "b", None))
+        df = spark.createDataFrame(rows, "id long, g string, s double")
+        got = split.cap_per_group(df, "g", "s", "id", 2)
+        by_g = {}
+        for r in got.collect():
+            by_g.setdefault(r.g, []).append(r.id)
+        assert sorted(by_g["a"]) == [8, 9]
+        assert sorted(by_g["b"]) == [100, 101]
+        # ascending preference flips group a; small groups survive whole
+        asc = split.cap_per_group(df, "g", "s", "id", 2, descending=False)
+        assert sorted(
+            r.id for r in asc.filter(F.col("g") == "a").collect()
+        ) == [0, 1]
+        assert split.cap_per_group(df, "g", "s", "id", 50).count() == len(rows)
+        with pytest.raises(ValueError):
+            split.cap_per_group(df, "g", "s", "id", 0)
+
+    def test_cap_per_group_plans_window_group_limit(self, spark):
+        # the 100 TB contract: rank<=k must plan WindowGroupLimit (map-
+        # side running top-k per group), not a full per-group sort
+        df = spark.createDataFrame(
+            [(i, "g", float(i)) for i in range(10)], "id long, g string, s double"
+        )
+        plan = (
+            split.cap_per_group(df, "g", "s", "id", 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
+
 
 class TestQuantize:
     def test_l2_normalize_unit_norm_and_zero_guard(self, spark):
