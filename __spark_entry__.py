@@ -1386,6 +1386,34 @@ def _q_domains(spark, sf_dir):
     return text.domain_counts(planted, "doc_id", "t")
 
 
+def _q_url_canon(spark, sf_dir):
+    # URL canonicalization (text.canonical_url): two planted messy
+    # templates per parity — mixed-case scheme/host/www, default ports,
+    # tracking params out of order, fragments, trailing slashes. The
+    # oracle constructs the EXPECTED canonical closed-form (independent
+    # derivation, not an op mirror), so every rule is value-checked.
+    docs = load_table(spark, sf_dir, "documents")
+    messy = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat(
+            F.lit("HTTPS://WWW.Example"),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            F.lit(".COM:443/Path"),
+            F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            F.lit("/?utm_source=x&b=2&a=1&gclid=z&ref=h#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://Mirror"),
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+            F.lit(".example.ORG:80/q/deep?z=1&referrer=keep#top"),
+        )
+    )
+    return docs.select(
+        "doc_id", text.canonical_url(messy).alias("canon_url")
+    )
+
+
 def _q_sentence_stats(spark, sf_dir):
     # sentence segmentation over a planted multi-sentence fixture (the
     # prose is unterminated single-line, so sentences are planted as
@@ -3657,6 +3685,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_batch": _q_sessionize_batch,
         "repetition": _q_repetition,
         "domains": _q_domains,
+        "url_canon": _q_url_canon,
         "top_events_per_type": _q_top_events_per_type,
         "zorder": _q_zorder,
         "unigram_lm": _q_unigram_lm,
@@ -4133,6 +4162,20 @@ def oracle_sql() -> dict[str, str]:
             "'[Hh][Tt][Tt][Pp][Ss]?://([A-Za-z0-9.-]+)', 1))) as domain from p) "
             "select domain, count(*) as n_urls, "
             "count(distinct doc_id) as n_docs from ex group by domain"
+        ),
+        "url_canon": (
+            # closed-form EXPECTED canonicals for the two planted messy
+            # templates — independent derivation, not an op mirror:
+            # even ids: scheme/host lowered, www + :443 stripped, path
+            # case kept, trailing / dropped, tracking params dropped,
+            # survivors sorted; odd ids: :80 stripped, 'referrer' kept
+            # ('ref' matches exact-key only), params sorted
+            "select doc_id, case when doc_id % 2 = 0 then "
+            "'https://example' || (doc_id % 5)::varchar || '.com/Path' || "
+            "(doc_id % 3)::varchar || '?a=1&b=2' "
+            "else 'http://mirror' || (doc_id % 5)::varchar || "
+            "'.example.org/q/deep?referrer=keep&z=1' end as canon_url "
+            "from documents"
         ),
         "top_events_per_type": (
             "select event_type, event_id, value, rk::int as rk from ("

@@ -25,6 +25,7 @@ __all__ = [
     "sentence_count",
     "repetition_stats",
     "url_domains",
+    "canonical_url",
     "domain_suffixes",
     "filter_blocked_domains",
     "domain_counts",
@@ -144,6 +145,68 @@ def url_domains(text) -> Column:
     return F.transform(
         F.regexp_extract_all(_col(text), F.lit(URL_PATTERN), F.lit(1)),
         lambda d: F.lower(d),
+    )
+
+
+def canonical_url(
+    url,
+    *,
+    strip_www: bool = True,
+    drop_params: tuple = ("utm_", "fbclid", "gclid", "ref"),
+) -> Column:
+    """Canonical form of a URL for exact URL-level dedup — the key a
+    crawl pipeline groups by before any content hashing. Pure Column
+    expression (scan-speed, no UDF, no shuffle):
+
+    * fragment dropped, scheme and host lowercased (path/query case is
+      significant per RFC 3986 and kept);
+    * leading ``www.`` stripped from the host (``strip_www=False`` to
+      keep), default ports ``:80`` (http) / ``:443`` (https) stripped;
+    * one trailing ``/`` stripped from the path;
+    * query params split on ``&``; tracking params dropped — an entry of
+      ``drop_params`` ending in ``_`` matches as a key PREFIX
+      (``utm_source``), otherwise as the EXACT key (``ref`` drops
+      ``ref=x`` but keeps ``referrer=x``); survivors sorted bytewise and
+      rejoined, so param order never splits a dedup group. An
+      empty survivor set drops the ``?`` entirely.
+
+    NULL in → NULL out. The rules are engine-portable (mirrored
+    closed-form in the driver oracle): same input gives the same
+    canonical key on any engine, so URL-dedup groups are reproducible.
+    """
+    u = F.regexp_replace(F.trim(_col(url)), r"#.*", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*://)", 1))
+    rest = F.substring(base, F.length(scheme) + F.lit(1), F.lit(1 << 30))
+    host = F.lower(F.regexp_extract(rest, r"^([^/]*)", 1))
+    path = F.regexp_replace(
+        F.substring(rest, F.length(host) + F.lit(1), F.lit(1 << 30)), r"/$", ""
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "http://", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https://", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+
+    def _keep(p: Column) -> Column:
+        key = F.substring_index(p, "=", 1)
+        drop = F.lit(False)
+        for d in drop_params:
+            if d.endswith("_"):
+                drop = drop | key.startswith(F.lit(d))
+            else:
+                drop = drop | (key == F.lit(d))
+        return (p != "") & ~drop
+
+    qs = F.array_join(F.array_sort(F.filter(F.split(query, "&"), _keep)), "&")
+    return F.concat(
+        scheme,
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
 
 

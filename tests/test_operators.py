@@ -164,6 +164,50 @@ class TestText:
         assert rows[0].f1 == rows[0].f2
         assert rows[1].f1 != rows[1].f2
 
+    def test_canonical_url_rules(self, spark):
+        cases = [
+            # scheme/host lowered, www + default port stripped, fragment
+            # dropped, trailing slash dropped, params filtered + sorted
+            (
+                "HTTPS://WWW.Ex.COM:443/Path/?utm_source=x&b=2&a=1#f",
+                "https://ex.com/Path?a=1&b=2",
+            ),
+            ("HTTP://Host.ORG:80/q/deep?z=1&referrer=keep#t",
+             "http://host.org/q/deep?referrer=keep&z=1"),
+            # 'ref' drops exact key only; path case preserved
+            ("https://a.com/A?ref=x&Ref=keepcase", "https://a.com/A?Ref=keepcase"),
+            # all params dropped -> no '?'; non-default port kept
+            ("https://a.com:8443/?utm_a=1&gclid=2", "https://a.com:8443"),
+            # schemeless input: host rules still apply
+            ("WWW.Ex.com/p", "ex.com/p"),
+            # :443 is only default for https
+            ("http://a.com:443/x", "http://a.com:443/x"),
+            ("", ""),
+            (None, None),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+        )
+        got = {
+            r.i: r.c
+            for r in df.select(
+                "i", text.canonical_url("u").alias("c")
+            ).collect()
+        }
+        for i, (u, want) in enumerate(cases):
+            assert got[i] == want, (u, got[i], want)
+
+    def test_canonical_url_keep_www_and_custom_params(self, spark):
+        df = spark.createDataFrame(
+            [("https://www.a.com/p?sid=1&x=2",)], "u string"
+        )
+        keep = df.select(
+            text.canonical_url(
+                "u", strip_www=False, drop_params=("sid",)
+            ).alias("c")
+        ).collect()[0].c
+        assert keep == "https://www.a.com/p?x=2"
+
 
 class TestDecontaminate:
     def test_known_overlap(self, spark):
