@@ -30,6 +30,9 @@ __all__ = [
     "sessionize_tws",
     "upsert_sink",
     "merge_batch_fn",
+    "neardedup_sink",
+    "neardedup_batch_fn",
+    "read_deduped",
     "read_current",
     "read_version",
     "list_versions",
@@ -828,6 +831,142 @@ def list_versions(target_dir: str) -> list[int]:
         return []
     return sorted(
         int(d[1:]) for d in names if _re.fullmatch(r"v\d{20}", d)
+    )
+
+
+def neardedup_batch_fn(
+    target_dir: str,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "char",
+    n: int = 5,
+    threshold: float = 0.7,
+):
+    """The per-micro-batch step of :func:`neardedup_sink` as a
+    standalone ``(batch_df, batch_id) -> None`` callable — exposed so
+    the replay/crash-window semantics are directly testable, and so a
+    batch job can push an incremental file drop through the exact code
+    path the streaming sink uses.
+
+    Layout under ``target_dir``: ``data/b<id>`` (surviving rows),
+    ``index/b<id>`` (their :func:`~..operators.dedup.minhash_index`
+    rows), and ``_batches/b<id>`` marker files COMMITTING a batch —
+    written last, via tmp + atomic rename. Readers and the cross-batch
+    index consider ONLY committed batches, so a crash between the data
+    write and the marker leaves no partial state visible, and an
+    at-least-once replay recomputes against exactly the index the
+    original attempt saw (prior committed batches), overwrites the same
+    directories with the same rows, and re-commits — idempotent.
+    """
+    import os
+
+    from ..operators import dedup as _dedup
+
+    mh = dict(num_perm=num_perm, seed=seed, mode=mode, n=n)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        name = f"b{batch_id:020d}"
+        marks = os.path.join(target_dir, "_batches")
+        if os.path.exists(os.path.join(marks, name)):
+            return  # durably committed — stale replay is a no-op
+        # intra-batch near-dups first (one-shot pair removal)
+        alive = _dedup.minhash_dedup(
+            batch_df, id_col, text_col,
+            bands=bands, threshold=threshold, **mh,
+        )
+        committed = _committed_batches(target_dir)
+        if committed:
+            idx = spark.read.parquet(
+                *(os.path.join(target_dir, "index", b) for b in committed)
+            )
+            hits = _dedup.minhash_dup_pairs_against(
+                alive, idx, id_col, text_col,
+                bands=bands, threshold=threshold, **mh,
+            )
+            losers = hits.select(F.col("new_id").alias(id_col)).distinct()
+            alive = alive.join(losers, on=id_col, how="left_anti")
+        alive = alive.localCheckpoint()  # one computation feeds both writes
+        alive.write.mode("overwrite").parquet(
+            os.path.join(target_dir, "data", name)
+        )
+        _dedup.minhash_index(alive, id_col, text_col, **mh).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(target_dir, "index", name))
+        os.makedirs(marks, exist_ok=True)
+        tmp = os.path.join(marks, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, os.path.join(marks, name))
+
+    return _apply
+
+
+def _committed_batches(target_dir: str) -> list[str]:
+    import os
+    import re as _re
+
+    try:
+        names = os.listdir(os.path.join(target_dir, "_batches"))
+    except OSError:
+        return []
+    return sorted(b for b in names if _re.fullmatch(r"b\d{20}", b))
+
+
+def neardedup_sink(
+    stream: DataFrame,
+    target_dir: str,
+    id_col: str,
+    text_col: str,
+    **minhash_kwargs,
+):
+    """Streaming NEAR-duplicate dedup with unbounded lookback — the
+    streaming twin of incremental
+    :func:`~..operators.dedup.minhash_dup_pairs_against` over a
+    :func:`~..operators.dedup.minhash_index`.
+
+    :func:`dedup_stream` bounds its state by the watermark (exact keys,
+    within-watermark only); this sink instead persists each batch's
+    minhash index next to its data, so a document near-duplicating
+    ANYTHING ever admitted is dropped, at O(batch) incremental cost:
+    the batch pays one signature pass, then one banded equi-join
+    against the persisted index — never a corpus re-scan. State lives
+    in parquet, not the state store, so it survives checkpoint loss
+    and is queryable offline.
+
+    Semantics: intra-batch near-dups are removed first (one-shot pair
+    removal, min id wins), then survivors matching the committed index
+    are dropped. Replay-safe via commit markers (see
+    :func:`neardedup_batch_fn`). Read the result with
+    :func:`read_deduped`.
+
+    Filesystem contract: markers use local file APIs — driver-mounted
+    paths only (same contract as :func:`upsert_sink`).
+
+    Returns a started-ready ``DataStreamWriter`` — caller adds
+    ``.option("checkpointLocation", ...)`` and ``.start()``.
+    """
+    import os
+
+    fn = neardedup_batch_fn(target_dir, id_col, text_col, **minhash_kwargs)
+    os.makedirs(target_dir, exist_ok=True)
+    return stream.writeStream.foreachBatch(fn)
+
+
+def read_deduped(spark, target_dir: str):
+    """All rows admitted by a :func:`neardedup_sink` so far (committed
+    batches only). Returns ``None`` before the first commit."""
+    import os
+
+    committed = _committed_batches(target_dir)
+    if not committed:
+        return None
+    return spark.read.parquet(
+        *(os.path.join(target_dir, "data", b) for b in committed)
     )
 
 

@@ -864,3 +864,76 @@ class TestMergeBatchCrashWindows:
         # was never eligible to push v1 out
         assert js.list_versions(tgt) == [1, 5]
         assert {r.id for r in js.read_current(spark, tgt).collect()} == {1, 2}
+
+
+class TestNeardedupSink:
+    BASE = "the quick brown fox jumps over the lazy dog again and again " * 3
+    OTHER = "completely unrelated prose about distributed query planning " * 3
+    THIRD = "yet another disjoint passage on parquet row group layout " * 3
+
+    def _b(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_stream_drops_intra_and_cross_batch_near_dups(
+        self, spark, tmp_path
+    ):
+        src = tmp_path / "nd_in"
+        src.mkdir()
+        tgt = str(tmp_path / "nd_tgt")
+        ckpt = str(tmp_path / "nd_ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        with open(src / "b0.jsonl", "w") as f:
+            f.write(json.dumps({"doc_id": 1, "text": self.BASE}) + "\n")
+            f.write(json.dumps({"doc_id": 2, "text": self.BASE}) + "\n")
+            f.write(json.dumps({"doc_id": 3, "text": self.OTHER}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            js.neardedup_sink(stream, tgt, "doc_id", "text")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert {
+                r.doc_id for r in js.read_deduped(spark, tgt).collect()
+            } == {1, 3}
+            with open(src / "b1.jsonl", "w") as f:
+                f.write(json.dumps({"doc_id": 4, "text": self.BASE}) + "\n")
+                f.write(json.dumps({"doc_id": 5, "text": self.THIRD}) + "\n")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # 4 near-dups the batch-0 admit; 5 is new
+        assert {
+            r.doc_id for r in js.read_deduped(spark, tgt).collect()
+        } == {1, 3, 5}
+
+    def test_batch_fn_replay_and_crash_window(self, spark, tmp_path):
+        tgt = str(tmp_path / "nd2_tgt")
+        fn = js.neardedup_batch_fn(tgt, "doc_id", "text")
+        fn(self._b(spark, [(1, self.BASE), (3, self.OTHER)]), 0)
+        # committed replay is a durable no-op
+        fn(self._b(spark, [(1, self.BASE), (3, self.OTHER)]), 0)
+        assert sorted(
+            r.doc_id for r in js.read_deduped(spark, tgt).collect()
+        ) == [1, 3]
+        # crash window: batch 1 wrote data+index but died before the
+        # marker — the partial batch must be invisible to readers and
+        # to the cross-batch index, and the replay must converge
+        fn(self._b(spark, [(4, self.BASE), (5, self.THIRD)]), 1)
+        os.remove(os.path.join(tgt, "_batches", f"b{1:020d}"))
+        assert sorted(
+            r.doc_id for r in js.read_deduped(spark, tgt).collect()
+        ) == [1, 3]
+        fn(self._b(spark, [(4, self.BASE), (5, self.THIRD)]), 1)
+        assert sorted(
+            r.doc_id for r in js.read_deduped(spark, tgt).collect()
+        ) == [1, 3, 5]
+
+    def test_read_deduped_before_first_commit(self, spark, tmp_path):
+        assert js.read_deduped(spark, str(tmp_path / "nowhere")) is None
