@@ -572,6 +572,7 @@ def minhash_dedup(
     text_col: str,
     *,
     method: str = "pairs",
+    score_col: str | None = None,
     **kwargs,
 ) -> DataFrame:
     """Drop near-duplicates.
@@ -583,17 +584,28 @@ def minhash_dedup(
 
     ``method="components"``: exact single-link clustering — connected
     components (O(log n) alternating-star rounds, operators/graph.py)
-    over the pair graph, keeping the minimum id per component."""
-    if method not in ("pairs", "components"):
+    over the pair graph, keeping the minimum id per component.
+
+    ``method="keep_best"``: component clustering, keeping the
+    highest-``score_col`` row per component (ties → min id) — the
+    canonical-selection policy production corpora ship. Requires
+    ``score_col``."""
+    if method not in ("pairs", "components", "keep_best"):
         # validate BEFORE minhash_dup_pairs eagerly materializes the
         # whole LSH pipeline — a typo'd method must not cost a corpus
         # pass before erroring
         raise ValueError(f"unknown dedup method: {method!r}")
+    if method == "keep_best" and score_col is None:
+        raise ValueError('method="keep_best" requires score_col')
     pairs = minhash_dup_pairs(df, id_col, text_col, **kwargs)
     if method == "components":
         from .graph import dedup_by_components
 
         return dedup_by_components(df, id_col, pairs)
+    if method == "keep_best":
+        from .graph import dedup_keep_best
+
+        return dedup_keep_best(df, id_col, pairs, score_col)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 

@@ -314,6 +314,20 @@ class TestMinhash:
         with pytest.raises(ValueError):
             dedup.minhash_dedup(df, "id", "text", method="nope")
 
+    def test_minhash_dedup_keep_best_method(self, spark):
+        rows = [(1, "aaaa bbbb cccc dddd eeee ffff gggg hhhh", 0.2),
+                (2, "aaaa bbbb cccc dddd eeee ffff gggg hhhh", 0.9),
+                (3, "aaaa bbbb cccc dddd eeee ffff gggg hhhh", 0.5),
+                (4, "unrelated content entirely", 0.1)]
+        df = spark.createDataFrame(rows, "id long, text string, q double")
+        kept = dedup.minhash_dedup(
+            df, "id", "text",
+            num_perm=32, bands=8, method="keep_best", score_col="q",
+        )
+        assert sorted(r.id for r in kept.collect()) == [2, 4]
+        with pytest.raises(ValueError, match="score_col"):
+            dedup.minhash_dedup(df, "id", "text", method="keep_best")
+
     def test_documents_near_dups_verified(self, documents):
         pairs = dedup.minhash_dup_pairs(
             documents, "doc_id", "text", num_perm=32, bands=8, threshold=0.8
