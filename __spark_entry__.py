@@ -1119,6 +1119,34 @@ def _q_dedup_keep_best(spark, sf_dir):
     return graph.dedup_keep_best(scored, "doc_id", edges, "n_chars")
 
 
+def _q_dup_provenance(spark, sf_dir):
+    # dedup audit trail: (dropped_id, kept_id) per removed duplicate
+    # under the same keep-longest policy as dedup_keep_best — the
+    # provenance record a compliance pass keeps. Same recursive-CTE
+    # closure oracle, ranked per component.
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("src"), F.col("text").alias("ta"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("src"),
+        F.col("doc_id").alias("dst"),
+        F.col("text").alias("tb"),
+    )
+    edges = (
+        a.join(b, "src")
+        .withColumn(
+            "jac",
+            dedup.jaccard_tokens(
+                F.array_distinct(text.tokens(F.col("ta"))),
+                F.array_distinct(text.tokens(F.col("tb"))),
+            ),
+        )
+        .filter(F.col("jac") >= 0.8)
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    scored = docs.select("doc_id", F.length("text").cast("int").alias("n_chars"))
+    return graph.dup_provenance(scored, "doc_id", edges, "n_chars")
+
+
 def _q_token_stats(spark, sf_dir):
     # repetition-class quality signals: single-pass entropy identity
     # H = ln(N) - sum(c ln c)/N over (doc, token) counts
@@ -3614,6 +3642,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf": _q_tf_idf,
         "dedup_cc": _q_dedup_cc,
         "dedup_keep_best": _q_dedup_keep_best,
+        "dup_provenance": _q_dup_provenance,
         "hash_split": _q_hash_split,
         "domain_cap": _q_domain_cap,
         "class_centroids": _q_class_centroids,
@@ -5307,6 +5336,29 @@ def oracle_sql() -> dict[str, str]:
             "losers as (select node from ranked where rn > 1) "
             "select doc_id, length(text)::int as n_chars from documents "
             "where doc_id not in (select node from losers)"
+        ),
+        "dup_provenance": (
+            # same closure + ranking as dedup_keep_best; emit the
+            # (dropped, kept) mapping instead of the survivors
+            "with recursive "
+            f"toks as (select doc_id, list_distinct({_TOKENS_SQL}) as tk "
+            "from documents), "
+            "edges as (select a.doc_id as u, b.doc_id as v "
+            "from toks a join toks b on b.doc_id = a.doc_id + 1 "
+            "where case when len(list_distinct(list_concat(a.tk, b.tk))) > 0 "
+            "then len(list_intersect(a.tk, b.tk))::double / "
+            "len(list_distinct(list_concat(a.tk, b.tk))) else 0.0 end >= 0.8), "
+            "und as (select u, v from edges union select v, u from edges), "
+            "reach(a, b) as (select u, u from und "
+            "union "
+            "select r.a, und.v from reach r join und on und.u = r.b), "
+            "cc as (select a as node, min(b) as comp from reach group by a), "
+            "ranked as (select cc.node, cc.comp, row_number() over "
+            "(partition by cc.comp order by length(d.text) desc, cc.node asc) "
+            "as rn from cc join documents d on d.doc_id = cc.node) "
+            "select l.node as dropped_id, w.node as kept_id "
+            "from ranked l join ranked w on w.comp = l.comp and w.rn = 1 "
+            "where l.rn > 1"
         ),
         "merge_upsert": (
             # same planted MERGE arms: %7 updates, %13 deletes, %5

@@ -38,6 +38,7 @@ __all__ = [
     "connected_components",
     "dedup_by_components",
     "dedup_keep_best",
+    "dup_provenance",
     "pagerank",
 ]
 
@@ -191,6 +192,57 @@ def dedup_keep_best(
         .select(F.col("node").alias(id_col))
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def dup_provenance(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Audit table for component dedup: one row ``(dropped_id, kept_id)``
+    per REMOVED duplicate, naming the representative that replaced it —
+    the provenance record a compliance/debugging pass needs after
+    :func:`dedup_by_components` (``score_col=None``: representative =
+    min id) or :func:`dedup_keep_best` (representative = argmax score,
+    ties → min id; the SAME ranking, so the two outputs compose
+    exactly).
+
+    Same 100 TB shape as the dedup ops: everything here shuffles only
+    the dup-node component table; the corpus is never touched (callers
+    join back on ``dropped_id``/``kept_id`` if they need payloads).
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    if score_col is None:
+        return (
+            cc.filter(F.col("node") != F.col("comp"))
+            .select(
+                F.col("node").alias("dropped_id"),
+                F.col("comp").alias("kept_id"),
+            )
+        )
+    from pyspark.sql import Window
+
+    scored = cc.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
+        "node",
+        "left",
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("_s").desc_nulls_last(), F.col("node").asc()
+    )
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    winners = ranked.filter(F.col("_rn") == 1).select(
+        "comp", F.col("node").alias("kept_id")
+    )
+    return (
+        ranked.filter(F.col("_rn") > 1)
+        .select("comp", F.col("node").alias("dropped_id"))
+        .join(winners, "comp")
+        .select("dropped_id", "kept_id")
+    )
 
 
 def pagerank(

@@ -478,6 +478,33 @@ class TestConnectedComponents:
         )
         assert kept == [8]
 
+    def test_dup_provenance_min_id_and_scored(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 9.0), (3, 2.0), (4, 2.0), (5, 1.0)],
+            "id long, score double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+        )
+        # min-id policy: comp reps are 1 and 4
+        plain = {
+            (r.dropped_id, r.kept_id)
+            for r in graph.dup_provenance(df, "id", pairs).collect()
+        }
+        assert plain == {(2, 1), (3, 1), (5, 4)}
+        # scored policy mirrors dedup_keep_best: reps are 2 and 4 (tie)
+        scored = {
+            (r.dropped_id, r.kept_id)
+            for r in graph.dup_provenance(df, "id", pairs, "score").collect()
+        }
+        assert scored == {(1, 2), (3, 2), (5, 4)}
+        # composes exactly with dedup_keep_best's survivors
+        kept = {
+            r.id for r in graph.dedup_keep_best(df, "id", pairs, "score").collect()
+        }
+        assert {k for _, k in scored} <= kept
+        assert kept.isdisjoint({d for d, _ in scored})
+
 
 class TestSplit:
     def test_fraction_matches_hashlib(self, spark):
