@@ -63,9 +63,52 @@ UNTWINNED_QUERIES = [
 ]
 
 
+def _host_parallel_efficiency(workers: int = 32) -> float:
+    """How much of the advertised core count this host is actually
+    delivering RIGHT NOW: time one CPU-bound burn single-process, then
+    the same burn in ``workers`` processes at once. On a truly idle
+    32-core host the ratio is ~1.0; under host-level contention (vCPU
+    oversubscription, steal) the parallel copies dilate while
+    single-thread work doesn't.
+
+    Reported because that asymmetry is exactly what the PAIRED DuckDB
+    twin cannot correct: these sub-second twins are effectively
+    single-threaded, while Spark runs 32-way — measured in round 8,
+    ~0.5 efficiency inflated ratio_paired from 1.13 to ~1.5 with
+    byte-identical hot-path code. Read ratio_paired together with this
+    number.
+    """
+    import multiprocessing as mp
+    import time as _time
+
+    n = 2_000_000
+    t0 = _time.time()
+    _burn(n)
+    single = _time.time() - t0
+    # fork + Process (not Pool.map): the target is inherited by the
+    # child, never pickled, so the probe works under any import path
+    ctx = mp.get_context("fork")
+    procs = [ctx.Process(target=_burn, args=(n,)) for _ in range(workers)]
+    t0 = _time.time()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    para = _time.time() - t0
+    return round(single / para, 3) if para > 0 else None
+
+
+def _burn(n):
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    host_eff = _host_parallel_efficiency(min(32, os.cpu_count() or 32))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
     # Shuffle partitions sized for THIS data scale (sf0.1: the largest
@@ -222,6 +265,7 @@ def main():
                 "ratio_paired": round(twinned_total / duck_total, 3)
                 if duck_total
                 else None,
+                "host_parallel_efficiency": host_eff,
                 "sf": sf,
             }
         )
