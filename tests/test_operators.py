@@ -208,6 +208,71 @@ class TestText:
         ).collect()[0].c
         assert keep == "https://www.a.com/p?x=2"
 
+    def test_canonical_url_randomized_differential(self, spark):
+        # independent pure-python reference over a generated URL space —
+        # pins the first-'#'/first-'?' split points, greedy host match,
+        # prefix-vs-exact param dropping, and bytewise param sort
+        import random
+
+        def ref(u):
+            u = u.strip()
+            u = u.split("#", 1)[0]
+            base, _, query = u.partition("?")
+            scheme = ""
+            if "://" in base:
+                cand, rest = base.split("://", 1)
+                ok = cand and cand[0].isalpha() and all(
+                    c.isalnum() or c in "+.-" for c in cand
+                )
+                if ok:
+                    scheme, base = cand.lower() + "://", rest
+            host, slash, path = base.partition("/")
+            host = host.lower()
+            path = slash + path
+            if path.endswith("/"):
+                path = path[:-1]
+            if host.startswith("www."):
+                host = host[4:]
+            if scheme == "http://" and host.endswith(":80"):
+                host = host[:-3]
+            if scheme == "https://" and host.endswith(":443"):
+                host = host[:-4]
+            keep = []
+            for p in query.split("&"):
+                if not p:
+                    continue
+                key = p.split("=", 1)[0]
+                if key.startswith("utm_") or key in ("fbclid", "gclid", "ref"):
+                    continue
+                keep.append(p)
+            qs = "&".join(sorted(keep))
+            return scheme + host + path + ("?" + qs if qs else "")
+
+        rng = random.Random(77)
+        schemes = ["", "http://", "HTTPS://", "HtTp://", "ftp://"]
+        hosts = ["WWW.Ex.COM", "a.b.org", "www.x.net:80", "Y.com:443",
+                 "z.io:8080", "host"]
+        paths = ["", "/", "/P/q", "/deep/Path/", "/x"]
+        params = ["a=1", "B=2", "utm_source=s", "utm_x=9", "ref=r",
+                  "refx=keep", "fbclid=f", "z=Last", "", "k"]
+        frags = ["", "#f", "#a?b=1"]
+        urls = []
+        for _ in range(300):
+            q = "&".join(rng.sample(params, rng.randrange(0, 5)))
+            urls.append(
+                rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+                + ("?" + q if q else "") + rng.choice(frags)
+            )
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, u string"
+        )
+        got = {
+            r.i: r.c
+            for r in df.select("i", text.canonical_url("u").alias("c")).collect()
+        }
+        for i, u in enumerate(urls):
+            assert got[i] == ref(u), (u, got[i], ref(u))
+
 
 class TestDecontaminate:
     def test_known_overlap(self, spark):
