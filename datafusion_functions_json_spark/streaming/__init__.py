@@ -33,6 +33,7 @@ __all__ = [
     "neardedup_sink",
     "neardedup_batch_fn",
     "read_deduped",
+    "cap_stream",
     "read_current",
     "read_version",
     "list_versions",
@@ -831,6 +832,67 @@ def list_versions(target_dir: str) -> list[int]:
         return []
     return sorted(
         int(d[1:]) for d in names if _re.fullmatch(r"v\d{20}", d)
+    )
+
+
+def cap_stream(
+    stream: DataFrame,
+    group_col: str,
+    k: int,
+    *,
+    order_col: str | None = None,
+):
+    """Streaming admission quota: admit at most ``k`` rows per
+    ``group_col`` value over the LIFETIME of the stream — per-domain /
+    per-source ingest capping, the streaming face of
+    :func:`~..operators.split.cap_per_group` (which re-ranks a finished
+    corpus; a stream must decide at arrival).
+
+    Admission is first-come: earlier micro-batches win outright; inside
+    one micro-batch the group's rows are ordered by ``order_col``
+    ascending (pass a timestamp/sequence for deterministic intra-batch
+    admission) or taken in partition order when omitted. Once a group's
+    quota is exhausted its rows are dropped forever.
+
+    State per group is ONE counter (``applyInPandasWithState``,
+    NoTimeout — quota state must outlive any watermark), so the store
+    is O(distinct groups) regardless of input volume — the bounded kind
+    of unbounded-lifetime state. Rows of one (group, micro-batch) pair
+    are concatenated to sort before admission: bounded by micro-batch
+    size, never by stream history.
+    """
+    import pandas as pd  # local: runs on workers
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out_ddl = stream.schema
+
+    def fn(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        if n >= k:
+            # quota long gone: drain the iterator without concat work
+            for _ in pdf_iter:
+                pass
+            return
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            return
+        batch = parts[0] if len(parts) == 1 else pd.concat(parts)
+        if order_col is not None:
+            # mergesort = stable: equal keys keep arrival order
+            batch = batch.sort_values(order_col, kind="mergesort")
+        take = batch.iloc[: k - n]
+        state.update((n + len(take),))
+        if len(take):
+            yield take
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_ddl,
+        stateStructType="n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

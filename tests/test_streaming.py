@@ -937,3 +937,55 @@ class TestNeardedupSink:
 
     def test_read_deduped_before_first_commit(self, spark, tmp_path):
         assert js.read_deduped(spark, str(tmp_path / "nowhere")) is None
+
+
+class TestCapStream:
+    def test_quota_across_batches(self, spark, tmp_path):
+        src = tmp_path / "cap_in"
+        src.mkdir()
+        schema = T.StructType(
+            [
+                T.StructField("g", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+        with open(src / "b0.jsonl", "w") as f:
+            for g, s in [("a", 3), ("a", 1), ("a", 2), ("b", 1)]:
+                f.write(json.dumps({"g": g, "seq": s}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        capped = js.cap_stream(stream, "g", 2, order_col="seq")
+        q = (
+            capped.writeStream.format("memory")
+            .queryName("capped")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.g, r.seq)
+                for r in spark.sql("select * from capped").collect()
+            }
+            # intra-batch admission ordered by seq: a admits 1,2 not 3
+            assert got == {("a", 1), ("a", 2), ("b", 1)}
+            with open(src / "b1.jsonl", "w") as f:
+                for g, s in [("a", 4), ("b", 2), ("b", 3), ("c", 1)]:
+                    f.write(json.dumps({"g": g, "seq": s}) + "\n")
+            q.processAllAvailable()
+            got = {
+                (r.g, r.seq)
+                for r in spark.sql("select * from capped").collect()
+            }
+            # a's quota was exhausted in batch 0 — seq 4 dropped forever;
+            # b tops up to 2; new group c starts its own quota
+            assert got == {
+                ("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1),
+            }
+        finally:
+            q.stop()
+
+    def test_rejects_bad_k(self, spark, tmp_path):
+        schema = T.StructType([T.StructField("g", T.StringType())])
+        stream = spark.readStream.schema(schema).json(str(tmp_path))
+        with pytest.raises(ValueError):
+            js.cap_stream(stream, "g", 0)
