@@ -89,6 +89,82 @@ _STOP_SQL = {
 _TOKENS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '')"
 
 
+_CURATION_V2_SQL = (
+    # lang cascade + tuned Gopher conjunction + classifier
+    # feature mirror + normalized-dedup group-min, composed from
+    # the same fragments the standalone oracles use
+    "with f as (select doc_id, text, "
+    f"{_TOKENS_SQL} as toks, "
+    "list_filter(list_transform(string_split(text, chr(10)), "
+    "x -> trim(x)), x -> x <> '') as ls from documents), "
+    "d as (select doc_id, text, len(toks) as nt, "
+    "round(1.0 / (1.0 + exp(-(-3.0 "
+    "+ 0.4 * ln(1 + len(toks)) "
+    "+ 0.1 * (length(text) / greatest(len(toks), 1)) "
+    "+ 2.0 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+    "/ greatest(length(text), 1)) "
+    "- 1.0 * (length(regexp_replace(text, "
+    "'[^.,;:!?''\"()\\[\\]{}-]', '', 'g')) "
+    "/ greatest(length(text), 1)) "
+    "+ 1.5 * (len(list_intersect(list_distinct(list_filter("
+    "regexp_split_to_array(trim(lower(text)), '\\s+'), "
+    f"t -> t != '')), {_STOP_SQL['en']})) "
+    "/ greatest(len(toks), 1)) "
+    "+ 1.0 * (len(list_distinct(toks)) / greatest(len(toks), 1))"
+    "))), 6) as clf, "
+    "case when "
+    "(len(toks) >= 20 and len(toks) <= 100000) and "
+    "(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
+    "/ greatest(len(toks), 1) between 3.0 and 10.0) and "
+    "((length(text) - length(replace(text, '#', '')) "
+    "+ len(regexp_extract_all(text, '\\.\\.\\.|…'))) "
+    "/ greatest(len(toks), 1) <= 0.1) and "
+    "(len(list_filter(ls, x -> regexp_matches(x, "
+    "'^([•\\-\\*•]|\\d+[.)])\\s'))) / greatest(len(ls), 1) <= 0.9) "
+    "and (len(list_filter(ls, x -> regexp_matches(x, "
+    "'(\\.\\.\\.|…)$'))) / greatest(len(ls), 1) <= 0.3) and "
+    "(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
+    "/ greatest(len(toks), 1) >= 0.8) and "
+    "(len(list_intersect(list_distinct(list_transform(toks, "
+    "x -> lower(x))), ['the','be','to','of','and','that','have',"
+    "'with'])) >= 1) and "
+    "(round((len(ls) - len(list_distinct(ls))) "
+    "/ greatest(len(ls), 1), 6) <= 0.3) and "
+    "(round((coalesce(list_sum(list_transform(ls, "
+    "x -> length(x))), 0) - coalesce(list_sum(list_transform("
+    "list_distinct(ls), x -> length(x))), 0)) / greatest("
+    "coalesce(list_sum(list_transform(ls, x -> length(x))), 0), "
+    "1), 6) <= 0.2) then 1 else 0 end as keep, "
+    + "".join(
+        f"len(list_intersect(list_distinct(list_filter("
+        "regexp_split_to_array(trim(lower(text)), '\\s+'), "
+        f"t -> t != '')), {_STOP_SQL[lang]})) as s_{lang}, "
+        for lang in sorted(text.STOPWORDS)
+    )
+    + "1 as _one from f), "
+    "dl as (select *, case "
+    "when s_de = 0 and s_en = 0 and s_es = 0 and s_fr = 0 "
+    "then 'und' "
+    "when s_fr >= s_es and s_fr >= s_en and s_fr >= s_de "
+    "then 'fr' "
+    "when s_es >= s_en and s_es >= s_de then 'es' "
+    "when s_en >= s_de then 'en' else 'de' end as lang from d), "
+    "k as (select * from dl where nt >= 10 and lang = 'en' "
+    "and keep = 1), "
+    "n as (select doc_id, lang, nt, clf, "
+    "md5(trim(regexp_replace(regexp_replace(lower(translate(text, "
+    "'àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇšžŠŽ', "
+    "'aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNCszSZ')), "
+    "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) as nk from k), "
+    "m as (select nk, min(doc_id) as kid from n group by nk) "
+    "select n.doc_id, n.lang, n.nt::int as n_tokens, "
+    "n.clf as clf_score from n join m on n.nk = m.nk "
+    "and n.doc_id = m.kid"
+)
+
+
+
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -1194,6 +1270,23 @@ def _q_curation_v2(spark, sf_dir):
         gopher_kwargs=dict(min_words=20, min_required_stopwords=1),
     )
     return out.select("doc_id", "lang", "n_tokens", "clf_score")
+
+
+def _q_curation_v3(spark, sf_dir):
+    # curate_balanced: the v2 gates + normalized dedup, then a
+    # per-source quality cap (10 best clf_score survivors per source,
+    # ties -> min doc_id) — gates first so junk never occupies quota,
+    # then balancing so no source dominates. Oracle wraps the v2 SQL
+    # in the same row_number cap.
+    docs = load_table(spark, sf_dir, "documents")
+    out = pipeline.curate_balanced(
+        docs,
+        cap=10,
+        languages=("en",),
+        min_tokens=10,
+        gopher_kwargs=dict(min_words=20, min_required_stopwords=1),
+    )
+    return out.select("doc_id", "source", "n_tokens", "clf_score")
 
 
 def _q_corpus_report(spark, sf_dir):
@@ -3670,6 +3763,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontam": _q_fuzzy_decontam,
         "corpus_report": _q_corpus_report,
         "curation_v2": _q_curation_v2,
+        "curation_v3": _q_curation_v3,
         "pack_positions": _q_pack_positions,
         "audio_fingerprint": _q_audio_fingerprint,
         "tpch_q7": _q_tpch_q7,
@@ -4290,77 +4384,17 @@ def oracle_sql() -> dict[str, str]:
             "(cb % 2000)::bigint as seq_start, "
             "(cb % 2000 + nt)::bigint as seq_end from c"
         ),
-        "curation_v2": (
-            # lang cascade + tuned Gopher conjunction + classifier
-            # feature mirror + normalized-dedup group-min, composed from
-            # the same fragments the standalone oracles use
-            "with f as (select doc_id, text, "
-            f"{_TOKENS_SQL} as toks, "
-            "list_filter(list_transform(string_split(text, chr(10)), "
-            "x -> trim(x)), x -> x <> '') as ls from documents), "
-            "d as (select doc_id, text, len(toks) as nt, "
-            "round(1.0 / (1.0 + exp(-(-3.0 "
-            "+ 0.4 * ln(1 + len(toks)) "
-            "+ 0.1 * (length(text) / greatest(len(toks), 1)) "
-            "+ 2.0 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
-            "/ greatest(length(text), 1)) "
-            "- 1.0 * (length(regexp_replace(text, "
-            "'[^.,;:!?''\"()\\[\\]{}-]', '', 'g')) "
-            "/ greatest(length(text), 1)) "
-            "+ 1.5 * (len(list_intersect(list_distinct(list_filter("
-            "regexp_split_to_array(trim(lower(text)), '\\s+'), "
-            f"t -> t != '')), {_STOP_SQL['en']})) "
-            "/ greatest(len(toks), 1)) "
-            "+ 1.0 * (len(list_distinct(toks)) / greatest(len(toks), 1))"
-            "))), 6) as clf, "
-            "case when "
-            "(len(toks) >= 20 and len(toks) <= 100000) and "
-            "(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) "
-            "/ greatest(len(toks), 1) between 3.0 and 10.0) and "
-            "((length(text) - length(replace(text, '#', '')) "
-            "+ len(regexp_extract_all(text, '\\.\\.\\.|…'))) "
-            "/ greatest(len(toks), 1) <= 0.1) and "
-            "(len(list_filter(ls, x -> regexp_matches(x, "
-            "'^([•\\-\\*•]|\\d+[.)])\\s'))) / greatest(len(ls), 1) <= 0.9) "
-            "and (len(list_filter(ls, x -> regexp_matches(x, "
-            "'(\\.\\.\\.|…)$'))) / greatest(len(ls), 1) <= 0.3) and "
-            "(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) "
-            "/ greatest(len(toks), 1) >= 0.8) and "
-            "(len(list_intersect(list_distinct(list_transform(toks, "
-            "x -> lower(x))), ['the','be','to','of','and','that','have',"
-            "'with'])) >= 1) and "
-            "(round((len(ls) - len(list_distinct(ls))) "
-            "/ greatest(len(ls), 1), 6) <= 0.3) and "
-            "(round((coalesce(list_sum(list_transform(ls, "
-            "x -> length(x))), 0) - coalesce(list_sum(list_transform("
-            "list_distinct(ls), x -> length(x))), 0)) / greatest("
-            "coalesce(list_sum(list_transform(ls, x -> length(x))), 0), "
-            "1), 6) <= 0.2) then 1 else 0 end as keep, "
-            + "".join(
-                f"len(list_intersect(list_distinct(list_filter("
-                "regexp_split_to_array(trim(lower(text)), '\\s+'), "
-                f"t -> t != '')), {_STOP_SQL[lang]})) as s_{lang}, "
-                for lang in sorted(text.STOPWORDS)
-            )
-            + "1 as _one from f), "
-            "dl as (select *, case "
-            "when s_de = 0 and s_en = 0 and s_es = 0 and s_fr = 0 "
-            "then 'und' "
-            "when s_fr >= s_es and s_fr >= s_en and s_fr >= s_de "
-            "then 'fr' "
-            "when s_es >= s_en and s_es >= s_de then 'es' "
-            "when s_en >= s_de then 'en' else 'de' end as lang from d), "
-            "k as (select * from dl where nt >= 10 and lang = 'en' "
-            "and keep = 1), "
-            "n as (select doc_id, lang, nt, clf, "
-            "md5(trim(regexp_replace(regexp_replace(lower(translate(text, "
-            "'àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇšžŠŽ', "
-            "'aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNCszSZ')), "
-            "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) as nk from k), "
-            "m as (select nk, min(doc_id) as kid from n group by nk) "
-            "select n.doc_id, n.lang, n.nt::int as n_tokens, "
-            "n.clf as clf_score from n join m on n.nk = m.nk "
-            "and n.doc_id = m.kid"
+        "curation_v2": _CURATION_V2_SQL,
+        "curation_v3": (
+            # v2 survivors re-sourced, then the same 10-per-source
+            # quality cap (clf_score desc, doc_id asc) as cap_per_group
+            f"with v2 as ({_CURATION_V2_SQL}), "
+            "j as (select v2.doc_id, d.source, v2.n_tokens, v2.clf_score "
+            "from v2 join documents d on d.doc_id = v2.doc_id), "
+            "r as (select j.*, row_number() over (partition by source "
+            "order by clf_score desc, doc_id asc) as rn from j) "
+            "select doc_id, source, n_tokens, clf_score from r "
+            "where rn <= 10"
         ),
         "corpus_report": (
             # full per-doc mirror (quality features, default-threshold

@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from . import dedup, split as split_ops, text
 
-__all__ = ["curate", "curate_strict", "curation_stats", "training_prep"]
+__all__ = [
+    "curate",
+    "curate_balanced",
+    "curate_strict",
+    "curation_stats",
+    "training_prep",
+]
 
 
 def _dedup_min_id(df: DataFrame, key_expr, id_col: str) -> DataFrame:
@@ -250,3 +256,24 @@ def curate_strict(
         )
         kept = _track(kept, "post_decontam")
     return kept
+
+
+def curate_balanced(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    cap: int = 10_000,
+    order_col: str = "clf_score",
+    **curate_kwargs,
+) -> DataFrame:
+    """:func:`curate_strict` followed by a per-``group_col`` quality cap
+    (:func:`~.split.cap_per_group`, keep the ``cap`` highest-``order_col``
+    survivors per group) — gates first so junk never occupies quota,
+    then source balancing so no domain dominates the mixture. The cap
+    stage adds one group-keyed exchange over the SURVIVORS only, with a
+    WindowGroupLimit running top-k per group before the shuffle."""
+    from .split import cap_per_group
+
+    kept = curate_strict(docs, **curate_kwargs)
+    id_col = curate_kwargs.get("id_col", "doc_id")
+    return cap_per_group(kept, group_col, order_col, id_col, cap)

@@ -992,6 +992,44 @@ class TestPipeline:
         stats = pipeline.curation_stats(documents, kept).collect()[0]
         assert stats.n_out == len(rows) and 0 < stats.survival_rate <= 1
 
+    def test_curate_balanced_caps_each_source(self, spark, documents):
+        from datafusion_functions_json_spark.operators import pipeline
+
+        strict = pipeline.curate_strict(
+            documents,
+            languages=("en",),
+            min_tokens=10,
+            gopher_kwargs=dict(min_words=20, min_required_stopwords=1),
+        )
+        out = pipeline.curate_balanced(
+            documents,
+            cap=3,
+            languages=("en",),
+            min_tokens=10,
+            gopher_kwargs=dict(min_words=20, min_required_stopwords=1),
+        )
+        per_src = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per_src and max(per_src.values()) <= 3
+        # the cap keeps each source's BEST survivors: per source, kept
+        # clf_scores dominate dropped ones
+        kept = {(r.source, r.doc_id): r.clf_score for r in out.collect()}
+        allrows = [
+            (r.source, r.doc_id, r.clf_score) for r in strict.collect()
+        ]
+        for src in per_src:
+            kept_scores = sorted(
+                (v for (s, _), v in kept.items() if s == src), reverse=True
+            )
+            dropped = [
+                c for s, d, c in allrows
+                if s == src and (s, d) not in kept
+            ]
+            if dropped and kept_scores:
+                assert min(kept_scores) >= max(dropped)
+
     def test_training_prep_end_to_end(self, spark, documents):
         from datafusion_functions_json_spark.operators import pipeline
 
