@@ -419,6 +419,39 @@ def _pipeline_sql_bodies() -> dict:
         f"+ 0.3 * least({alpha} * 1.25, 1.0) "
         f"+ 0.2 * least({distinct_r} * 2.0, 1.0), 6)"
     )
+    # canonical_url as ONE expression (no CTEs in SQL UDF bodies):
+    # shared sub-expressions repeat textually, Catalyst eliminates them
+    cu_u = "regexp_replace(trim(t), '#.*', '')"
+    cu_base = f"regexp_extract({cu_u}, '^([^?]*)', 1)"
+    cu_query = f"regexp_extract({cu_u}, '^[^?]*\\\\?(.*)$', 1)"
+    cu_scheme = (
+        f"lower(regexp_extract({cu_base}, "
+        "'^([A-Za-z][A-Za-z0-9+.\\\\-]*://)', 1))"
+    )
+    cu_rest = f"substring({cu_base}, length({cu_scheme}) + 1, 1073741824)"
+    cu_host0 = f"lower(regexp_extract({cu_rest}, '^([^/]*)', 1))"
+    cu_path = (
+        f"regexp_replace(substring({cu_rest}, length({cu_host0}) + 1, "
+        "1073741824), '/$', '')"
+    )
+    cu_host1 = f"regexp_replace({cu_host0}, '^www\\\\.', '')"
+    cu_host = (
+        f"CASE WHEN {cu_scheme} = 'http://' "
+        f"THEN regexp_replace({cu_host1}, ':80$', '') "
+        f"WHEN {cu_scheme} = 'https://' "
+        f"THEN regexp_replace({cu_host1}, ':443$', '') "
+        f"ELSE {cu_host1} END"
+    )
+    cu_qs = (
+        f"array_join(array_sort(filter(split({cu_query}, '&'), "
+        "p -> p != '' AND NOT (startswith(substring_index(p, '=', 1), "
+        "'utm_') OR substring_index(p, '=', 1) IN "
+        "('fbclid', 'gclid', 'ref')))), '&')"
+    )
+    canonical = (
+        f"concat({cu_scheme}, {cu_host}, {cu_path}, "
+        f"CASE WHEN {cu_qs} != '' THEN concat('?', {cu_qs}) ELSE '' END)"
+    )
     return {
         "text_token_count": ("INT", f"CAST({ntok} AS INT)"),
         "text_pretoken_count": (
@@ -432,6 +465,7 @@ def _pipeline_sql_bodies() -> dict:
             f"ELSE ({lang_best}).lang END",
         ),
         "text_quality_score": ("DOUBLE", quality),
+        "text_canonical_url": ("STRING", canonical),
     }
 
 
@@ -441,7 +475,8 @@ def register_pipeline(spark: SparkSession) -> None:
     text_lang_id(text), text_quality_score(text) FROM docs``.
 
     Surface: ``text_token_count``, ``text_pretoken_count``,
-    ``text_normalize``, ``text_lang_id``, ``text_quality_score`` — each
+    ``text_normalize``, ``text_lang_id``, ``text_quality_score``,
+    ``text_canonical_url`` (default options) — each
     pinned equivalent to its Column-API twin by
     tests/test_sql.py::TestRegisterPipeline over the shared testdata.
     The heavier operators (gopher flags, c4_clean, classifiers) stay

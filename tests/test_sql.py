@@ -204,6 +204,39 @@ class TestRegisterPipeline:
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert df.collect()[0].l == "en"
 
+    def test_canonical_url_sql_matches_column_api(self, spark):
+        from datafusion_functions_json_spark.operators import text
+        from datafusion_functions_json_spark.register import register_pipeline
+
+        register_pipeline(spark)
+        urls = [
+            "HTTPS://WWW.Ex.COM:443/Path/?utm_source=x&b=2&a=1#f",
+            "HTTP://Host.ORG:80/q/deep?z=1&referrer=keep#t",
+            "https://a.com/A?ref=x&Ref=keepcase",
+            "https://a.com:8443/?utm_a=1&gclid=2",
+            "WWW.Ex.com/p",
+            "http://a.com:443/x",
+            "",
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "i long, u string"
+        )
+        df.createOrReplaceTempView("_rp_urls")
+        a = {
+            r.i: r.c
+            for r in spark.sql(
+                "select i, text_canonical_url(u) c from _rp_urls"
+            ).collect()
+        }
+        b = {
+            r.i: r.c
+            for r in df.select(
+                "i", text.canonical_url("u").alias("c")
+            ).collect()
+        }
+        assert a == b
+        assert a[0] == "https://ex.com/Path?a=1&b=2"
+
 
 class TestFromScalarNullParity:
     def test_sql_is_null_matches_python_api(self, spark):
