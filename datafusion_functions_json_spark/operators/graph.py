@@ -150,6 +150,35 @@ def dedup_by_components(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def _ranked_components(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str,
+    id_a: str,
+    id_b: str,
+) -> DataFrame:
+    """Shared keep-policy ranking for :func:`dedup_keep_best` and
+    :func:`dup_provenance`: ``(comp, node, _rn)`` with ``_rn = 1`` on
+    the representative (max score, ties → min id; NULL/absent scores
+    last). ONE definition, so the survivor set and the audit mapping
+    cannot disagree about who was kept."""
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, id_a, id_b)
+    scored = cc.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
+        "node",
+        "left",
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("_s").desc_nulls_last(), F.col("node").asc()
+    )
+    return scored.withColumn("_rn", F.row_number().over(w)).select(
+        "comp", "node", "_rn"
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     id_col: str,
@@ -175,21 +204,9 @@ def dedup_keep_best(
     row's rank is consumed — but the sort it pays is per-component over
     dup nodes only, never corpus-wide.)
     """
-    from pyspark.sql import Window
-
-    cc = connected_components(pairs, id_a, id_b)
-    scored = cc.join(
-        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
-        "node",
-        "left",
-    )
-    w = Window.partitionBy("comp").orderBy(
-        F.col("_s").desc_nulls_last(), F.col("node").asc()
-    )
-    losers = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
-        .select(F.col("node").alias(id_col))
+    ranked = _ranked_components(df, id_col, pairs, score_col, id_a, id_b)
+    losers = ranked.filter(F.col("_rn") > 1).select(
+        F.col("node").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
 
@@ -214,8 +231,8 @@ def dup_provenance(
     the dup-node component table; the corpus is never touched (callers
     join back on ``dropped_id``/``kept_id`` if they need payloads).
     """
-    cc = connected_components(pairs, id_a, id_b)
     if score_col is None:
+        cc = connected_components(pairs, id_a, id_b)
         return (
             cc.filter(F.col("node") != F.col("comp"))
             .select(
@@ -223,17 +240,7 @@ def dup_provenance(
                 F.col("comp").alias("kept_id"),
             )
         )
-    from pyspark.sql import Window
-
-    scored = cc.join(
-        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")),
-        "node",
-        "left",
-    )
-    w = Window.partitionBy("comp").orderBy(
-        F.col("_s").desc_nulls_last(), F.col("node").asc()
-    )
-    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    ranked = _ranked_components(df, id_col, pairs, score_col, id_a, id_b)
     winners = ranked.filter(F.col("_rn") == 1).select(
         "comp", F.col("node").alias("kept_id")
     )

@@ -174,20 +174,29 @@ def canonical_url(
     closed-form in the driver oracle): same input gives the same
     canonical key on any engine, so URL-dedup groups are reproducible.
     """
-    u = F.regexp_replace(F.trim(_col(url)), r"#.*", "")
+    # regexp-strip, not trim(): Spark's trim removes only spaces, and a
+    # crawl URL can carry raw tabs/newlines; (?s) makes '.' span
+    # newlines so a fragment containing one is still fully dropped
+    u = F.regexp_replace(
+        F.regexp_replace(_col(url), r"^\s+|\s+$", ""), r"(?s)#.*", ""
+    )
     base = F.regexp_extract(u, r"^([^?]*)", 1)
-    query = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+    query = F.regexp_extract(u, r"(?s)^[^?]*\?(.*)$", 1)
     scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*://)", 1))
     rest = F.substring(base, F.length(scheme) + F.lit(1), F.lit(1 << 30))
     host = F.lower(F.regexp_extract(rest, r"^([^/]*)", 1))
+    # \z (true end of input), not $: Java's $ also matches before a
+    # final newline, which would mis-strip on \n-bearing garbage input
     path = F.regexp_replace(
-        F.substring(rest, F.length(host) + F.lit(1), F.lit(1 << 30)), r"/$", ""
+        F.substring(rest, F.length(host) + F.lit(1), F.lit(1 << 30)),
+        r"/\z",
+        "",
     )
     if strip_www:
         host = F.regexp_replace(host, r"^www\.", "")
     host = (
-        F.when(scheme == "http://", F.regexp_replace(host, r":80$", ""))
-        .when(scheme == "https://", F.regexp_replace(host, r":443$", ""))
+        F.when(scheme == "http://", F.regexp_replace(host, r":80\z", ""))
+        .when(scheme == "https://", F.regexp_replace(host, r":443\z", ""))
         .otherwise(host)
     )
 

@@ -421,9 +421,14 @@ def _pipeline_sql_bodies() -> dict:
     )
     # canonical_url as ONE expression (no CTEs in SQL UDF bodies):
     # shared sub-expressions repeat textually, Catalyst eliminates them
-    cu_u = "regexp_replace(trim(t), '#.*', '')"
+    # regexp-strip + (?s)/\z anchors, mirroring operators/text.py:
+    # trim() only strips spaces, '.'/'$' mishandle embedded newlines
+    cu_u = (
+        "regexp_replace(regexp_replace(t, '^\\\\s+|\\\\s+$', ''), "
+        "'(?s)#.*', '')"
+    )
     cu_base = f"regexp_extract({cu_u}, '^([^?]*)', 1)"
-    cu_query = f"regexp_extract({cu_u}, '^[^?]*\\\\?(.*)$', 1)"
+    cu_query = f"regexp_extract({cu_u}, '(?s)^[^?]*\\\\?(.*)$', 1)"
     cu_scheme = (
         f"lower(regexp_extract({cu_base}, "
         "'^([A-Za-z][A-Za-z0-9+.\\\\-]*://)', 1))"
@@ -432,14 +437,14 @@ def _pipeline_sql_bodies() -> dict:
     cu_host0 = f"lower(regexp_extract({cu_rest}, '^([^/]*)', 1))"
     cu_path = (
         f"regexp_replace(substring({cu_rest}, length({cu_host0}) + 1, "
-        "1073741824), '/$', '')"
+        "1073741824), '/\\\\z', '')"
     )
     cu_host1 = f"regexp_replace({cu_host0}, '^www\\\\.', '')"
     cu_host = (
         f"CASE WHEN {cu_scheme} = 'http://' "
-        f"THEN regexp_replace({cu_host1}, ':80$', '') "
+        f"THEN regexp_replace({cu_host1}, ':80\\\\z', '') "
         f"WHEN {cu_scheme} = 'https://' "
-        f"THEN regexp_replace({cu_host1}, ':443$', '') "
+        f"THEN regexp_replace({cu_host1}, ':443\\\\z', '') "
         f"ELSE {cu_host1} END"
     )
     cu_qs = (

@@ -32,6 +32,7 @@ __all__ = [
     "merge_batch_fn",
     "neardedup_sink",
     "neardedup_batch_fn",
+    "neardedup_compact",
     "read_deduped",
     "cap_stream",
     "read_current",
@@ -917,12 +918,17 @@ def neardedup_batch_fn(
     Layout under ``target_dir``: ``data/b<id>`` (surviving rows),
     ``index/b<id>`` (their :func:`~..operators.dedup.minhash_index`
     rows), and ``_batches/b<id>`` marker files COMMITTING a batch —
-    written last, via tmp + atomic rename. Readers and the cross-batch
-    index consider ONLY committed batches, so a crash between the data
-    write and the marker leaves no partial state visible, and an
-    at-least-once replay recomputes against exactly the index the
-    original attempt saw (prior committed batches), overwrites the same
-    directories with the same rows, and re-commits — idempotent.
+    written last, via tmp + atomic rename, carrying a content
+    fingerprint (row count + order-insensitive id checksum). Readers and
+    the cross-batch index consider ONLY committed batches, so a crash
+    between the data write and the marker leaves no partial state
+    visible, and an at-least-once replay recomputes against exactly the
+    index the original attempt saw (prior committed batches), overwrites
+    the same directories with the same rows, and re-commits —
+    idempotent. A marker whose fingerprint does NOT match the incoming
+    batch (a lost/reset checkpoint restarting batch ids at 0, or a
+    second stream aimed at the same target) raises instead of silently
+    dropping the new rows.
     """
     import os
 
@@ -934,25 +940,56 @@ def neardedup_batch_fn(
         spark = batch_df.sparkSession
         name = f"b{batch_id:020d}"
         marks = os.path.join(target_dir, "_batches")
-        if os.path.exists(os.path.join(marks, name)):
-            return  # durably committed — stale replay is a no-op
-        # intra-batch near-dups first (one-shot pair removal)
-        alive = _dedup.minhash_dedup(
+        # content fingerprint (count + order-insensitive crc32 sum of
+        # ids — one small agg job per batch): a marker keyed by batch_id
+        # ALONE would silently discard new data when a lost/reset
+        # checkpoint restarts batch ids at 0 against an old target_dir.
+        fp_row = batch_df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.crc32(F.col(id_col).cast("string"))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        fingerprint = f"{fp_row.n}:{fp_row.h}"
+        mark_path = os.path.join(marks, name)
+        if os.path.exists(mark_path):
+            with open(mark_path) as f:
+                committed_fp = f.read().strip().splitlines()[-1]
+            if committed_fp == fingerprint:
+                return  # durably committed — stale replay is a no-op
+            raise ValueError(
+                f"neardedup target {target_dir} already committed batch "
+                f"{batch_id} with different content "
+                f"({committed_fp} != {fingerprint}) — the streaming "
+                "checkpoint was reset or a second stream is writing "
+                "here; refusing to silently drop this batch. Use a "
+                "fresh target_dir (or restore the checkpoint)."
+            )
+        # intra-batch near-dups first (one-shot pair removal: drop the
+        # larger id of each verified pair). Pairs computed directly —
+        # not via minhash_dedup — so the persisted pairs handle can be
+        # released below; materialize=True's cache would otherwise pin
+        # one dead pairs table per micro-batch for the stream's life.
+        pairs = _dedup.minhash_dup_pairs(
             batch_df, id_col, text_col,
             bands=bands, threshold=threshold, **mh,
         )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        alive = batch_df.join(losers, on=id_col, how="left_anti")
+        hits = None
         committed = _committed_batches(target_dir)
         if committed:
-            idx = spark.read.parquet(
-                *(os.path.join(target_dir, "index", b) for b in committed)
-            )
+            idx = spark.read.parquet(*_index_paths(target_dir, committed))
             hits = _dedup.minhash_dup_pairs_against(
                 alive, idx, id_col, text_col,
                 bands=bands, threshold=threshold, **mh,
             )
-            losers = hits.select(F.col("new_id").alias(id_col)).distinct()
-            alive = alive.join(losers, on=id_col, how="left_anti")
+            cross = hits.select(F.col("new_id").alias(id_col)).distinct()
+            alive = alive.join(cross, on=id_col, how="left_anti")
         alive = alive.localCheckpoint()  # one computation feeds both writes
+        pairs.unpersist()  # eager checkpoint done — release the caches
+        if hits is not None:
+            hits.unpersist()
         alive.write.mode("overwrite").parquet(
             os.path.join(target_dir, "data", name)
         )
@@ -962,8 +999,8 @@ def neardedup_batch_fn(
         os.makedirs(marks, exist_ok=True)
         tmp = os.path.join(marks, f".{name}.tmp")
         with open(tmp, "w") as f:
-            f.write(name)
-        os.replace(tmp, os.path.join(marks, name))
+            f.write(name + "\n" + fingerprint)
+        os.replace(tmp, mark_path)
 
     return _apply
 
@@ -977,6 +1014,93 @@ def _committed_batches(target_dir: str) -> list[str]:
     except OSError:
         return []
     return sorted(b for b in names if _re.fullmatch(r"b\d{20}", b))
+
+
+def _compacted_upto(target_dir: str) -> str | None:
+    """Name of the newest batch folded into the consolidated ``c*``
+    directories by :func:`neardedup_compact`, or None."""
+    import os
+
+    try:
+        with open(os.path.join(target_dir, "_batches", "_compacted")) as f:
+            v = f.read().strip()
+        return v or None
+    except OSError:
+        return None
+
+
+def _store_paths(target_dir: str, kind: str, committed: list[str]) -> list[str]:
+    # consolidated prefix (everything <= the compaction watermark) plus
+    # the per-batch directories committed after it
+    import os
+
+    upto = _compacted_upto(target_dir)
+    paths = []
+    if upto is not None:
+        paths.append(os.path.join(target_dir, kind, "c" + upto[1:]))
+    paths.extend(
+        os.path.join(target_dir, kind, b)
+        for b in committed
+        if upto is None or b > upto
+    )
+    return paths
+
+
+def _index_paths(target_dir: str, committed: list[str]) -> list[str]:
+    return _store_paths(target_dir, "index", committed)
+
+
+def neardedup_compact(spark, target_dir: str) -> dict:
+    """Fold all committed per-batch ``data/b*`` / ``index/b*``
+    directories (plus any previous consolidation) into single
+    ``data/c*`` / ``index/c*`` directories — the maintenance pass that
+    keeps :func:`neardedup_sink`'s per-batch read from degrading into
+    an open-one-tiny-directory-per-historical-batch listing as the
+    stream ages. Run it while the stream is idle (a batch that raced a
+    compaction and lost its input files simply fails and replays
+    against the compacted layout — the commit markers make that safe).
+
+    Commit order mirrors the sink: consolidated directories are written
+    first, then the ``_batches/_compacted`` watermark file is atomically
+    replaced, then the superseded directories are pruned best-effort —
+    a crash at any point leaves readers on a complete view.
+
+    Returns ``{"compacted": bool, "upto": batch_id, "folded": n_dirs}``.
+    """
+    import os
+    import shutil
+
+    committed = _committed_batches(target_dir)
+    if not committed:
+        return {"compacted": False, "upto": None, "folded": 0}
+    prev = _compacted_upto(target_dir)
+    newest = committed[-1]
+    if prev == newest:
+        return {"compacted": False, "upto": int(newest[1:]), "folded": 0}
+    folded = 0
+    for kind in ("data", "index"):
+        paths = _store_paths(target_dir, kind, committed)
+        folded = max(folded, len(paths))
+        spark.read.parquet(*paths).write.mode("overwrite").parquet(
+            os.path.join(target_dir, kind, "c" + newest[1:])
+        )
+    marks = os.path.join(target_dir, "_batches")
+    tmp = os.path.join(marks, "._compacted.tmp")
+    with open(tmp, "w") as f:
+        f.write(newest)
+    os.replace(tmp, os.path.join(marks, "_compacted"))
+    for kind in ("data", "index"):
+        for b in committed:
+            if b <= newest:
+                shutil.rmtree(
+                    os.path.join(target_dir, kind, b), ignore_errors=True
+                )
+        if prev is not None:
+            shutil.rmtree(
+                os.path.join(target_dir, kind, "c" + prev[1:]),
+                ignore_errors=True,
+            )
+    return {"compacted": True, "upto": int(newest[1:]), "folded": folded}
 
 
 def neardedup_sink(
@@ -994,11 +1118,15 @@ def neardedup_sink(
     :func:`dedup_stream` bounds its state by the watermark (exact keys,
     within-watermark only); this sink instead persists each batch's
     minhash index next to its data, so a document near-duplicating
-    ANYTHING ever admitted is dropped, at O(batch) incremental cost:
-    the batch pays one signature pass, then one banded equi-join
-    against the persisted index — never a corpus re-scan. State lives
-    in parquet, not the state store, so it survives checkpoint loss
-    and is queryable offline.
+    ANYTHING ever admitted is dropped. Incremental cost per batch: one
+    signature pass over the BATCH text (the expensive part — corpus
+    text is never re-read), plus one banded equi-join whose index side
+    ships ``(band, id)`` pairs for the admitted corpus — linear in
+    index SIZE but cheap per row (ints, no text). Run
+    :func:`neardedup_compact` periodically so that read stays one
+    consolidated directory instead of one tiny directory per
+    historical batch. State lives in parquet, not the state store, so
+    it survives checkpoint loss and is queryable offline.
 
     Semantics: intra-batch near-dups are removed first (one-shot pair
     removal, min id wins), then survivors matching the committed index
@@ -1021,15 +1149,12 @@ def neardedup_sink(
 
 def read_deduped(spark, target_dir: str):
     """All rows admitted by a :func:`neardedup_sink` so far (committed
-    batches only). Returns ``None`` before the first commit."""
-    import os
-
+    batches only; consolidated by :func:`neardedup_compact` when it has
+    run). Returns ``None`` before the first commit."""
     committed = _committed_batches(target_dir)
     if not committed:
         return None
-    return spark.read.parquet(
-        *(os.path.join(target_dir, "data", b) for b in committed)
-    )
+    return spark.read.parquet(*_store_paths(target_dir, "data", committed))
 
 
 def read_version(spark, target_dir: str, batch_id: int):

@@ -182,6 +182,11 @@ class TestText:
             ("WWW.Ex.com/p", "ex.com/p"),
             # :443 is only default for https
             ("http://a.com:443/x", "http://a.com:443/x"),
+            # control chars: tab/newline padding stripped, fragment
+            # containing a newline fully dropped
+            ("\thttp://A.com/x \n", "http://a.com/x"),
+            ("http://a.com/p#f\nleftover", "http://a.com/p"),
+            ("http://a.com/p?a=1#f\nx\ny", "http://a.com/p?a=1"),
             ("", ""),
             (None, None),
         ]
@@ -255,7 +260,7 @@ class TestText:
         paths = ["", "/", "/P/q", "/deep/Path/", "/x"]
         params = ["a=1", "B=2", "utm_source=s", "utm_x=9", "ref=r",
                   "refx=keep", "fbclid=f", "z=Last", "", "k"]
-        frags = ["", "#f", "#a?b=1"]
+        frags = ["", "#f", "#a?b=1", "#f\nres\tidue", "\n", " \t"]
         urls = []
         for _ in range(300):
             q = "&".join(rng.sample(params, rng.randrange(0, 5)))

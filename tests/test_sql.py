@@ -216,6 +216,7 @@ class TestRegisterPipeline:
             "https://a.com:8443/?utm_a=1&gclid=2",
             "WWW.Ex.com/p",
             "http://a.com:443/x",
+            "\thttp://A.com/p#f\nleftover",
             "",
         ]
         df = spark.createDataFrame(

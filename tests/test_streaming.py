@@ -938,6 +938,57 @@ class TestNeardedupSink:
     def test_read_deduped_before_first_commit(self, spark, tmp_path):
         assert js.read_deduped(spark, str(tmp_path / "nowhere")) is None
 
+    def test_checkpoint_reset_with_different_content_refuses(
+        self, spark, tmp_path
+    ):
+        # batch id 0 committed once; a DIFFERENT batch arriving with the
+        # same id (lost checkpoint / second stream) must raise, never
+        # silently drop the new rows
+        tgt = str(tmp_path / "nd3_tgt")
+        fn = js.neardedup_batch_fn(tgt, "doc_id", "text")
+        fn(self._b(spark, [(1, self.BASE)]), 0)
+        with pytest.raises(ValueError, match="different content"):
+            fn(self._b(spark, [(99, self.THIRD)]), 0)
+        # identical replay still a silent no-op
+        fn(self._b(spark, [(1, self.BASE)]), 0)
+
+    def test_no_cached_pairs_leak_across_batches(self, spark, tmp_path):
+        # the per-batch pair tables must not stay pinned in the cache
+        # manager for the stream's lifetime
+        tgt = str(tmp_path / "nd4_tgt")
+        fn = js.neardedup_batch_fn(tgt, "doc_id", "text")
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        fn(self._b(spark, [(1, self.BASE), (2, self.BASE)]), 0)
+        fn(self._b(spark, [(3, self.BASE), (4, self.THIRD)]), 1)
+        assert jsc.getPersistentRDDs().size() <= before
+
+    def test_compaction_preserves_reads_and_dedup(self, spark, tmp_path):
+        import os
+
+        tgt = str(tmp_path / "nd5_tgt")
+        fn = js.neardedup_batch_fn(tgt, "doc_id", "text")
+        fn(self._b(spark, [(1, self.BASE), (3, self.OTHER)]), 0)
+        fn(self._b(spark, [(5, self.THIRD)]), 1)
+        rep = js.neardedup_compact(spark, tgt)
+        assert rep["compacted"] and rep["upto"] == 1
+        # per-batch dirs pruned, reads unchanged
+        assert not os.path.isdir(os.path.join(tgt, "data", f"b{0:020d}"))
+        assert sorted(
+            r.doc_id for r in js.read_deduped(spark, tgt).collect()
+        ) == [1, 3, 5]
+        # cross-batch dedup still works against the compacted index
+        fn(self._b(spark, [(7, self.BASE), (8, "fresh disjoint corpus words " * 4)]), 2)
+        assert sorted(
+            r.doc_id for r in js.read_deduped(spark, tgt).collect()
+        ) == [1, 3, 5, 8]
+        # second compaction folds the new batch; idempotent after
+        assert js.neardedup_compact(spark, tgt)["upto"] == 2
+        assert js.neardedup_compact(spark, tgt)["compacted"] is False
+        assert sorted(
+            r.doc_id for r in js.read_deduped(spark, tgt).collect()
+        ) == [1, 3, 5, 8]
+
 
 class TestCapStream:
     def test_quota_across_batches(self, spark, tmp_path):
