@@ -38,6 +38,8 @@ __all__ = [
     "minhash_dup_pairs",
     "minhash_index",
     "minhash_dup_pairs_against",
+    "minhash_band_table",
+    "minhash_dup_pairs_against_bucketed",
     "minhash_dedup",
     "fuzzy_decontaminate",
     "simhash",
@@ -548,6 +550,152 @@ def minhash_dup_pairs_against(
     cand = cand.select("new_id", "index_id").dropDuplicates(
         ["new_id", "index_id"]
     )
+    nh = newx.select(F.col("id").alias("_nid"), F.col("hashes").alias("ha"))
+    ih = index.select(F.col("id").alias("_iid"), F.col("hashes").alias("hb"))
+    pairs = (
+        cand.join(nh, cand.new_id == nh._nid)
+        .drop("_nid")
+        .join(ih, cand.index_id == ih._iid)
+        .drop("_iid")
+        .withColumn("jaccard", jaccard_tokens(F.col("ha"), F.col("hb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", "jaccard")
+    )
+    if materialize:
+        pairs = pairs.persist()
+        pairs.count()  # force: pairs (small) cached, batch sigs releasable
+        newx.unpersist()
+    return pairs
+
+
+def minhash_band_table(
+    index: DataFrame,
+    table: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "char",
+    n: int = 5,
+    num_buckets: int = 64,
+) -> None:
+    """Materialize a :func:`minhash_index`'s exploded band table —
+    ``(band_id, band_hash, id)`` — as a catalog table BUCKETED and
+    sorted on the band key (``saveAsTable``; bucketing needs the
+    catalog).
+
+    This pre-pays the index side of the incremental band join ONCE at
+    build time: :func:`minhash_dup_pairs_against` re-explodes the whole
+    index and shuffles its band rows on EVERY batch, while
+    :func:`minhash_dup_pairs_against_bucketed` joins the (small) batch
+    against this table's bucket layout with NO index-side exchange —
+    the difference between re-shuffling a corpus-sized index nightly
+    and shuffling only each night's drop. Rebuild (or append a new
+    partition) when the index grows.
+
+    The permutation-family parameters (plus ``bands``) ride along as
+    column metadata on ``band_hash``, surviving the catalog round-trip,
+    so the bucketed matcher can reject a mismatched family."""
+    rows = _band_rows(num_perm, bands)
+    validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
+    from ..sources.sinks import write_bucketed
+
+    banded = (
+        index.withColumn(
+            "_band",
+            F.explode(lsh_bands(F.col("sig"), bands=bands, rows=rows)),
+        )
+        .select(
+            F.col("_band.band_id").alias("band_id"),
+            F.col("_band.band_hash").alias(
+                "band_hash",
+                metadata={
+                    "num_perm": num_perm,
+                    "seed": seed,
+                    "mode": mode,
+                    "n": n,
+                    "bands": bands,
+                },
+            ),
+            "id",
+        )
+    )
+    write_bucketed(
+        banded,
+        table,
+        bucket_by=["band_id", "band_hash"],
+        num_buckets=num_buckets,
+        sort_by=["band_id", "band_hash"],
+    )
+
+
+def minhash_dup_pairs_against_bucketed(
+    new_df: DataFrame,
+    band_table: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "char",
+    n: int = 5,
+    threshold: float = 0.7,
+    materialize: bool = True,
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """:func:`minhash_dup_pairs_against` with the candidate join fed by
+    a pre-built :func:`minhash_band_table` (``spark.table(name)``):
+    identical output ``(new_id, index_id, jaccard)``, but the
+    corpus-sized index band rows arrive PRE-SHUFFLED from the bucketed
+    layout — only the batch side exchanges into the join (plan-asserted
+    in tests). ``index`` is still needed for the hash-set verification
+    joins (id-keyed; bucket it by ``id`` too if those dominate).
+
+    Validates the band table's recorded permutation family/bands (a
+    table written by other tooling, without the metadata, is trusted
+    as-is)."""
+    rows = _band_rows(num_perm, bands)
+    validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
+    try:
+        bt_meta = dict(band_table.schema["band_hash"].metadata or {})
+    except (KeyError, TypeError):
+        bt_meta = {}
+    want = {"num_perm": num_perm, "seed": seed, "mode": mode, "n": n,
+            "bands": bands}
+    mismatch = {
+        k: (bt_meta[k], v)
+        for k, v in want.items()
+        if k in bt_meta and bt_meta[k] != v
+    }
+    if mismatch:
+        detail = ", ".join(
+            f"{k}: table={a!r} vs requested={b!r}"
+            for k, (a, b) in sorted(mismatch.items())
+        )
+        raise ValueError(
+            "minhash band table was built under different parameters "
+            f"({detail}); rebuild it or match its parameters"
+        )
+    newx = minhash_index(
+        new_df, id_col, text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
+    )
+    if materialize:
+        newx = newx.persist()
+    nb = newx.withColumn(
+        "_band", F.explode(lsh_bands(F.col("sig"), bands=bands, rows=rows))
+    ).select(
+        F.col("_band.band_id").alias("band_id"),
+        F.col("_band.band_hash").alias("band_hash"),
+        F.col("id").alias("new_id"),
+    )
+    cand = nb.join(band_table, ["band_id", "band_hash"]).select(
+        "new_id", F.col("id").alias("index_id")
+    )
+    if exclude_same_id:
+        cand = cand.filter(F.col("new_id") != F.col("index_id"))
+    cand = cand.dropDuplicates(["new_id", "index_id"])
     nh = newx.select(F.col("id").alias("_nid"), F.col("hashes").alias("ha"))
     ih = index.select(F.col("id").alias("_iid"), F.col("hashes").alias("hb"))
     pairs = (

@@ -363,6 +363,74 @@ class TestMinhash:
         assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
         assert pairs[0].jaccard == 1.0
 
+    def test_bucketed_band_table_matches_unbucketed_and_skips_exchange(
+        self, spark, documents
+    ):
+        mh = dict(num_perm=32, bands=8, mode="word", n=3)
+        fam = dict(num_perm=32, seed=42, mode="word", n=3)
+        idx_docs = documents.filter(F.col("doc_id") % 5 != 0).select(
+            "doc_id", "text"
+        )
+        index = dedup.minhash_index(idx_docs, "doc_id", "text", **fam)
+        dedup.minhash_band_table(
+            index, "mh_bands_t", num_buckets=4, **mh
+        )
+        try:
+            bt = spark.table("mh_bands_t")
+            batch = idx_docs.filter(F.col("doc_id") < 40).select(
+                (F.col("doc_id") + 9000).alias("doc_id"), "text"
+            )
+            got = dedup.minhash_dup_pairs_against_bucketed(
+                batch, bt, index, "doc_id", "text", threshold=0.8, **mh
+            )
+            want = dedup.minhash_dup_pairs_against(
+                batch, index, "doc_id", "text", threshold=0.8, **mh
+            )
+            g = {(r.new_id, r.index_id, round(r.jaccard, 9)) for r in got.collect()}
+            w = {(r.new_id, r.index_id, round(r.jaccard, 9)) for r in want.collect()}
+            assert g == w and g  # identical verified pairs, non-empty
+            # the 100 TB contract: the candidate join's INDEX side comes
+            # pre-shuffled from the bucket layout — only the batch side
+            # exchanges (an unbucketed self-built band frame needs two)
+            rows = 32 // 8
+            nb = (
+                dedup.minhash_index(batch, "doc_id", "text", **fam)
+                .withColumn(
+                    "_band",
+                    F.explode(
+                        dedup.lsh_bands(F.col("sig"), bands=8, rows=rows)
+                    ),
+                )
+                .select(
+                    F.col("_band.band_id").alias("band_id"),
+                    F.col("_band.band_hash").alias("band_hash"),
+                    F.col("id").alias("new_id"),
+                )
+            )
+            # force a shuffle join (a tiny test batch would broadcast,
+            # hiding the property): the bucketed side still must not
+            # exchange, so exactly ONE hash exchange remains
+            thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                bucketed_plan = (
+                    nb.join(bt, ["band_id", "band_hash"])
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+            assert bucketed_plan.count("Exchange hashpartitioning") == 1
+            # family mismatch refuses instead of silently missing dups
+            with pytest.raises(ValueError, match="band table"):
+                dedup.minhash_dup_pairs_against_bucketed(
+                    batch, bt, index, "doc_id", "text",
+                    num_perm=32, bands=4, mode="word", n=3,
+                )
+        finally:
+            spark.sql("drop table if exists mh_bands_t")
+
     def test_minhash_dedup_removes_losers(self, spark):
         rows = [(1, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
                 (2, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
