@@ -3406,6 +3406,22 @@ def _q_bpe_merges(spark, sf_dir):
     )
 
 
+def _q_bpe_stats(spark, sf_dir):
+    # tokenizer evaluation: train the segmentation on 2/3 of the corpus
+    # (doc_id % 3 != 0) and evaluate over ALL docs. The synthetic
+    # corpus shares its vocabulary across docs, so OOV lands at 0 here
+    # (the OOV/char-fallback arm is pinned by TestBpeStats with planted
+    # unknown words); the filtered-training + full-corpus-eval split is
+    # still exercised end-to-end. One keyed join + one partial
+    # aggregate; oracle replays training in the MATERIALIZED CTE chain
+    # with the same train filter and mirrors the arithmetic.
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    wt = bpe.word_table(train, "text")
+    _, seg = bpe.bpe_train(wt, n_merges=_BPE_STEPS)
+    return bpe.bpe_stats(docs, "text", seg)
+
+
 def _q_bpe_encode(spark, sf_dir):
     # BPE encoding as a keyed join against the trained segmentation
     # table (bpe_encode_words): per-doc word + BPE-token counts, zero
@@ -3847,6 +3863,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": _q_leakage_split,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "bpe_stats": _q_bpe_stats,
         "corpus_drift": _q_corpus_drift,
         "grouped_drift": _q_grouped_drift,
         "psi_drift": _q_psi_drift,
@@ -5520,6 +5537,32 @@ def oracle_sql() -> dict[str, str]:
             "sum(len(string_split(trim(s, '<>'), '><')))::bigint "
             f"as n_bpe_tokens from dw join w{_BPE_STEPS} using (word) "
             "group by doc_id"
+        ),
+        "bpe_stats": (
+            # seg trained on doc_id % 3 != 0 only (the wt CTE filter),
+            # evaluated over ALL docs — held-out words LEFT-join to
+            # null and count as OOV with char-fallback token counts
+            _bpe_oracle_ctes(_BPE_STEPS).replace(
+                "as word from documents) group by word)",
+                "as word from documents where doc_id % 3 <> 0) "
+                "group by word)",
+            )
+            + ", dw as (select doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) as word "
+            "from documents), "
+            "j as (select dw.word, "
+            "len(string_split(trim(s, '<>'), '><')) as nt "
+            f"from dw left join w{_BPE_STEPS} using (word)), "
+            "wa as (select count(*) as n_words, "
+            "sum(coalesce(nt, length(word)))::bigint as n_tokens, "
+            "sum(case when nt is null then 1 else 0 end)::bigint as n_oov, "
+            "sum(length(word))::bigint as n_chars from j), "
+            "da as (select count(*) as n_docs from documents) "
+            "select n_docs, n_words, n_tokens, n_oov, n_chars, "
+            "round(n_tokens::double / n_words, 6) as tokens_per_word, "
+            "round(n_chars::double / n_tokens, 6) as chars_per_token, "
+            "round(n_oov::double / n_words, 6) as oov_rate "
+            "from da cross join wa"
         ),
         "corpus_drift": (
             # same planted drift; arithmetic mirrors the Spark column

@@ -36,7 +36,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["word_table", "bpe_train", "bpe_apply", "bpe_encode_words"]
+__all__ = [
+    "word_table",
+    "bpe_train",
+    "bpe_apply",
+    "bpe_encode_words",
+    "bpe_stats",
+]
 
 _WORD_RE = "[a-z]+"
 
@@ -211,4 +217,68 @@ def bpe_encode_words(
                 F.coalesce(F.col("_n_syms"), F.length("word"))
             ).alias("n_bpe_tokens"),
         )
+    )
+
+
+def bpe_stats(
+    docs: DataFrame,
+    text_col: str,
+    segmented: DataFrame,
+    *,
+    lowercase: bool = True,
+    word_regex: str = _WORD_RE,
+    word_col: str = "word",
+    syms_col: str = "syms",
+) -> DataFrame:
+    """Corpus-level tokenizer evaluation against a trained segmentation
+    table — the numbers that decide whether a tokenizer is good enough
+    to ship: one row with
+
+    * ``n_docs`` / ``n_words`` / ``n_tokens`` / ``n_oov`` / ``n_chars``
+      (chars counted INSIDE tokenized words — whitespace the tokenizer
+      never sees is excluded, so ``chars_per_token`` is a property of
+      the tokenizer, not the formatting);
+    * ``tokens_per_word`` (fertility), ``chars_per_token``
+      (compression), ``oov_rate`` (fraction of word OCCURRENCES absent
+      from the vocabulary, which fall back to character segmentation in
+      :func:`bpe_encode_words`) — each rounded to 6 decimals.
+
+    Same scale shape as encoding: explode to words, one keyed join
+    against the vocabulary-sized dim (broadcastable), then a partial
+    aggregate that collapses each partition to one row pre-shuffle.
+    The 1-row doc count rides in on a bounded cross join.
+    """
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    exploded = docs.select(
+        F.explode(F.regexp_extract_all(t, F.lit(word_regex), 0)).alias("word")
+    )
+    seg = segmented.select(
+        F.col(word_col).alias("word"),
+        F.size(F.col(syms_col)).alias("_n_syms"),
+    )
+    j = exploded.join(seg, "word", "left")
+    word_agg = j.agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.coalesce(F.col("_n_syms"), F.length("word"))).alias(
+            "n_tokens"
+        ),
+        F.sum(
+            F.when(F.col("_n_syms").isNull(), 1).otherwise(0)
+        ).alias("n_oov"),
+        F.sum(F.length("word")).alias("n_chars"),
+    )
+    docs_agg = docs.agg(F.count("*").alias("n_docs"))
+    return docs_agg.crossJoin(word_agg).select(
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_oov",
+        "n_chars",
+        F.round(F.col("n_tokens") / F.col("n_words"), 6).alias(
+            "tokens_per_word"
+        ),
+        F.round(F.col("n_chars") / F.col("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(F.col("n_oov") / F.col("n_words"), 6).alias("oov_rate"),
     )

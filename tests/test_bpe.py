@@ -183,3 +183,35 @@ class TestRound8Guards:
         assert by_id == {1: 1, 2: 1, 3: 3}
         # caller's own node/comp columns survive untouched
         assert all(r.node == 99 and r.comp == 98 for r in out)
+
+
+class TestBpeStats:
+    def test_compression_and_oov(self, spark):
+        from datafusion_functions_json_spark.operators import bpe
+
+        # train on docs 1,2; doc 0 contributes the OOV words
+        docs = spark.createDataFrame(
+            [
+                (0, "zq zq unknownword"),
+                (1, "low low lower"),
+                (2, "low lowest"),
+            ],
+            "doc_id long, text string",
+        )
+        train = docs.filter("doc_id != 0")
+        wt = bpe.word_table(train, "text")
+        _, seg = bpe.bpe_train(wt, n_merges=4)
+        row = bpe.bpe_stats(docs, "text", seg).collect()[0]
+        assert row.n_docs == 3 and row.n_words == 8
+        # 3 OOV occurrences (zq, zq, unknownword), char fallback counts
+        assert row.n_oov == 3
+        assert row.oov_rate == round(3 / 8, 6)
+        assert row.n_chars == sum(
+            len(w)
+            for w in "zq zq unknownword low low lower low lowest".split()
+        )
+        # in-vocab words tokenize to <= their char count; OOV fall back
+        # to exactly their char count -> tokens never exceed chars
+        assert row.n_tokens <= row.n_chars
+        assert row.tokens_per_word == round(row.n_tokens / 8, 6)
+        assert row.chars_per_token == round(row.n_chars / row.n_tokens, 6)
