@@ -3471,6 +3471,24 @@ def _bpe_oracle_ctes(n_steps: int) -> str:
     return "with " + ", ".join(ctes)
 
 
+def _bpe_train_filtered_ctes(n_steps: int, predicate: str) -> str:
+    """The BPE training CTE chain with the word table restricted to
+    ``predicate`` (the bpe_stats train/eval split). Guarded: if the wt
+    CTE's wording ever drifts so the patch no longer lands, this raises
+    instead of silently un-filtering the oracle's training corpus."""
+    base = _bpe_oracle_ctes(n_steps)
+    patched = base.replace(
+        "as word from documents) group by word)",
+        f"as word from documents where {predicate}) group by word)",
+    )
+    if patched == base:
+        raise AssertionError(
+            "bpe_stats oracle patch did not match the wt CTE text — "
+            "update _bpe_train_filtered_ctes alongside _bpe_oracle_ctes"
+        )
+    return patched
+
+
 def _q_corpus_drift(spark, sf_dir):
     # token-distribution drift (operators/stats.distribution_drift):
     # new snapshot = src2 turned off + a planted token on every 7th
@@ -5542,11 +5560,7 @@ def oracle_sql() -> dict[str, str]:
             # seg trained on doc_id % 3 != 0 only (the wt CTE filter),
             # evaluated over ALL docs — held-out words LEFT-join to
             # null and count as OOV with char-fallback token counts
-            _bpe_oracle_ctes(_BPE_STEPS).replace(
-                "as word from documents) group by word)",
-                "as word from documents where doc_id % 3 <> 0) "
-                "group by word)",
-            )
+            _bpe_train_filtered_ctes(_BPE_STEPS, "doc_id % 3 <> 0")
             + ", dw as (select doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) as word "
             "from documents), "

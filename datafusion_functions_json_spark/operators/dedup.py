@@ -454,6 +454,32 @@ def minhash_index(
     )
 
 
+def _validate_family(
+    df: DataFrame, field: str, want: dict, what: str, remedy: str
+) -> dict:
+    """Shared metadata-mismatch check for :func:`validate_index_meta`
+    and the band-table matcher: compares ``want`` against ``field``'s
+    column metadata (absent metadata = trusted as-is) and raises with a
+    uniform message on any clash. Returns the metadata read."""
+    try:
+        meta = dict(df.schema[field].metadata or {})
+    except (KeyError, TypeError):
+        meta = {}
+    mismatch = {
+        k: (meta[k], v) for k, v in want.items() if k in meta and meta[k] != v
+    }
+    if mismatch:
+        detail = ", ".join(
+            f"{k}: {what}={a!r} vs requested={b!r}"
+            for k, (a, b) in sorted(mismatch.items())
+        )
+        raise ValueError(
+            f"minhash {what} was built under a different permutation "
+            f"family ({detail}); {remedy}"
+        )
+    return meta
+
+
 def validate_index_meta(
     index: DataFrame, *, num_perm: int, seed: int, mode: str, n: int
 ) -> None:
@@ -462,26 +488,14 @@ def validate_index_meta(
     the ONE definition shared by the batch matcher and the streaming
     :func:`~..streaming.contamination_alerts` monitor. An index written
     by other tooling, without the metadata, is trusted as-is."""
-    try:
-        idx_meta = dict(index.schema["sig"].metadata or {})
-    except (KeyError, TypeError):
-        idx_meta = {}
-    want = {"num_perm": num_perm, "seed": seed, "mode": mode, "n": n}
-    mismatch = {
-        k: (idx_meta[k], v)
-        for k, v in want.items()
-        if k in idx_meta and idx_meta[k] != v
-    }
-    if mismatch:
-        detail = ", ".join(
-            f"{k}: index={a!r} vs requested={b!r}"
-            for k, (a, b) in sorted(mismatch.items())
-        )
-        raise ValueError(
-            "minhash index was built under a different permutation family "
-            f"({detail}); signatures are not comparable — rebuild the index "
-            "or match its parameters"
-        )
+    _validate_family(
+        index,
+        "sig",
+        {"num_perm": num_perm, "seed": seed, "mode": mode, "n": n},
+        "index",
+        "signatures are not comparable — rebuild the index or match its "
+        "parameters",
+    )
 
 
 def minhash_dup_pairs_against(
@@ -593,9 +607,11 @@ def minhash_band_table(
     and shuffling only each night's drop. Rebuild (or append a new
     partition) when the index grows.
 
-    The permutation-family parameters (plus ``bands``) ride along as
-    column metadata on ``band_hash``, surviving the catalog round-trip,
-    so the bucketed matcher can reject a mismatched family."""
+    The permutation-family parameters (plus ``bands`` and the index row
+    count at build time) ride along as column metadata on
+    ``band_hash``, surviving the catalog round-trip, so the bucketed
+    matcher can reject a mismatched family AND an out-of-sync
+    index/table pair."""
     rows = _band_rows(num_perm, bands)
     validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
     from ..sources.sinks import write_bucketed
@@ -615,6 +631,10 @@ def minhash_band_table(
                     "mode": mode,
                     "n": n,
                     "bands": bands,
+                    # parquet count-star is metadata-cheap; recording it
+                    # lets the matcher catch an index that grew after
+                    # this table was built (silent recall loss otherwise)
+                    "index_rows": index.count(),
                 },
             ),
             "id",
@@ -644,6 +664,7 @@ def minhash_dup_pairs_against_bucketed(
     threshold: float = 0.7,
     materialize: bool = True,
     exclude_same_id: bool = True,
+    check_sync: bool = True,
 ) -> DataFrame:
     """:func:`minhash_dup_pairs_against` with the candidate join fed by
     a pre-built :func:`minhash_band_table` (``spark.table(name)``):
@@ -653,31 +674,35 @@ def minhash_dup_pairs_against_bucketed(
     in tests). ``index`` is still needed for the hash-set verification
     joins (id-keyed; bucket it by ``id`` too if those dominate).
 
-    Validates the band table's recorded permutation family/bands (a
-    table written by other tooling, without the metadata, is trusted
-    as-is)."""
+    Validates the band table's recorded permutation family/bands, and —
+    when the table recorded its build-time index size — that ``index``
+    still has that many rows: an index that grew after the table was
+    built would otherwise lose recall SILENTLY (its new docs are never
+    band candidates), the exact failure mode this tier must never have.
+    A table written by other tooling, without the metadata, is trusted
+    as-is; pass ``check_sync=False`` to skip the row-count probe (it is
+    one metadata-cheap count per call)."""
     rows = _band_rows(num_perm, bands)
     validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
-    try:
-        bt_meta = dict(band_table.schema["band_hash"].metadata or {})
-    except (KeyError, TypeError):
-        bt_meta = {}
-    want = {"num_perm": num_perm, "seed": seed, "mode": mode, "n": n,
-            "bands": bands}
-    mismatch = {
-        k: (bt_meta[k], v)
-        for k, v in want.items()
-        if k in bt_meta and bt_meta[k] != v
-    }
-    if mismatch:
-        detail = ", ".join(
-            f"{k}: table={a!r} vs requested={b!r}"
-            for k, (a, b) in sorted(mismatch.items())
-        )
-        raise ValueError(
-            "minhash band table was built under different parameters "
-            f"({detail}); rebuild it or match its parameters"
-        )
+    bt_meta = _validate_family(
+        band_table,
+        "band_hash",
+        {"num_perm": num_perm, "seed": seed, "mode": mode, "n": n,
+         "bands": bands},
+        "band table",
+        "rebuild it or match its parameters",
+    )
+    if check_sync and "index_rows" in bt_meta:
+        have = index.count()
+        if have != bt_meta["index_rows"]:
+            raise ValueError(
+                f"minhash band table was built from an index of "
+                f"{bt_meta['index_rows']} rows but the index now has "
+                f"{have} — its extra/removed docs would silently miss "
+                "the band join; rebuild the band table "
+                "(minhash_band_table) or pass check_sync=False if the "
+                "drift is intentional"
+            )
     newx = minhash_index(
         new_df, id_col, text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
     )

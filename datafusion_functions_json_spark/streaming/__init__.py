@@ -940,21 +940,30 @@ def neardedup_batch_fn(
         spark = batch_df.sparkSession
         name = f"b{batch_id:020d}"
         marks = os.path.join(target_dir, "_batches")
-        # content fingerprint (count + order-insensitive crc32 sum of
-        # ids — one small agg job per batch): a marker keyed by batch_id
-        # ALONE would silently discard new data when a lost/reset
-        # checkpoint restarts batch ids at 0 against an old target_dir.
+        # content fingerprint (count + order-insensitive crc32 sums of
+        # ids AND text — one small agg job per batch): a marker keyed by
+        # batch_id ALONE would silently discard new data when a
+        # lost/reset checkpoint restarts batch ids at 0 against an old
+        # target_dir; ids alone would still miss a re-export that kept
+        # ids but changed text.
         fp_row = batch_df.agg(
             F.count("*").alias("n"),
             F.coalesce(
                 F.sum(F.crc32(F.col(id_col).cast("string"))), F.lit(0)
             ).alias("h"),
+            F.coalesce(
+                F.sum(F.crc32(F.col(text_col).cast("string"))), F.lit(0)
+            ).alias("ht"),
         ).collect()[0]
-        fingerprint = f"{fp_row.n}:{fp_row.h}"
+        fingerprint = f"{fp_row.n}:{fp_row.h}:{fp_row.ht}"
         mark_path = os.path.join(marks, name)
         if os.path.exists(mark_path):
             with open(mark_path) as f:
                 committed_fp = f.read().strip().splitlines()[-1]
+            if ":" not in committed_fp:
+                # marker from a pre-fingerprint layout: trust it as
+                # committed rather than killing an upgraded stream
+                return
             if committed_fp == fingerprint:
                 return  # durably committed — stale replay is a no-op
             raise ValueError(

@@ -428,6 +428,26 @@ class TestMinhash:
                     batch, bt, index, "doc_id", "text",
                     num_perm=32, bands=4, mode="word", n=3,
                 )
+            # a grown index refuses too (its new docs would silently
+            # miss the band join); explicit opt-out allowed
+            grown = index.unionByName(
+                dedup.minhash_index(
+                    documents.filter(F.col("doc_id") % 5 == 0).select(
+                        "doc_id", "text"
+                    ),
+                    "doc_id",
+                    "text",
+                    **fam,
+                )
+            )
+            with pytest.raises(ValueError, match="rebuild the band table"):
+                dedup.minhash_dup_pairs_against_bucketed(
+                    grown, bt, grown, "doc_id", "text", threshold=0.8, **mh
+                )
+            dedup.minhash_dup_pairs_against_bucketed(
+                batch, bt, grown, "doc_id", "text",
+                threshold=0.8, check_sync=False, **mh,
+            ).collect()
         finally:
             spark.sql("drop table if exists mh_bands_t")
 

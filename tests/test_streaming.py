@@ -951,6 +951,26 @@ class TestNeardedupSink:
             fn(self._b(spark, [(99, self.THIRD)]), 0)
         # identical replay still a silent no-op
         fn(self._b(spark, [(1, self.BASE)]), 0)
+        # same ids but DIFFERENT text must also refuse (ids alone would
+        # wave a re-exported corpus through as "already committed")
+        with pytest.raises(ValueError, match="different content"):
+            fn(self._b(spark, [(1, self.OTHER)]), 0)
+
+    def test_legacy_marker_without_fingerprint_trusted(self, spark, tmp_path):
+        import os
+
+        tgt = str(tmp_path / "nd_legacy")
+        fn = js.neardedup_batch_fn(tgt, "doc_id", "text")
+        fn(self._b(spark, [(1, self.BASE)]), 0)
+        # rewrite the marker in the pre-fingerprint layout (name only):
+        # an upgraded stream must treat it as committed, not crash
+        mark = os.path.join(tgt, "_batches", f"b{0:020d}")
+        with open(mark, "w") as f:
+            f.write(f"b{0:020d}")
+        fn(self._b(spark, [(1, self.BASE)]), 0)  # no-op, no raise
+        assert sorted(
+            r.doc_id for r in js.read_deduped(spark, tgt).collect()
+        ) == [1]
 
     def test_no_cached_pairs_leak_across_batches(self, spark, tmp_path):
         # the per-batch pair tables must not stay pinned in the cache
