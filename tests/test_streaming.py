@@ -1060,3 +1060,108 @@ class TestCapStream:
         stream = spark.readStream.schema(schema).json(str(tmp_path))
         with pytest.raises(ValueError):
             js.cap_stream(stream, "g", 0)
+
+
+class TestCapStreamDurability:
+    def test_quota_survives_query_restart(self, spark, tmp_path):
+        # the admission counter lives in the state store: a NEW query
+        # resumed from the same checkpoint must remember how much of
+        # each group's quota was spent before the restart
+        src = tmp_path / "capd_in"
+        src.mkdir()
+        out = str(tmp_path / "capd_out")
+        ckpt = str(tmp_path / "capd_ckpt")
+        schema = T.StructType(
+            [
+                T.StructField("g", T.StringType()),
+                T.StructField("seq", T.LongType()),
+            ]
+        )
+
+        def start():
+            stream = spark.readStream.schema(schema).json(str(src))
+            return (
+                js.cap_stream(stream, "g", 2, order_col="seq")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+
+        with open(src / "b0.jsonl", "w") as f:
+            f.write(json.dumps({"g": "a", "seq": 1}) + "\n")
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        with open(src / "b1.jsonl", "w") as f:
+            for s in (2, 3, 4):
+                f.write(json.dumps({"g": "a", "seq": s}) + "\n")
+        q = start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r.g, r.seq) for r in spark.read.parquet(out).collect()
+        )
+        # 1 admitted pre-restart + exactly 1 more after: state restored
+        assert got == [("a", 1), ("a", 2)]
+
+
+class TestStatelessOpsOnStreams:
+    def test_hash_split_and_mixture_sample_stream_compatible(
+        self, spark, tmp_path
+    ):
+        # the split/mixture primitives are pure projections, so the SAME
+        # code paths run unchanged on a streaming frame — the claim the
+        # operator docstrings make, pinned here end-to-end
+        from datafusion_functions_json_spark.operators import split
+
+        src = tmp_path / "sp_in"
+        src.mkdir()
+        with open(src / "b0.jsonl", "w") as f:
+            for i in range(40):
+                f.write(json.dumps({"doc_id": i, "source": "web"}) + "\n")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("source", T.StringType()),
+            ]
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        labeled = split.mixture_sample(
+            split.hash_split(stream, "doc_id", salt="s"),
+            "doc_id",
+            "source",
+            {"web": 0.5},
+            salt="s",
+        )
+        assert labeled.isStreaming
+        q = (
+            labeled.writeStream.format("memory")
+            .queryName("sp_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.doc_id, r.split)
+            for r in spark.sql("select * from sp_stream").collect()
+        }
+        # batch twin produces the identical survivor set + labels
+        batch = spark.read.schema(schema).json(str(src))
+        want = {
+            (r.doc_id, r.split)
+            for r in split.mixture_sample(
+                split.hash_split(batch, "doc_id", salt="s"),
+                "doc_id",
+                "source",
+                {"web": 0.5},
+                salt="s",
+            ).collect()
+        }
+        assert got == want and 0 < len(got) < 40
