@@ -483,6 +483,27 @@ def _q_get_array_csv(spark, sf_dir):
     )
 
 
+def _q_json_explode(spark, sf_dir):
+    # §2.4 unnest ≙ explode, composed with the JSON surface: posexplode
+    # over json_get_array's RAW elements (string "x" keeps its quotes,
+    # numbers verbatim, literal null preserved) — one Generate node, no
+    # shuffle. Oracle enumerates the planted array closed-form with the
+    # same 1-based ordinality.
+    li = _lineitem(spark, sf_dir).withColumn(
+        "j2",
+        F.concat(
+            F.lit('["x", '),
+            (F.col("l_orderkey") % 10).cast("string"),
+            F.lit(", null]"),
+        ),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.posexplode(jsonf.json_get_array("j2")).alias("pos", "elem"),
+    ).withColumn("pos", F.col("pos") + 1)
+
+
 def _q_operator_chain(spark, sf_dir):
     # the JsonColumn sugar path: j -> 'a' -> 'b' -> 0 with cast elision;
     # exercises eager un-nesting + cast rewrite inside the driver harness
@@ -3729,6 +3750,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_extract_variant": _q_multi_extract_variant,
         "line_dedup": _q_line_dedup,
         "get_array_csv": _q_get_array_csv,
+        "json_explode": _q_json_explode,
         "column_key": _q_column_key,
         "json_agg": _q_json_agg,
         "curation": _q_curation,
@@ -4047,6 +4069,16 @@ def oracle_sql() -> dict[str, str]:
             f"select l_orderkey, l_linenumber, "
             f"json_extract_string({nested}, '$.d') as d_text, "
             f"'null' as d_raw from lineitem"
+        ),
+        "json_explode": (
+            # planted 3-element array, enumerated closed-form with
+            # 1-based ordinality: '"x"', the digit, literal 'null'
+            "select l_orderkey, l_linenumber, u.pos::int as pos, "
+            "u.elem from lineitem cross join lateral ("
+            "select * from (values "
+            "(1, '\"x\"'), "
+            "(2, (l_orderkey % 10)::varchar), "
+            "(3, 'null')) as t(pos, elem)) u"
         ),
         "get_array_csv": (
             "select l_orderkey, l_linenumber, "
