@@ -613,6 +613,34 @@ def _q_sql_operators(spark, sf_dir):
     )
 
 
+def _q_json_setops(spark, sf_dir):
+    # §2.4 set operations composed with JSON predicates: ids whose
+    # props.k is even INTERSECT ids with k >= 20, then EXCEPT ids with
+    # k % 10 == 0 — both plan as joins over one JSON-extraction pass
+    # per branch; oracle mirrors with DuckDB INTERSECT/EXCEPT.
+    ev = _events(spark, sf_dir).select(
+        "event_id", jsonf.json_get_int("props", "k").alias("_k")
+    )
+    even = ev.filter(F.pmod(F.col("_k"), F.lit(2)) == 0).select("event_id")
+    big = ev.filter(F.col("_k") >= 20).select("event_id")
+    tens = ev.filter(F.pmod(F.col("_k"), F.lit(10)) == 0).select("event_id")
+    return even.intersect(big).exceptAll(tens)
+
+
+def _q_sql_params(spark, sf_dir):
+    # §2.4 prepared-statement params ≙ spark.sql named arguments: the
+    # path key and the threshold are BOUND, not interpolated, through
+    # the registered SQL surface (reference run_query_params,
+    # tests/utils/mod.rs:249-256)
+    jsonf.register_all(spark)
+    _events(spark, sf_dir).createOrReplaceTempView("events_params")
+    return spark.sql(
+        "select event_id, json_get_int(props, :key) as kv "
+        "from events_params where json_get_int(props, :key) >= :floor",
+        args={"key": "k", "floor": 90},
+    )
+
+
 def _q_tpch_q1(spark, sf_dir):
     # pure Catalyst aggregation: partial agg collapses the scan task's
     # output, so the spread shuffle would only add cost — load unspread
@@ -3891,6 +3919,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "from_scalar": _q_from_scalar,
         "sql_operators": _q_sql_operators,
+        "json_setops": _q_json_setops,
+        "sql_params": _q_sql_params,
         "nested_get_str": _q_nested_get_str,
         "union_roundtrip": _q_union_roundtrip,
         "multi_extract": _q_multi_extract,
@@ -4135,6 +4165,20 @@ def oracle_sql() -> dict[str, str]:
         "column_key": (
             "select event_id, case when event_type = 'click' "
             "then try_cast(json_extract(props,'$.k') as bigint) end as dyn from events"
+        ),
+        "json_setops": (
+            "with ks as (select event_id, "
+            "try_cast(json_extract(props, '$.k') as bigint) as k "
+            "from events) "
+            "select event_id from ks where k % 2 = 0 "
+            "intersect select event_id from ks where k >= 20 "
+            "except all select event_id from ks where k % 10 = 0"
+        ),
+        "sql_params": (
+            "select event_id, "
+            "try_cast(json_extract(props, '$.k') as bigint) as kv "
+            "from events "
+            "where try_cast(json_extract(props, '$.k') as bigint) >= 90"
         ),
         "sql_operators": (
             "select event_id, json_extract_string(props,'$.k') as kt, "
