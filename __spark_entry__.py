@@ -1145,6 +1145,27 @@ def _q_pii_redact(spark, sf_dir):
     )
 
 
+def _q_pii_report(spark, sf_dir):
+    # per-source PII exposure dashboard (text.pii_report): PII planted
+    # on every 3rd doc only, so docs_affected exercises the conditional
+    # count (not trivially == n_docs). One scan, one group-keyed agg.
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7"),
+        ),
+    ).otherwise(F.col("text"))
+    return text.pii_report(
+        docs.select("source", planted.alias("t")), "t", "source"
+    )
+
+
 def _q_percentiles(spark, sf_dir):
     # grouped exact percentiles (linear interpolation — same definition
     # as DuckDB quantile_cont): Spark's percentile is a single-pass
@@ -3889,6 +3910,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": _q_training_prep,
         "percentiles": _q_percentiles,
         "pii_redact": _q_pii_redact,
+        "pii_report": _q_pii_report,
         "sessionize_batch": _q_sessionize_batch,
         "repetition": _q_repetition,
         "domains": _q_domains,
@@ -4345,6 +4367,26 @@ def oracle_sql() -> dict[str, str]:
             "select user, session_idx, count(*) as n_events, "
             "min(s) as start_s, max(s) as end_s "
             "from x group by user, session_idx"
+        ),
+        "pii_report": (
+            # same planted PII on every 3rd doc; per-source conditional
+            # aggregate mirrors pii_report's single-pass shape
+            "with p as (select source, case when doc_id % 3 = 0 then "
+            "text || ' contact user' || doc_id::varchar || '@example.com "
+            "at 10.0.' || (doc_id % 256)::varchar || '.7' else text end "
+            "as t from documents), "
+            "c as (select source, "
+            "len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as e, "
+            "len(regexp_extract_all(t, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) as i, "
+            "len(regexp_extract_all(t, '\\+?\\d[\\d\\- ]{7,}\\d')) as ph "
+            "from p) "
+            "select source, count(*) as n_docs, "
+            "sum(case when e > 0 or i > 0 or ph > 0 then 1 else 0 end)"
+            "::bigint as docs_affected, "
+            "sum(e)::bigint as email_n, sum(i)::bigint as ipv4_n, "
+            "sum(ph)::bigint as phone_n from c group by source"
         ),
         "pii_redact": (
             "with p as (select doc_id, text || ' contact user' || "

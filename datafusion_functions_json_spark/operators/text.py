@@ -42,6 +42,7 @@ __all__ = [
     "fingerprint",
     "redact_pii",
     "pii_counts",
+    "pii_report",
     "PII_PATTERNS",
     "chunk_documents",
     "vocabulary",
@@ -459,6 +460,38 @@ def pii_counts(text, kinds: tuple = ("email", "ipv4", "phone")) -> Column:
             F.regexp_count(_col(text), F.lit(PII_PATTERNS[k])).alias(k)
             for k in kinds
         ]
+    )
+
+
+def pii_report(
+    df,
+    text_col,
+    group_col,
+    *,
+    kinds: tuple = ("email", "ipv4", "phone"),
+) -> "DataFrame":
+    """Per-``group_col`` PII exposure dashboard — the compliance view a
+    redaction pass reports: ``(group, n_docs, docs_affected,
+    <kind>_n ...)``. One pass of codegen'd ``regexp_count`` projections
+    feeding a group-keyed hash aggregate with map-side partials — no
+    extra scan per kind, no Python, no second pass for the affected-doc
+    count (it rides the same aggregate as a conditional count)."""
+    counts = pii_counts(_col(text_col), kinds)
+    proj = df.select(
+        F.col(group_col).alias("_g"),
+        *[counts[k].alias(f"_{k}") for k in kinds],
+    )
+    any_hit = None
+    for k in kinds:
+        c = F.col(f"_{k}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    return (
+        proj.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(any_hit.cast("int")).alias("docs_affected"),
+            *[F.sum(f"_{k}").alias(f"{k}_n") for k in kinds],
+        )
     )
 
 

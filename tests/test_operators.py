@@ -164,6 +164,21 @@ class TestText:
         assert rows[0].f1 == rows[0].f2
         assert rows[1].f1 != rows[1].f2
 
+    def test_pii_report_per_group(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", "mail me at x@y.com or z@w.org"),
+                ("a", "clean text"),
+                ("b", "server at 10.0.0.1"),
+            ],
+            "src string, t string",
+        )
+        rows = {
+            r.src: (r.n_docs, r.docs_affected, r.email_n, r.ipv4_n, r.phone_n)
+            for r in text.pii_report(df, "t", "src").collect()
+        }
+        assert rows == {"a": (2, 1, 2, 0, 0), "b": (1, 1, 0, 1, 0)}
+
     def test_canonical_url_rules(self, spark):
         cases = [
             # scheme/host lowered, www + default port stripped, fragment
