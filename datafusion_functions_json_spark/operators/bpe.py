@@ -110,7 +110,7 @@ def bpe_train(
     word_col: str = "word",
     count_col: str = "wcount",
     checkpoint_every: int = 8,
-) -> list[tuple[int, str, str, int]]:
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges from a word-frequency table.
 
     Returns ``(merges, segmented)``: ``merges`` is

@@ -233,11 +233,20 @@ def _drift_impl(old, new, text_col, group_col, *, alpha, round_to):
     a = float(alpha)
     if a <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    j = counts(old, "old").join(
-        counts(new, "new"), [*gcols, "tok"], "full_outer"
-    )
-    j = j.select(
-        *gcols,
+    # NULL-safe joins throughout: a NULL group value (unattributed
+    # docs) is a legitimate slice. Plain equi-joins never match
+    # NULL=NULL, so the full-outer would split the NULL slice's
+    # c_old/c_new onto separate rows and the inner totals join would
+    # then drop the slice entirely — the one slice you couldn't see
+    # move.
+    co, cn = counts(old, "old").alias("co"), counts(new, "new").alias("cn")
+    keys = [*gcols, "tok"]
+    cond = None
+    for k in keys:
+        c = F.col(f"co.{k}").eqNullSafe(F.col(f"cn.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = co.join(cn, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"co.{g}"), F.col(f"cn.{g}")).alias(g) for g in gcols],
         F.coalesce("c_old", F.lit(0)).alias("c_old"),
         F.coalesce("c_new", F.lit(0)).alias("c_new"),
     )
@@ -247,7 +256,15 @@ def _drift_impl(old, new, text_col, group_col, *, alpha, round_to):
         F.count("*").alias("v"),
     )
     if group_col:
-        jt = j.join(tot, gcols)  # group-keyed totals: groups unbounded
+        # group-keyed totals (groups unbounded), NULL-safe on the key
+        jl, tl = j.alias("jl"), tot.alias("tl")
+        gcond = None
+        for g in gcols:
+            c = F.col(f"jl.{g}").eqNullSafe(F.col(f"tl.{g}"))
+            gcond = c if gcond is None else (gcond & c)
+        jt = jl.join(tl, gcond).select(
+            "jl.*", F.col("tl.n_old"), F.col("tl.n_new"), F.col("tl.v")
+        )
     else:
         jt = j.crossJoin(F.broadcast(tot))  # 1-row totals broadcast
     p = (F.col("c_old") + a) / (F.col("n_old") + a * F.col("v"))

@@ -182,20 +182,50 @@ def compact_parquet(
     Sizing comes from FILE METADATA (a directory walk summing on-disk
     parquet sizes), not a data pass; the rewrite itself is
     one coalesce-shaped job into a staging directory which then
-    atomically replaces the input (rename swap — same driver-mounted
-    filesystem contract as :func:`~..streaming.upsert_sink`). Skips and
-    reports when the directory already has fewer than ``min_files``
-    files.
+    replaces the input via a two-rename swap (same driver-mounted
+    filesystem contract as :func:`~..streaming.upsert_sink`). The swap
+    is NOT one atomic operation: readers racing the swap can see a
+    brief missing-directory window, and a crash between the two renames
+    leaves the data in ``<path>.precompact`` — the next
+    ``compact_parquet`` call detects that exact state and RESTORES it
+    before proceeding (a backup alongside an intact ``path`` from some
+    earlier failed cleanup is removed as stale). Skips and reports when
+    the directory already has fewer than ``min_files`` files.
+
+    Hive-partitioned layouts (``key=value`` subdirectories) are
+    REFUSED: a flat rewrite would silently destroy the partition
+    columns and downstream pruning — compact each leaf partition
+    directory instead.
 
     Returns ``{"files_before", "files_after", "bytes", "compacted"}``.
     """
     import math
     import os
+    import re
     import shutil
 
+    backup = path.rstrip("/") + ".precompact"
+    if os.path.isdir(backup):
+        if not os.path.isdir(path):
+            # crash window between the two renames: the previous run
+            # moved path aside but died before promoting staging —
+            # restore, then compact normally
+            os.rename(backup, path)
+        else:
+            # path is intact, so the backup is a stale leftover from a
+            # crash AFTER promotion but before cleanup
+            shutil.rmtree(backup, ignore_errors=True)
     total = 0
     n_files = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        for d in dirs:
+            if re.fullmatch(r"[^=/]+=[^/]*", d):
+                raise ValueError(
+                    f"{path} is Hive-partitioned ({d}/ under {root}); a "
+                    "flat compaction would silently drop the partition "
+                    "layout and its pruning — compact each leaf "
+                    "partition directory instead"
+                )
         for f in files:
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
@@ -215,7 +245,6 @@ def compact_parquet(
     spark.read.parquet(path).repartition(n_out).write.mode(
         "overwrite"
     ).parquet(staging)
-    backup = path.rstrip("/") + ".precompact"
     os.rename(path, backup)
     try:
         os.rename(staging, path)

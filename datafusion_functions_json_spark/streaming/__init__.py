@@ -291,11 +291,19 @@ def sessionize(
                 last = t
                 n += 1
         if ts_all:
-            # guarded on ts_all, not `last is not None`: a micro-batch
-            # whose rows are ALL NaT/null timestamps must not refresh
-            # the gap timer of an already-open session (state's `last`
-            # is non-None there, but no valid event arrived)
             state.update((float(start), float(last), int(n)))
+            state.setTimeoutDuration(int(gap * 1000))
+        elif state.exists:
+            # all-NaT invocation with an OPEN session: applyInPandas-
+            # WithState rebuilds GroupState per invocation with NO
+            # timeout carried over, so skipping setTimeoutDuration here
+            # doesn't "preserve" the old timer — it DELETES it, the
+            # session is never emitted, and its state entry leaks
+            # forever. Re-arming with the full gap is the only liveness-
+            # preserving option this API offers: a bounded extension
+            # (≤ gap per spurious batch), state (start/last/n) untouched.
+            # The transformWithState twin genuinely preserves the old
+            # deadline — its explicit registered timers persist.
             state.setTimeoutDuration(int(gap * 1000))
         if rows:
             yield _session_frame(pd, rows)
@@ -659,18 +667,32 @@ def contamination_alerts(
 _LATEST = "_LATEST"
 
 
+def _read_pointer(target_dir: str) -> str:
+    """The committed ``_LATEST`` version name, or ``""`` before the
+    first commit. ONLY a missing pointer file means "never committed":
+    any other I/O failure (NFS hiccup, permissions) propagates — on the
+    merge path, swallowing it would make the sink read an empty current
+    state and commit a snapshot containing just the incoming batch,
+    silently dropping every previously merged key."""
+    import os
+
+    try:
+        with open(os.path.join(target_dir, _LATEST)) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return ""
+    except NotADirectoryError:
+        return ""
+
+
 def read_current(spark, target_dir: str):
     """Current state of an :func:`upsert_sink` target: resolve the
     ``_LATEST`` pointer file and read that version's parquet. Returns
-    ``None`` before the first commit."""
+    ``None`` before the first commit; transient pointer-read I/O errors
+    propagate (see :func:`_read_pointer`)."""
     import os
 
-    ptr = os.path.join(target_dir, _LATEST)
-    try:
-        with open(ptr) as f:
-            name = f.read().strip()
-    except OSError:
-        return None
+    name = _read_pointer(target_dir)
     if not name:
         return None
     return spark.read.parquet(os.path.join(target_dir, name))
@@ -759,6 +781,15 @@ def merge_batch_fn(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        name = f"v{batch_id:020d}"
+        # replay guard FIRST: an already-committed replay must not even
+        # plan the current-snapshot read (the common restart path)
+        committed = _read_pointer(target_dir)
+        if committed and committed >= name:
+            # already durably applied (== : re-merging would also read
+            # and overwrite the same version dir), or a stale replay
+            # behind a newer committed snapshot — both no-ops
+            return
         cur = read_current(spark, target_dir)
         if seq_col is not None:
             if cur is None:
@@ -782,18 +813,7 @@ def merge_batch_fn(
             merged = _cdc.merge_upsert(
                 cur, batch_df, ks, delete_col=delete_col
             )
-        name = f"v{batch_id:020d}"
         ptr = os.path.join(target_dir, _LATEST)
-        try:
-            with open(ptr) as f:
-                committed = f.read().strip()
-        except OSError:
-            committed = ""
-        if committed and committed >= name:
-            # already durably applied (== : re-merging would also read
-            # and overwrite the same version dir), or a stale replay
-            # behind a newer committed snapshot — both no-ops
-            return
         merged.write.mode("overwrite").parquet(
             os.path.join(target_dir, name)
         )

@@ -467,3 +467,26 @@ class TestGroupedDrift:
         assert (g.kl_old_new, g.kl_new_old, g.js, g.tv) == (
             fl.kl_old_new, fl.kl_new_old, fl.js, fl.tv,
         )
+
+
+class TestGroupedDriftNullGroups:
+    def test_null_group_is_a_reported_slice(self, spark):
+        from datafusion_functions_json_spark.operators import stats
+
+        # unattributed (NULL-source) docs are a legitimate slice: the
+        # plain equi-joins used to split its counts across rows and
+        # then drop it entirely at the totals join
+        old = spark.createDataFrame(
+            [("s1", "a a b"), (None, "x x x x y z")],
+            "src string, text string",
+        )
+        new = spark.createDataFrame(
+            [("s1", "a a b"), (None, "x y")], "src string, text string"
+        )
+        rows = {r.src: r for r in stats.grouped_drift(
+            old, new, "src", "text").collect()}
+        assert set(rows) == {"s1", None}
+        assert rows["s1"].tv == 0.0
+        nul = rows[None]
+        assert nul.n_tokens_old == 6 and nul.n_tokens_new == 2
+        assert nul.tv > 0.0  # the skewed->flat shift reports

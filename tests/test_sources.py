@@ -382,3 +382,49 @@ class TestCompactParquet:
             "bytes": rpt["bytes"],
             "compacted": False,
         }
+
+
+class TestCompactParquetSafety:
+    def test_crash_window_backup_is_restored(self, spark, tmp_path):
+        import os
+
+        from datafusion_functions_json_spark.sources import compact_parquet
+
+        p = str(tmp_path / "crash")
+        spark.range(0, 100).repartition(4).write.parquet(p)
+        # simulate a crash between the two swap renames: path moved
+        # aside, staging never promoted
+        os.rename(p, p + ".precompact")
+        rpt = compact_parquet(spark, p, target_file_bytes=1 << 30)
+        assert rpt["compacted"]
+        assert spark.read.parquet(p).count() == 100
+        assert not os.path.exists(p + ".precompact")
+
+    def test_stale_backup_next_to_intact_path_is_cleaned(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from datafusion_functions_json_spark.sources import compact_parquet
+
+        p = str(tmp_path / "stale")
+        spark.range(0, 50).repartition(4).write.parquet(p)
+        os.makedirs(p + ".precompact")
+        rpt = compact_parquet(spark, p, target_file_bytes=1 << 30)
+        assert rpt["compacted"]
+        assert spark.read.parquet(p).count() == 50
+        assert not os.path.exists(p + ".precompact")
+
+    def test_refuses_hive_partitioned_layout(self, spark, tmp_path):
+        import pytest
+
+        from datafusion_functions_json_spark.sources import compact_parquet
+
+        p = str(tmp_path / "parted")
+        spark.range(0, 100).selectExpr(
+            "id", "id % 2 as lang"
+        ).write.partitionBy("lang").parquet(p)
+        with pytest.raises(ValueError, match="Hive-partitioned"):
+            compact_parquet(spark, p)
+        # layout untouched by the refusal
+        assert spark.read.parquet(p).count() == 100

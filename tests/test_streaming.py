@@ -1165,3 +1165,83 @@ class TestStatelessOpsOnStreams:
             ).collect()
         }
         assert got == want and 0 < len(got) < 40
+
+
+class TestSessionizeTimerLiveness:
+    def test_all_nat_batch_keeps_open_session_alive(self, spark, tmp_path):
+        # applyInPandasWithState rebuilds GroupState per invocation with
+        # no carried-over timeout: an all-NaT micro-batch that skips
+        # setTimeoutDuration DELETES the open session's timer, so the
+        # session is never emitted and its state leaks. The fix re-arms
+        # the timer (bounded extension); this pins that the trailing
+        # session still comes out after such a batch.
+        # (availableNow + maxFilesPerTrigger=1: b0 opens the session,
+        # b1 is the all-NaT batch, then the engine keeps scheduling
+        # batches until the processing-time timer fires — poll, as the
+        # other sessionize tests do; processAllAvailable never returns
+        # under ProcessingTimeTimeout's continuous timer batches.)
+        p = tmp_path / "sess_live"
+        p.mkdir()
+        with open(p / "b0.jsonl", "w") as f:
+            f.write(json.dumps(
+                {"ts": "2024-01-01T00:00:00", "payload": '{"user": "a"}'}
+            ) + "\n")
+        with open(p / "b1.jsonl", "w") as f:
+            f.write(json.dumps(
+                {"ts": None, "payload": '{"user": "a"}'}
+            ) + "\n")
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(p))
+        )
+        sessions = js.sessionize(
+            stream, "payload", ("user",), ts_col="ts", gap_seconds=4
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sess_live")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        import time
+
+        try:
+            deadline = time.time() + 90
+            got = []
+            while time.time() < deadline and not got:
+                got = [
+                    (r.key, r.n_events)
+                    for r in spark.sql("select * from sess_live").collect()
+                ]
+                time.sleep(1)
+        finally:
+            q.stop()
+        assert got == [("a", 1)]
+
+
+class TestPointerErrorPropagation:
+    def test_unreadable_pointer_raises_instead_of_resetting(
+        self, spark, tmp_path
+    ):
+        # only a MISSING pointer means "never committed": any other I/O
+        # failure must propagate — swallowing it would merge the batch
+        # against an empty current state and commit a snapshot that
+        # silently drops every previously merged key
+        tgt = str(tmp_path / "ptr_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        df0 = spark.createDataFrame([(1, "a")], "id long, v string")
+        merge(df0, 0)
+        assert {r.id for r in js.read_current(spark, tgt).collect()} == {1}
+        # corrupt the pointer into a directory: open() raises
+        # IsADirectoryError, which is NOT "never committed"
+        ptr = os.path.join(tgt, "_LATEST")
+        os.remove(ptr)
+        os.makedirs(ptr)
+        df1 = spark.createDataFrame([(2, "b")], "id long, v string")
+        with pytest.raises(OSError):
+            merge(df1, 1)
+        # and the committed version directory was never overwritten
+        assert {r.id for r in spark.read.parquet(
+            os.path.join(tgt, f"v{0:020d}")).collect()} == {1}
