@@ -27,15 +27,20 @@ def _register_pickle_by_value() -> None:
     try:
         from pyspark import cloudpickle
 
-        from . import register
+        from . import register, streaming
         from .functions import core, kernels, multi, udfs
         from .operators import _codecs, dedup, multimodal, similarity, sketch
         from .operators import text as optext
 
         # Only the modules whose code executes inside workers — the
         # pure-API modules (api/column/union) are driver-side and stay
-        # reference-pickled.
-        for m in (core, kernels, udfs, multi, register, dedup, similarity, optext, multimodal, _codecs, sketch):
+        # reference-pickled. streaming is here because its stateful
+        # operators' closures reference module-level helpers
+        # (_session_frame, the session DDLs) that must travel with the
+        # pickled function: without it, sessionize from a foreign cwd
+        # dies with ModuleNotFoundError at the first micro-batch.
+        for m in (core, kernels, udfs, multi, register, dedup, similarity,
+                  optext, multimodal, _codecs, sketch, streaming):
             cloudpickle.register_pickle_by_value(m)
     except Exception:  # pragma: no cover - best-effort; cwd layouts still work
         pass

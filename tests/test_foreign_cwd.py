@@ -60,6 +60,34 @@ SCRIPT = textwrap.dedent(
     img = spark.createDataFrame([(1, bytearray(ppm))], "media_id long, payload binary")
     dh = multimodal.image_dhash(img).collect()
     assert dh[0].dhash is not None, dh
+    # applyInPandasWithState sessionizer (streaming module by value:
+    # its fn closure references module-level _session_frame)
+    import json as _json, os as _os, time as _time
+    from datafusion_functions_json_spark import streaming as js
+    from pyspark.sql import types as T
+    _sd = "sess_in"
+    _os.makedirs(_sd, exist_ok=True)
+    with open(_os.path.join(_sd, "b0.jsonl"), "w") as f:
+        for ts in ("2024-01-01T00:00:00", "2024-01-01T00:00:30",
+                   "2024-01-01T00:05:00"):
+            f.write(_json.dumps(
+                {{"ts": ts, "payload": '{{"user": "a"}}'}}) + "\\n")
+    _schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                            T.StructField("payload", T.StringType())])
+    _stream = spark.readStream.schema(_schema).json(_sd)
+    _q = (js.sessionize(_stream, "payload", ("user",), ts_col="ts",
+                        gap_seconds=60)
+          .writeStream.format("memory").queryName("fc_sess")
+          .outputMode("update").trigger(availableNow=True).start())
+    _deadline = _time.time() + 120
+    while _time.time() < _deadline:
+        if spark.sql("select * from fc_sess").count() >= 1:
+            break
+        _time.sleep(1)
+    _q.stop()
+    _got = [(r.key, r.n_events)
+            for r in spark.sql("select * from fc_sess").collect()]
+    assert _got == [("a", 2)], _got
     print("FOREIGN_CWD_OK")
     """
 )
