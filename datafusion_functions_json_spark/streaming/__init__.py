@@ -33,6 +33,7 @@ __all__ = [
     "neardedup_sink",
     "neardedup_batch_fn",
     "neardedup_compact",
+    "drift_monitor_sink",
     "read_deduped",
     "cap_stream",
     "read_current",
@@ -915,6 +916,48 @@ def cap_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def drift_monitor_sink(
+    stream: DataFrame,
+    reference: DataFrame,
+    metrics_dir: str,
+    *,
+    text_col: str = "text",
+    alpha: float = 0.5,
+):
+    """Streaming corpus-drift monitor: every micro-batch's token
+    distribution is compared against a STATIC reference snapshot
+    (:func:`~..operators.stats.distribution_drift` — KL both ways, JS,
+    TV) and the one-row result appended to ``metrics_dir`` as parquet
+    tagged with the batch id — the live complement to the batch drift
+    queries: an ingest whose language mix lurches (spam wave, encoding
+    regression, a source turned off upstream) shows as a divergence
+    step in the metrics table while the data is still arriving.
+
+    The reference side's token counts are recomputed per batch — cache
+    the reference DataFrame (``reference.persist()``) before passing it
+    when batches are frequent. Appends are idempotent-enough for
+    monitoring (an at-least-once replay writes a duplicate metrics row
+    with the same batch_id — readers aggregate by batch_id); the
+    DEDUP-grade sinks keep the marker protocol, a metrics feed doesn't
+    need it.
+
+    Read with ``spark.read.parquet(metrics_dir)``. Returns a
+    started-ready ``DataStreamWriter``.
+    """
+    import os
+
+    from ..operators import stats as _stats
+
+    def _measure(batch_df: DataFrame, batch_id: int) -> None:
+        row = _stats.distribution_drift(
+            reference, batch_df, text_col, alpha=alpha
+        ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        row.write.mode("append").parquet(metrics_dir)
+
+    os.makedirs(metrics_dir, exist_ok=True)
+    return stream.writeStream.foreachBatch(_measure)
 
 
 def neardedup_batch_fn(

@@ -1245,3 +1245,49 @@ class TestPointerErrorPropagation:
         # and the committed version directory was never overwritten
         assert {r.id for r in spark.read.parquet(
             os.path.join(tgt, f"v{0:020d}")).collect()} == {1}
+
+
+class TestDriftMonitorSink:
+    def test_metrics_row_per_batch_matches_batch_drift(
+        self, spark, tmp_path
+    ):
+        from datafusion_functions_json_spark.operators import stats
+
+        src = tmp_path / "dm_in"
+        src.mkdir()
+        metrics = str(tmp_path / "dm_metrics")
+        ref = spark.createDataFrame(
+            [("a a b c",), ("b c d",)], "text string"
+        )
+        schema = T.StructType([T.StructField("text", T.StringType())])
+        with open(src / "b0.jsonl", "w") as f:
+            f.write(json.dumps({"text": "a a b c"}) + "\n")
+        with open(src / "b1.jsonl", "w") as f:
+            f.write(json.dumps({"text": "z z z q q"}) + "\n")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            js.drift_monitor_sink(stream, ref, metrics)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {
+            r.batch_id: (r.js, r.tv)
+            for r in spark.read.parquet(metrics).collect()
+        }
+        assert set(got) == {0, 1}
+        # the in-vocabulary batch drifts far less than the disjoint one
+        assert got[0][1] < got[1][1]
+        # each metrics row equals the batch-mode computation on the
+        # same slices (file order pins which text landed in which batch)
+        for bid, text in ((0, "a a b c"), (1, "z z z q q")):
+            b = spark.createDataFrame([(text,)], "text string")
+            want = stats.distribution_drift(ref, b, "text").collect()[0]
+            assert got[bid] == (want.js, want.tv)
