@@ -582,6 +582,26 @@ def minhash_dup_pairs_against(
     return pairs
 
 
+def _index_fingerprint(index: DataFrame) -> tuple[int, str]:
+    """(row count, order-insensitive content checksum) of a
+    :func:`minhash_index` — one joint ``xxhash64(id, sig)`` per row,
+    summed as decimal(38,0) (ANSI-safe: a bigint sum of hash values
+    would overflow-error at real index sizes). One agg job, one index
+    scan; used at band-table build time and under ``check_sync="full"``."""
+    row = index.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                F.xxhash64(
+                    F.col("id").cast("string"), F.col("sig")
+                ).cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return int(row.n), str(row.h)
+
+
 def minhash_band_table(
     index: DataFrame,
     table: str,
@@ -616,6 +636,7 @@ def minhash_band_table(
     validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
     from ..sources.sinks import write_bucketed
 
+    index_rows, index_checksum = _index_fingerprint(index)
     banded = (
         index.withColumn(
             "_band",
@@ -634,7 +655,13 @@ def minhash_band_table(
                     # parquet count-star is metadata-cheap; recording it
                     # lets the matcher catch an index that grew after
                     # this table was built (silent recall loss otherwise)
-                    "index_rows": index.count(),
+                    "index_rows": index_rows,
+                    # order-insensitive content checksum (joint per-row
+                    # hash over id+sig): catches an index whose rows were
+                    # REPLACED in place at equal cardinality — the
+                    # count probe's blind spot. Compared only under
+                    # check_sync="full" (it costs an index scan).
+                    "index_checksum": index_checksum,
                 },
             ),
             "id",
@@ -680,8 +707,15 @@ def minhash_dup_pairs_against_bucketed(
     built would otherwise lose recall SILENTLY (its new docs are never
     band candidates), the exact failure mode this tier must never have.
     A table written by other tooling, without the metadata, is trusted
-    as-is; pass ``check_sync=False`` to skip the row-count probe (it is
-    one metadata-cheap count per call)."""
+    as-is.
+
+    ``check_sync`` tiers: ``True`` (default) runs the metadata-cheap
+    row-count probe only — it is BLIND to an index whose rows were
+    replaced in place at equal cardinality. ``"full"`` additionally
+    compares the build-time content checksum (joint id+sig hash sum)
+    recorded by :func:`minhash_band_table`, catching in-place
+    replacement at the cost of one index scan per call — use it after
+    any index rewrite, or periodically. ``False`` skips both probes."""
     rows = _band_rows(num_perm, bands)
     validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
     bt_meta = _validate_family(
@@ -693,7 +727,10 @@ def minhash_dup_pairs_against_bucketed(
         "rebuild it or match its parameters",
     )
     if check_sync and "index_rows" in bt_meta:
-        have = index.count()
+        if check_sync == "full" and "index_checksum" in bt_meta:
+            have, have_ck = _index_fingerprint(index)
+        else:
+            have, have_ck = index.count(), None
         if have != bt_meta["index_rows"]:
             raise ValueError(
                 f"minhash band table was built from an index of "
@@ -702,6 +739,15 @@ def minhash_dup_pairs_against_bucketed(
                 "the band join; rebuild the band table "
                 "(minhash_band_table) or pass check_sync=False if the "
                 "drift is intentional"
+            )
+        if have_ck is not None and have_ck != bt_meta["index_checksum"]:
+            raise ValueError(
+                "minhash band table is out of sync with the index: row "
+                "counts match but the content checksum differs — the "
+                "index's rows were replaced/updated in place since the "
+                "table was built, so its changed docs would silently "
+                "miss the band join; rebuild the band table "
+                "(minhash_band_table)"
             )
     newx = minhash_index(
         new_df, id_col, text_col, num_perm=num_perm, seed=seed, mode=mode, n=n

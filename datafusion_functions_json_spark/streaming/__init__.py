@@ -682,8 +682,15 @@ def _read_pointer(target_dir: str) -> str:
             return f.read().strip()
     except FileNotFoundError:
         return ""
-    except NotADirectoryError:
-        return ""
+    except NotADirectoryError as e:
+        # target_dir (or a component of it) is an existing FILE — a
+        # misconfiguration, not "never committed"; reading it as empty
+        # state would commit a snapshot that drops every merged key
+        raise ValueError(
+            f"upsert_sink target_dir {target_dir!r} points through an "
+            "existing file, not a directory — fix the path (refusing "
+            "to treat a misconfigured target as empty state)"
+        ) from e
 
 
 def read_current(spark, target_dir: str):
@@ -718,7 +725,10 @@ def upsert_sink(
     read the live version, merge the batch (full CDC compaction when
     ``seq_col`` is given — latest event per key wins, ``delete_op``
     drops the key; plain upsert otherwise, with the optional
-    ``delete_col`` flag arm), write a NEW version directory
+    ``delete_col`` flag arm — the plain path REQUIRES each batch to be
+    key-unique and fails loudly otherwise, since without a sequence
+    column there is no principled winner and committing both rows
+    would leave permanent duplicate keys), write a NEW version directory
     ``v<batch_id>``, then commit by atomically replacing the
     ``_LATEST`` pointer file. Readers (:func:`read_current`) never see
     a half-written version — pointer-file commit is exactly how the
@@ -808,6 +818,31 @@ def merge_batch_fn(
                 delete_op=delete_op,
             )
         else:
+            # merge_upsert requires a key-unique source; a micro-batch
+            # carrying two rows for one key would otherwise commit
+            # duplicate keys into the snapshot PERMANENTLY (later merges
+            # replace "the key" with whatever arrives, but the extra
+            # rows from this batch persist in the version history).
+            # Without a seq_col there is no principled winner, and an
+            # arbitrary dropDuplicates pick would break replay
+            # idempotency (a retried batch could pick a different row)
+            # — so fail loudly and ask for seq_col or pre-deduped input.
+            dups = (
+                batch_df.groupBy(*ks)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dups:
+                raise ValueError(
+                    f"upsert_sink batch {batch_id} carries multiple rows "
+                    f"for one merge key {ks} and no seq_col was given — "
+                    "there is no principled winner and committing both "
+                    "would leave permanent duplicate keys in the "
+                    "snapshot. Pass seq_col= (latest-event-wins CDC "
+                    "compaction) or de-duplicate the stream upstream."
+                )
             if cur is None:
                 drop = {delete_col} if delete_col else set()
                 cur = spark.createDataFrame([], batch_df.drop(*drop).schema)
@@ -982,7 +1017,9 @@ def neardedup_batch_fn(
     ``index/b<id>`` (their :func:`~..operators.dedup.minhash_index`
     rows), and ``_batches/b<id>`` marker files COMMITTING a batch —
     written last, via tmp + atomic rename, carrying a content
-    fingerprint (row count + order-insensitive id checksum). Readers and
+    fingerprint (row count + an order-insensitive sum of one JOINT
+    per-row hash over id and text, so id↔text re-association is
+    detected too). Readers and
     the cross-batch index consider ONLY committed batches, so a crash
     between the data write and the marker leaves no partial state
     visible, and an at-least-once replay recomputes against exactly the
@@ -1003,22 +1040,29 @@ def neardedup_batch_fn(
         spark = batch_df.sparkSession
         name = f"b{batch_id:020d}"
         marks = os.path.join(target_dir, "_batches")
-        # content fingerprint (count + order-insensitive crc32 sums of
-        # ids AND text — one small agg job per batch): a marker keyed by
-        # batch_id ALONE would silently discard new data when a
-        # lost/reset checkpoint restarts batch ids at 0 against an old
-        # target_dir; ids alone would still miss a re-export that kept
-        # ids but changed text.
+        # content fingerprint (count + order-insensitive sum of ONE
+        # joint per-row hash over id AND text — one small agg job per
+        # batch): a marker keyed by batch_id ALONE would silently
+        # discard new data when a lost/reset checkpoint restarts batch
+        # ids at 0 against an old target_dir. The hash is joint —
+        # xxhash64(id, text) per row, NULL-safe multi-arg — not
+        # independent per-column sums, so a replay that re-associates
+        # texts with different ids changes the fingerprint too. Summed
+        # as decimal(38,0): Spark 4 runs ANSI-on and a bigint sum of
+        # xxhash64 values would overflow-error on real batch sizes.
         fp_row = batch_df.agg(
             F.count("*").alias("n"),
             F.coalesce(
-                F.sum(F.crc32(F.col(id_col).cast("string"))), F.lit(0)
+                F.sum(
+                    F.xxhash64(
+                        F.col(id_col).cast("string"),
+                        F.col(text_col).cast("string"),
+                    ).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
             ).alias("h"),
-            F.coalesce(
-                F.sum(F.crc32(F.col(text_col).cast("string"))), F.lit(0)
-            ).alias("ht"),
         ).collect()[0]
-        fingerprint = f"{fp_row.n}:{fp_row.h}:{fp_row.ht}"
+        fingerprint = f"v2:{fp_row.n}:{fp_row.h}"
         mark_path = os.path.join(marks, name)
         if os.path.exists(mark_path):
             with open(mark_path) as f:
@@ -1027,8 +1071,27 @@ def neardedup_batch_fn(
                 # marker from a pre-fingerprint layout: trust it as
                 # committed rather than killing an upgraded stream
                 return
-            if committed_fp == fingerprint:
-                return  # durably committed — stale replay is a no-op
+            if committed_fp.startswith("v2:"):
+                if committed_fp == fingerprint:
+                    return  # durably committed — stale replay no-op
+            else:
+                # v1 marker (count + INDEPENDENT crc32 sums of id and
+                # text): recompute the v1 fingerprint just for this
+                # upgrade-replay comparison, so an already-committed
+                # batch stays a no-op across the format change
+                v1 = batch_df.agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(
+                        F.sum(F.crc32(F.col(id_col).cast("string"))),
+                        F.lit(0),
+                    ).alias("h"),
+                    F.coalesce(
+                        F.sum(F.crc32(F.col(text_col).cast("string"))),
+                        F.lit(0),
+                    ).alias("ht"),
+                ).collect()[0]
+                if committed_fp == f"{v1.n}:{v1.h}:{v1.ht}":
+                    return
             raise ValueError(
                 f"neardedup target {target_dir} already committed batch "
                 f"{batch_id} with different content "
@@ -1058,16 +1121,26 @@ def neardedup_batch_fn(
             )
             cross = hits.select(F.col("new_id").alias(id_col)).distinct()
             alive = alive.join(cross, on=id_col, how="left_anti")
-        alive = alive.localCheckpoint()  # one computation feeds both writes
-        pairs.unpersist()  # eager checkpoint done — release the caches
+        # one computation feeds both writes: persist + eager count (not
+        # localCheckpoint — its executor-local blocks are lost on
+        # executor failure with NO lineage fallback, a real hazard for
+        # a long-running sink on a cluster, and they linger in the
+        # cache manager until GC; persist keeps recompute lineage and
+        # unpersists deterministically below)
+        alive = alive.persist()
+        alive.count()
+        pairs.unpersist()  # alive materialized — release the caches
         if hits is not None:
             hits.unpersist()
-        alive.write.mode("overwrite").parquet(
-            os.path.join(target_dir, "data", name)
-        )
-        _dedup.minhash_index(alive, id_col, text_col, **mh).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(target_dir, "index", name))
+        try:
+            alive.write.mode("overwrite").parquet(
+                os.path.join(target_dir, "data", name)
+            )
+            _dedup.minhash_index(alive, id_col, text_col, **mh).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(target_dir, "index", name))
+        finally:
+            alive.unpersist()
         os.makedirs(marks, exist_ok=True)
         tmp = os.path.join(marks, f".{name}.tmp")
         with open(tmp, "w") as f:

@@ -463,6 +463,39 @@ class TestMinhash:
                 batch, bt, grown, "doc_id", "text",
                 threshold=0.8, check_sync=False, **mh,
             ).collect()
+            # in-place replacement at EQUAL cardinality: the default
+            # count probe is blind to it (documented), but
+            # check_sync="full" compares the recorded content checksum
+            # and refuses
+            replaced = dedup.minhash_index(
+                idx_docs.withColumn(
+                    "text",
+                    F.when(
+                        F.col("doc_id") == idx_docs.limit(1).collect()[0][0],
+                        F.lit(
+                            "mutated replacement text about nothing in "
+                            "particular whatsoever at all"
+                        ),
+                    ).otherwise(F.col("text")),
+                ),
+                "doc_id",
+                "text",
+                **fam,
+            )
+            assert replaced.count() == index.count()
+            dedup.minhash_dup_pairs_against_bucketed(
+                batch, bt, replaced, "doc_id", "text", threshold=0.8, **mh
+            ).collect()  # default probe: blind spot, passes
+            with pytest.raises(ValueError, match="content checksum"):
+                dedup.minhash_dup_pairs_against_bucketed(
+                    batch, bt, replaced, "doc_id", "text",
+                    threshold=0.8, check_sync="full", **mh,
+                )
+            # "full" against the pristine index still passes
+            dedup.minhash_dup_pairs_against_bucketed(
+                batch, bt, index, "doc_id", "text",
+                threshold=0.8, check_sync="full", **mh,
+            ).collect()
         finally:
             spark.sql("drop table if exists mh_bands_t")
 

@@ -956,6 +956,40 @@ class TestNeardedupSink:
         with pytest.raises(ValueError, match="different content"):
             fn(self._b(spark, [(1, self.OTHER)]), 0)
 
+    def test_id_text_reassociation_refuses(self, spark, tmp_path):
+        # same ids, same texts, but SWAPPED pairing: independent
+        # per-column checksums would collide — the joint per-row hash
+        # must refuse the replay as different content
+        tgt = str(tmp_path / "nd_reassoc")
+        fn = js.neardedup_batch_fn(tgt, "doc_id", "text")
+        fn(self._b(spark, [(1, self.BASE), (2, self.OTHER)]), 0)
+        with pytest.raises(ValueError, match="different content"):
+            fn(self._b(spark, [(1, self.OTHER), (2, self.BASE)]), 0)
+
+    def test_v1_marker_with_matching_content_noop(self, spark, tmp_path):
+        # a marker written by the v1 (independent crc32 sums) layout:
+        # an upgraded stream replaying the SAME batch must treat it as
+        # committed (recompute the v1 fingerprint for comparison), and
+        # a DIFFERENT batch must still refuse
+        import os
+        import zlib
+
+        tgt = str(tmp_path / "nd_v1")
+        fn = js.neardedup_batch_fn(tgt, "doc_id", "text")
+        fn(self._b(spark, [(1, self.BASE), (3, self.OTHER)]), 0)
+        rows = [(1, self.BASE), (3, self.OTHER)]
+        h = sum(zlib.crc32(str(i).encode()) for i, _ in rows)
+        ht = sum(zlib.crc32(t.encode()) for _, t in rows)
+        mark = os.path.join(tgt, "_batches", f"b{0:020d}")
+        with open(mark, "w") as f:
+            f.write(f"b{0:020d}\n{len(rows)}:{h}:{ht}")
+        fn(self._b(spark, rows), 0)  # no-op, no raise
+        assert sorted(
+            r.doc_id for r in js.read_deduped(spark, tgt).collect()
+        ) == [1, 3]
+        with pytest.raises(ValueError, match="different content"):
+            fn(self._b(spark, [(9, self.THIRD)]), 0)
+
     def test_legacy_marker_without_fingerprint_trusted(self, spark, tmp_path):
         import os
 
@@ -1245,6 +1279,48 @@ class TestPointerErrorPropagation:
         # and the committed version directory was never overwritten
         assert {r.id for r in spark.read.parquet(
             os.path.join(tgt, f"v{0:020d}")).collect()} == {1}
+
+    def test_target_dir_through_file_raises(self, spark, tmp_path):
+        # target_dir misconfigured to point THROUGH an existing file:
+        # open() raises NotADirectoryError, which must surface as a
+        # clear misconfiguration error — never read as "empty state"
+        # (that would commit a snapshot dropping every merged key)
+        blocker = tmp_path / "iamafile"
+        blocker.write_text("not a directory")
+        tgt = str(blocker / "state")
+        merge = js.merge_batch_fn(tgt, "id")
+        df0 = spark.createDataFrame([(1, "a")], "id long, v string")
+        with pytest.raises(ValueError, match="existing file"):
+            merge(df0, 0)
+        with pytest.raises(ValueError, match="existing file"):
+            js.read_current(spark, tgt)
+
+    def test_plain_upsert_duplicate_keys_in_batch_refuse(
+        self, spark, tmp_path
+    ):
+        # seq_col=None has no principled winner for two rows on one
+        # key, and an arbitrary pick would break replay idempotency —
+        # fail loudly instead of committing permanent duplicate keys
+        tgt = str(tmp_path / "dupkeys_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        dup = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "id long, v string"
+        )
+        with pytest.raises(ValueError, match="seq_col"):
+            merge(dup, 0)
+        assert js.read_current(spark, tgt) is None  # nothing committed
+        # the CDC path (seq_col given) compacts in-batch duplicates
+        # instead: latest event per key wins
+        cdc = js.merge_batch_fn(tgt, "id", seq_col="seq")
+        batch = spark.createDataFrame(
+            [(1, "a", 10, "U"), (1, "b", 20, "U"), (2, "c", 5, "U")],
+            "id long, v string, seq long, op string",
+        )
+        cdc(batch, 0)
+        got = {
+            (r.id, r.v) for r in js.read_current(spark, tgt).collect()
+        }
+        assert got == {(1, "b"), (2, "c")}
 
 
 class TestDriftMonitorSink:
