@@ -3741,8 +3741,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _last_driver_checked() -> dict[str, int]:
-    """Round in which each registry entry last appeared in a driver
-    CORRECTNESS window (0 = never driver-checked).
+    """Per registry entry: (round it last appeared in a driver
+    CORRECTNESS window, whether that latest record was a genuine
+    failure, whether it was a rows-only ``no_oracle`` record).
+    Entries never driver-checked are absent (treated as round 0).
 
     Derived at call time from the CORRECTNESS_r*.json files the driver
     itself writes, so the rotation order below is self-maintaining: no
@@ -3753,7 +3755,7 @@ def _last_driver_checked() -> dict[str, int]:
     import re as _re
     from pathlib import Path as _Path
 
-    last: dict[str, int] = {}
+    last: dict[str, tuple[int, bool, bool]] = {}
     here = _Path(__file__).resolve().parent
     for f in sorted(here.glob("CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)", f.name)
@@ -3766,26 +3768,57 @@ def _last_driver_checked() -> dict[str, int]:
             continue
         if not isinstance(checked, dict):
             continue
-        for k in checked:
-            last[k] = max(last.get(k, 0), rnd)
+        for k, rec in checked.items():
+            if last.get(k, (0,))[0] > rnd:
+                continue  # keep the NEWEST record's status
+            if not isinstance(rec, dict):
+                last[k] = (rnd, False, False)
+                continue
+            err = rec.get("err")
+            no_oracle = err == "no_oracle"
+            failed = (err is not None and not no_oracle) or any(
+                rec.get(f) is False
+                for f in ("rows_match", "schema_match", "hash_match")
+            )
+            last[k] = (rnd, failed, no_oracle)
     return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Full registry, ordered least-recently-driver-checked first.
+    """Full registry, ordered least-recently-driver-checked first,
+    with two retry-first exceptions.
 
     The driver verifies the FIRST 50 entries each round, so ordering by
     last-checked round ascending (never-checked = 0, ties broken by the
     canonical registry order in ``_registry()``) guarantees every entry
-    re-enters the window as soon as arithmetic allows. At ~140 entries
-    and a 50-slot window the true re-check cadence is ceil(n/50) = 3
+    re-enters the window as soon as arithmetic allows. At ~165 entries
+    and a 50-slot window the true re-check cadence is ceil(n/50) = 4
     rounds; entries whose last check is oldest always go first, so no
     entry can starve.
+
+    Two kinds of entry jump the queue (staleness treated as 0), both
+    derived from driver output + the current oracle registry, so the
+    rule stays self-maintaining: (a) an entry whose LATEST driver
+    record is a genuine failure — a fix must be re-verified next round,
+    not after the full cadence; (b) an entry whose latest record was a
+    rows-only ``no_oracle`` check but which NOW has an ``oracle_sql``
+    entry — the check materially strengthened (rows-only → value-hash)
+    and should run at the new strength immediately. Permanently
+    unmirrorable entries (xxhash64/approximate — no oracle_sql) are
+    not boosted: they'd otherwise pin window slots every round.
     """
     reg = _registry()
     last = _last_driver_checked()
+    osql = oracle_sql()
     pos = {k: i for i, k in enumerate(reg)}
-    ordered = sorted(reg, key=lambda k: (last.get(k, 0), pos[k]))
+
+    def _staleness(k: str) -> int:
+        rnd, failed, no_oracle = last.get(k, (0, False, False))
+        if failed or (no_oracle and k in osql):
+            return 0
+        return rnd
+
+    ordered = sorted(reg, key=lambda k: (_staleness(k), pos[k]))
     return {k: reg[k] for k in ordered}
 
 

@@ -35,23 +35,46 @@ def test_registry_keys_unique_and_oracle_subset():
     }, sorted(oracle_less)
 
 
+def _staleness(k, last, osql):
+    rnd, failed, no_oracle = last.get(k, (0, False, False))
+    if failed or (no_oracle and k in osql):
+        return 0
+    return rnd
+
+
 def test_rotation_orders_least_recently_checked_first():
     last = entrymod._last_driver_checked()
+    osql = entrymod.oracle_sql()
     order = list(entrymod.queries())
-    seen_rounds = [last.get(k, 0) for k in order]
+    stale = [_staleness(k, last, osql) for k in order]
     # non-decreasing: an entry can never sit behind one checked later
-    assert seen_rounds == sorted(seen_rounds)
-    # never-checked entries (round 0) must lead
-    n_never = sum(1 for r in seen_rounds if r == 0)
-    assert order[:n_never] == [k for k in order if last.get(k, 0) == 0]
+    assert stale == sorted(stale)
+    # retry-first entries (never-checked, last-check-failed, or
+    # newly-oracled rows-only) must lead the window
+    n_lead = sum(1 for s in stale if s == 0)
+    assert order[:n_lead] == [
+        k for k in order if _staleness(k, last, osql) == 0
+    ]
 
 
 def test_last_checked_reads_correctness_files(tmp_path, monkeypatch):
-    # point the scanner at a synthetic history and check the fold
+    # point the scanner at a synthetic history and check the fold:
+    # newest record per key wins, and its status (failed / rows-only)
+    # rides along for the retry-first rules
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({"a": {}, "b": {}})
+        json.dumps({"a": {}, "b": {}, "c": {"hash_match": False}})
     )
-    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"b": {}}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {
+                "b": {},
+                "c": {"hash_match": True},
+                "d": {"hash_match": False, "err": None},
+                "e": {"err": "no_oracle"},
+                "f": {"err": "boom"},
+            }
+        )
+    )
     (tmp_path / "CORRECTNESS_r02.json").write_text("not json")  # ignored
     import pathlib
 
@@ -65,7 +88,32 @@ def test_last_checked_reads_correctness_files(tmp_path, monkeypatch):
 
     monkeypatch.setattr(pathlib.Path, "resolve", fake_resolve)
     last = entrymod._last_driver_checked()
-    assert last == {"a": 1, "b": 3}
+    assert last == {
+        "a": (1, False, False),
+        "b": (3, False, False),
+        # r03's pass supersedes r01's failure — fixed entries stop
+        # jumping the queue once the driver has seen the fix
+        "c": (3, False, False),
+        "d": (3, True, False),   # genuine mismatch → retry-first
+        "e": (3, False, True),   # rows-only → retry-first iff now oracled
+        "f": (3, True, False),   # hard error → retry-first
+    }
+
+
+def test_failed_and_newly_oracled_entries_jump_the_queue():
+    # the six round-8 fixes (2 genuine r07 mismatches + 4 queries whose
+    # oracle was added after their last rows-only record) must re-enter
+    # the very next driver window, not wait out the full cadence
+    last = entrymod._last_driver_checked()
+    osql = entrymod.oracle_sql()
+    order = list(entrymod.queries())
+    boosted = [
+        k
+        for k in order
+        if last.get(k, (0, False, False))[0] > 0
+        and _staleness(k, last, osql) == 0
+    ]
+    assert set(boosted) <= set(order[:50])
 
 
 def test_window_holds_the_full_stale_set():
@@ -73,6 +121,6 @@ def test_window_holds_the_full_stale_set():
     # window the driver will verify next round
     last = entrymod._last_driver_checked()
     order = list(entrymod.queries())
-    never = [k for k in order if last.get(k, 0) == 0]
+    never = [k for k in order if last.get(k, (0,))[0] == 0]
     if len(never) <= 50:
         assert set(never) <= set(order[:50])
