@@ -3467,9 +3467,12 @@ def _q_bpe_merges(spark, sf_dir):
     # collects are the model itself — bounded driver state by design.
     # Oracle: DuckDB replays training step-for-step on marker-wrapped
     # symbol strings (deterministic tie-break: freq desc, pair asc).
+    # batch_size=4 exercises the batched-round path (up to 4 provably
+    # order-exact merges per driver round-trip) against the SAME
+    # sequential oracle — the hash match IS the exactness proof.
     docs = _docs(spark, sf_dir)
     wt = bpe.word_table(docs, "text")
-    merges, _ = bpe.bpe_train(wt, n_merges=_BPE_STEPS)
+    merges, _ = bpe.bpe_train(wt, n_merges=_BPE_STEPS, batch_size=4)
     return spark.createDataFrame(
         [(s, l, r, l + r, f) for s, l, r, f in merges],
         "step int, lft string, rgt string, merged string, freq bigint",

@@ -159,6 +159,109 @@ class TestBpeDifferential:
         assert got == ref_wt
 
 
+class TestBpeBatchedTraining:
+    def test_batched_equals_classic_on_sennrich(self, spark, sennrich):
+        wt = bpe.word_table(sennrich, "text")
+        classic, seg1 = bpe.bpe_train(wt, n_merges=6)
+        batched, seg4 = bpe.bpe_train(wt, n_merges=6, batch_size=4)
+        assert batched == classic
+        assert {r.word: list(r.syms) for r in seg4.collect()} == {
+            r.word: list(r.syms) for r in seg1.collect()
+        }
+
+    def test_batched_equals_classic_randomized(self, spark):
+        # conflict-heavy random corpus: batching must degrade toward
+        # 1-per-round but never reorder the learned merge list
+        import random
+
+        rng = random.Random(7)
+        alpha = "abcd"
+        words = {}
+        for _ in range(60):
+            w = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(1, 8))
+            )
+            words[w] = words.get(w, 0) + rng.randint(1, 40)
+        wt = spark.createDataFrame(
+            list(words.items()), "word string, wcount bigint"
+        )
+        classic, _ = bpe.bpe_train(wt, n_merges=10, checkpoint_every=4)
+        batched, _ = bpe.bpe_train(
+            wt, n_merges=10, checkpoint_every=4, batch_size=5
+        )
+        assert batched == classic
+
+    def test_select_batch_conflict_fallback(self):
+        # p2 shares a symbol with p1 → only p1 accepted (classic step)
+        ranked = [
+            {"left": "a", "right": "b", "freq": 10},
+            {"left": "b", "right": "c", "freq": 9},
+            {"left": "d", "right": "e", "freq": 8},
+        ]
+        got = bpe._select_merge_batch(ranked, set("abcde"), 2)
+        assert [(r["left"], r["right"]) for r in got] == [("a", "b")]
+
+    def test_select_batch_threshold_evicts_nonstrict(self):
+        # (u,v) disjoint from (a,b) but TIED with the conflicting
+        # (x,a): a created pair (x,ab) could reach that count and
+        # win the tiebreak, so (u,v) must NOT be batch-accepted
+        ranked = [
+            {"left": "a", "right": "b", "freq": 10},
+            {"left": "u", "right": "v", "freq": 6},
+            {"left": "x", "right": "a", "freq": 6},
+        ]
+        got = bpe._select_merge_batch(ranked, set("abuvx"), 2)
+        assert [(r["left"], r["right"]) for r in got] == [("a", "b")]
+        # strictly dominating disjoint pair IS accepted
+        ranked[1]["freq"] = 7
+        got = bpe._select_merge_batch(ranked, set("abuvx"), 2)
+        assert [(r["left"], r["right"]) for r in got] == [
+            ("a", "b"), ("u", "v")
+        ]
+
+    def test_select_batch_alias_guard(self):
+        # (a, bc) merges to "abc" which ALREADY exists as a symbol
+        # (an earlier (ab, c) made it): counts of old pairs touching
+        # "abc" can rise unboundedly — stop the batch there
+        ranked = [
+            {"left": "x", "right": "y", "freq": 10},
+            {"left": "a", "right": "bc", "freq": 9},
+            {"left": "d", "right": "e", "freq": 8},
+        ]
+        got = bpe._select_merge_batch(
+            ranked, {"a", "bc", "abc", "x", "y", "d", "e"}, 3
+        )
+        assert [(r["left"], r["right"]) for r in got] == [("x", "y")]
+        # first-ranked alias still accepted alone: aliasing affects
+        # SUBSEQUENT counts, never the current argmax
+        got = bpe._select_merge_batch(
+            ranked[1:], {"a", "bc", "abc", "d", "e"}, 2
+        )
+        assert [(r["left"], r["right"]) for r in got] == [("a", "bc")]
+
+    def test_select_batch_sentinel_row_never_accepted(self):
+        # m+1 disjoint rows: the window's last row only sets the
+        # threshold (pairs below it are unseen), it is never accepted
+        ranked = [
+            {"left": "a", "right": "b", "freq": 10},
+            {"left": "c", "right": "d", "freq": 9},
+            {"left": "e", "right": "f", "freq": 8},
+        ]
+        got = bpe._select_merge_batch(ranked, set("abcdef"), 2)
+        assert [(r["left"], r["right"]) for r in got] == [
+            ("a", "b"), ("c", "d")
+        ]
+        # short window (fewer rows than m+1): nothing exists below,
+        # every disjoint row is acceptable
+        got = bpe._select_merge_batch(ranked, set("abcdef"), 5)
+        assert len(got) == 3
+
+    def test_batch_size_validation(self, spark, sennrich):
+        wt = bpe.word_table(sennrich, "text")
+        with pytest.raises(ValueError, match="batch_size"):
+            bpe.bpe_train(wt, n_merges=2, batch_size=0)
+
+
 class TestRound8Guards:
     def test_scd2_valid_from_same_as_eff(self, spark):
         from datafusion_functions_json_spark.operators import cdc

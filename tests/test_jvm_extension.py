@@ -227,6 +227,36 @@ for bad in ("select json_get(j, null) from t", "select j->null from t",
     except Exception as e:
         assert "Error during planning" in str(e), (bad, str(e)[:200])
 
+# exact-message mirror of reference tests/main.rs:291-298: the NULL
+# path literal fails AT spark.sql() TIME (plan, not execution), with
+# the reference's message verbatim
+try:
+    spark.sql("select json_get_str(j, null) from t")
+    raise SystemExit("expected plan error for NULL path literal")
+except Exception as e:
+    want = ("Error during planning: Unexpected argument type to "
+            "'json_get_str' at position 2, expected string or int, "
+            "got Null.")
+    assert want in str(e), str(e)[:300]
+
+# one-column-path plan error (reference src/common.rs:129-133): two
+# column path elements must fail at plan time with the reference text
+spark.createDataFrame(
+    [('{"a": {"b": 1}}', "a", "b")], "j string, p1 string, p2 string"
+).createOrReplaceTempView("t2")
+for bad in ("select json_get(j, p1, p2) from t2",
+            "select json_get_str(j, 'a', p2) from t2"):
+    try:
+        spark.sql(bad)
+        raise SystemExit(f"expected plan error for {bad!r}")
+    except Exception as e:
+        assert ("More than 1 path element is not supported when "
+                "querying JSON using an array.") in str(e), (bad, str(e)[:300])
+# ...while ONE column path element stays legal (reference supports it)
+assert spark.sql(
+    "select json_get_json(json_get(j, p1), p2) from t2"
+).collect()[0][0] == "1"
+
 # lambdas and positional parameters pass through untouched
 assert spark.sql("select transform(array(1,2), x -> x + 1)").collect()[0][0] == [2, 3]
 assert spark.sql("select ? + 1", args=[41]).collect()[0][0] == 42
