@@ -1123,6 +1123,76 @@ def _q_sessionize_batch(spark, sf_dir):
     return js.sessionize_batch(ev, "user_id", "ts", gap_seconds=600)
 
 
+def _q_neardedup_compact_twin(spark, sf_dir):
+    # ORACLE-twinned compaction-equivalence gate for the streaming
+    # near-dedup sink (streaming.neardedup_batch_fn/neardedup_compact):
+    # the same three micro-batches — with planted cross-batch
+    # duplicates so the index actually fires — are driven into TWO
+    # stores, one compacted between batch 1 and batch 2 and one never
+    # compacted. Compaction must be invisible: identical survivor sets
+    # (n_only_* structurally 0), and batch 2 must still near-dedup
+    # against the COMPACTED index. Survivor membership is xxhash64
+    # minhash (not mirrorable), but the equality is structural and
+    # n_input is recomputed by the oracle from the same predicates.
+    # Inputs are capped at doc_id < 300, so this gate is bounded and
+    # SF-independent by design (it checks a protocol, not throughput).
+    import shutil
+    import tempfile
+
+    from datafusion_functions_json_spark import streaming as js
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    b0 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    b1 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1).unionByName(
+        b0.filter(F.col("doc_id") < 60).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    b2 = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2).unionByName(
+        b0.filter(
+            (F.col("doc_id") >= 60) & (F.col("doc_id") < 120)
+        ).select((F.col("doc_id") + 600000).alias("doc_id"), "text")
+    )
+    mh = dict(num_perm=32, bands=8, mode="word", n=3, threshold=0.8)
+    n_input = b0.count() + b1.count() + b2.count()
+    root = tempfile.mkdtemp(prefix="ndtwin_")
+    try:
+        tgt_c = os.path.join(root, "compacted")
+        tgt_u = os.path.join(root, "plain")
+        fn_c = js.neardedup_batch_fn(tgt_c, "doc_id", "text", **mh)
+        fn_u = js.neardedup_batch_fn(tgt_u, "doc_id", "text", **mh)
+        for i, b in enumerate((b0, b1)):
+            fn_c(b, i)
+            fn_u(b, i)
+        rep = js.neardedup_compact(spark, tgt_c)
+        fn_c(b2, 2)
+        fn_u(b2, 2)
+        ids_c = {
+            r.doc_id
+            for r in js.read_deduped(spark, tgt_c).select("doc_id").collect()
+        }
+        ids_u = {
+            r.doc_id
+            for r in js.read_deduped(spark, tgt_u).select("doc_id").collect()
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(n_input),
+                1 if rep["compacted"] else 0,
+                len(ids_c - ids_u),
+                len(ids_u - ids_c),
+            )
+        ],
+        "n_input bigint, compacted int, "
+        "n_only_compacted bigint, n_only_plain bigint",
+    )
+
+
 def _q_pii_redact(spark, sf_dir):
     # PII scrubbing with planted, id-derived PII so the check is
     # falsifiable (the synthetic corpus contains none naturally)
@@ -3925,6 +3995,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall": _q_simhash_recall,
         "embedding_recall": _q_embedding_recall,
         "incremental_recall": _q_incremental_recall,
+        "neardedup_compact_twin": _q_neardedup_compact_twin,
         "knn_recall": _q_knn_recall,
         "data_quality": _q_data_quality,
         "union_variant": _q_union_variant,
@@ -5200,6 +5271,15 @@ def oracle_sql() -> dict[str, str]:
             f"select count(*)::bigint as n_planted, 0::bigint as n_missed "
             f"from documents where doc_id < 25 and doc_id % 5 != 0 "
             f"and len({_TOKENS_SQL}) >= 3"
+        ),
+        "neardedup_compact_twin": (
+            "select ((select count(*) from documents where doc_id < 300) "
+            "+ (select count(*) from documents where doc_id < 300 "
+            "and doc_id % 3 = 0 and doc_id < 60) "
+            "+ (select count(*) from documents where doc_id < 300 "
+            "and doc_id % 3 = 0 and doc_id >= 60 and doc_id < 120) "
+            ")::bigint as n_input, 1 as compacted, "
+            "0::bigint as n_only_compacted, 0::bigint as n_only_plain"
         ),
         "minhash_recall": (
             f"with p as (select doc_id, text from documents "
