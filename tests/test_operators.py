@@ -1605,6 +1605,68 @@ class TestSemanticDedup:
             )
 
 
+class TestSemanticDedupKernel:
+    def test_gram_kernel_matches_pair_join_formulation(self, spark):
+        # the grouped Gram-matmul kernel must reproduce the original
+        # pair-join + pair_cosine_np path decision-for-decision: a low
+        # threshold over random vectors fires hundreds of pairs, so a
+        # rounding or drop-rule divergence cannot hide
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (
+                i,
+                i % 5,
+                round(rng.uniform(0.0, 3.0), 4),
+                [rng.gauss(0.0, 1.0) for _ in range(16)],
+            )
+            for i in range(200)
+        ]
+        # planted exact ties on cent_dist exercise the larger-id arm
+        rows += [
+            (1000, 0, rows[0][2], rows[0][3]),
+            (1001, 1, 0.5, [0.0] * 16),  # zero vector: norm-1 fallback
+            (1002, 1, 0.5, None),  # NULL vector never pairs
+        ]
+        base = spark.createDataFrame(
+            rows,
+            "_id long, cluster int, cent_dist double, _v array<double>",
+        )
+        got = {
+            r._id
+            for r in similarity._semdedup_dropped_ids(
+                base, 0.3, chunk=37
+            ).collect()
+        }
+        pairs = (
+            base.alias("L")
+            .join(base.alias("R"), F.col("L.cluster") == F.col("R.cluster"))
+            .filter(F.col("L._id") < F.col("R._id"))
+            .withColumn(
+                "_cos",
+                F.round(
+                    similarity.pair_cosine_np(F.col("L._v"), F.col("R._v")),
+                    6,
+                ),
+            )
+            .filter(F.col("_cos") >= 0.3)
+        )
+        da, db = F.col("L.cent_dist"), F.col("R.cent_dist")
+        want = {
+            r._id
+            for r in pairs.select(
+                F.when(da < db, F.col("L._id"))
+                .when(db < da, F.col("R._id"))
+                .otherwise(F.greatest(F.col("L._id"), F.col("R._id")))
+                .alias("_id")
+            )
+            .distinct()
+            .collect()
+        }
+        assert got == want and len(got) > 50
+
+
 class TestHeavyHitters:
     def _skewed(self, spark):
         # zipf-ish: item i appears (40 - i) times, i in 0..39
@@ -2483,16 +2545,15 @@ class TestRoundSixPlans:
         )
         assert "CartesianProduct" not in plan
         # every BNLJ must be the bounded k-row centroid fan-out (the
-        # `base` subtree replicates into L/R/join-back, so it appears
-        # up to 3x); the pairwise stage itself must be a keyed
-        # equi-join on the cluster id
+        # `base` subtree replicates into the kernel input + join-back,
+        # so it appears up to 2x); the pairwise stage itself is the
+        # cluster-keyed grouped-pandas Gram kernel — one exchange on
+        # the cluster id, vectors shipped once, never a pair join
         assert plan.count("BroadcastNestedLoopJoin") <= 3
+        assert "FlatMapGroupsInPandas" in plan
         import re as _re
 
-        assert _re.search(
-            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cluster",
-            plan,
-        ), plan
+        assert _re.search(r"hashpartitioning\(cluster", plan), plan
 
     def test_heavy_hitters_partial_topk_and_broadcast(self, spark):
         from datafusion_functions_json_spark.operators import sketch

@@ -47,21 +47,35 @@ SRC = os.environ.get("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    ".benchdata", "sf1")
 REPLICAS = 10
-COPY_TABLES = ["lineitem", "events", "documents"]
+COPY_TABLES = ["lineitem", "events"]
 OFFSET_TABLES = {
     # table -> key columns to shift per replica (each by its own max+1)
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "embeddings": ["vec_id"],
+    # documents is key-offset, NOT verbatim-copied: the round-9 LLM
+    # operators below dedup BY doc_id — verbatim replicas would plant
+    # 10 same-id exact duplicates per doc and turn the pair graph into
+    # garbage. A doc_id shift keeps every text unique-per-id while the
+    # text distribution (what the operators actually chew on) is
+    # unchanged.
+    "documents": ["doc_id"],
 }
 # the 5 floor-bound headliners BASELINE.md's claim is about, plus three
 # per-row-dominated controls: multi_extract (pandas-UDF JSON tier),
 # multi_extract_variant (zero-hop JVM variant tier — the 100 TB scale
-# path for JSON extraction), lang_id (regex scoring, Spark-favored)
+# path for JSON extraction), lang_id (regex scoring, Spark-favored),
+# plus the round-9 LLM-operator tier whose 100 TB story BASELINE.md
+# argues from docstrings: semantic_dedup (cluster-keyed SemDeDup over
+# 10x embeddings) and training_prep (curate→split→chunk→pack).
 QUERIES = [
     "tpch_q1", "events_hourly", "orders_join", "json_agg", "cosine_topk",
     "multi_extract", "multi_extract_variant", "lang_id",
+    "semantic_dedup", "training_prep",
 ]
+# spark-only (no DuckDB twin exists — xxhash64 candidate generation):
+# timed for the sf0.1 → sf1 scale curve, excluded from paired ratios
+UNTWINNED = ["minhash_pairs"]
 
 
 def generate(spark):
@@ -156,37 +170,44 @@ def main():
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     runs_max = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_MAX", "10"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
-    best = {n: None for n in QUERIES}
+    all_q = QUERIES + UNTWINNED
+    best = {n: None for n in all_q}
     duck_best = {n: None for n in QUERIES}
     t_start = time.time()
     passes = 0
     while passes < runs or (passes < runs_max and time.time() - t_start < budget):
-        for name in QUERIES:
+        for name in all_q:
             t0 = time.time()
             df = qs[name](spark, DST)
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best[name] = dt if best[name] is None else min(best[name], dt)
+            if name not in duck_sql:
+                continue
             t0 = time.time()
             con.sql(duck_sql[name]).fetchall()
             dt = time.time() - t0
             duck_best[name] = dt if duck_best[name] is None else min(duck_best[name], dt)
         passes += 1
     print(f"# passes: {passes}", file=sys.stderr)
-    times = {n: round(best[n], 3) for n in QUERIES}
+    times = {n: round(best[n], 3) for n in all_q}
     duck_times = {n: round(duck_best[n], 3) for n in QUERIES}
     ratios = {n: round(times[n] / duck_times[n], 2) for n in QUERIES}
     for n in QUERIES:
         print(f"# {n}: spark {times[n]}s duckdb {duck_times[n]}s "
               f"ratio {ratios[n]}", file=sys.stderr)
+    for n in UNTWINNED:
+        print(f"# {n}: spark {times[n]}s (untwinned)", file=sys.stderr)
+    twinned_total = round(sum(times[n] for n in QUERIES), 3)
     print(json.dumps({
         "metric": "sf1_spot_bench",
         "queries": times,
         "duckdb_queries": duck_times,
         "ratios": ratios,
-        "value": round(sum(times.values()), 3),
+        "untwinned": UNTWINNED,
+        "value": twinned_total,
         "duckdb_total": round(sum(duck_times.values()), 3),
-        "ratio_paired": round(sum(times.values()) / sum(duck_times.values()), 3),
+        "ratio_paired": round(twinned_total / sum(duck_times.values()), 3),
         "unit": "sec",
         "sf": 1.0,
     }))
