@@ -684,6 +684,81 @@ class TestKnnGraph:
         with _pt.raises(ValueError):
             similarity.knn_graph(df, "id", "v", 1, k=1, n_tables=0)
 
+    def test_bucket_kernel_matches_join_formulation(self, spark):
+        # the per-(table,bucket) Gram kernel must reproduce the
+        # original bucket self-join + HOF-cosine path edge-for-edge,
+        # including the lossless per-bucket top-k cut (every global
+        # top-k edge survives it) and cosine values at the same
+        # 6-decimal rounding
+        import random
+
+        from datafusion_functions_json_spark.operators import similarity
+        from pyspark.sql import functions as F
+
+        rnd = random.Random(23)
+        rows = [
+            (i, [rnd.gauss(0.0, 1.0) for i2 in range(12)]) for i in range(150)
+        ]
+        rows.append((900, None))  # NULL vector: no edges either way
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        k, n_planes, n_tables, dim = 4, 3, 3, 12
+        got = {
+            (r.id, r.nbr_id, r.cosine)
+            for r in similarity.knn_graph(
+                df, "id", "v", dim, k=k, n_planes=n_planes, n_tables=n_tables
+            ).collect()
+        }
+        # the original join formulation, inline
+        base = df.select(F.col("id").alias("_id"), F.col("v").alias("_v"))
+        cand = None
+        for t in range(n_tables):
+            tt = base.withColumn(
+                "_b",
+                similarity.lsh_bucket("_v", dim, n_planes=n_planes, seed=42 + t),
+            ).withColumn("_t", F.lit(t))
+            cand = tt if cand is None else cand.unionByName(tt)
+        pairs = (
+            cand.alias("L")
+            .join(
+                cand.alias("R"),
+                (F.col("L._t") == F.col("R._t"))
+                & (F.col("L._b") == F.col("R._b"))
+                & (F.col("L._id") != F.col("R._id")),
+            )
+            .select(
+                F.col("L._id").alias("id"),
+                F.col("R._id").alias("nbr_id"),
+                F.col("L._v").alias("va"),
+                F.col("R._v").alias("vb"),
+            )
+            .dropDuplicates(["id", "nbr_id"])
+        )
+        cos = similarity.dot(F.col("va"), F.col("vb")) / (
+            similarity.l2_norm(F.col("va")) * similarity.l2_norm(F.col("vb"))
+        )
+        from datafusion_functions_json_spark.operators.rank import (
+            top_k_per_group,
+        )
+
+        want = {
+            (r.id, r.nbr_id, r.cosine)
+            for r in top_k_per_group(
+                # NULL-cosine edges excluded: the join formulation let a
+                # NULL embedding bucket-collide (lsh_bucket hashes the
+                # NULL dot to a sign) and emitted meaningless NULL-cosine
+                # edges; the kernel deliberately gives NULL vectors no
+                # edges in either direction
+                pairs.withColumn("cosine", F.round(cos, 6))
+                .filter(F.col("cosine").isNotNull())
+                .select("id", "nbr_id", "cosine"),
+                "id",
+                [F.col("cosine").desc(), F.col("nbr_id").asc()],
+                k,
+            ).collect()
+        }
+        assert got == want and len(got) > 100
+        assert not any(i == 900 or n == 900 for i, n, _ in got)
+
 
 class TestPropertyDifferentials:
     """Hypothesis differentials: the pure-Column implementations must
