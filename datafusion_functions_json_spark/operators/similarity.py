@@ -476,24 +476,78 @@ def embedding_dup_pairs(
     base = add_lsh_buckets(df, vec_col, dim, n_planes=n_planes, seed=seed).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "lsh_bucket"
     )
-    pair_cos = dot(F.col("va"), F.col("vb")) / (
-        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    # per-bucket Gram kernel (same treatment as knn_graph /
+    # semantic_dedup): the bucket self-join ships two vectors per
+    # candidate pair; the grouped kernel ships each vector once and
+    # emits only the verified >= threshold pairs — output is bounded by
+    # TRUE near-dup volume, so no top-k cut is needed. A vector lands
+    # in exactly one bucket, so every pair is emitted exactly once.
+    return _bucket_dup_pairs(base, float(threshold))
+
+
+def _bucket_dup_pairs(base: DataFrame, threshold: float) -> DataFrame:
+    """Within-bucket verified near-dup pairs for
+    :func:`embedding_dup_pairs`: grouped-pandas kernel over
+    ``lsh_bucket`` computing all bucket cosines via chunked Gram
+    matmuls and emitting ``(id_a, id_b, cosine)`` with ``id_a`` the
+    smaller id, cosine HALF_UP-rounded to 6 decimals like ``F.round``,
+    filtered at ``>= threshold``. NULL vectors and NULL buckets never
+    pair (join-formulation parity)."""
+    from pyspark.sql import types as T
+
+    id_type = base.schema["_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    return (
-        base.alias("L")
-        .join(base.alias("R"), F.col("L.lsh_bucket") == F.col("R.lsh_bucket"))
-        .filter(F.col("L._id") < F.col("R._id"))
-        .select(
-            F.col("L._id").alias("id_a"),
-            F.col("R._id").alias("id_b"),
-            F.col("L._v").alias("va"),
-            F.col("R._v").alias("vb"),
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="object"),
+            "id_b": pd.Series([], dtype="object"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["_v"].notna() & pdf["lsh_bucket"].notna()]
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        out_a, out_b, out_c = [], [], []
+        chunk = max(1, min(1024, (1 << 22) // max(n, 1)))
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            cos = (V[i0:i1] @ V.T) / np.outer(norms[i0:i1], norms)
+            # Spark round(double, 6) is HALF_UP — floor(x*1e6 + .5)
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            ii, jj = np.nonzero(cos >= threshold)
+            ii = ii + i0
+            keep = ii < jj  # each unordered pair once, no self-pairs
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                continue
+            ia, ib = ids[ii], ids[jj]
+            out_a.extend(np.minimum(ia, ib).tolist())
+            out_b.extend(np.maximum(ia, ib).tolist())
+            out_c.extend(cos[ii - i0, jj].tolist())
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="object"),
+                "id_b": pd.Series(out_b, dtype="object"),
+                "cosine": pd.Series(out_c, dtype="float64"),
+            }
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", F.round(pair_cos, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+
+    return base.groupBy("lsh_bucket").applyInPandas(_grp, out_schema)
 
 
 def class_centroids(

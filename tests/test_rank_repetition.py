@@ -759,6 +759,56 @@ class TestKnnGraph:
         assert got == want and len(got) > 100
         assert not any(i == 900 or n == 900 for i, n, _ in got)
 
+    def test_embedding_dup_pairs_kernel_matches_join(self, spark):
+        # same equivalence pin for embedding_dup_pairs' bucket kernel:
+        # a LOW threshold over random vectors fires many verified
+        # pairs, so value or pair-identity divergence cannot hide
+        import random
+
+        from datafusion_functions_json_spark.operators import similarity
+        from pyspark.sql import functions as F
+
+        rnd = random.Random(31)
+        rows = [
+            (i, [rnd.gauss(0.0, 1.0) for _ in range(10)]) for i in range(200)
+        ]
+        rows.append((900, None))
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        dim, n_planes = 10, 3
+        got = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in similarity.embedding_dup_pairs(
+                df, "id", "v", dim, threshold=0.2, n_planes=n_planes
+            ).collect()
+        }
+        base = similarity.add_lsh_buckets(
+            df, "v", dim, n_planes=n_planes, seed=42
+        ).select(F.col("id").alias("_id"), F.col("v").alias("_v"), "lsh_bucket")
+        cos = similarity.dot(F.col("va"), F.col("vb")) / (
+            similarity.l2_norm(F.col("va")) * similarity.l2_norm(F.col("vb"))
+        )
+        want = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in (
+                base.alias("L")
+                .join(
+                    base.alias("R"),
+                    F.col("L.lsh_bucket") == F.col("R.lsh_bucket"),
+                )
+                .filter(F.col("L._id") < F.col("R._id"))
+                .select(
+                    F.col("L._id").alias("id_a"),
+                    F.col("R._id").alias("id_b"),
+                    F.col("L._v").alias("va"),
+                    F.col("R._v").alias("vb"),
+                )
+                .withColumn("cosine", F.round(cos, 6))
+                .filter(F.col("cosine") >= 0.2)
+                .select("id_a", "id_b", "cosine")
+            ).collect()
+        }
+        assert got == want and len(got) > 50
+
 
 class TestPropertyDifferentials:
     """Hypothesis differentials: the pure-Column implementations must
