@@ -3561,7 +3561,7 @@ def _q_bpe_stats(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     train = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
     wt = bpe.word_table(train, "text")
-    _, seg = bpe.bpe_train(wt, n_merges=_BPE_STEPS)
+    _, seg = bpe.bpe_train(wt, n_merges=_BPE_STEPS, batch_size=4)
     return bpe.bpe_stats(docs, "text", seg)
 
 
@@ -3571,7 +3571,7 @@ def _q_bpe_encode(spark, sf_dir):
     # per-token Python — the 100 TB encode path.
     docs = _docs(spark, sf_dir)
     wt = bpe.word_table(docs, "text")
-    _, seg = bpe.bpe_train(wt, n_merges=_BPE_STEPS)
+    _, seg = bpe.bpe_train(wt, n_merges=_BPE_STEPS, batch_size=4)
     return bpe.bpe_encode_words(docs, "text", seg)
 
 
