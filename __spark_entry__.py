@@ -3813,7 +3813,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_json_agg(spark, "/root/testdata/sf0.001")
 
 
-def _last_driver_checked() -> dict[str, int]:
+def _last_driver_checked() -> dict[str, tuple[int, bool, bool]]:
     """Per registry entry: (round it last appeared in a driver
     CORRECTNESS window, whether that latest record was a genuine
     failure, whether it was a rows-only ``no_oracle`` record).

@@ -137,7 +137,21 @@ def _select_merge_batch(ranked, symbols: set, m: int) -> list:
       symbol (``(a, bc)`` → ``"abc"`` when an earlier ``(ab, c)``
       made ``"abc"``), the merge can INCREASE counts of old pairs
       involving that symbol beyond the threshold bound — treat it as
-      a conflict and stop.
+      a conflict and stop;
+    * self-pair guard: a SELF-pair ``(a, a)`` escapes the
+      overlap bound — merging ``aaa…`` runs creates ``(aa, a)``
+      adjacencies bounded only by the self-pair's OWN count (each
+      ``aa·a`` comes from ``a·a·a``, two self-adjacencies), which sits
+      ABOVE the threshold, so a created pair could outrank any
+      later-accepted disjoint pair (word table ``{"aaa": 5, "cd": 4}``:
+      classic learns ``(a,a,10)`` then ``(aa,a,5)``, never ``(c,d,4)``
+      second). A self-pair may be accepted but CLOSES the batch —
+      nothing is accepted after it this round, and the row after it
+      still sets the strict-dominance threshold (its own created
+      pairs are bounded by pairs at/below that row). Non-self merges
+      cannot escape: every pair they create is bounded by an old pair
+      sharing one of their constituents, i.e. a conflicting row
+      at/below the threshold.
 
     The first pair is always accepted (a 1-pair batch IS the classic
     step); the threshold test never evicts it.
@@ -147,10 +161,12 @@ def _select_merge_batch(ranked, symbols: set, m: int) -> list:
     used: set = set()
     accepted = []
     threshold = None
+    closed = False
     for i, r in enumerate(ranked):
         concat = r["left"] + r["right"]
         conflict = (
-            i >= m
+            closed
+            or i >= m
             or r["left"] in used
             or r["right"] in used
             or concat in used
@@ -161,7 +177,12 @@ def _select_merge_batch(ranked, symbols: set, m: int) -> list:
             break
         accepted.append(r)
         used.update((r["left"], r["right"], concat))
+        if r["left"] == r["right"]:
+            closed = True
     if threshold is None:
+        # window exhausted: no pair exists below the accepted set, so
+        # nothing can outrank it — created pairs included (a closing
+        # self-pair is necessarily the LAST accepted element here)
         return accepted
     return [ranked[0]] + [r for r in accepted[1:] if r["freq"] > threshold]
 
@@ -199,7 +220,12 @@ def bpe_train(
     driver round-trips, the sequential-latency bottleneck when
     training a production-sized vocab (30k merges = 30k driver rounds
     at ``batch_size=1``). On conflict-heavy rounds it degrades
-    gracefully toward one merge per round.
+    gracefully toward one merge per round. Measured honestly: English
+    text CHAINS merges (``e+s``, then ``es+t``…), so acceptance is
+    usually 1-3 per round — 64 merges took 53 rounds at
+    ``batch_size=8`` on the synthetic docs corpus (~17% fewer
+    round-trips; corpora mixing several independent scripts/alphabets
+    batch much better). The rule never trades exactness for depth.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")

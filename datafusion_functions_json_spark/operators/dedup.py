@@ -612,6 +612,7 @@ def minhash_band_table(
     mode: str = "char",
     n: int = 5,
     num_buckets: int = 64,
+    record_checksum: bool = True,
 ) -> None:
     """Materialize a :func:`minhash_index`'s exploded band table —
     ``(band_id, band_hash, id)`` — as a catalog table BUCKETED and
@@ -631,12 +632,41 @@ def minhash_band_table(
     count at build time) ride along as column metadata on
     ``band_hash``, surviving the catalog round-trip, so the bucketed
     matcher can reject a mismatched family AND an out-of-sync
-    index/table pair."""
+    index/table pair. ``record_checksum`` (default True) additionally
+    records a content checksum — one extra full index scan, paid once
+    at build, that lets ``check_sync="full"`` catch equal-cardinality
+    in-place replacement; pass False to keep the build at a single
+    index scan when that protection isn't wanted."""
     rows = _band_rows(num_perm, bands)
     validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
     from ..sources.sinks import write_bucketed
 
-    index_rows, index_checksum = _index_fingerprint(index)
+    # content checksum is a FULL extra index scan at build time (the
+    # banding write scans it once more) — build-time-only, paid once to
+    # let check_sync="full" catch equal-cardinality in-place
+    # replacement forever after; pass record_checksum=False to keep the
+    # build at one scan (the matcher then only has the count probe)
+    if record_checksum:
+        index_rows, index_checksum = _index_fingerprint(index)
+    else:
+        index_rows, index_checksum = index.count(), None
+    meta = {
+        "num_perm": num_perm,
+        "seed": seed,
+        "mode": mode,
+        "n": n,
+        "bands": bands,
+        # parquet count-star is metadata-cheap; recording it lets the
+        # matcher catch an index that grew after this table was built
+        # (silent recall loss otherwise)
+        "index_rows": index_rows,
+    }
+    if index_checksum is not None:
+        # order-insensitive content checksum (joint per-row hash over
+        # id+sig): catches an index whose rows were REPLACED in place
+        # at equal cardinality — the count probe's blind spot.
+        # Compared only under check_sync="full" (it costs a scan).
+        meta["index_checksum"] = index_checksum
     banded = (
         index.withColumn(
             "_band",
@@ -644,26 +674,7 @@ def minhash_band_table(
         )
         .select(
             F.col("_band.band_id").alias("band_id"),
-            F.col("_band.band_hash").alias(
-                "band_hash",
-                metadata={
-                    "num_perm": num_perm,
-                    "seed": seed,
-                    "mode": mode,
-                    "n": n,
-                    "bands": bands,
-                    # parquet count-star is metadata-cheap; recording it
-                    # lets the matcher catch an index that grew after
-                    # this table was built (silent recall loss otherwise)
-                    "index_rows": index_rows,
-                    # order-insensitive content checksum (joint per-row
-                    # hash over id+sig): catches an index whose rows were
-                    # REPLACED in place at equal cardinality — the
-                    # count probe's blind spot. Compared only under
-                    # check_sync="full" (it costs an index scan).
-                    "index_checksum": index_checksum,
-                },
-            ),
+            F.col("_band.band_hash").alias("band_hash", metadata=meta),
             "id",
         )
     )

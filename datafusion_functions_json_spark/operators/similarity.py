@@ -481,8 +481,46 @@ def embedding_dup_pairs(
     # candidate pair; the grouped kernel ships each vector once and
     # emits only the verified >= threshold pairs — output is bounded by
     # TRUE near-dup volume, so no top-k cut is needed. A vector lands
-    # in exactly one bucket, so every pair is emitted exactly once.
-    return _bucket_dup_pairs(base, float(threshold))
+    # in exactly one bucket, so an id pair repeats only when an id
+    # itself carries duplicate rows — max-agg dedup keeps that case
+    # deterministic (the old join's dropDuplicates picked arbitrarily).
+    return (
+        _bucket_dup_pairs(base, float(threshold))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+
+
+def _round6_half_up(x):
+    """Spark's ``round(double, 6)`` emulated in numpy: HALF_UP rounds
+    halves AWAY FROM ZERO for both signs (``np.round`` is half-even;
+    a bare ``floor(x*1e6+0.5)`` would round negative halves toward
+    +inf: floor(-0.5+0.5)=0, while Spark gives -0.000001)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _gram_chunks(ids, V, chunk: int):
+    """Shared pairwise-cosine chunk iterator for the grouped Gram
+    kernels: yields ``(i0, cos_slab)`` where ``cos_slab[r, j]`` is the
+    HALF_UP-6-rounded cosine of rows ``i0+r`` and ``j`` (zero-norm
+    rows divide by 1). One BLAS matmul per slab; callers select pairs
+    from the slab. ``ids`` rides along only for the callers' pair
+    filters — pairs between rows carrying the SAME id are the
+    callers' job to exclude (the join formulations used id
+    inequality, not positional inequality)."""
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    n = len(ids)
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        cos = (V[i0:i1] @ V.T) / np.outer(norms[i0:i1], norms)
+        yield i0, _round6_half_up(cos)
+
+
+def _bucket_chunk(n: int) -> int:
+    """Chunk rows so a cos slab stays ≤ ~32 MB whatever the bucket
+    holds (skew-safe)."""
+    return max(1, min(1024, (1 << 22) // max(n, 1)))
 
 
 def _bucket_dup_pairs(base: DataFrame, threshold: float) -> DataFrame:
@@ -518,25 +556,22 @@ def _bucket_dup_pairs(base: DataFrame, threshold: float) -> DataFrame:
             return empty
         ids = pdf["_id"].to_numpy()
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0.0] = 1.0
         out_a, out_b, out_c = [], [], []
-        chunk = max(1, min(1024, (1 << 22) // max(n, 1)))
-        for i0 in range(0, n, chunk):
-            i1 = min(i0 + chunk, n)
-            cos = (V[i0:i1] @ V.T) / np.outer(norms[i0:i1], norms)
-            # Spark round(double, 6) is HALF_UP — floor(x*1e6 + .5)
-            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        for i0, cos in _gram_chunks(ids, V, _bucket_chunk(n)):
             ii, jj = np.nonzero(cos >= threshold)
-            ii = ii + i0
-            keep = ii < jj  # each unordered pair once, no self-pairs
-            ii, jj = ii[keep], jj[keep]
+            ii_g = ii + i0
+            # join-formulation parity: pair identity is by ID, not
+            # position — strict id inequality (duplicate-id rows must
+            # never emit a degenerate (x, x) pair), each unordered
+            # pair once via position order
+            keep = (ii_g < jj) & (ids[ii_g] != ids[jj])
+            ii, jj, ii_g = ii[keep], jj[keep], ii_g[keep]
             if len(ii) == 0:
                 continue
-            ia, ib = ids[ii], ids[jj]
+            ia, ib = ids[ii_g], ids[jj]
             out_a.extend(np.minimum(ia, ib).tolist())
             out_b.extend(np.maximum(ia, ib).tolist())
-            out_c.extend(cos[ii - i0, jj].tolist())
+            out_c.extend(cos[ii, jj].tolist())
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -758,7 +793,16 @@ def knn_graph(
     # top-k under the same (cosine desc, nbr_id asc) order) — ≤
     # n_tables x N x k slim rows into the cross-table dedup + final
     # top-k. Same double math, same HALF_UP 6-decimal rounding.
-    scored = _bucket_topk_pairs(cand, k).dropDuplicates(["id", "nbr_id"])
+    # cross-table dedup by max-agg, not dropDuplicates: the same pair
+    # is re-scored independently in every co-occurring (table, bucket)
+    # with different slab shapes, so two computations may differ by
+    # one rounding grain at a .5 boundary — max picks deterministically
+    # where an arbitrary survivor could flip run-to-run
+    scored = (
+        _bucket_topk_pairs(cand, k)
+        .groupBy("id", "nbr_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
     from .rank import top_k_per_group
 
     return top_k_per_group(
@@ -803,21 +847,16 @@ def _bucket_topk_pairs(cand: DataFrame, k: int) -> DataFrame:
             return empty
         ids = pdf["_id"].to_numpy()
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0.0] = 1.0
         out_i, out_j, out_c = [], [], []
-        chunk = max(1, min(1024, (1 << 22) // max(n, 1)))
-        for i0 in range(0, n, chunk):
-            i1 = min(i0 + chunk, n)
-            cos = (V[i0:i1] @ V.T) / np.outer(norms[i0:i1], norms)
-            # Spark round(double, 6) is HALF_UP — floor(x*1e6 + .5)
-            cos = np.floor(cos * 1e6 + 0.5) / 1e6
-            for r in range(i1 - i0):
+        for i0, cos in _gram_chunks(ids, V, _bucket_chunk(n)):
+            for r in range(cos.shape[0]):
                 row = cos[r]
                 gi = i0 + r
-                # order: cosine desc, nbr_id asc, self excluded
+                # order: cosine desc, nbr_id asc; exclusion is by ID
+                # (join-formulation parity: a duplicate-id row must
+                # not create a degenerate self-edge)
                 order = np.lexsort((ids, -row))
-                order = order[order != gi][:k]
+                order = order[ids[order] != ids[gi]][:k]
                 out_i.extend([ids[gi]] * len(order))
                 out_j.extend(ids[order].tolist())
                 out_c.extend(row[order].tolist())
@@ -835,17 +874,16 @@ def _bucket_topk_pairs(cand: DataFrame, k: int) -> DataFrame:
 
 
 def _semdedup_dropped_ids(
-    base: DataFrame, threshold: float, chunk: int = 1024
+    base: DataFrame, threshold: float, chunk: int | None = None
 ) -> DataFrame:
     """Distinct ids :func:`semantic_dedup` drops, computed per cluster
-    with one grouped-pandas kernel: chunked Gram matmul over the
-    cluster's (unnormalized) vectors, cosine = num / (norm outer),
-    HALF_UP-rounded to 6 decimals exactly like ``F.round(..., 6)``,
-    pairs at ``cos >= threshold`` resolved by the SemDeDup rule (drop
-    the smaller rounded centroid distance; exact ties drop the larger
-    id). Input ``base`` must carry ``_id``, ``_v`` (array<double>),
+    with one grouped-pandas kernel (:func:`_gram_chunks`): pairs at
+    ``cos >= threshold`` resolved by the SemDeDup rule (drop the
+    smaller rounded centroid distance; exact ties drop the larger id).
+    Input ``base`` must carry ``_id``, ``_v`` (array<double>),
     ``cluster``, ``cent_dist``. NULL vectors never pair (cosine is SQL
-    NULL in the join formulation — here they are excluded up front)."""
+    NULL in the join formulation — here they are excluded up front);
+    same-id rows never pair (the join used strict id inequality)."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -863,23 +901,16 @@ def _semdedup_dropped_ids(
         V = np.vstack(
             [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
         )
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0.0] = 1.0
         dropped = set()
-        for i0 in range(0, n, chunk):
-            i1 = min(i0 + chunk, n)
-            num = V[i0:i1] @ V.T
-            cos = num / np.outer(norms[i0:i1], norms)
-            # Spark's round(double, 6) is HALF_UP — floor(x*1e6 + .5)
-            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        for i0, cos in _gram_chunks(ids, V, chunk or _bucket_chunk(n)):
             ii, jj = np.nonzero(cos >= threshold)
-            ii = ii + i0
-            keep = ii < jj  # each unordered pair once, no self-pairs
-            ii, jj = ii[keep], jj[keep]
-            if len(ii) == 0:
+            ii_g = ii + i0
+            keep = (ii_g < jj) & (ids[ii_g] != ids[jj])
+            ii_g, jj = ii_g[keep], jj[keep]
+            if len(ii_g) == 0:
                 continue
-            da, db = cd[ii], cd[jj]
-            ia, ja = ids[ii], ids[jj]
+            da, db = cd[ii_g], cd[jj]
+            ia, ja = ids[ii_g], ids[jj]
             loser = np.where(
                 da < db, ia, np.where(db < da, ja, np.maximum(ia, ja))
             )

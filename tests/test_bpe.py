@@ -256,6 +256,55 @@ class TestBpeBatchedTraining:
         got = bpe._select_merge_batch(ranked, set("abcdef"), 5)
         assert len(got) == 3
 
+    def test_self_pair_closes_batch(self, spark):
+        # review-found hole: a self-pair's created pairs are bounded by
+        # its OWN count, not the threshold — {"aaa":5, "cd":4}: classic
+        # learns (a,a,10) then (aa,a,5); a batch must never slip
+        # (c,d,4) into slot 2
+        wt = spark.createDataFrame(
+            [("aaa", 5), ("cd", 4)], "word string, wcount bigint"
+        )
+        classic, _ = bpe.bpe_train(wt, n_merges=3)
+        batched, _ = bpe.bpe_train(wt, n_merges=3, batch_size=3)
+        assert classic == batched
+        assert [(m[1], m[2]) for m in classic][:2] == [("a", "a"), ("aa", "a")]
+        # threshold variant: {"aaa":10,"cd":8,"ce":7} — classic
+        # [(a,a,20),(aa,a,10)], the (c,d,8)/(c,e,7) tier never second
+        wt2 = spark.createDataFrame(
+            [("aaa", 10), ("cd", 8), ("ce", 7)],
+            "word string, wcount bigint",
+        )
+        c2, _ = bpe.bpe_train(wt2, n_merges=4)
+        b2, _ = bpe.bpe_train(wt2, n_merges=4, batch_size=4)
+        assert c2 == b2
+        assert [(m[1], m[2]) for m in c2][:2] == [("a", "a"), ("aa", "a")]
+
+    def test_select_batch_self_pair_unit(self):
+        # self-pair first: accepted alone, batch closed
+        ranked = [
+            {"left": "a", "right": "a", "freq": 10},
+            {"left": "c", "right": "d", "freq": 4},
+        ]
+        got = bpe._select_merge_batch(ranked, set("acd"), 2)
+        assert [(r["left"], r["right"]) for r in got] == [("a", "a")]
+        # self-pair second: both kept when strictly above the next row,
+        # but nothing after the self-pair
+        ranked = [
+            {"left": "x", "right": "y", "freq": 12},
+            {"left": "a", "right": "a", "freq": 10},
+            {"left": "c", "right": "d", "freq": 4},
+            {"left": "e", "right": "f", "freq": 3},
+        ]
+        got = bpe._select_merge_batch(ranked, set("xyacdef"), 4)
+        assert [(r["left"], r["right"]) for r in got] == [
+            ("x", "y"), ("a", "a")
+        ]
+        # self-pair TIED with the row after it is evicted (created
+        # pairs could tie it and win the name break)
+        ranked[1]["freq"] = 4
+        got = bpe._select_merge_batch(ranked, set("xyacdef"), 4)
+        assert [(r["left"], r["right"]) for r in got] == [("x", "y")]
+
     def test_batch_size_validation(self, spark, sennrich):
         wt = bpe.word_table(sennrich, "text")
         with pytest.raises(ValueError, match="batch_size"):

@@ -1628,6 +1628,10 @@ class TestSemanticDedupKernel:
             (1000, 0, rows[0][2], rows[0][3]),
             (1001, 1, 0.5, [0.0] * 16),  # zero vector: norm-1 fallback
             (1002, 1, 0.5, None),  # NULL vector never pairs
+            # duplicate-id row (same id, same vector): the join's
+            # strict id inequality never self-pairs it — the kernel
+            # must match (id-based exclusion, not positional)
+            (7, 7 % 5, rows[7][2], rows[7][3]),
         ]
         base = spark.createDataFrame(
             rows,

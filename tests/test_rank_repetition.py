@@ -700,6 +700,9 @@ class TestKnnGraph:
             (i, [rnd.gauss(0.0, 1.0) for i2 in range(12)]) for i in range(150)
         ]
         rows.append((900, None))  # NULL vector: no edges either way
+        # duplicate-id row (same vector): id-based exclusion must keep
+        # it from emitting a self-edge that could evict a real neighbor
+        rows.append((5, list(rows[5][1])))
         df = spark.createDataFrame(rows, "id long, v array<double>")
         k, n_planes, n_tables, dim = 4, 3, 3, 12
         got = {
@@ -773,6 +776,10 @@ class TestKnnGraph:
             (i, [rnd.gauss(0.0, 1.0) for _ in range(10)]) for i in range(200)
         ]
         rows.append((900, None))
+        # duplicate-id row (same vector): id-based pair exclusion must
+        # keep it from emitting a degenerate (x, x) pair, and max-agg
+        # dedup keeps the repeated (x, y) emission deterministic
+        rows.append((5, list(rows[5][1])))
         df = spark.createDataFrame(rows, "id long, v array<double>")
         dim, n_planes = 10, 3
         got = {
