@@ -726,7 +726,10 @@ def minhash_dup_pairs_against_bucketed(
     compares the build-time content checksum (joint id+sig hash sum)
     recorded by :func:`minhash_band_table`, catching in-place
     replacement at the cost of one index scan per call — use it after
-    any index rewrite, or periodically. ``False`` skips both probes."""
+    any index rewrite, or periodically; it RAISES when the table
+    carries no checksum (built with ``record_checksum=False`` or by
+    other tooling) rather than silently degrading to the count probe.
+    ``False`` skips both probes."""
     rows = _band_rows(num_perm, bands)
     validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
     bt_meta = _validate_family(
@@ -737,8 +740,17 @@ def minhash_dup_pairs_against_bucketed(
         "band table",
         "rebuild it or match its parameters",
     )
+    if check_sync == "full" and "index_checksum" not in bt_meta:
+        # silently degrading to the count probe would leave exactly
+        # the equal-cardinality blind spot "full" exists to close
+        raise ValueError(
+            "check_sync=\"full\" requested but this band table carries "
+            "no content checksum (built with record_checksum=False or "
+            "by other tooling) — rebuild it with minhash_band_table("
+            "record_checksum=True) or drop to check_sync=True"
+        )
     if check_sync and "index_rows" in bt_meta:
-        if check_sync == "full" and "index_checksum" in bt_meta:
+        if check_sync == "full":
             have, have_ck = _index_fingerprint(index)
         else:
             have, have_ck = index.count(), None

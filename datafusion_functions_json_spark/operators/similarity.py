@@ -469,7 +469,16 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket self-join (shuffle keyed
     by bucket — near-identical vectors land together) + exact cosine
-    verification. Returns (id_a, id_b, cosine)."""
+    verification. Returns (id_a, id_b, cosine).
+
+    Edge semantics (deliberate deltas from the old join formulation):
+    NULL ids and NULL vectors produce no pairs (the join dropped them
+    via inequality/NULL-bucket semantics; the kernel filters them up
+    front), and ZERO vectors score cosine 0 against everything — two
+    identical zero vectors never pair, where the join's
+    ``dot/(norm*norm)`` raised DIVIDE_BY_ZERO under Spark 4's default
+    ANSI mode (a zero embedding has no direction; failing the whole
+    job over it helps nobody)."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
@@ -550,7 +559,11 @@ def _bucket_dup_pairs(base: DataFrame, threshold: float) -> DataFrame:
     )
 
     def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf[pdf["_v"].notna() & pdf["lsh_bucket"].notna()]
+        pdf = pdf[
+            pdf["_v"].notna()
+            & pdf["lsh_bucket"].notna()
+            & pdf["_id"].notna()
+        ]
         n = len(pdf)
         if n < 2:
             return empty
@@ -756,8 +769,12 @@ def knn_graph(
     union of candidates, and ``row_number <= k`` plans a
     WindowGroupLimit (partial per-partition top-k BEFORE the id-keyed
     exchange). Deterministic output: ties break by neighbor id. Rows
-    with a NULL embedding produce no edges in either direction (they
-    have no meaningful cosine to anything).
+    with a NULL id or NULL embedding produce no edges in either
+    direction (no meaningful identity/cosine), and zero vectors score
+    cosine 0 against everything (the join formulation's norm division
+    raised under ANSI instead). Duplicate-id rows: the id gets ONE
+    neighbor list (per-neighbor best cosine, deterministic) and
+    occupies at most one slot in other ids' lists.
 
     At 100 TB: shuffle volume is bounded by bucket-collision pairs;
     skewed buckets (dense regions) are aggregation/window keys that AQE
@@ -841,7 +858,7 @@ def _bucket_topk_pairs(cand: DataFrame, k: int) -> DataFrame:
     )
 
     def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf[pdf["_v"].notna() & pdf["_b"].notna()]
+        pdf = pdf[pdf["_v"].notna() & pdf["_b"].notna() & pdf["_id"].notna()]
         n = len(pdf)
         if n < 2:
             return empty
@@ -854,9 +871,18 @@ def _bucket_topk_pairs(cand: DataFrame, k: int) -> DataFrame:
                 gi = i0 + r
                 # order: cosine desc, nbr_id asc; exclusion is by ID
                 # (join-formulation parity: a duplicate-id row must
-                # not create a degenerate self-edge)
+                # not create a degenerate self-edge), and the cut is k
+                # DISTINCT neighbor ids — k ROWS would let a
+                # duplicated id consume several slots and evict a true
+                # k-th neighbor. First occurrence in rank order wins,
+                # i.e. a duplicated neighbor contributes its best
+                # cosine (deterministic; the join's dedup-then-score
+                # picked an arbitrary duplicate row instead).
                 order = np.lexsort((ids, -row))
-                order = order[ids[order] != ids[gi]][:k]
+                order = order[ids[order] != ids[gi]]
+                nbr = ids[order]
+                first = np.sort(np.unique(nbr, return_index=True)[1])[:k]
+                order = order[first]
                 out_i.extend([ids[gi]] * len(order))
                 out_j.extend(ids[order].tolist())
                 out_c.extend(row[order].tolist())
@@ -891,7 +917,7 @@ def _semdedup_dropped_ids(
     )
 
     def _drop(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf[pdf["_v"].notna()]
+        pdf = pdf[pdf["_v"].notna() & pdf["_id"].notna()]
         n = len(pdf)
         empty = pd.DataFrame({"_id": pd.Series([], dtype="object")})
         if n < 2:

@@ -496,6 +496,27 @@ class TestMinhash:
                 batch, bt, index, "doc_id", "text",
                 threshold=0.8, check_sync="full", **mh,
             ).collect()
+            # a table built WITHOUT a checksum must refuse "full"
+            # loudly — silently degrading to the count probe would
+            # reopen the blind spot "full" exists to close
+            dedup.minhash_band_table(
+                index, "mh_bands_nock", num_buckets=4,
+                record_checksum=False, **mh,
+            )
+            try:
+                bt2 = spark.table("mh_bands_nock")
+                with pytest.raises(ValueError, match="no content checksum"):
+                    dedup.minhash_dup_pairs_against_bucketed(
+                        batch, bt2, index, "doc_id", "text",
+                        threshold=0.8, check_sync="full", **mh,
+                    )
+                # default count probe still works on that table
+                dedup.minhash_dup_pairs_against_bucketed(
+                    batch, bt2, index, "doc_id", "text",
+                    threshold=0.8, **mh,
+                ).collect()
+            finally:
+                spark.sql("drop table if exists mh_bands_nock")
         finally:
             spark.sql("drop table if exists mh_bands_t")
 

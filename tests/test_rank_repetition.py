@@ -762,6 +762,51 @@ class TestKnnGraph:
         assert got == want and len(got) > 100
         assert not any(i == 900 or n == 900 for i, n, _ in got)
 
+    def test_duplicate_id_gets_one_slot_not_k(self, spark):
+        # review-found hole: the per-bucket cut must keep k DISTINCT
+        # neighbor ids — a duplicated id consuming two rows of a
+        # single-table bucket must not evict the true 2nd neighbor
+        from datafusion_functions_json_spark.operators import similarity
+
+        # near-parallel vectors: one random hyperplane almost surely
+        # gives every row the same sign, i.e. ONE bucket (deterministic
+        # under the fixed seed — asserted via the result itself)
+        v1 = [1.0, 0.02, 0.0, 0.0]
+        v5 = [1.0, 0.0, 0.0, 0.0]
+        v2 = [1.0, 0.05, 0.0, 0.0]
+        v3 = [1.0, 0.09, 0.0, 0.0]
+        df = spark.createDataFrame(
+            [(1, v1), (5, v5), (5, list(v5)), (2, v2), (3, v3)],
+            "id long, v array<double>",
+        )
+        g = similarity.knn_graph(
+            df, "id", "v", 4, k=2, n_planes=1, n_tables=1
+        )
+        nbrs_of_1 = sorted(r.nbr_id for r in g.filter("id = 1").collect())
+        # all five rows share the single 1-plane bucket (same sign);
+        # id 1's two nearest DISTINCT ids are 5 and 2 — the duplicated
+        # id 5 must not consume both slots
+        assert nbrs_of_1 == [2, 5], nbrs_of_1
+        # NULL-id rows produce no edges either way; identical ZERO
+        # vectors score cosine 0 and never pair (documented semantics;
+        # the old join raised DIVIDE_BY_ZERO under ANSI instead)
+        df2 = spark.createDataFrame(
+            [(1, v1), (None, v5), (7, [0.0] * 4), (8, [0.0] * 4)],
+            "id long, v array<double>",
+        )
+        g2 = similarity.knn_graph(
+            df2, "id", "v", 4, k=3, n_planes=1, n_tables=1
+        ).collect()
+        assert not any(r.id is None or r.nbr_id is None for r in g2)
+        assert not any(
+            {r.id, r.nbr_id} == {7, 8} and r.cosine > 0 for r in g2
+        )
+        p2 = similarity.embedding_dup_pairs(
+            df2, "id", "v", 4, threshold=0.5, n_planes=1
+        ).collect()
+        assert not any(r.id_a is None or r.id_b is None for r in p2)
+        assert not any({r.id_a, r.id_b} == {7, 8} for r in p2)
+
     def test_embedding_dup_pairs_kernel_matches_join(self, spark):
         # same equivalence pin for embedding_dup_pairs' bucket kernel:
         # a LOW threshold over random vectors fires many verified
