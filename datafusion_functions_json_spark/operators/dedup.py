@@ -36,6 +36,7 @@ __all__ = [
     "minhash_signature",
     "lsh_bands",
     "minhash_dup_pairs",
+    "minhash_dup_pairs_from_index",
     "minhash_index",
     "minhash_dup_pairs_against",
     "minhash_band_table",
@@ -371,22 +372,52 @@ def minhash_dup_pairs(
     per branch; Spark still reuses the shuffle files where plans share
     exchanges) — for callers composing further before executing.
     """
-    rows = _band_rows(num_perm, bands)
-    df = _spread(df)
-    # One pandas pass computes BOTH the signature (for banding) and the
-    # distinct shingle-hash set (for verification) — the expensive map
-    # runs once; text is never touched again.
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        _signature_with_hashes(
-            text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
-        ).alias("_s"),
-    ).filter(F.col("_s.sig").isNotNull())
+    base = minhash_index(
+        df, id_col, text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
+    )
     if materialize:
         base = base.persist()
-    band_df = base.withColumn(
-        "_band", F.explode(lsh_bands(F.col("_s.sig"), bands=bands, rows=rows))
-    ).select("_band", "_id")
+    pairs = minhash_dup_pairs_from_index(
+        base,
+        num_perm=num_perm,
+        bands=bands,
+        seed=seed,
+        mode=mode,
+        n=n,
+        threshold=threshold,
+        materialize=materialize,
+    )
+    if materialize:
+        base.unpersist()  # pairs eagerly cached by from_index
+    return pairs
+
+
+def minhash_dup_pairs_from_index(
+    index: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    mode: str = "char",
+    n: int = 5,
+    threshold: float = 0.7,
+    materialize: bool = True,
+) -> DataFrame:
+    """:func:`minhash_dup_pairs` steps 2-4 over a PRECOMPUTED
+    :func:`minhash_index` — band explode → (band)-keyed self-join →
+    exact-Jaccard verify — for callers that already paid the one
+    expensive text pass and want to reuse it (the streaming near-dedup
+    sink computes ONE batch index and feeds it here, the
+    against-the-store join, AND the index write — one signature pass
+    instead of three). The index is read by the band branch and both
+    verification joins: persist it around this call (the caller owns
+    its lifecycle; ``materialize=True`` eagerly caches only the small
+    PAIRS output, never touching the input's persistence)."""
+    rows = _band_rows(num_perm, bands)
+    validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
+    band_df = index.withColumn(
+        "_band", F.explode(lsh_bands(F.col("sig"), bands=bands, rows=rows))
+    ).select("_band", F.col("id").alias("_id"))
     cand = (
         band_df.alias("L")
         .join(band_df.alias("R"), F.col("L._band") == F.col("R._band"))
@@ -394,7 +425,7 @@ def minhash_dup_pairs(
         .select(F.col("L._id").alias("id_a"), F.col("R._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    hs = base.select(F.col("_id").alias("_hid"), F.col("_s.hashes").alias("_h"))
+    hs = index.select(F.col("id").alias("_hid"), F.col("hashes").alias("_h"))
     pairs = (
         cand.join(hs, cand.id_a == hs._hid)
         .withColumnRenamed("_h", "ha")
@@ -410,8 +441,7 @@ def minhash_dup_pairs(
     )
     if materialize:
         pairs = pairs.persist()
-        pairs.count()  # force: pairs (small) cached, base releasable
-        base.unpersist()
+        pairs.count()  # force: pairs (small) cached eagerly
     return pairs
 
 
@@ -512,11 +542,18 @@ def minhash_dup_pairs_against(
     threshold: float = 0.7,
     materialize: bool = True,
     exclude_same_id: bool = True,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: verified pairs ``(new_id,
     index_id, jaccard)`` between a NEW batch and an existing
     :func:`minhash_index` (built with the SAME num_perm/seed/mode/n —
     signatures are only comparable under one permutation family).
+
+    ``new_index``: a PRECOMPUTED :func:`minhash_index` of the batch —
+    skips the batch's signature pass entirely (``new_df`` is then
+    ignored; the caller owns its persistence, and ``materialize`` only
+    eagerly caches the small pairs output). The streaming sink uses
+    this to pay one signature pass per micro-batch instead of three.
 
     ``exclude_same_id=True`` (default) drops pairs whose ids are equal —
     right when the batch and index share an id namespace (re-submitted
@@ -547,10 +584,18 @@ def minhash_dup_pairs_against(
     """
     rows = _band_rows(num_perm, bands)
     validate_index_meta(index, num_perm=num_perm, seed=seed, mode=mode, n=n)
-    newx = minhash_index(
-        new_df, id_col, text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
-    )
-    if materialize:
+    own_newx = new_index is None
+    if own_newx:
+        newx = minhash_index(
+            new_df, id_col, text_col,
+            num_perm=num_perm, seed=seed, mode=mode, n=n,
+        )
+    else:
+        validate_index_meta(
+            new_index, num_perm=num_perm, seed=seed, mode=mode, n=n
+        )
+        newx = new_index
+    if materialize and own_newx:
         newx = newx.persist()
     nb = newx.withColumn(
         "_band", F.explode(lsh_bands(F.col("sig"), bands=bands, rows=rows))
@@ -578,7 +623,8 @@ def minhash_dup_pairs_against(
     if materialize:
         pairs = pairs.persist()
         pairs.count()  # force: pairs (small) cached, batch sigs releasable
-        newx.unpersist()
+        if own_newx:
+            newx.unpersist()
     return pairs
 
 

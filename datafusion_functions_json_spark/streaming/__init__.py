@@ -1100,47 +1100,72 @@ def neardedup_batch_fn(
                 "here; refusing to silently drop this batch. Use a "
                 "fresh target_dir (or restore the checkpoint)."
             )
-        # intra-batch near-dups first (one-shot pair removal: drop the
-        # larger id of each verified pair). Pairs computed directly —
-        # not via minhash_dedup — so the persisted pairs handle can be
-        # released below; materialize=True's cache would otherwise pin
-        # one dead pairs table per micro-batch for the stream's life.
-        pairs = _dedup.minhash_dup_pairs(
-            batch_df, id_col, text_col,
-            bands=bands, threshold=threshold, **mh,
-        )
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        alive = batch_df.join(losers, on=id_col, how="left_anti")
-        hits = None
-        committed = _committed_batches(target_dir)
-        if committed:
-            idx = spark.read.parquet(*_index_paths(target_dir, committed))
-            hits = _dedup.minhash_dup_pairs_against(
-                alive, idx, id_col, text_col,
-                bands=bands, threshold=threshold, **mh,
-            )
-            cross = hits.select(F.col("new_id").alias(id_col)).distinct()
-            alive = alive.join(cross, on=id_col, how="left_anti")
-        # one computation feeds both writes: persist + eager count (not
-        # localCheckpoint — its executor-local blocks are lost on
-        # executor failure with NO lineage fallback, a real hazard for
-        # a long-running sink on a cluster, and they linger in the
-        # cache manager until GC; persist keeps recompute lineage and
-        # unpersists deterministically below)
-        alive = alive.persist()
-        alive.count()
-        pairs.unpersist()  # alive materialized — release the caches
-        if hits is not None:
-            hits.unpersist()
+        # ONE signature pass per micro-batch: the batch's minhash index
+        # is computed once, persisted, and feeds (a) the intra-batch
+        # pair self-join, (b) the against-the-store band join, and
+        # (c) the surviving-rows index write — previously each of the
+        # three recomputed signatures from text (~3x the per-batch cost
+        # at 25k-doc batches, measured). Pairs are computed directly —
+        # not via minhash_dedup — so every persisted handle is released
+        # below; a cache left behind would pin one dead table per
+        # micro-batch for the stream's life.
+        bidx = _dedup.minhash_index(batch_df, id_col, text_col, **mh).persist()
         try:
-            alive.write.mode("overwrite").parquet(
-                os.path.join(target_dir, "data", name)
+            # intra-batch near-dups first (one-shot pair removal: drop
+            # the larger id of each verified pair)
+            pairs = _dedup.minhash_dup_pairs_from_index(
+                bidx, bands=bands, threshold=threshold, **mh
             )
-            _dedup.minhash_index(alive, id_col, text_col, **mh).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(target_dir, "index", name))
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            alive = batch_df.join(losers, on=id_col, how="left_anti")
+            alive_idx = bidx.join(
+                losers.withColumnRenamed(id_col, "id"), "id", "left_anti"
+            )
+            hits = None
+            committed = _committed_batches(target_dir)
+            if committed:
+                idx = spark.read.parquet(
+                    *_index_paths(target_dir, committed)
+                )
+                hits = _dedup.minhash_dup_pairs_against(
+                    None, idx, id_col, text_col,
+                    bands=bands, threshold=threshold,
+                    new_index=alive_idx, **mh,
+                )
+                cross = hits.select(F.col("new_id").alias(id_col)).distinct()
+                alive = alive.join(cross, on=id_col, how="left_anti")
+                alive_idx = alive_idx.join(
+                    cross.withColumnRenamed(id_col, "id"), "id", "left_anti"
+                )
+            # one computation feeds both writes: persist + eager count
+            # (not localCheckpoint — its executor-local blocks are lost
+            # on executor failure with NO lineage fallback, a real
+            # hazard for a long-running sink on a cluster, and they
+            # linger in the cache manager until GC; persist keeps
+            # recompute lineage and unpersists deterministically below)
+            alive = alive.persist()
+            alive.count()
+            try:
+                alive.write.mode("overwrite").parquet(
+                    os.path.join(target_dir, "data", name)
+                )
+                # the surviving rows' index = the batch index minus the
+                # dropped ids (identical content to recomputing
+                # minhash_index(alive): null-signature docs appear in
+                # neither). pairs/hits stay cached until THIS write —
+                # alive_idx's lineage reads losers/cross, and releasing
+                # them earlier re-ran the entire pair computation
+                # inside the index write (measured 4x the batch cost)
+                alive_idx.write.mode("overwrite").parquet(
+                    os.path.join(target_dir, "index", name)
+                )
+            finally:
+                alive.unpersist()
+                pairs.unpersist()
+                if hits is not None:
+                    hits.unpersist()
         finally:
-            alive.unpersist()
+            bidx.unpersist()
         os.makedirs(marks, exist_ok=True)
         tmp = os.path.join(marks, f".{name}.tmp")
         with open(tmp, "w") as f:
