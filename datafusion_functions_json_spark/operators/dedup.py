@@ -372,24 +372,26 @@ def minhash_dup_pairs(
     per branch; Spark still reuses the shuffle files where plans share
     exchanges) — for callers composing further before executing.
     """
+    _band_rows(num_perm, bands)  # validate BEFORE anything persists
     base = minhash_index(
         df, id_col, text_col, num_perm=num_perm, seed=seed, mode=mode, n=n
     )
     if materialize:
         base = base.persist()
-    pairs = minhash_dup_pairs_from_index(
-        base,
-        num_perm=num_perm,
-        bands=bands,
-        seed=seed,
-        mode=mode,
-        n=n,
-        threshold=threshold,
-        materialize=materialize,
-    )
-    if materialize:
-        base.unpersist()  # pairs eagerly cached by from_index
-    return pairs
+    try:
+        return minhash_dup_pairs_from_index(
+            base,
+            num_perm=num_perm,
+            bands=bands,
+            seed=seed,
+            mode=mode,
+            n=n,
+            threshold=threshold,
+            materialize=materialize,
+        )
+    finally:
+        if materialize:
+            base.unpersist()  # pairs eagerly cached by from_index
 
 
 def minhash_dup_pairs_from_index(

@@ -1110,6 +1110,7 @@ def neardedup_batch_fn(
         # below; a cache left behind would pin one dead table per
         # micro-batch for the stream's life.
         bidx = _dedup.minhash_index(batch_df, id_col, text_col, **mh).persist()
+        pairs = hits = alive = None
         try:
             # intra-batch near-dups first (one-shot pair removal: drop
             # the larger id of each verified pair)
@@ -1121,7 +1122,6 @@ def neardedup_batch_fn(
             alive_idx = bidx.join(
                 losers.withColumnRenamed(id_col, "id"), "id", "left_anti"
             )
-            hits = None
             committed = _committed_batches(target_dir)
             if committed:
                 idx = spark.read.parquet(
@@ -1145,27 +1145,31 @@ def neardedup_batch_fn(
             # recompute lineage and unpersists deterministically below)
             alive = alive.persist()
             alive.count()
-            try:
-                alive.write.mode("overwrite").parquet(
-                    os.path.join(target_dir, "data", name)
-                )
-                # the surviving rows' index = the batch index minus the
-                # dropped ids (identical content to recomputing
-                # minhash_index(alive): null-signature docs appear in
-                # neither). pairs/hits stay cached until THIS write —
-                # alive_idx's lineage reads losers/cross, and releasing
-                # them earlier re-ran the entire pair computation
-                # inside the index write (measured 4x the batch cost)
-                alive_idx.write.mode("overwrite").parquet(
-                    os.path.join(target_dir, "index", name)
-                )
-            finally:
-                alive.unpersist()
-                pairs.unpersist()
-                if hits is not None:
-                    hits.unpersist()
+            alive.write.mode("overwrite").parquet(
+                os.path.join(target_dir, "data", name)
+            )
+            # the surviving rows' index = the batch index minus the
+            # dropped ids (identical content to recomputing
+            # minhash_index(alive): null-signature docs appear in
+            # neither). pairs/hits stay cached until THIS write —
+            # alive_idx's lineage reads losers/cross, and releasing
+            # them earlier re-ran the entire pair computation inside
+            # the index write (measured 4x the batch cost)
+            alive_idx.write.mode("overwrite").parquet(
+                os.path.join(target_dir, "index", name)
+            )
         finally:
-            bidx.unpersist()
+            # EVERY persisted handle releases on every exit path — a
+            # failed batch is replayed by the stream, and each replay
+            # leaking a cache set would pin memory for the session's
+            # life (alive may be an unpersisted plan if the failure
+            # struck earlier; unpersist is a safe no-op then)
+            for h in (alive, pairs, hits, bidx):
+                if h is not None:
+                    try:
+                        h.unpersist()
+                    except Exception:
+                        pass
         os.makedirs(marks, exist_ok=True)
         tmp = os.path.join(marks, f".{name}.tmp")
         with open(tmp, "w") as f:

@@ -520,6 +520,75 @@ class TestMinhash:
         finally:
             spark.sql("drop table if exists mh_bands_t")
 
+    def test_from_index_matches_direct_and_rejects_family(self, spark):
+        rows = [(1, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+                (2, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+                (3, "totally different text about catalyst plans here"),
+                (4, "totally different text about catalyst plans here")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        fam = dict(num_perm=32, seed=42, mode="word", n=3)
+        direct = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_dup_pairs(
+                df, "id", "text", bands=8, threshold=0.8, **fam
+            ).collect()
+        }
+        idx = dedup.minhash_index(df, "id", "text", **fam).persist()
+        via_index = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_dup_pairs_from_index(
+                idx, bands=8, threshold=0.8, **fam
+            ).collect()
+        }
+        assert via_index == direct and len(direct) == 2
+        # a mismatched permutation family must refuse, not silently
+        # compare incomparable signatures (zero recall otherwise)
+        with pytest.raises(ValueError, match="family|num_perm|index"):
+            dedup.minhash_dup_pairs_from_index(idx, num_perm=64, bands=8)
+        # the precomputed-batch arm of the incremental join: identical
+        # pairs to the compute-it-yourself path, and the same family
+        # rejection for the new_index
+        other = spark.createDataFrame(
+            [(10, "aaaa bbbb cccc dddd eeee ffff gggg hhhh")],
+            "id long, text string",
+        )
+        want = {
+            (r.new_id, r.index_id)
+            for r in dedup.minhash_dup_pairs_against(
+                other, idx, "id", "text", bands=8, threshold=0.8, **fam
+            ).collect()
+        }
+        oidx = dedup.minhash_index(other, "id", "text", **fam)
+        got = {
+            (r.new_id, r.index_id)
+            for r in dedup.minhash_dup_pairs_against(
+                None, idx, "id", "text",
+                bands=8, threshold=0.8, new_index=oidx, **fam,
+            ).collect()
+        }
+        assert got == want and got == {(10, 1), (10, 2)}
+        bad = dedup.minhash_index(other, "id", "text", num_perm=16,
+                                  seed=42, mode="word", n=3)
+        with pytest.raises(ValueError, match="family|num_perm|index"):
+            dedup.minhash_dup_pairs_against(
+                None, idx, "id", "text",
+                bands=8, threshold=0.8, new_index=bad, **fam,
+            )
+        idx.unpersist()
+
+    def test_minhash_dedup_invalid_bands_leaves_no_cache(self, spark):
+        # review finding: persisting before parameter validation left a
+        # dead CacheManager entry behind the ValueError
+        df = spark.createDataFrame(
+            [(1, "some text here for the table")], "id long, text string"
+        )
+        jsc = spark.sparkContext._jsc.sc()
+        spark.catalog.clearCache()
+        before = jsc.getPersistentRDDs().size()
+        with pytest.raises(ValueError):
+            dedup.minhash_dup_pairs(df, "id", "text", num_perm=64, bands=10)
+        assert jsc.getPersistentRDDs().size() <= before
+
     def test_minhash_dedup_removes_losers(self, spark):
         rows = [(1, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
                 (2, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
