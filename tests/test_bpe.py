@@ -159,6 +159,76 @@ class TestBpeDifferential:
         assert got == ref_wt
 
 
+def _py_bpe_batched(word_counts: dict, n_merges: int, batch_size: int):
+    """Pure-Python mirror of bpe_train's batched loop: classic pair
+    counting + _select_merge_batch acceptance — lets hypothesis pin the
+    acceptance rule against :func:`_py_bpe` over thousands of corpora
+    without a Spark job per case."""
+    wt = {w: list(w) for w in word_counts}
+    symbols = {s for syms in wt.values() for s in syms}
+    merges = []
+    while len(merges) < n_merges:
+        m = min(batch_size, n_merges - len(merges))
+        pairs = {}
+        for w, syms in wt.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        ranked = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: m + 1]
+        rows = [
+            {"left": l, "right": r, "freq": f} for (l, r), f in ranked
+        ]
+        batch = (
+            bpe._select_merge_batch(rows, symbols, m) if m > 1 else rows[:1]
+        )
+        for rr in batch:
+            l, r = rr["left"], rr["right"]
+            merges.append((len(merges) + 1, l, r, rr["freq"]))
+            symbols.add(l + r)
+            for w, syms in wt.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == l and x == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(x)
+                wt[w] = out
+    return merges, wt
+
+
+class TestBatchedAcceptanceProperty:
+    def test_hypothesis_batched_equals_classic(self):
+        # the acceptance rule's exactness proof, falsified-or-not over
+        # thousands of random corpora: the batched merge SEQUENCE must
+        # equal classic one-at-a-time training on every input, for
+        # every batch size — pure Python, no Spark job per case
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        words_st = st.dictionaries(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=20),
+            min_size=1,
+            max_size=10,
+        )
+
+        @settings(max_examples=400, deadline=None)
+        @given(words=words_st, n=st.integers(1, 12), bs=st.integers(2, 6))
+        def run(words, n, bs):
+            classic, cwt = _py_bpe(words, n)
+            batched, bwt = _py_bpe_batched(words, n, bs)
+            assert batched == classic
+            assert bwt == cwt
+
+        run()
+
+
 class TestBpeBatchedTraining:
     def test_batched_equals_classic_on_sennrich(self, spark, sennrich):
         wt = bpe.word_table(sennrich, "text")
