@@ -52,6 +52,32 @@ __all__ = [
 _MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), the classic minhash modulus
 
 
+def _eager_pairs(pairs: DataFrame, *release: DataFrame) -> DataFrame:
+    """Persist + force the (small) pairs table, then release the given
+    larger upstream caches. If the eager count itself fails (executor
+    fault, corrupt input), the pairs cache is released before
+    re-raising — it was persisted INSIDE this module, so no caller's
+    finally could ever reach it, and a streaming replay loop would
+    otherwise leak one CacheManager entry per retry (review finding).
+    The upstream releases run on both paths for the same reason."""
+    pairs = pairs.persist()
+    try:
+        pairs.count()
+    except Exception:
+        try:
+            pairs.unpersist()
+        except Exception:  # pragma: no cover - best-effort release
+            pass
+        raise
+    finally:
+        for r in release:
+            try:
+                r.unpersist()
+            except Exception:  # pragma: no cover - best-effort release
+                pass
+    return pairs
+
+
 def _col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
@@ -442,8 +468,7 @@ def minhash_dup_pairs_from_index(
         .select("id_a", "id_b", "jaccard")
     )
     if materialize:
-        pairs = pairs.persist()
-        pairs.count()  # force: pairs (small) cached eagerly
+        pairs = _eager_pairs(pairs)
     return pairs
 
 
@@ -623,10 +648,7 @@ def minhash_dup_pairs_against(
         .select("new_id", "index_id", "jaccard")
     )
     if materialize:
-        pairs = pairs.persist()
-        pairs.count()  # force: pairs (small) cached, batch sigs releasable
-        if own_newx:
-            newx.unpersist()
+        pairs = _eager_pairs(pairs, *((newx,) if own_newx else ()))
     return pairs
 
 
@@ -850,9 +872,7 @@ def minhash_dup_pairs_against_bucketed(
         .select("new_id", "index_id", "jaccard")
     )
     if materialize:
-        pairs = pairs.persist()
-        pairs.count()  # force: pairs (small) cached, batch sigs releasable
-        newx.unpersist()
+        pairs = _eager_pairs(pairs, newx)
     return pairs
 
 
@@ -1047,9 +1067,7 @@ def simhash_dup_pairs(
         .select("id_a", "id_b", "hamming")
     )
     if materialize:
-        pairs = pairs.persist()
-        pairs.count()  # force: pairs (small) cached, base releasable
-        base.unpersist()
+        pairs = _eager_pairs(pairs, base)
     return pairs
 
 

@@ -534,6 +534,12 @@ class TestMinhash:
             ).collect()
         }
         idx = dedup.minhash_index(df, "id", "text", **fam).persist()
+        try:
+            self._from_index_body(spark, idx, fam, direct)
+        finally:
+            idx.unpersist()
+
+    def _from_index_body(self, spark, idx, fam, direct):
         via_index = {
             (r.id_a, r.id_b, r.jaccard)
             for r in dedup.minhash_dup_pairs_from_index(
@@ -574,7 +580,6 @@ class TestMinhash:
                 None, idx, "id", "text",
                 bands=8, threshold=0.8, new_index=bad, **fam,
             )
-        idx.unpersist()
 
     def test_minhash_dedup_invalid_bands_leaves_no_cache(self, spark):
         # review finding: persisting before parameter validation left a
