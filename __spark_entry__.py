@@ -14,6 +14,7 @@ value-hashes after sorting columns by name).
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from collections.abc import Callable
@@ -39,6 +40,7 @@ from datafusion_functions_json_spark.operators import (  # noqa: E402
     stats,
     text,
 )
+from datafusion_functions_json_spark import oracle_twin  # noqa: E402
 from datafusion_functions_json_spark.sources import load_table  # noqa: E402
 
 # ---------------------------------------------------------------------------
@@ -2745,22 +2747,81 @@ def _q_cohort_retention(spark, sf_dir):
     )
 
 
-# -- rows-only (hash-function-dependent → no SQL oracle; driver records a
-# weaker check, the judge sees which)
+# -- twin-oracled LSH tier (round 11): the xxhash64-keyed pipelines have
+# no DuckDB-computable oracle, so the EXPECTED pair sets are computed
+# driver-side by datafusion_functions_json_spark/oracle_twin.py — an
+# independent pure-Python re-implementation of the whole pipeline (XXH64
+# from the public spec through banding and verification) — and inlined
+# into the oracle SQL as literal VALUES rows. The driver then hash-checks
+# the pair SETS, not just row counts. One explicit config is shared
+# between the production query and the twin so the two sides can never
+# silently compare mismatched parameters.
+
+# shared LSH configs — passed verbatim to BOTH the Spark query and the
+# pure-Python twin (the twin's tuning params are required keyword-only)
+_MINHASH_CFG = {"num_perm": 32, "bands": 8, "seed": 42, "n": 3, "threshold": 0.8}
+_SIMHASH_CFG = {"max_hamming": 3, "block_bits": 16}
+
+
+def _oracle_sf_dir() -> str:
+    # the driver's correctness gate runs at sf0.01; local check_oracle
+    # runs can re-point the twin via the env var
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+@functools.lru_cache(maxsize=4)
+def _twin_docs_cached(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tuple(
+        zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _minhash_pairs_oracle(sf_dir: str) -> str:
+    pairs = oracle_twin.minhash_pairs(_twin_docs_cached(sf_dir), **_MINHASH_CFG)
+    return oracle_twin.values_sql(
+        pairs, [("id_a", "bigint"), ("id_b", "bigint"), ("jaccard", "double")]
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _simhash_pairs_oracle(sf_dir: str) -> str:
+    pairs = oracle_twin.simhash_pairs(_twin_docs_cached(sf_dir), **_SIMHASH_CFG)
+    return oracle_twin.values_sql(
+        pairs, [("id_a", "bigint"), ("id_b", "bigint"), ("hamming", "bigint")]
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def _minhash_incremental_oracle(sf_dir: str) -> str:
+    # mirrors _q_minhash_incremental's batch construction exactly:
+    # index = doc_id % 5 != 0; new batch = doc_id % 5 == 0 plus planted
+    # near-copies (indexed ids < 25, shifted +100000, appended tail)
+    docs = _twin_docs_cached(sf_dir)
+    idx_l = [(i, x) for i, x in docs if i % 5 != 0]
+    new_l = [(i, x) for i, x in docs if i % 5 == 0] + [
+        (i + 100000, (x or "") + " appended tail token")
+        for i, x in idx_l
+        if i < 25
+    ]
+    pairs = oracle_twin.minhash_pairs_against(
+        tuple(new_l), tuple(idx_l), **_MINHASH_CFG, exclude_same_id=True
+    )
+    return oracle_twin.values_sql(
+        pairs,
+        [("new_id", "bigint"), ("index_id", "bigint"), ("jaccard", "double")],
+    )
 
 
 def _q_minhash_pairs(spark, sf_dir):
     # word-3-gram shingles: ~5x fewer shingles than char-5 on these docs
-    # at identical recall for near-dup text
+    # at identical recall for near-dup text. Pair-set value-checked
+    # against the oracle_twin VALUES oracle (same _MINHASH_CFG).
     return dedup.minhash_dup_pairs(
-        _docs(spark, sf_dir),
-        "doc_id",
-        "text",
-        num_perm=32,
-        bands=8,
-        mode="word",
-        n=3,
-        threshold=0.8,
+        _docs(spark, sf_dir), "doc_id", "text", mode="word", **_MINHASH_CFG
     )
 
 
@@ -2970,8 +3031,7 @@ def _q_minhash_incremental(spark, sf_dir):
         .unionByName(planted)
     )
     return dedup.minhash_dup_pairs_against(
-        newb, index, "doc_id", "text",
-        num_perm=32, bands=8, mode="word", n=3, threshold=0.8,
+        newb, index, "doc_id", "text", mode="word", **_MINHASH_CFG
     )
 
 
@@ -2987,8 +3047,10 @@ def _q_knn_graph(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
+    # pair-set value-checked against the oracle_twin VALUES oracle
+    # (same _SIMHASH_CFG on both sides)
     return dedup.simhash_dup_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3
+        _docs(spark, sf_dir), "doc_id", "text", **_SIMHASH_CFG
     )
 
 
@@ -5272,6 +5334,14 @@ def oracle_sql() -> dict[str, str]:
             f"from documents where doc_id < 25 and doc_id % 5 != 0 "
             f"and len({_TOKENS_SQL}) >= 3"
         ),
+        # twin-oracled LSH tier: expected pair sets computed driver-side
+        # by the pure-Python oracle_twin pipeline over the SAME sf0.01
+        # corpus and inlined as literal VALUES rows — the driver
+        # hash-checks the full pair sets (reference anchor:
+        # tests/utils/mod.rs:258-268, value-check everything)
+        "minhash_pairs": _minhash_pairs_oracle(_oracle_sf_dir()),
+        "simhash_pairs": _simhash_pairs_oracle(_oracle_sf_dir()),
+        "minhash_incremental": _minhash_incremental_oracle(_oracle_sf_dir()),
         "neardedup_compact_twin": (
             "select ((select count(*) from documents where doc_id < 300) "
             "+ (select count(*) from documents where doc_id < 300 "

@@ -28,6 +28,7 @@ Independence notes:
 
 from __future__ import annotations
 
+import math
 import random
 import re
 import struct
@@ -216,18 +217,37 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union > 0 else 0.0
 
 
+def _band_rows(num_perm: int, bands: int) -> int:
+    """Mirror of ``dedup._band_rows``: a remainder would silently drop
+    trailing signature elements from banding, so the twin must reject
+    exactly the configs production rejects (otherwise it would emit a
+    wrong 'expected' pair set for a config production errors on)."""
+    if bands < 1 or num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of "
+            f"bands ({bands}); a remainder would drop trailing signature "
+            "elements from banding and silently degrade recall"
+        )
+    return num_perm // bands
+
+
 def minhash_pairs(
     docs,
     *,
-    num_perm: int = 32,
-    bands: int = 8,
-    seed: int = 42,
-    n: int = 3,
-    threshold: float = 0.8,
+    num_perm: int,
+    bands: int,
+    seed: int,
+    n: int,
+    threshold: float,
 ) -> list[tuple[int, int, float]]:
     """Twin of ``dedup.minhash_dup_pairs`` (word mode): verified
-    near-dup pairs (id_a, id_b, jaccard) with id_a < id_b."""
-    rows = num_perm // bands
+    near-dup pairs (id_a, id_b, jaccard) with id_a < id_b.
+
+    All tuning parameters are REQUIRED keyword-only: the caller must
+    pass one explicit shared config to both the production query and
+    this twin — defaults here could silently diverge from production's
+    defaults and compare mismatched configurations."""
+    rows = _band_rows(num_perm, bands)
     hasher = _StrHasher()
     idx = _index(docs, num_perm=num_perm, seed=seed, n=n, hasher=hasher)
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -254,16 +274,18 @@ def minhash_pairs_against(
     new_docs,
     idx_docs,
     *,
-    num_perm: int = 32,
-    bands: int = 8,
-    seed: int = 42,
-    n: int = 3,
-    threshold: float = 0.8,
+    num_perm: int,
+    bands: int,
+    seed: int,
+    n: int,
+    threshold: float,
     exclude_same_id: bool = True,
 ) -> list[tuple[int, int, float]]:
     """Twin of ``dedup.minhash_dup_pairs_against``: verified pairs
-    (new_id, index_id, jaccard) between a new batch and an index."""
-    rows = num_perm // bands
+    (new_id, index_id, jaccard) between a new batch and an index.
+    Tuning parameters are required keyword-only (see
+    :func:`minhash_pairs`)."""
+    rows = _band_rows(num_perm, bands)
     hasher = _StrHasher()
     nidx = _index(new_docs, num_perm=num_perm, seed=seed, n=n, hasher=hasher)
     iidx = _index(idx_docs, num_perm=num_perm, seed=seed, n=n, hasher=hasher)
@@ -304,12 +326,24 @@ def _simhash64(text: str, hasher: _StrHasher) -> int:
 
 
 def simhash_pairs(
-    docs, *, max_hamming: int = 3, block_bits: int = 16
+    docs, *, max_hamming: int, block_bits: int
 ) -> list[tuple[int, int, int]]:
     """Twin of ``dedup.simhash_dup_pairs``: (id_a, id_b, hamming) pairs
-    within ``max_hamming`` via the pigeonhole block join."""
-    hasher = _StrHasher()
+    within ``max_hamming`` via the pigeonhole block join. Parameters are
+    required keyword-only (see :func:`minhash_pairs`); the validation
+    mirrors production's exactly."""
+    if block_bits < 1 or 64 % block_bits:
+        raise ValueError(
+            f"block_bits ({block_bits}) must divide 64; a remainder would "
+            "silently drop high bits from blocking and degrade recall"
+        )
     n_blocks = 64 // block_bits
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) breaks the pigeonhole guarantee "
+            f"for {n_blocks} blocks of {block_bits} bits"
+        )
+    hasher = _StrHasher()
     mask = (1 << block_bits) - 1
     sh_of = {}
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -354,9 +388,24 @@ def values_sql(rows, columns) -> str:
         return f"select {sel} from (values ({zeros})) t({names}) where 1 = 0"
 
     def lit(v):
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
         if isinstance(v, float):
-            return repr(v)
-        return str(v)
+            if not math.isfinite(v):
+                raise ValueError("non-finite float in VALUES oracle")
+            s = repr(v)
+            # force DOUBLE parsing: a bare decimal literal is DECIMAL in
+            # DuckDB and the decimal->double cast can be one ulp off the
+            # strtod result — an exponent makes the literal DOUBLE and
+            # repr() then round-trips bit-exactly
+            return s if ("e" in s or "E" in s) else s + "e0"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        raise TypeError(f"unsupported VALUES literal type: {type(v).__name__}")
 
     body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
     return f"select {sel} from (values {body}) t({names})"

@@ -55,6 +55,9 @@ def canon(rows, cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # the twin-generated VALUES oracles (minhash/simhash pair sets) must
+    # be computed over the SAME corpus the queries run on
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
 
     spark = session_defaults(
         SparkSession.builder.master("local[8]")
