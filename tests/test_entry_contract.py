@@ -22,22 +22,19 @@ def test_registry_keys_unique_and_oracle_subset():
     # every oracle key must name a real query (a typo'd oracle entry
     # would silently never be compared)
     assert set(o) <= set(reg), sorted(set(o) - set(reg))
-    # the documented rows-only exceptions are the ONLY oracle-less ones
+    # round 11 retired the rows-only class entirely: the xxhash64-based
+    # LSH entries carry oracle_twin VALUES oracles and the GK sketch
+    # entry carries a bounded-error oracle — EVERY registry entry must
+    # now be value-checked
     oracle_less = set(reg) - set(o)
-    # round 8 converted the SRP-LSH tier (ann_topk/ann_recall/
-    # embedding_dups/knn_graph — deterministic hyperplanes inlined)
-    # and the IVF tier (switched to the md5-seeded distributed build)
-    # to full oracles; these four are structurally non-mirrorable
-    # (xxhash64-based minhash/simhash candidates, the GK sketch)
-    assert oracle_less == {
-        "minhash_pairs", "percentiles_approx",
-        "minhash_incremental", "simhash_pairs",
-    }, sorted(oracle_less)
+    assert oracle_less == set(), sorted(oracle_less)
 
 
 def _staleness(k, last, osql):
-    rnd, failed, no_oracle = last.get(k, (0, False, False))
-    if failed or (no_oracle and k in osql):
+    rnd, failed, no_oracle, consec = last.get(k, (0, False, False, 0))
+    if (failed and consec <= entrymod._RETRY_ROUNDS) or (
+        no_oracle and k in osql
+    ):
         return 0
     return rnd
 
@@ -89,15 +86,58 @@ def test_last_checked_reads_correctness_files(tmp_path, monkeypatch):
     monkeypatch.setattr(pathlib.Path, "resolve", fake_resolve)
     last = entrymod._last_driver_checked()
     assert last == {
-        "a": (1, False, False),
-        "b": (3, False, False),
+        "a": (1, False, False, 0),
+        "b": (3, False, False, 0),
         # r03's pass supersedes r01's failure — fixed entries stop
         # jumping the queue once the driver has seen the fix
-        "c": (3, False, False),
-        "d": (3, True, False),   # genuine mismatch → retry-first
-        "e": (3, False, True),   # rows-only → retry-first iff now oracled
-        "f": (3, True, False),   # hard error → retry-first
+        "c": (3, False, False, 0),
+        "d": (3, True, False, 1),   # genuine mismatch → retry-first
+        "e": (3, False, True, 0),   # rows-only → retry-first iff now oracled
+        "f": (3, True, False, 1),   # hard error → retry-first
     }
+
+
+def test_permanent_failure_cannot_pin_a_slot(tmp_path, monkeypatch):
+    # an entry that fails EVERY round is boosted for _RETRY_ROUNDS
+    # consecutive retries, then falls back to normal staleness order —
+    # its own fresh failure records must not re-boost it forever
+    n = entrymod._RETRY_ROUNDS
+    for r in range(1, n + 3):
+        (tmp_path / f"CORRECTNESS_r{r:02d}.json").write_text(
+            json.dumps({"perma": {"hash_match": False}, "ok": {}})
+        )
+    import pathlib
+
+    real_resolve = pathlib.Path.resolve
+
+    def fake_resolve(self):
+        p = real_resolve(self)
+        if p.name == "__spark_entry__.py":
+            return tmp_path / "__spark_entry__.py"
+        return p
+
+    monkeypatch.setattr(pathlib.Path, "resolve", fake_resolve)
+    last = entrymod._last_driver_checked()
+    newest = n + 2
+    assert last["perma"] == (newest, True, False, newest)
+    # beyond the bound: no boost — normal (recent) staleness applies
+    assert _staleness("perma", last, {}) == newest
+    # within the bound a failure still jumps the queue
+    short = {"fresh": (newest, True, False, 1)}
+    assert _staleness("fresh", short, {}) == 0
+    # exactly at the bound: still boosted (retry-first for N rounds)
+    at_bound = {"edge": (newest, True, False, n)}
+    assert _staleness("edge", at_bound, {}) == 0
+    # a pass resets the run — subsequent single failure boosts again
+    (tmp_path / f"CORRECTNESS_r{n + 3:02d}.json").write_text(
+        json.dumps({"perma": {"hash_match": True}})
+    )
+    (tmp_path / f"CORRECTNESS_r{n + 4:02d}.json").write_text(
+        json.dumps({"perma": {"hash_match": False}})
+    )
+    last = entrymod._last_driver_checked()
+    assert last["perma"] == (n + 4, True, False, 1)
+    assert _staleness("perma", last, {}) == 0
 
 
 def test_failed_and_newly_oracled_entries_jump_the_queue():
@@ -110,7 +150,7 @@ def test_failed_and_newly_oracled_entries_jump_the_queue():
     boosted = [
         k
         for k in order
-        if last.get(k, (0, False, False))[0] > 0
+        if last.get(k, (0, False, False, 0))[0] > 0
         and _staleness(k, last, osql) == 0
     ]
     assert set(boosted) <= set(order[:50])
