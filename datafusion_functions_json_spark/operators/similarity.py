@@ -466,10 +466,18 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     n_planes: int = 10,
     seed: int = 42,
+    bucket_cap: int | str | None = "auto",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket self-join (shuffle keyed
     by bucket — near-identical vectors land together) + exact cosine
     verification. Returns (id_a, id_b, cosine).
+
+    ``bucket_cap`` (rows) bounds per-task memory against degenerate hot
+    buckets (e.g. a corpus of near-identical or zero vectors collapsing
+    into one bucket): groups over the cap are decomposed into block-pair
+    sub-groups (:func:`_with_block_subgroups`) with the exact same pair
+    set. ``"auto"`` sizes blocks so one sub-group's vectors stay ≈128 MB
+    for this ``dim``; ``None`` disables.
 
     Edge semantics (deliberate deltas from the old join formulation):
     NULL ids and NULL vectors produce no pairs (the join dropped them
@@ -493,19 +501,47 @@ def embedding_dup_pairs(
     # in exactly one bucket, so an id pair repeats only when an id
     # itself carries duplicate rows — max-agg dedup keeps that case
     # deterministic (the old join's dropDuplicates picked arbitrarily).
+    cap = _auto_cap(dim) if bucket_cap == "auto" else bucket_cap
     return (
-        _bucket_dup_pairs(base, float(threshold))
+        _bucket_dup_pairs(base, float(threshold), cap)
         .groupBy("id_a", "id_b")
         .agg(F.max("cosine").alias("cosine"))
     )
 
 
 def _round6_half_up(x):
-    """Spark's ``round(double, 6)`` emulated in numpy: HALF_UP rounds
+    """Spark's ``round(double, 6)`` emulated exactly: HALF_UP rounds
     halves AWAY FROM ZERO for both signs (``np.round`` is half-even;
     a bare ``floor(x*1e6+0.5)`` would round negative halves toward
-    +inf: floor(-0.5+0.5)=0, while Spark gives -0.000001)."""
-    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    +inf: floor(-0.5+0.5)=0, while Spark gives -0.000001).
+
+    Boundary exactness: Spark rounds ``BigDecimal.valueOf(double)`` —
+    the double's SHORTEST decimal repr — so a value printing as exactly
+    ``0.9999995`` rounds UP to 1.0 even though its binary expansion is
+    0.99999949999…, where the scaled-floor fast path would round down.
+    Elements within 1e-6 of a scaled half-integer (double error at the
+    1e6 scale is ~1e-10, so the margin is generous; suspects are ~1e-6
+    dense at worst) are therefore re-rounded through
+    ``Decimal(repr(v))`` with HALF_UP — the same shortest-repr
+    semantics as the JVM, pinned against ``F.round`` in
+    TestRound6HalfUp."""
+    x = np.asarray(x, dtype=np.float64)
+    r = np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    scaled = np.abs(x) * 1e6
+    suspect = np.abs(scaled - (np.floor(scaled) + 0.5)) < 1e-6
+    if suspect.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        grain = Decimal("0.000001")
+        flat_x = x.reshape(-1)
+        flat_r = r.reshape(-1)
+        for pos in np.nonzero(suspect.reshape(-1))[0]:
+            flat_r[pos] = float(
+                Decimal(repr(float(flat_x[pos]))).quantize(
+                    grain, rounding=ROUND_HALF_UP
+                )
+            )
+    return r
 
 
 def _gram_chunks(ids, V, chunk: int):
@@ -532,14 +568,100 @@ def _bucket_chunk(n: int) -> int:
     return max(1, min(1024, (1 << 22) // max(n, 1)))
 
 
-def _bucket_dup_pairs(base: DataFrame, threshold: float) -> DataFrame:
+def _auto_cap(dim: int) -> int:
+    """Default per-block row cap for the hot-bucket decomposition: size
+    blocks so one sub-group's vector matrix (two blocks × dim doubles)
+    stays ≈ 128 MB whatever the embedding width — dim 64 → 131072 rows,
+    dim 768 → 10922."""
+    return max(4096, (1 << 23) // max(dim, 1))
+
+
+def _with_block_subgroups(
+    base: DataFrame, group_cols: Sequence[str], id_col: str, cap: int | None
+):
+    """Hot-group skew cap for the grouped Gram kernels: decompose any
+    group holding more than ``cap`` rows into block-PAIR sub-groups so
+    no single task ever materializes an unbounded vector matrix.
+
+    Rows of a hot group are hashed into ``s = ceil(n / cap)`` blocks
+    (``_blk``); each row is replicated into the ``s`` sub-groups
+    ``(min(_blk, c), max(_blk, c))`` it participates in, and kernels
+    group on ``group_cols + [_lo, _hi]``. Exactly-once pair coverage:
+    an unordered row pair from blocks (b1, b2) co-occurs ONLY in
+    sub-group (min,max)(b1, b2) when b1 != b2, but a SAME-block pair
+    co-occurs in every sub-group containing its block — so kernels
+    must emit a pair iff ``_lo == _hi`` (diagonal sub-group: all
+    pairs) or the two rows' ``_blk`` differ (mixed sub-group: cross
+    pairs only). Under that contract the decomposed pair set equals
+    the uncapped one exactly (cosines too: each pair's dot/norms are
+    computed from the same two rows regardless of slab shape).
+
+    Scale math: a group of n rows becomes s + s(s-1)/2 sub-groups of
+    ≤ ~2·cap rows — replication factor s on the hot group's rows only,
+    in exchange for O(n·cap) per-task work instead of O(n²). Only hot
+    groups pay anything: sizes are computed by one slim count
+    aggregation, FILTERED to groups over the cap, and broadcast
+    (#hot ≤ N/cap, slim rows), so cold groups take the `_gn IS NULL`
+    branch with a constant (0,0) sub-group key. ``cap=None`` disables
+    the machinery entirely (literal zero columns, no agg/join).
+
+    Returns ``(df, group_cols + ["_lo", "_hi"])`` with ``_blk``,
+    ``_lo``, ``_hi`` columns appended to ``base``'s.
+    """
+    cols = list(base.columns)
+    if cap is None:
+        b = (
+            base.withColumn("_blk", F.lit(0))
+            .withColumn("_lo", F.lit(0))
+            .withColumn("_hi", F.lit(0))
+        )
+        return b, list(group_cols) + ["_lo", "_hi"]
+    if cap < 2:
+        raise ValueError(f"bucket_cap must be >= 2 rows, got {cap}")
+    sizes = (
+        base.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_gn"))
+        .filter(F.col("_gn") > cap)
+    )
+    b = base.join(F.broadcast(sizes), list(group_cols), "left")
+    s = F.ceil(F.col("_gn") / F.lit(cap)).cast("int")
+    b = b.withColumn(
+        "_blk",
+        F.when(
+            F.col("_gn").isNotNull(),
+            F.coalesce(F.pmod(F.xxhash64(F.col(id_col)), s).cast("int"), F.lit(0)),
+        ).otherwise(F.lit(0)),
+    )
+    subs = F.when(
+        F.col("_gn").isNotNull(),
+        F.transform(
+            F.sequence(F.lit(0), s - F.lit(1)),
+            lambda c: F.struct(
+                F.least(F.col("_blk"), c).alias("lo"),
+                F.greatest(F.col("_blk"), c).alias("hi"),
+            ),
+        ),
+    ).otherwise(F.array(F.struct(F.lit(0).alias("lo"), F.lit(0).alias("hi"))))
+    b = b.withColumn("_sub", F.explode(subs)).select(
+        *cols,
+        "_blk",
+        F.col("_sub.lo").alias("_lo"),
+        F.col("_sub.hi").alias("_hi"),
+    )
+    return b, list(group_cols) + ["_lo", "_hi"]
+
+
+def _bucket_dup_pairs(
+    base: DataFrame, threshold: float, bucket_cap: int | None = None
+) -> DataFrame:
     """Within-bucket verified near-dup pairs for
     :func:`embedding_dup_pairs`: grouped-pandas kernel over
     ``lsh_bucket`` computing all bucket cosines via chunked Gram
     matmuls and emitting ``(id_a, id_b, cosine)`` with ``id_a`` the
     smaller id, cosine HALF_UP-rounded to 6 decimals like ``F.round``,
     filtered at ``>= threshold``. NULL vectors and NULL buckets never
-    pair (join-formulation parity)."""
+    pair (join-formulation parity). ``bucket_cap`` bounds per-task rows
+    via :func:`_with_block_subgroups` (exact same pair set)."""
     from pyspark.sql import types as T
 
     id_type = base.schema["_id"].dataType
@@ -557,6 +679,9 @@ def _bucket_dup_pairs(base: DataFrame, threshold: float) -> DataFrame:
             "cosine": pd.Series([], dtype="float64"),
         }
     )
+    grouped, keys = _with_block_subgroups(
+        base, ["lsh_bucket"], "_id", bucket_cap
+    )
 
     def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf[
@@ -568,6 +693,8 @@ def _bucket_dup_pairs(base: DataFrame, threshold: float) -> DataFrame:
         if n < 2:
             return empty
         ids = pdf["_id"].to_numpy()
+        blk = pdf["_blk"].to_numpy()
+        mixed = pdf["_lo"].iat[0] != pdf["_hi"].iat[0]
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         out_a, out_b, out_c = [], [], []
         for i0, cos in _gram_chunks(ids, V, _bucket_chunk(n)):
@@ -578,6 +705,11 @@ def _bucket_dup_pairs(base: DataFrame, threshold: float) -> DataFrame:
             # never emit a degenerate (x, x) pair), each unordered
             # pair once via position order
             keep = (ii_g < jj) & (ids[ii_g] != ids[jj])
+            if mixed:
+                # sub-group contract: mixed (lo != hi) sub-groups emit
+                # CROSS-block pairs only — same-block pairs belong to
+                # their diagonal sub-group (exactly-once coverage)
+                keep &= blk[ii_g] != blk[jj]
             ii, jj, ii_g = ii[keep], jj[keep], ii_g[keep]
             if len(ii) == 0:
                 continue
@@ -595,7 +727,7 @@ def _bucket_dup_pairs(base: DataFrame, threshold: float) -> DataFrame:
             }
         )
 
-    return base.groupBy("lsh_bucket").applyInPandas(_grp, out_schema)
+    return grouped.groupBy(*keys).applyInPandas(_grp, out_schema)
 
 
 def class_centroids(
@@ -755,6 +887,7 @@ def knn_graph(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    bucket_cap: int | str | None = "auto",
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph: ``(id, nbr_id, cosine)``
     with up to ``k`` neighbors per vector — the hard-negative-mining /
@@ -780,6 +913,9 @@ def knn_graph(
     skewed buckets (dense regions) are aggregation/window keys that AQE
     and the partial top-k flatten. For repeated mining runs, persist
     the bucketed base once (:func:`add_lsh_buckets` note).
+    ``bucket_cap`` ("auto" → ≈128 MB of vectors per task for this
+    ``dim``) bounds per-task rows against degenerate hot buckets via
+    block-pair decomposition — losslessly, see :func:`_bucket_topk_pairs`.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -815,8 +951,9 @@ def knn_graph(
     # with different slab shapes, so two computations may differ by
     # one rounding grain at a .5 boundary — max picks deterministically
     # where an arbitrary survivor could flip run-to-run
+    cap = _auto_cap(dim) if bucket_cap == "auto" else bucket_cap
     scored = (
-        _bucket_topk_pairs(cand, k)
+        _bucket_topk_pairs(cand, k, cap)
         .groupBy("id", "nbr_id")
         .agg(F.max("cosine").alias("cosine"))
     )
@@ -830,7 +967,9 @@ def knn_graph(
     )
 
 
-def _bucket_topk_pairs(cand: DataFrame, k: int) -> DataFrame:
+def _bucket_topk_pairs(
+    cand: DataFrame, k: int, bucket_cap: int | None = None
+) -> DataFrame:
     """Per-(table, bucket) candidate scoring for :func:`knn_graph`:
     grouped-pandas kernel computing every within-bucket cosine via
     chunked Gram matmuls and emitting each id's top ``k`` neighbors in
@@ -838,7 +977,12 @@ def _bucket_topk_pairs(cand: DataFrame, k: int) -> DataFrame:
     the final global top-k uses, which makes the per-bucket cut
     lossless). Input needs ``_id``, ``_v``, ``_t``, ``_b``; NULL
     vectors and NULL buckets never pair (join-formulation parity:
-    NULL buckets fail the equi-join, NULL vectors yield NULL cosine)."""
+    NULL buckets fail the equi-join, NULL vectors yield NULL cosine).
+    ``bucket_cap`` bounds per-task rows via
+    :func:`_with_block_subgroups` — the per-sub-group cut stays
+    lossless for the SAME reason the per-bucket cut is: every
+    candidate pair surfaces in exactly one sub-group, where a true
+    global-top-k neighbor's rank can only be better."""
     from pyspark.sql import types as T
 
     id_type = cand.schema["_id"].dataType
@@ -856,6 +1000,37 @@ def _bucket_topk_pairs(cand: DataFrame, k: int) -> DataFrame:
             "cosine": pd.Series([], dtype="float64"),
         }
     )
+    grouped, keys = _with_block_subgroups(
+        cand, ["_t", "_b"], "_id", bucket_cap
+    )
+
+    def _row_topk(row, ids, cand_idx, k):
+        """Positions of the top-k DISTINCT-id neighbors among
+        ``cand_idx`` under (cosine desc, nbr_id asc). A full lexsort
+        per row is O(n log n) → O(n² log n) per bucket; instead
+        argpartition narrows to a value-threshold superset (ALL
+        candidates tied at the boundary included, so the id
+        tie-break stays exact), growing until it covers k distinct
+        ids, and only that small set is lexsorted."""
+        vals = row[cand_idx]
+        sel = cand_idx
+        if len(cand_idx) > 4 * k + 16:
+            m = 2 * k + 8
+            while True:
+                m = min(m, len(vals) - 1)
+                thresh = vals[np.argpartition(-vals, m)[: m + 1]].min()
+                keep = vals >= thresh
+                if (
+                    m >= len(vals) - 1
+                    or len(np.unique(ids[cand_idx[keep]])) >= k
+                ):
+                    sel = cand_idx[keep]
+                    break
+                m *= 2
+        order = sel[np.lexsort((ids[sel], -row[sel]))]
+        nbr = ids[order]
+        first = np.sort(np.unique(nbr, return_index=True)[1])[:k]
+        return order[first]
 
     def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf[pdf["_v"].notna() & pdf["_b"].notna() & pdf["_id"].notna()]
@@ -863,6 +1038,8 @@ def _bucket_topk_pairs(cand: DataFrame, k: int) -> DataFrame:
         if n < 2:
             return empty
         ids = pdf["_id"].to_numpy()
+        blk = pdf["_blk"].to_numpy()
+        mixed = pdf["_lo"].iat[0] != pdf["_hi"].iat[0]
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         out_i, out_j, out_c = [], [], []
         for i0, cos in _gram_chunks(ids, V, _bucket_chunk(n)):
@@ -878,11 +1055,14 @@ def _bucket_topk_pairs(cand: DataFrame, k: int) -> DataFrame:
                 # i.e. a duplicated neighbor contributes its best
                 # cosine (deterministic; the join's dedup-then-score
                 # picked an arbitrary duplicate row instead).
-                order = np.lexsort((ids, -row))
-                order = order[ids[order] != ids[gi]]
-                nbr = ids[order]
-                first = np.sort(np.unique(nbr, return_index=True)[1])[:k]
-                order = order[first]
+                elig = ids != ids[gi]
+                if mixed:
+                    # sub-group contract: cross-block pairs only
+                    elig &= blk != blk[gi]
+                cand_idx = np.nonzero(elig)[0]
+                if len(cand_idx) == 0:
+                    continue
+                order = _row_topk(row, ids, cand_idx, k)
                 out_i.extend([ids[gi]] * len(order))
                 out_j.extend(ids[order].tolist())
                 out_c.extend(row[order].tolist())
@@ -896,11 +1076,14 @@ def _bucket_topk_pairs(cand: DataFrame, k: int) -> DataFrame:
             }
         )
 
-    return cand.groupBy("_t", "_b").applyInPandas(_grp, out_schema)
+    return grouped.groupBy(*keys).applyInPandas(_grp, out_schema)
 
 
 def _semdedup_dropped_ids(
-    base: DataFrame, threshold: float, chunk: int | None = None
+    base: DataFrame,
+    threshold: float,
+    chunk: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Distinct ids :func:`semantic_dedup` drops, computed per cluster
     with one grouped-pandas kernel (:func:`_gram_chunks`): pairs at
@@ -909,11 +1092,18 @@ def _semdedup_dropped_ids(
     Input ``base`` must carry ``_id``, ``_v`` (array<double>),
     ``cluster``, ``cent_dist``. NULL vectors never pair (cosine is SQL
     NULL in the join formulation — here they are excluded up front);
-    same-id rows never pair (the join used strict id inequality)."""
+    same-id rows never pair (the join used strict id inequality).
+    ``bucket_cap`` bounds per-task rows against a degenerate fat
+    cluster via :func:`_with_block_subgroups`; the drop rule is
+    per-pair independent, so the dropped-id UNION over sub-groups
+    equals the uncapped one exactly."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
         [T.StructField("_id", base.schema["_id"].dataType)]
+    )
+    grouped, keys = _with_block_subgroups(
+        base, ["cluster"], "_id", bucket_cap
     )
 
     def _drop(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -923,6 +1113,8 @@ def _semdedup_dropped_ids(
         if n < 2:
             return empty
         ids = pdf["_id"].to_numpy()
+        blk = pdf["_blk"].to_numpy()
+        mixed = pdf["_lo"].iat[0] != pdf["_hi"].iat[0]
         cd = pdf["cent_dist"].to_numpy(dtype=np.float64)
         V = np.vstack(
             [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
@@ -932,6 +1124,9 @@ def _semdedup_dropped_ids(
             ii, jj = np.nonzero(cos >= threshold)
             ii_g = ii + i0
             keep = (ii_g < jj) & (ids[ii_g] != ids[jj])
+            if mixed:
+                # sub-group contract: cross-block pairs only
+                keep &= blk[ii_g] != blk[jj]
             ii_g, jj = ii_g[keep], jj[keep]
             if len(ii_g) == 0:
                 continue
@@ -945,7 +1140,13 @@ def _semdedup_dropped_ids(
             return empty
         return pd.DataFrame({"_id": pd.Series(sorted(dropped), dtype="object")})
 
-    return base.groupBy("cluster").applyInPandas(_drop, out_schema)
+    out = grouped.groupBy(*keys).applyInPandas(_drop, out_schema)
+    if bucket_cap is not None:
+        # an id can be dropped in several sub-groups of a decomposed hot
+        # cluster; the caller left-joins on _id, so duplicates would
+        # multiply its rows
+        out = out.distinct()
+    return out
 
 
 def semantic_dedup(
@@ -958,6 +1159,7 @@ def semantic_dedup(
     iters: int = 1,
     threshold: float = 0.95,
     salt: str = "semdedup",
+    bucket_cap: int | str | None = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embeddings with deterministic k-means
@@ -1021,7 +1223,18 @@ def semantic_dedup(
     # TestSemanticDedupKernel. Per-group memory is one cluster's
     # vectors (~target_cluster_size x dim doubles) plus a
     # chunk x cluster slab — bounded, documented, AQE-independent.
-    dropped_ids = _semdedup_dropped_ids(base, float(threshold))
+    # hot-cluster cap: k is derived to keep clusters ~target size, but a
+    # degenerate corpus (near-identical embeddings) can collapse k-means
+    # into one fat cluster — the cap decomposes it into bounded-memory
+    # block-pair sub-groups with the exact same dropped set. "auto"
+    # sizes blocks from the embedding width (one cheap first() peek).
+    if bucket_cap == "auto":
+        first_vec = df.select(_dvec(vec_col).alias("_v")).first()
+        dim = len(first_vec["_v"]) if first_vec and first_vec["_v"] else 0
+        bucket_cap = _auto_cap(dim) if dim else None
+    dropped_ids = _semdedup_dropped_ids(
+        base, float(threshold), bucket_cap=bucket_cap
+    )
     return (
         base.join(
             dropped_ids.withColumn("_dropped", F.lit(True)), "_id", "left"
