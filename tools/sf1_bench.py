@@ -44,6 +44,12 @@ import __spark_entry__ as entrymod
 from datafusion_functions_json_spark.sources import load_table, session_defaults
 
 SRC = os.environ.get("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
+# --sf N (default 1): replicate the sf0.1 source N*10-fold into
+# .benchdata/sf{N} — the round-11 floor-amortization ledger runs the
+# same protocol at sf1 AND an sf10-equivalent decade to record the
+# ratio-vs-scale curve (verbatim tables are hardlinks, so a decade of
+# lineitem/events costs no disk; offset tables are written once).
+SF = 1
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    ".benchdata", "sf1")
 REPLICAS = 10
@@ -72,6 +78,10 @@ QUERIES = [
     "tpch_q1", "events_hourly", "orders_join", "json_agg", "cosine_topk",
     "multi_extract", "multi_extract_variant", "lang_id",
     "semantic_dedup", "training_prep",
+    # round-11 ledger additions: kernels shared with queries that invert
+    # at sf1 but never themselves measured beyond sf0.1 (VERDICT r10)
+    "json_get_int", "json_get_int_variant", "json_as_text_native",
+    "token_count",
 ]
 # spark-only (no DuckDB twin exists — xxhash64 candidate generation):
 # timed for the sf0.1 → sf1 scale curve, excluded from paired ratios
@@ -111,13 +121,25 @@ def generate(spark):
 
 
 def main():
+    global SF, DST, REPLICAS, QUERIES, UNTWINNED
+    if "--sf" in sys.argv:
+        SF = int(sys.argv[sys.argv.index("--sf") + 1])
+        DST = os.path.join(os.path.dirname(DST), f"sf{SF}")
+        REPLICAS = 10 * SF
+    if "--queries" in sys.argv:
+        only = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        QUERIES = [q for q in QUERIES if q in only]
+        UNTWINNED = [q for q in UNTWINNED if q in only]
+        missing = set(only) - set(QUERIES) - set(UNTWINNED)
+        if missing:
+            raise SystemExit(f"unknown --queries entries: {sorted(missing)}")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # sf1 shuffles move ~100 MB: 32 reduce tasks (one per core) is the
     # right grain here, unlike bench.py's 8 at sf0.1
     shuffle = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("spark-graft-sf1-bench")
+        .appName(f"spark-graft-sf{SF}-bench")
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -200,7 +222,7 @@ def main():
         print(f"# {n}: spark {times[n]}s (untwinned)", file=sys.stderr)
     twinned_total = round(sum(times[n] for n in QUERIES), 3)
     print(json.dumps({
-        "metric": "sf1_spot_bench",
+        "metric": f"sf{SF}_spot_bench",
         "queries": times,
         "duckdb_queries": duck_times,
         "ratios": ratios,
@@ -209,7 +231,7 @@ def main():
         "duckdb_total": round(sum(duck_times.values()), 3),
         "ratio_paired": round(twinned_total / sum(duck_times.values()), 3),
         "unit": "sec",
-        "sf": 1.0,
+        "sf": float(SF),
     }))
     spark.stop()
 
