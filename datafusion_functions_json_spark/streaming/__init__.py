@@ -666,6 +666,11 @@ def contamination_alerts(
 
 
 _LATEST = "_LATEST"
+# append-only commit ledger for upsert_sink targets: one
+# `v2:<version>:<rowcount>:<hashsum>` line per committed batch, used to
+# distinguish an at-least-once replay (same content, safe no-op) from a
+# checkpoint reset feeding NEW data under a recycled batch id (refused)
+_COMMITS = "_COMMITS"
 
 
 def _read_pointer(target_dir: str) -> str:
@@ -738,8 +743,15 @@ def upsert_sink(
     Restart safety: foreachBatch is at-least-once, so a replayed batch
     rewrites the SAME ``v<batch_id>`` directory (idempotent — upserts
     and deletes of identical rows converge) and a stale replay can
-    never regress the pointer (monotonic batch-id guard). Old versions
-    beyond ``keep_versions`` are pruned best-effort after commit.
+    never regress the pointer (monotonic batch-id guard). A stale
+    replay is additionally checked against the append-only ``_COMMITS``
+    ledger (per-batch content fingerprint, written after the pointer
+    commit): identical content no-ops, but a CHECKPOINT RESET feeding
+    new data under a recycled batch id refuses loudly instead of
+    silently dropping the batch. Old versions beyond ``keep_versions``
+    are pruned best-effort after commit — keep it >= 2 so a reader that
+    resolved the pointer just before a commit can still finish reading
+    its version.
 
     Returns a started-ready ``DataStreamWriter`` — caller adds
     ``.option("checkpointLocation", ...)`` and ``.start()``.
@@ -790,6 +802,34 @@ def merge_batch_fn(
 
     ks = [keys] if isinstance(keys, str) else list(keys)
 
+    def _fingerprint(df: DataFrame) -> str:
+        # order-insensitive batch content hash: per-row xxhash64 over the
+        # full row (fixed column order), summed as decimal(38,0) — a
+        # bigint sum would overflow-error under ANSI at real batch sizes
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64(
+                        F.to_json(F.struct(*sorted(df.columns)))
+                    ).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return f"{int(row.n)}:{row.h}"
+
+    def _ledger_lookup(name: str) -> str | None:
+        try:
+            with open(os.path.join(target_dir, _COMMITS)) as f:
+                for line in f:
+                    parts = line.strip().split(":", 2)
+                    if len(parts) == 3 and parts[0] == "v2" and parts[1] == name:
+                        return parts[2]
+        except OSError:
+            return None
+        return None
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         name = f"v{batch_id:020d}"
@@ -799,7 +839,26 @@ def merge_batch_fn(
         if committed and committed >= name:
             # already durably applied (== : re-merging would also read
             # and overwrite the same version dir), or a stale replay
-            # behind a newer committed snapshot — both no-ops
+            # behind a newer committed snapshot. Before no-opping,
+            # distinguish an at-least-once REPLAY (same content — safe
+            # to drop) from a checkpoint RESET feeding NEW data under a
+            # recycled batch id (silently dropping it would lose the
+            # data with no signal): the commit ledger records each
+            # committed batch's content fingerprint, and a mismatch
+            # refuses loudly. A missing ledger line (legacy target, or
+            # crash between pointer commit and ledger append) is
+            # trusted as a replay — same behavior as before the ledger.
+            expect = _ledger_lookup(name)
+            if expect is not None and _fingerprint(batch_df) != expect:
+                raise ValueError(
+                    f"upsert_sink batch {batch_id} replays an already-"
+                    f"committed batch id with DIFFERENT content (commit "
+                    f"ledger fingerprint mismatch) — this is a checkpoint "
+                    "reset feeding new data under a recycled batch id, "
+                    "and silently dropping it would lose the batch. "
+                    "Point the stream at a fresh checkpoint AND a fresh "
+                    "target dir, or restore the original checkpoint."
+                )
             return
         cur = read_current(spark, target_dir)
         if seq_col is not None:
@@ -849,6 +908,7 @@ def merge_batch_fn(
             merged = _cdc.merge_upsert(
                 cur, batch_df, ks, delete_col=delete_col
             )
+        fp = _fingerprint(batch_df)
         ptr = os.path.join(target_dir, _LATEST)
         merged.write.mode("overwrite").parquet(
             os.path.join(target_dir, name)
@@ -857,6 +917,13 @@ def merge_batch_fn(
         with open(tmp, "w") as f:
             f.write(name)
         os.replace(tmp, ptr)  # atomic pointer commit
+        # ledger append AFTER the pointer commit: a crash in between
+        # leaves a committed batch without a ledger line, which replays
+        # treat as trusted (no-op) — never a refusal of good data. One
+        # short line per batch; bytes, not data, so it never needs
+        # pruning on realistic stream lifetimes.
+        with open(os.path.join(target_dir, _COMMITS), "a") as f:
+            f.write(f"v2:{name}:{fp}\n")
         if keep_versions >= 1:
             # prune ONLY versions strictly below the pointer just
             # committed — never trust recency alone (an uncommitted

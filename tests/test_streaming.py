@@ -840,12 +840,13 @@ class TestMergeBatchCrashWindows:
         merge(self._b(spark, [(1, "a")]), 0)
         merge(self._b(spark, [(2, "b")]), 1)
         # at-least-once delivery replays batch 0 after batch 1 committed
-        merge(self._b(spark, [(1, "SHOULD_NOT_APPLY")]), 0)
+        # (identical content, as a checkpoint replay delivers) — no-op
+        merge(self._b(spark, [(1, "a")]), 0)
         got = {r.id: r.v for r in js.read_current(spark, tgt).collect()}
         assert got == {1: "a", 2: "b"}
         # and replaying the LATEST committed batch is also a no-op
         # (re-merging would read and overwrite the same version dir)
-        merge(self._b(spark, [(9, "z")]), 1)
+        merge(self._b(spark, [(2, "b")]), 1)
         got = {r.id: r.v for r in js.read_current(spark, tgt).collect()}
         assert got == {1: "a", 2: "b"}
 
@@ -864,6 +865,67 @@ class TestMergeBatchCrashWindows:
         # was never eligible to push v1 out
         assert js.list_versions(tgt) == [1, 5]
         assert {r.id for r in js.read_current(spark, tgt).collect()} == {1, 2}
+
+    def test_checkpoint_reset_with_new_content_refuses(self, spark, tmp_path):
+        # at-least-once replay of IDENTICAL content no-ops; a checkpoint
+        # reset recycling batch id 0 for NEW data must refuse loudly —
+        # silently dropping it would lose the batch with no signal
+        import pytest
+
+        tgt = str(tmp_path / "reset_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(self._b(spark, [(1, "a")]), 0)
+        merge(self._b(spark, [(2, "b")]), 1)
+        # genuine replay (same rows, any partition order) → no-op
+        merge(self._b(spark, [(1, "a")]).repartition(3), 0)
+        assert {r.id: r.v for r in js.read_current(spark, tgt).collect()} == {
+            1: "a",
+            2: "b",
+        }
+        # reset: batch id 0 carries different data
+        with pytest.raises(ValueError, match="checkpoint reset"):
+            merge(self._b(spark, [(7, "NEW")]), 0)
+        # the refusal left the committed snapshot untouched
+        assert {r.id: r.v for r in js.read_current(spark, tgt).collect()} == {
+            1: "a",
+            2: "b",
+        }
+
+    def test_legacy_target_without_ledger_trusts_replay(self, spark, tmp_path):
+        # crash window between pointer commit and ledger append (or a
+        # pre-ledger target): the missing line must be TRUSTED as a
+        # replay — never a refusal of good data
+        import os
+
+        tgt = str(tmp_path / "legacy_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(self._b(spark, [(1, "a")]), 0)
+        os.remove(os.path.join(tgt, "_COMMITS"))
+        merge(self._b(spark, [(9, "different")]), 0)  # no-op, no raise
+        assert {r.id: r.v for r in js.read_current(spark, tgt).collect()} == {
+            1: "a"
+        }
+
+    def test_concurrent_reader_survives_commit(self, spark, tmp_path):
+        # a reader that resolved the pointer BEFORE a commit must still
+        # be able to finish reading its version afterwards: with the
+        # default keep_versions=2 the previous committed version is
+        # retained through the next commit + prune
+        tgt = str(tmp_path / "reader_tgt")
+        merge = js.merge_batch_fn(tgt, "id", keep_versions=2)
+        merge(self._b(spark, [(1, "a")]), 0)
+        old_reader = js.read_current(spark, tgt)  # lazily pinned to v0
+        merge(self._b(spark, [(1, "b"), (2, "c")]), 1)  # commit + prune
+        # the old reader's resolved version still collects
+        assert {r.id: r.v for r in old_reader.collect()} == {1: "a"}
+        # new readers see the new snapshot
+        assert {r.id: r.v for r in js.read_current(spark, tgt).collect()} == {
+            1: "b",
+            2: "c",
+        }
+        # and v0 leaves the window only on the NEXT commit
+        merge(self._b(spark, [(3, "d")]), 2)
+        assert js.list_versions(tgt) == [1, 2]
 
 
 class TestNeardedupSink:
