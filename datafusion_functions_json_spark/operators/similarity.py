@@ -577,7 +577,11 @@ def _auto_cap(dim: int) -> int:
 
 
 def _with_block_subgroups(
-    base: DataFrame, group_cols: Sequence[str], id_col: str, cap: int | None
+    base: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    cap: int | str | None,
+    vec_col: str | None = None,
 ):
     """Hot-group skew cap for the grouped Gram kernels: decompose any
     group holding more than ``cap`` rows into block-PAIR sub-groups so
@@ -605,6 +609,11 @@ def _with_block_subgroups(
     branch with a constant (0,0) sub-group key. ``cap=None`` disables
     the machinery entirely (literal zero columns, no agg/join).
 
+    ``cap="auto"`` (requires ``vec_col``) derives the per-group cap
+    INSIDE the sizes aggregation from the group's own vector width —
+    ``max(4096, 2^23 / dim)`` rows — so auto-capping costs zero extra
+    actions (no driver-side dim peek).
+
     Returns ``(df, group_cols + ["_lo", "_hi"])`` with ``_blk``,
     ``_lo``, ``_hi`` columns appended to ``base``'s.
     """
@@ -616,15 +625,24 @@ def _with_block_subgroups(
             .withColumn("_hi", F.lit(0))
         )
         return b, list(group_cols) + ["_lo", "_hi"]
-    if cap < 2:
-        raise ValueError(f"bucket_cap must be >= 2 rows, got {cap}")
+    if cap == "auto":
+        if vec_col is None:
+            raise ValueError('bucket_cap="auto" requires vec_col')
+        cap_agg = F.greatest(
+            F.lit(4096),
+            (F.lit(1 << 23) / F.max(F.size(F.col(vec_col)))).cast("long"),
+        )
+    else:
+        if cap < 2:
+            raise ValueError(f"bucket_cap must be >= 2 rows, got {cap}")
+        cap_agg = F.max(F.lit(int(cap)))
     sizes = (
         base.groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("_gn"))
-        .filter(F.col("_gn") > cap)
+        .agg(F.count(F.lit(1)).alias("_gn"), cap_agg.alias("_cap"))
+        .filter(F.col("_gn") > F.col("_cap"))
     )
     b = base.join(F.broadcast(sizes), list(group_cols), "left")
-    s = F.ceil(F.col("_gn") / F.lit(cap)).cast("int")
+    s = F.ceil(F.col("_gn") / F.col("_cap")).cast("int")
     b = b.withColumn(
         "_blk",
         F.when(
@@ -1083,7 +1101,7 @@ def _semdedup_dropped_ids(
     base: DataFrame,
     threshold: float,
     chunk: int | None = None,
-    bucket_cap: int | None = None,
+    bucket_cap: int | str | None = None,
 ) -> DataFrame:
     """Distinct ids :func:`semantic_dedup` drops, computed per cluster
     with one grouped-pandas kernel (:func:`_gram_chunks`): pairs at
@@ -1103,7 +1121,7 @@ def _semdedup_dropped_ids(
         [T.StructField("_id", base.schema["_id"].dataType)]
     )
     grouped, keys = _with_block_subgroups(
-        base, ["cluster"], "_id", bucket_cap
+        base, ["cluster"], "_id", bucket_cap, vec_col="_v"
     )
 
     def _drop(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1227,14 +1245,24 @@ def semantic_dedup(
     # degenerate corpus (near-identical embeddings) can collapse k-means
     # into one fat cluster — the cap decomposes it into bounded-memory
     # block-pair sub-groups with the exact same dropped set. "auto"
-    # sizes blocks from the embedding width (one cheap first() peek).
-    if bucket_cap == "auto":
-        first_vec = df.select(_dvec(vec_col).alias("_v")).first()
-        dim = len(first_vec["_v"]) if first_vec and first_vec["_v"] else 0
-        bucket_cap = _auto_cap(dim) if dim else None
+    # derives the cap from the vector width inside the sizes agg (zero
+    # extra actions).
+    #
+    # Cache contract (same shape as dedup.minhash_dup_pairs): base is
+    # read by the cap's sizes aggregation, the kernel branch, AND the
+    # final decision join — each branch would otherwise recompute the
+    # k-means assignment join. Persist base, force the SMALL dropped-id
+    # table eagerly (it stays cached for the caller's action), release
+    # base before returning; the final join then recomputes base's
+    # lineage once on the caller's action — the same total as the
+    # pre-cap plan, with the sizes pass reading the cache for free.
+    base = base.persist()
     dropped_ids = _semdedup_dropped_ids(
         base, float(threshold), bucket_cap=bucket_cap
     )
+    from .dedup import _eager_pairs
+
+    dropped_ids = _eager_pairs(dropped_ids, base)
     return (
         base.join(
             dropped_ids.withColumn("_dropped", F.lit(True)), "_id", "left"

@@ -2643,12 +2643,16 @@ class TestRoundSixPlans:
             )
         )
         assert "CartesianProduct" not in plan
-        # every BNLJ must be the bounded k-row centroid fan-out (the
-        # `base` subtree replicates into the kernel input + join-back,
-        # so it appears up to 2x); the pairwise stage itself is the
-        # cluster-keyed grouped-pandas Gram kernel — one exchange on
-        # the cluster id, vectors shipped once, never a pair join
-        assert plan.count("BroadcastNestedLoopJoin") <= 3
+        # every BNLJ must be the bounded k-row centroid fan-out; the
+        # round-11 cache contract (base persisted, dropped-ids eager)
+        # prints the `base` subtree inside each InMemoryRelation child
+        # as well as the live join branch, so the SAME centroid fan-out
+        # appears several times in the text — the pairwise stage itself
+        # is the cluster-keyed grouped-pandas Gram kernel (asserted
+        # below), never a pair join, which is what this cap pins: the
+        # count scales with printed base replicas (~2 BNLJ each), not
+        # with candidate pairs
+        assert plan.count("BroadcastNestedLoopJoin") <= 8
         assert "FlatMapGroupsInPandas" in plan
         import re as _re
 
