@@ -467,6 +467,7 @@ def embedding_dup_pairs(
     n_planes: int = 10,
     seed: int = 42,
     bucket_cap: int | str | None = "auto",
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket self-join (shuffle keyed
     by bucket — near-identical vectors land together) + exact cosine
@@ -478,6 +479,14 @@ def embedding_dup_pairs(
     sub-groups (:func:`_with_block_subgroups`) with the exact same pair
     set. ``"auto"`` sizes blocks so one sub-group's vectors stay ≈128 MB
     for this ``dim``; ``None`` disables.
+
+    Cache contract (``materialize=True``, the dedup.py shape): the
+    bucketed base feeds the cap's sizes aggregation AND the kernel
+    branch; it is persisted while the verified pairs are forced
+    eagerly (pairs stay cached for the caller's action — bounded by
+    true near-dup volume, same contract as
+    :func:`~.dedup.minhash_dup_pairs`), then released.
+    ``materialize=False`` returns a fully lazy plan with no caching.
 
     Edge semantics (deliberate deltas from the old join formulation):
     NULL ids and NULL vectors produce no pairs (the join dropped them
@@ -502,11 +511,18 @@ def embedding_dup_pairs(
     # itself carries duplicate rows — max-agg dedup keeps that case
     # deterministic (the old join's dropDuplicates picked arbitrarily).
     cap = _auto_cap(dim) if bucket_cap == "auto" else bucket_cap
-    return (
+    if materialize:
+        base = base.persist()
+    pairs = (
         _bucket_dup_pairs(base, float(threshold), cap)
         .groupBy("id_a", "id_b")
         .agg(F.max("cosine").alias("cosine"))
     )
+    if materialize:
+        from .dedup import _eager_pairs
+
+        pairs = _eager_pairs(pairs, base)
+    return pairs
 
 
 def _round6_half_up(x):
@@ -906,6 +922,7 @@ def knn_graph(
     n_tables: int = 4,
     seed: int = 42,
     bucket_cap: int | str | None = "auto",
+    materialize: bool = True,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor graph: ``(id, nbr_id, cosine)``
     with up to ``k`` neighbors per vector — the hard-negative-mining /
@@ -934,6 +951,15 @@ def knn_graph(
     ``bucket_cap`` ("auto" → ≈128 MB of vectors per task for this
     ``dim``) bounds per-task rows against degenerate hot buckets via
     block-pair decomposition — losslessly, see :func:`_bucket_topk_pairs`.
+
+    Cache contract (``materialize=True``, the dedup.py shape): the
+    bucketed union is read by BOTH the cap's sizes aggregation and the
+    kernel branch — each would otherwise recompute the n_tables
+    bucket-signature passes. The union is persisted, the slim scored
+    edge table (≤ n_tables·N·k rows) is forced eagerly and stays
+    cached for the caller's action, and the union is released before
+    returning. ``materialize=False`` returns a fully lazy plan with no
+    caching (the union recomputes per branch).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -970,11 +996,17 @@ def knn_graph(
     # one rounding grain at a .5 boundary — max picks deterministically
     # where an arbitrary survivor could flip run-to-run
     cap = _auto_cap(dim) if bucket_cap == "auto" else bucket_cap
+    if materialize:
+        cand = cand.persist()
     scored = (
         _bucket_topk_pairs(cand, k, cap)
         .groupBy("id", "nbr_id")
         .agg(F.max("cosine").alias("cosine"))
     )
+    if materialize:
+        from .dedup import _eager_pairs
+
+        scored = _eager_pairs(scored, cand)
     from .rank import top_k_per_group
 
     return top_k_per_group(
