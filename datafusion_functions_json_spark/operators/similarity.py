@@ -1017,6 +1017,36 @@ def knn_graph(
     )
 
 
+def _row_topk(row, ids, cand_idx, k):
+    """Positions of the top-k DISTINCT-id neighbors among ``cand_idx``
+    under (cosine desc, nbr_id asc). A full lexsort per row is
+    O(n log n) → O(n² log n) per bucket; instead argpartition narrows
+    to a value-threshold superset (ALL candidates tied at the boundary
+    included, so the id tie-break stays exact), growing until it
+    covers k distinct ids, and only that small set is lexsorted.
+    Module-level so tests pin the SAME function the kernel closes over
+    (TestRowTopk randomized-equivalence vs a full-lexsort reference)."""
+    vals = row[cand_idx]
+    sel = cand_idx
+    if len(cand_idx) > 4 * k + 16:
+        m = 2 * k + 8
+        while True:
+            m = min(m, len(vals) - 1)
+            thresh = vals[np.argpartition(-vals, m)[: m + 1]].min()
+            keep = vals >= thresh
+            if (
+                m >= len(vals) - 1
+                or len(np.unique(ids[cand_idx[keep]])) >= k
+            ):
+                sel = cand_idx[keep]
+                break
+            m *= 2
+    order = sel[np.lexsort((ids[sel], -row[sel]))]
+    nbr = ids[order]
+    first = np.sort(np.unique(nbr, return_index=True)[1])[:k]
+    return order[first]
+
+
 def _bucket_topk_pairs(
     cand: DataFrame, k: int, bucket_cap: int | None = None
 ) -> DataFrame:
@@ -1053,34 +1083,6 @@ def _bucket_topk_pairs(
     grouped, keys = _with_block_subgroups(
         cand, ["_t", "_b"], "_id", bucket_cap
     )
-
-    def _row_topk(row, ids, cand_idx, k):
-        """Positions of the top-k DISTINCT-id neighbors among
-        ``cand_idx`` under (cosine desc, nbr_id asc). A full lexsort
-        per row is O(n log n) → O(n² log n) per bucket; instead
-        argpartition narrows to a value-threshold superset (ALL
-        candidates tied at the boundary included, so the id
-        tie-break stays exact), growing until it covers k distinct
-        ids, and only that small set is lexsorted."""
-        vals = row[cand_idx]
-        sel = cand_idx
-        if len(cand_idx) > 4 * k + 16:
-            m = 2 * k + 8
-            while True:
-                m = min(m, len(vals) - 1)
-                thresh = vals[np.argpartition(-vals, m)[: m + 1]].min()
-                keep = vals >= thresh
-                if (
-                    m >= len(vals) - 1
-                    or len(np.unique(ids[cand_idx[keep]])) >= k
-                ):
-                    sel = cand_idx[keep]
-                    break
-                m *= 2
-        order = sel[np.lexsort((ids[sel], -row[sel]))]
-        nbr = ids[order]
-        first = np.sort(np.unique(nbr, return_index=True)[1])[:k]
-        return order[first]
 
     def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf[pdf["_v"].notna() & pdf["_b"].notna() & pdf["_id"].notna()]

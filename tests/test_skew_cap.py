@@ -67,6 +67,41 @@ class TestRound6HalfUp:
         assert r[0, 0] == 1.0 and r[0, 1] == 0.1
 
 
+class TestRowTopk:
+    """The knn kernel's argpartition cut vs a naive full-lexsort
+    reference, under the regimes that can break it: heavy cosine ties
+    at the cut boundary (the threshold must keep ALL tied candidates so
+    the id tie-break stays exact) and duplicate neighbor ids (the cut
+    counts DISTINCT ids)."""
+
+    @staticmethod
+    def _naive(row, ids, cand_idx, k):
+        order = cand_idx[np.lexsort((ids[cand_idx], -row[cand_idx]))]
+        nbr = ids[order]
+        first = np.sort(np.unique(nbr, return_index=True)[1])[:k]
+        return order[first]
+
+    def test_matches_naive_on_random_and_tied_inputs(self):
+        rng = np.random.default_rng(42)
+        row_topk = similarity._row_topk
+
+        for trial in range(200):
+            n = int(rng.integers(2, 400))
+            k = int(rng.integers(1, 8))
+            # quantized values produce heavy ties; duplicate ids via
+            # small id pools
+            row = rng.integers(0, 6, size=n) / 5.0
+            ids = rng.integers(0, max(2, n // 3), size=n)
+            gi = int(rng.integers(0, n))
+            elig = ids != ids[gi]
+            cand_idx = np.nonzero(elig)[0]
+            if len(cand_idx) == 0:
+                continue
+            got = row_topk(row, ids, cand_idx, k)
+            want = self._naive(row, ids, cand_idx, k)
+            assert list(got) == list(want), (trial, n, k)
+
+
 class TestBlockSubgroups:
     def test_disabled_is_passthrough(self, spark):
         base = spark.createDataFrame(
