@@ -511,6 +511,7 @@ def embedding_dup_pairs(
     # itself carries duplicate rows — max-agg dedup keeps that case
     # deterministic (the old join's dropDuplicates picked arbitrarily).
     cap = _auto_cap(dim) if bucket_cap == "auto" else bucket_cap
+    _validate_cap(cap)  # BEFORE persist: a raise must not leak a cache
     if materialize:
         base = base.persist()
     pairs = (
@@ -584,12 +585,26 @@ def _bucket_chunk(n: int) -> int:
     return max(1, min(1024, (1 << 22) // max(n, 1)))
 
 
+# hot-bucket cap sizing policy — ONE definition for both the Python
+# helper (static-dim callers) and the in-aggregation SQL expression
+# (semantic_dedup's "auto"): blocks sized so one sub-group's vector
+# matrix (two blocks × dim doubles) stays ≈ 128 MB
+_CAP_FLOOR_ROWS = 4096
+_CAP_BUDGET = 1 << 23
+
+
 def _auto_cap(dim: int) -> int:
-    """Default per-block row cap for the hot-bucket decomposition: size
-    blocks so one sub-group's vector matrix (two blocks × dim doubles)
-    stays ≈ 128 MB whatever the embedding width — dim 64 → 131072 rows,
-    dim 768 → 10922."""
-    return max(4096, (1 << 23) // max(dim, 1))
+    """Default per-block row cap for the hot-bucket decomposition —
+    dim 64 → 131072 rows, dim 768 → 10922."""
+    return max(_CAP_FLOOR_ROWS, _CAP_BUDGET // max(dim, 1))
+
+
+def _validate_cap(cap) -> None:
+    """Reject a too-small explicit cap BEFORE any caller persists its
+    base — a persist-then-raise would leak a CacheManager entry no
+    caller's finally can reach (the round-9 _eager_pairs leak class)."""
+    if cap is not None and cap != "auto" and cap < 2:
+        raise ValueError(f"bucket_cap must be >= 2 rows, got {cap}")
 
 
 def _with_block_subgroups(
@@ -641,16 +656,21 @@ def _with_block_subgroups(
             .withColumn("_hi", F.lit(0))
         )
         return b, list(group_cols) + ["_lo", "_hi"]
+    _validate_cap(cap)
     if cap == "auto":
         if vec_col is None:
             raise ValueError('bucket_cap="auto" requires vec_col')
+        # max(dim, 1) guard mirrors _auto_cap: a group of empty arrays
+        # would otherwise divide to Infinity and error on the long cast
+        # under Spark 4's ANSI default
         cap_agg = F.greatest(
-            F.lit(4096),
-            (F.lit(1 << 23) / F.max(F.size(F.col(vec_col)))).cast("long"),
+            F.lit(_CAP_FLOOR_ROWS),
+            (
+                F.lit(_CAP_BUDGET)
+                / F.greatest(F.max(F.size(F.col(vec_col))), F.lit(1))
+            ).cast("long"),
         )
     else:
-        if cap < 2:
-            raise ValueError(f"bucket_cap must be >= 2 rows, got {cap}")
         cap_agg = F.max(F.lit(int(cap)))
     sizes = (
         base.groupBy(*group_cols)
@@ -996,6 +1016,7 @@ def knn_graph(
     # one rounding grain at a .5 boundary — max picks deterministically
     # where an arbitrary survivor could flip run-to-run
     cap = _auto_cap(dim) if bucket_cap == "auto" else bucket_cap
+    _validate_cap(cap)  # BEFORE persist: a raise must not leak a cache
     if materialize:
         cand = cand.persist()
     scored = (
@@ -1290,6 +1311,7 @@ def semantic_dedup(
     # base before returning; the final join then recomputes base's
     # lineage once on the caller's action — the same total as the
     # pre-cap plan, with the sizes pass reading the cache for free.
+    _validate_cap(bucket_cap)  # BEFORE persist (no cache-entry leak)
     base = base.persist()
     dropped_ids = _semdedup_dropped_ids(
         base, float(threshold), bucket_cap=bucket_cap

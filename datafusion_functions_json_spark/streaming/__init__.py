@@ -721,6 +721,7 @@ def upsert_sink(
     op_col: str = "op",
     delete_op: str = "D",
     keep_versions: int = 2,
+    verify_replays: bool = True,
 ):
     """Maintain a keyed table under a CDC/upsert stream — the streaming
     twin of :func:`~.operators.cdc.merge_upsert` /
@@ -773,6 +774,7 @@ def upsert_sink(
         op_col=op_col,
         delete_op=delete_op,
         keep_versions=keep_versions,
+        verify_replays=verify_replays,
     )
     os.makedirs(target_dir, exist_ok=True)
     return stream.writeStream.foreachBatch(_merge)
@@ -787,13 +789,26 @@ def merge_batch_fn(
     op_col: str = "op",
     delete_op: str = "D",
     keep_versions: int = 2,
+    verify_replays: bool = True,
 ):
     """The per-micro-batch merge-and-commit step of :func:`upsert_sink`
     as a standalone ``(batch_df, batch_id) -> None`` callable — exposed
     so the crash-window semantics (version written but pointer not yet
     committed; stale replays; prune safety) are directly testable, and
     so a batch job can apply an incremental file drop through the exact
-    code path the streaming sink uses."""
+    code path the streaming sink uses.
+
+    ``verify_replays`` (default True) maintains the ``_COMMITS``
+    content-fingerprint ledger and REFUSES a stale replay whose content
+    differs from what was committed under that batch id (a checkpoint
+    reset feeding new data — silently dropping it loses the batch).
+    The fingerprint hashes every column, so a batch carrying a
+    NONDETERMINISTIC column (``current_timestamp()``, ``rand()``, or a
+    float aggregation whose accumulation order varies on recomputation)
+    would legitimately re-fingerprint differently on replay and turn a
+    safe no-op into a crash-loop — pass ``verify_replays=False`` for
+    such sources (or stabilize the column upstream); replays then fall
+    back to the bare monotonic batch-id no-op."""
     import os
     import re as _re
     import shutil
@@ -819,15 +834,31 @@ def merge_batch_fn(
         ).collect()[0]
         return f"{int(row.n)}:{row.h}"
 
+    _FP_SHAPE = _re.compile(r"\d+:-?\d+")
+
     def _ledger_lookup(name: str) -> str | None:
+        """Committed fingerprint for ``name``, or None. A TORN line
+        (crash mid-append: missing newline or truncated hash digits)
+        must read as absent — trusted replay — never as a mismatched
+        fingerprint that would refuse a byte-identical replay, so only
+        newline-terminated lines whose fingerprint matches the
+        ``<count>:<hashsum>`` shape are believed."""
         try:
             with open(os.path.join(target_dir, _COMMITS)) as f:
-                for line in f:
-                    parts = line.strip().split(":", 2)
-                    if len(parts) == 3 and parts[0] == "v2" and parts[1] == name:
-                        return parts[2]
+                text = f.read()
         except OSError:
             return None
+        for line in text.splitlines(keepends=True):
+            if not line.endswith("\n"):
+                continue  # torn trailing append
+            parts = line.strip().split(":", 2)
+            if (
+                len(parts) == 3
+                and parts[0] == "v2"
+                and parts[1] == name
+                and _FP_SHAPE.fullmatch(parts[2])
+            ):
+                return parts[2]
         return None
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -848,7 +879,7 @@ def merge_batch_fn(
             # refuses loudly. A missing ledger line (legacy target, or
             # crash between pointer commit and ledger append) is
             # trusted as a replay — same behavior as before the ledger.
-            expect = _ledger_lookup(name)
+            expect = _ledger_lookup(name) if verify_replays else None
             if expect is not None and _fingerprint(batch_df) != expect:
                 raise ValueError(
                     f"upsert_sink batch {batch_id} replays an already-"
@@ -860,6 +891,22 @@ def merge_batch_fn(
                     "target dir, or restore the original checkpoint."
                 )
             return
+        # the batch feeds up to three consumers on the commit path (the
+        # key-uniqueness probe, the merge itself, and the ledger
+        # fingerprint) — persist it so the source is read once per
+        # batch, not once per consumer; released on every exit path
+        if verify_replays:
+            batch_df = batch_df.persist()
+        try:
+            _commit(spark, batch_df, name, batch_id)
+        finally:
+            if verify_replays:
+                try:
+                    batch_df.unpersist()
+                except Exception:  # pragma: no cover - best-effort
+                    pass
+
+    def _commit(spark, batch_df: DataFrame, name: str, batch_id: int) -> None:
         cur = read_current(spark, target_dir)
         if seq_col is not None:
             if cur is None:
@@ -908,7 +955,7 @@ def merge_batch_fn(
             merged = _cdc.merge_upsert(
                 cur, batch_df, ks, delete_col=delete_col
             )
-        fp = _fingerprint(batch_df)
+        fp = _fingerprint(batch_df) if verify_replays else None
         ptr = os.path.join(target_dir, _LATEST)
         merged.write.mode("overwrite").parquet(
             os.path.join(target_dir, name)
@@ -922,8 +969,9 @@ def merge_batch_fn(
         # treat as trusted (no-op) — never a refusal of good data. One
         # short line per batch; bytes, not data, so it never needs
         # pruning on realistic stream lifetimes.
-        with open(os.path.join(target_dir, _COMMITS), "a") as f:
-            f.write(f"v2:{name}:{fp}\n")
+        if fp is not None:
+            with open(os.path.join(target_dir, _COMMITS), "a") as f:
+                f.write(f"v2:{name}:{fp}\n")
         if keep_versions >= 1:
             # prune ONLY versions strictly below the pointer just
             # committed — never trust recency alone (an uncommitted

@@ -118,6 +118,41 @@ class TestBlockSubgroups:
         with pytest.raises(ValueError, match="bucket_cap"):
             similarity._with_block_subgroups(base, ["g"], "_id", 1)
 
+    def test_tiny_cap_rejected_before_any_persist(self, spark):
+        # persist-then-raise would leak a CacheManager entry no caller
+        # can release (the round-9 leak class) — validation must come
+        # first on every public entry point
+        sc = spark.sparkContext
+        df = spark.createDataFrame(
+            [(1, [0.1] * 4), (2, [0.2] * 4)], "id long, v array<double>"
+        )
+        before = sc._jsc.getPersistentRDDs().size()
+        for call in (
+            lambda: similarity.embedding_dup_pairs(
+                df, "id", "v", 4, bucket_cap=1
+            ),
+            lambda: similarity.knn_graph(df, "id", "v", 4, k=1, bucket_cap=1),
+            lambda: similarity.semantic_dedup(
+                df, "id", "v", k=2, bucket_cap=1
+            ),
+        ):
+            with pytest.raises(ValueError, match="bucket_cap"):
+                call()
+        assert sc._jsc.getPersistentRDDs().size() == before
+
+    def test_auto_cap_tolerates_empty_vectors(self, spark):
+        # a group whose vectors are all zero-length must not divide to
+        # Infinity and ANSI-error on the long cast in the sizes agg
+        base = spark.createDataFrame(
+            [(i, [], "g") for i in range(6)],
+            "_id long, _v array<double>, g string",
+        )
+        out, keys = similarity._with_block_subgroups(
+            base, ["g"], "_id", "auto", vec_col="_v"
+        )
+        rows = out.collect()  # evaluates the cap expression
+        assert len(rows) == 6  # cold group (cap floor >> 6): unsplit
+
     def test_cold_groups_unsplit_hot_groups_bounded(self, spark):
         rows = [(i, "hot") for i in range(500)] + [
             (1000 + i, "cold") for i in range(40)

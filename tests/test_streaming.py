@@ -891,6 +891,43 @@ class TestMergeBatchCrashWindows:
             2: "b",
         }
 
+    def test_torn_ledger_line_trusted_as_replay(self, spark, tmp_path):
+        # crash mid-append leaves a truncated trailing line (no newline
+        # / cut hash digits): it must read as ABSENT — a byte-identical
+        # replay still no-ops instead of being refused on a fingerprint
+        # prefix mismatch
+        import os
+
+        tgt = str(tmp_path / "torn_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(self._b(spark, [(1, "a")]), 0)
+        ledger = os.path.join(tgt, "_COMMITS")
+        full = open(ledger).read()
+        assert full.endswith("\n")
+        open(ledger, "w").write(full[: len(full) // 2])  # torn append
+        merge(self._b(spark, [(1, "a")]), 0)  # replay: no raise, no-op
+        # and even DIFFERENT content is trusted under a torn line (the
+        # ledger can only refuse on evidence it actually has)
+        merge(self._b(spark, [(9, "x")]), 0)
+        assert {r.id: r.v for r in js.read_current(spark, tgt).collect()} == {
+            1: "a"
+        }
+
+    def test_verify_replays_off_skips_ledger(self, spark, tmp_path):
+        # nondeterministic-batch escape hatch: no ledger is written and
+        # a recycled batch id with different content no-ops (the bare
+        # monotonic guard), never raises
+        import os
+
+        tgt = str(tmp_path / "nofp_tgt")
+        merge = js.merge_batch_fn(tgt, "id", verify_replays=False)
+        merge(self._b(spark, [(1, "a")]), 0)
+        assert not os.path.exists(os.path.join(tgt, "_COMMITS"))
+        merge(self._b(spark, [(7, "NEW")]), 0)  # no raise
+        assert {r.id: r.v for r in js.read_current(spark, tgt).collect()} == {
+            1: "a"
+        }
+
     def test_legacy_target_without_ledger_trusts_replay(self, spark, tmp_path):
         # crash window between pointer commit and ledger append (or a
         # pre-ledger target): the missing line must be TRUSTED as a

@@ -221,6 +221,7 @@ def main():
     for n in UNTWINNED:
         print(f"# {n}: spark {times[n]}s (untwinned)", file=sys.stderr)
     twinned_total = round(sum(times[n] for n in QUERIES), 3)
+    duck_total = round(sum(duck_times.values()), 3)
     print(json.dumps({
         "metric": f"sf{SF}_spot_bench",
         "queries": times,
@@ -228,8 +229,11 @@ def main():
         "ratios": ratios,
         "untwinned": UNTWINNED,
         "value": twinned_total,
-        "duckdb_total": round(sum(duck_times.values()), 3),
-        "ratio_paired": round(twinned_total / sum(duck_times.values()), 3),
+        "duckdb_total": duck_total,
+        # --queries can select only untwinned entries: no paired ratio
+        "ratio_paired": (
+            round(twinned_total / duck_total, 3) if duck_total else None
+        ),
         "unit": "sec",
         "sf": float(SF),
     }))
