@@ -90,6 +90,36 @@ class TestXXH64VsSpark:
         for text, h in got:
             assert tw.xxh64_str(text) == h
 
+    def test_fuzzed_strings_match_spark(self, spark):
+        # seeded unicode fuzz: arbitrary codepoints across all planes
+        # the JVM can round-trip (no lone surrogates) must hash
+        # identically — one batched Spark job for the whole corpus
+        import random
+
+        rng = random.Random(1234)
+
+        def rand_str():
+            n = rng.randrange(0, 300)
+            out = []
+            for _ in range(n):
+                cp = rng.randrange(0, 0x110000)
+                while 0xD800 <= cp <= 0xDFFF:
+                    cp = rng.randrange(0, 0x110000)
+                out.append(chr(cp))
+            return "".join(out)
+
+        vals = [rand_str() for _ in range(80)] + [
+            "", "\x00", "a\x00b", "\U0001F600" * 40
+        ]
+        vals = list(dict.fromkeys(vals))
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = {
+            r.s: r.h
+            for r in df.select("s", F.xxhash64("s").alias("h")).collect()
+        }
+        for v in vals:
+            assert tw.xxh64_str(v) == got[v], f"xxh64 mismatch on {v!r}"
+
     def test_tokens_match_spark_java_regex(self, spark):
         # Java's \s is ASCII-only: U+00A0 must NOT split — a Python
         # re.split(r"\s+") twin would diverge here
