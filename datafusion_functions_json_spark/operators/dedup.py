@@ -24,7 +24,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import char_ngrams, tokens, word_ngrams
@@ -104,7 +104,12 @@ def exact_dedup(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def exact_dup_groups(
-    df: DataFrame, key_col: str, id_col: str, *, hash_key: bool = False
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    *,
+    hash_key: bool = False,
+    max_ids: int | None = None,
 ) -> DataFrame:
     """Groups of exact duplicates: one row per duplicated key value with
     its count and member ids (ids sorted for determinism).
@@ -114,23 +119,47 @@ def exact_dup_groups(
     when the key is document text (equal digest treated as equal key,
     2^-256 collision odds); the key value is still carried into the
     output via ``first``. Default ``False`` keeps value-grouping for
-    oracle-parity queries on small keys."""
+    oracle-parity queries on small keys.
+
+    ``max_ids`` bounds the per-group id list: ``collect_list`` builds
+    its array IN MEMORY with no spill, so one degenerate key (the empty
+    document, a boilerplate page) holding 10^8 duplicates at corpus
+    scale OOMs its aggregation task. With ``max_ids`` set, a
+    ``row_number`` window (which DOES spill) ranks ids per key first
+    and only the first ``max_ids`` enter the list — ``dup_count`` stays
+    exact, ``ids`` holds the ``max_ids`` smallest ids. The window
+    shares the aggregation's key partitioning, so it reuses the same
+    exchange (still one shuffle). Default ``None`` keeps the exact full
+    list (oracle-parity)."""
+    kexpr = (
+        F.sha2(_col(key_col).cast("string"), 256)
+        if hash_key
+        else _col(key_col)
+    )
+    base = df
+    id_expr = _col(id_col)
+    if max_ids is not None:
+        if max_ids < 1:
+            raise ValueError(f"max_ids must be >= 1, got {max_ids}")
+        w = Window.partitionBy(kexpr).orderBy(id_expr.asc())
+        base = df.withColumn("_rn", F.row_number().over(w))
+        id_expr = F.when(F.col("_rn") <= max_ids, _col(id_col))
     if hash_key:
         return (
-            df.groupBy(F.sha2(_col(key_col).cast("string"), 256).alias("_kh"))
+            base.groupBy(kexpr.alias("_kh"))
             .agg(
                 F.first(_col(key_col)).alias(key_col),
                 F.count("*").alias("dup_count"),
-                F.sort_array(F.collect_list(_col(id_col))).alias("ids"),
+                F.sort_array(F.collect_list(id_expr)).alias("ids"),
             )
             .filter(F.col("dup_count") > 1)
             .select(key_col, "dup_count", "ids")
         )
     return (
-        df.groupBy(key_col)
+        base.groupBy(key_col)
         .agg(
             F.count("*").alias("dup_count"),
-            F.sort_array(F.collect_list(_col(id_col))).alias("ids"),
+            F.sort_array(F.collect_list(id_expr)).alias("ids"),
         )
         .filter(F.col("dup_count") > 1)
     )

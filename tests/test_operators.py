@@ -366,6 +366,42 @@ class TestExactDedup:
         ).collect()[0][0]
         assert deduped == total - dup_rows
 
+    def test_dup_groups_max_ids_caps_list_not_count(self, spark):
+        # the mega-dup-key guard: dup_count stays EXACT while ids holds
+        # only the max_ids smallest ids (collect_list arrays don't
+        # spill; the ranking window does)
+        rows = [(i, "same") for i in range(100)] + [(200, "other"), (201, "other")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for hk in (False, True):
+            out = {
+                r.text: r
+                for r in dedup.exact_dup_groups(
+                    df, "text", "doc_id", hash_key=hk, max_ids=5
+                ).collect()
+            }
+            assert out["same"].dup_count == 100
+            assert out["same"].ids == [0, 1, 2, 3, 4]
+            assert out["other"].dup_count == 2
+            assert out["other"].ids == [200, 201]
+        with pytest.raises(ValueError, match="max_ids"):
+            dedup.exact_dup_groups(df, "text", "doc_id", max_ids=0)
+
+    def test_dup_groups_max_ids_single_exchange(self, spark):
+        # the ranking window must REUSE the aggregation's key
+        # partitioning — one shuffle total
+        from datafusion_functions_json_spark.plans import explain_str
+
+        df = spark.createDataFrame(
+            [(i, f"t{i % 3}") for i in range(30)], "doc_id long, text string"
+        )
+        plan = explain_str(
+            dedup.exact_dup_groups(df, "text", "doc_id", max_ids=3)
+        )
+        import re as _re
+
+        n_exchange = len(_re.findall(r"\bExchange\b", plan))
+        assert n_exchange == 1, plan
+
 
 class TestMinhash:
     def test_exact_dup_texts_always_pair(self, spark):
