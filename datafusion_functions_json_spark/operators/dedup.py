@@ -141,7 +141,10 @@ def exact_dup_groups(
     if max_ids is not None:
         if max_ids < 1:
             raise ValueError(f"max_ids must be >= 1, got {max_ids}")
-        w = Window.partitionBy(kexpr).orderBy(id_expr.asc())
+        # nulls LAST: collect_list drops NULL ids anyway, so a NULL
+        # sorted first would consume a rank slot and shrink the list
+        # below max_ids even when enough non-null ids exist
+        w = Window.partitionBy(kexpr).orderBy(id_expr.asc_nulls_last())
         base = df.withColumn("_rn", F.row_number().over(w))
         id_expr = F.when(F.col("_rn") <= max_ids, _col(id_col))
     if hash_key:

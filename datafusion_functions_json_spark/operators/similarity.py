@@ -377,14 +377,23 @@ def ivf_build(
 
     @F.pandas_udf("int")
     def _assign(vs: pd.Series) -> pd.Series:
-        out = []
-        for v in vs:
-            if v is None:
-                out.append(None)
-                continue
-            x = np.asarray(v, dtype=np.float64)
-            out.append(int(((cmat - x[None, :]) ** 2).sum(axis=1).argmin()))
-        return pd.Series(out, dtype=object)
+        # one (chunk×k×dim) broadcasted distance computation per chunk —
+        # elementwise identical arithmetic to the per-row form
+        # ((cmat - x)**2).sum(axis=1), so assignments (incl. ties) are
+        # bit-equal to the scalar loop, at numpy speed. Chunked at 2048
+        # rows to bound the chunk×k×dim temporary (~16 MB at k=16 d=64).
+        out = pd.Series([None] * len(vs), dtype=object)
+        mask = vs.notna().to_numpy()
+        idx = np.flatnonzero(mask)
+        if len(idx):
+            V = np.array([np.asarray(v, dtype=np.float64) for v in vs.iloc[idx]])
+            labels = np.empty(len(V), dtype=np.int64)
+            for s in range(0, len(V), 2048):
+                chunk = V[s : s + 2048]
+                d2 = ((chunk[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+                labels[s : s + 2048] = d2.argmin(axis=1)
+            out.iloc[idx] = [int(c) for c in labels]
+        return out
 
     return df.withColumn("ivf_cluster", _assign(F.col(vec_col))), centroids
 

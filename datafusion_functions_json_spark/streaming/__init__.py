@@ -667,10 +667,18 @@ def contamination_alerts(
 
 _LATEST = "_LATEST"
 # append-only commit ledger for upsert_sink targets: one
-# `v2:<version>:<rowcount>:<hashsum>` line per committed batch, used to
+# `v3:<version>:<rowcount>:<hashsum>` line per committed batch (v2 lines
+# from pre-round-12 targets are still verified, with the v2 formula), used to
 # distinguish an at-least-once replay (same content, safe no-op) from a
 # checkpoint reset feeding NEW data under a recycled batch id (refused)
 _COMMITS = "_COMMITS"
+# writer fence: an exclusive advisory lock on this file is held for the
+# duration of each batch commit, making the read-merge-write-pointer-
+# ledger-prune sequence atomic against a second writer aimed at the same
+# target_dir (which would otherwise interleave pointer commits and prune
+# the other's versions). LOCK_NB: a contending writer is REFUSED loudly,
+# never queued — two streams on one target is a misconfiguration.
+_OWNER = "_OWNER"
 
 
 def _read_pointer(target_dir: str) -> str:
@@ -763,6 +771,14 @@ def upsert_sink(
     real table format's commit log — this sink demonstrates the same
     pointer-commit PATTERN those formats use, on filesystems that give
     you an atomic rename.
+
+    **SINGLE WRITER per target_dir.** The commit protocol (monotonic
+    pointer + ledger) assumes one writer; two concurrent streams on one
+    target would interleave pointer commits and prune each other's
+    versions. Each commit therefore holds an exclusive advisory lock on
+    ``_OWNER`` — a second writer caught committing concurrently is
+    refused with a loud error, never silently serialized. Concurrent
+    READERS are always safe (pointer resolution + ``keep_versions >= 2``).
     """
     import os
 
@@ -817,53 +833,121 @@ def merge_batch_fn(
 
     ks = [keys] if isinstance(keys, str) else list(keys)
 
-    def _fingerprint(df: DataFrame) -> str:
+    def _fingerprint(df: DataFrame, version: str = "v3") -> str:
         # order-insensitive batch content hash: per-row xxhash64 over the
         # full row (fixed column order), summed as decimal(38,0) — a
-        # bigint sum would overflow-error under ANSI at real batch sizes
+        # bigint sum would overflow-error under ANSI at real batch sizes.
+        # v3 hashes the COLUMNS directly (xxhash64 reads the internal
+        # representation — timestamps as epoch micros, dates as days —
+        # so the fingerprint is independent of spark.sql.session.timeZone;
+        # a v2 to_json-based fingerprint changed when a restarted stream
+        # ran under a different session timezone, refusing byte-identical
+        # replays). Each column is preceded by its isNull indicator:
+        # Spark's hash leaves the accumulator UNCHANGED on a NULL input,
+        # so without the never-null boolean marker (NULL,'a') and
+        # ('a',NULL) would collide. MapType columns (unhashable by
+        # xxhash64) fall back to per-column to_json. v2 is kept only to
+        # verify ledger lines written before the format change.
+        if version == "v2":
+            per_row = F.xxhash64(F.to_json(F.struct(*sorted(df.columns))))
+        else:
+            fields = dict(df.dtypes)
+            parts: list = []
+            for c in sorted(df.columns):
+                col = F.col(c)
+                parts.append(col.isNull())
+                parts.append(
+                    F.to_json(col) if fields[c].startswith("map<") else col
+                )
+            per_row = F.xxhash64(*parts)
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
-                F.sum(
-                    F.xxhash64(
-                        F.to_json(F.struct(*sorted(df.columns)))
-                    ).cast("decimal(38,0)")
-                ),
+                F.sum(per_row.cast("decimal(38,0)")),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("h"),
         ).collect()[0]
         return f"{int(row.n)}:{row.h}"
 
     _FP_SHAPE = _re.compile(r"\d+:-?\d+")
+    # parsed-ledger cache: {"pos": bytes consumed, "map": name -> (ver, fp)}.
+    # Each lookup reads only the bytes appended since the last one (O(1)
+    # amortized per batch instead of re-scanning the whole file), valid
+    # because the ledger is append-only and this sink is the single
+    # writer of its target_dir (enforced by the _OWNER fence).
+    _ledger_cache: dict = {"pos": 0, "map": {}}
 
-    def _ledger_lookup(name: str) -> str | None:
-        """Committed fingerprint for ``name``, or None. A TORN line
-        (crash mid-append: missing newline or truncated hash digits)
-        must read as absent — trusted replay — never as a mismatched
-        fingerprint that would refuse a byte-identical replay, so only
-        newline-terminated lines whose fingerprint matches the
-        ``<count>:<hashsum>`` shape are believed."""
+    def _ledger_lookup(name: str) -> tuple[str, str] | None:
+        """Committed ``(version, fingerprint)`` for ``name``, or None.
+        A TORN line (crash mid-append: missing newline or truncated hash
+        digits) must read as absent — trusted replay — never as a
+        mismatched fingerprint that would refuse a byte-identical
+        replay, so only newline-terminated lines whose fingerprint
+        matches the ``<count>:<hashsum>`` shape are believed."""
         try:
             with open(os.path.join(target_dir, _COMMITS)) as f:
+                f.seek(_ledger_cache["pos"])
                 text = f.read()
         except OSError:
             return None
+        consumed = 0
         for line in text.splitlines(keepends=True):
             if not line.endswith("\n"):
-                continue  # torn trailing append
+                break  # torn trailing append: re-read next time
+            consumed += len(line.encode("utf-8", "surrogateescape"))
             parts = line.strip().split(":", 2)
             if (
                 len(parts) == 3
-                and parts[0] == "v2"
-                and parts[1] == name
+                and parts[0] in ("v2", "v3")
                 and _FP_SHAPE.fullmatch(parts[2])
             ):
-                return parts[2]
-        return None
+                _ledger_cache["map"][parts[1]] = (parts[0], parts[2])
+        _ledger_cache["pos"] += consumed
+        return _ledger_cache["map"].get(name)
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         name = f"v{batch_id:020d}"
+        # WRITER FENCE: this sink is single-writer by contract. The
+        # exclusive lock below is held for the whole commit, so a second
+        # concurrent writer (two streams started against one target_dir)
+        # is refused at its first batch instead of interleaving pointer
+        # commits with ours and pruning our versions. Advisory flock on
+        # a driver-mounted path (same filesystem contract as the pointer
+        # file); released on every exit by closing the fd. Sequential
+        # re-creation (stream restart, batch catch-up job) is unaffected
+        # — the lock spans one commit, not the closure lifetime.
+        try:
+            import fcntl
+        except ImportError:  # pragma: no cover - non-POSIX fallback
+            fcntl = None
+        fence_fd = None
+        if fcntl is not None:
+            os.makedirs(target_dir, exist_ok=True)
+            fence_fd = os.open(
+                os.path.join(target_dir, _OWNER),
+                os.O_CREAT | os.O_RDWR,
+            )
+            try:
+                fcntl.flock(fence_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                os.close(fence_fd)
+                raise ValueError(
+                    f"another upsert_sink writer is committing to "
+                    f"{target_dir!r} right now — this sink is single-"
+                    "writer per target; running two streams against one "
+                    "target_dir interleaves pointer commits and prunes "
+                    "each other's versions. Stop the other stream or "
+                    "give each its own target_dir."
+                ) from None
+        try:
+            _merge_locked(batch_df, batch_id, name)
+        finally:
+            if fence_fd is not None:
+                os.close(fence_fd)  # releases the flock
+
+    def _merge_locked(batch_df: DataFrame, batch_id: int, name: str) -> None:
+        spark = batch_df.sparkSession
         # replay guard FIRST: an already-committed replay must not even
         # plan the current-snapshot read (the common restart path)
         committed = _read_pointer(target_dir)
@@ -880,7 +964,10 @@ def merge_batch_fn(
             # crash between pointer commit and ledger append) is
             # trusted as a replay — same behavior as before the ledger.
             expect = _ledger_lookup(name) if verify_replays else None
-            if expect is not None and _fingerprint(batch_df) != expect:
+            # recompute with the formula of the ledger line's version, so
+            # a target upgraded across the v2→v3 fingerprint change still
+            # no-ops on byte-identical replays of v2-committed batches
+            if expect is not None and _fingerprint(batch_df, expect[0]) != expect[1]:
                 raise ValueError(
                     f"upsert_sink batch {batch_id} replays an already-"
                     f"committed batch id with DIFFERENT content (commit "
@@ -971,7 +1058,7 @@ def merge_batch_fn(
         # pruning on realistic stream lifetimes.
         if fp is not None:
             with open(os.path.join(target_dir, _COMMITS), "a") as f:
-                f.write(f"v2:{name}:{fp}\n")
+                f.write(f"v3:{name}:{fp}\n")
         if keep_versions >= 1:
             # prune ONLY versions strictly below the pointer just
             # committed — never trust recency alone (an uncommitted

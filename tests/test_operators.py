@@ -1,6 +1,7 @@
 """Extended pipeline operators over the real testdata tables: dedup,
 similarity, text analysis, multimodal plumbing."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -385,6 +386,22 @@ class TestExactDedup:
             assert out["other"].ids == [200, 201]
         with pytest.raises(ValueError, match="max_ids"):
             dedup.exact_dup_groups(df, "text", "doc_id", max_ids=0)
+
+    def test_dup_groups_max_ids_null_ids_dont_eat_slots(self, spark):
+        # NULL ids sort LAST in the ranking window: collect_list drops
+        # them anyway, so a NULL ranked first would consume a max_ids
+        # slot and shrink the list below max_ids even when enough
+        # non-null ids exist (round-11 ADVICE)
+        rows = [(None, "same"), (None, "same")] + [
+            (i, "same") for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for hk in (False, True):
+            (row,) = dedup.exact_dup_groups(
+                df, "text", "doc_id", hash_key=hk, max_ids=3
+            ).collect()
+            assert row.dup_count == 12  # NULL rows still counted
+            assert row.ids == [0, 1, 2]  # 3 smallest NON-NULL ids
 
     def test_dup_groups_max_ids_single_exchange(self, spark):
         # the ranking window must REUSE the aggregation's key
@@ -1177,6 +1194,41 @@ class TestSimilarity:
             .count()
         )
         assert n_probed == 8  # all clusters populated => probe is selective
+
+    def test_ivf_assign_vectorized_matches_scalar_loop(self, spark):
+        # round-12: _assign's chunked (batch×k×dim) broadcast distance
+        # must be bit-equal (incl. argmin tie-breaks) to the per-row
+        # scalar loop it replaced, NULLs preserved
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(300):
+            if i % 37 == 0:
+                rows.append((i, None))
+            else:
+                rows.append(
+                    (i, [rng.uniform(-1, 1) for _ in range(8)])
+                )
+        # plant exact ties: duplicate coordinates so two centroids can
+        # be equidistant from some rows
+        rows += [(1000 + j, [0.0] * 8) for j in range(5)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assigned, centroids = similarity.ivf_build(
+            df, "embedding", dim=8, n_clusters=4, sample=128, seed=3
+        )
+        got = {
+            r.vec_id: r.ivf_cluster
+            for r in assigned.select("vec_id", "ivf_cluster").collect()
+        }
+        cmat = np.array(centroids, dtype=np.float64)
+        for vid, v in rows:
+            if v is None:
+                assert got[vid] is None
+            else:
+                x = np.asarray(v, dtype=np.float64)
+                want = int(((cmat - x[None, :]) ** 2).sum(axis=1).argmin())
+                assert got[vid] == want, vid
 
     def test_embedding_dup_pairs_finds_identical(self, spark, embeddings):
         two = embeddings.limit(2)

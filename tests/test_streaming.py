@@ -965,6 +965,166 @@ class TestMergeBatchCrashWindows:
         assert js.list_versions(tgt) == [1, 2]
 
 
+class TestLedgerRound12:
+    """Round-12 hardening of the upsert_sink commit ledger: timezone-
+    independent v3 fingerprints, v2 upgrade compatibility, O(tail)
+    lookup cost, and the single-writer commit fence."""
+
+    def _b(self, spark, rows):
+        return spark.createDataFrame(rows, "id bigint, v string")
+
+    def _tsb(self, spark, rows):
+        return spark.createDataFrame(rows, "id bigint, ts timestamp")
+
+    def test_replay_noop_across_session_timezone_change(
+        self, spark, tmp_path
+    ):
+        # v2 fingerprints hashed to_json(struct(...)), which serializes
+        # timestamps in spark.sql.session.timeZone — a restart under a
+        # different tz re-fingerprinted byte-identical replays and
+        # crash-looped. v3 hashes the columns directly (internal epoch
+        # representation), so the replay no-ops regardless of session tz.
+        import datetime
+
+        tgt = str(tmp_path / "tz_tgt")
+        rows = [(1, datetime.datetime(2024, 1, 1, 12, 0, 0))]
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        merge = js.merge_batch_fn(tgt, "id")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            merge(self._tsb(spark, rows), 0)
+            # restart under a different session timezone: identical
+            # content replay must still be a no-op
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+            merge(self._tsb(spark, rows), 0)  # no raise
+            # and a checkpoint reset with NEW data still refuses
+            with pytest.raises(ValueError, match="checkpoint reset"):
+                merge(
+                    self._tsb(
+                        spark, [(9, datetime.datetime(2030, 5, 5, 5, 5, 5))]
+                    ),
+                    0,
+                )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    def test_null_column_transposition_changes_fingerprint(
+        self, spark, tmp_path
+    ):
+        # xxhash64 leaves the accumulator unchanged on NULL input, so
+        # without per-column null markers ('x', NULL) and (NULL, 'x')
+        # would collide; the v3 fingerprint must tell them apart
+        tgt = str(tmp_path / "nullfp_tgt")
+        merge = js.merge_batch_fn(tgt, "a", keep_versions=3)
+        df1 = spark.createDataFrame([("x", None)], "a string, b string")
+        merge(df1, 0)
+        df2 = spark.createDataFrame([(None, "x")], "a string, b string")
+        with pytest.raises(ValueError, match="checkpoint reset"):
+            merge(df2, 0)
+
+    def test_v2_ledger_line_upgrade_replay_noop(self, spark, tmp_path):
+        # a target whose ledger was written before the v2→v3 change:
+        # replays of its committed batches are verified with the v2
+        # (to_json) formula so an upgraded stream never crash-loops
+        tgt = str(tmp_path / "v2_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        batch = self._b(spark, [(1, "a"), (2, "b")])
+        merge(batch, 0)
+        # rewrite the ledger line as v2 with the legacy formula
+        row = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64(
+                        F.to_json(F.struct(*sorted(batch.columns)))
+                    ).cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        ledger = os.path.join(tgt, "_COMMITS")
+        with open(ledger, "w") as f:
+            f.write(f"v2:v{0:020d}:{int(row.n)}:{row.h}\n")
+        # identical replay verifies against the v2 formula → no-op
+        # (fresh closure: a restart builds a new merge fn)
+        merge2 = js.merge_batch_fn(tgt, "id")
+        merge2(self._b(spark, [(1, "a"), (2, "b")]), 0)
+        # and different content under the v2 line still refuses
+        with pytest.raises(ValueError, match="checkpoint reset"):
+            merge2(self._b(spark, [(9, "NEW")]), 0)
+
+    def test_ledger_lookup_reads_tail_not_whole_file(self, spark, tmp_path):
+        # the parsed-ledger cache: a replay check after N committed
+        # batches reads only the bytes appended since the last check,
+        # not the whole file (O(1) amortized per batch)
+        import builtins
+
+        tgt = str(tmp_path / "tail_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(self._b(spark, [(1, "a")]), 0)
+        # pad the ledger with 10k well-formed foreign lines (as a long
+        # stream lifetime would) BELOW our committed line — same parse
+        # path, big file
+        ledger = os.path.join(tgt, "_COMMITS")
+        committed_line = open(ledger).read()
+        with open(ledger, "w") as f:
+            for i in range(1, 10001):
+                f.write(f"v3:x{i:019d}:1:{i}\n")
+            f.write(committed_line)
+
+        reads = []
+        real_open = builtins.open
+
+        def counting_open(path, *a, **kw):
+            f = real_open(path, *a, **kw)
+            if str(path).endswith("_COMMITS") and (
+                not a or "r" in str(a[0])
+            ):
+                real_read = f.read
+
+                def read(*ra):
+                    data = real_read(*ra)
+                    reads.append(len(data))
+                    return data
+
+                f.read = read
+            return f
+
+        import unittest.mock as mock
+
+        with mock.patch.object(builtins, "open", counting_open):
+            merge(self._b(spark, [(1, "a")]), 0)  # replay: full parse once
+            first = sum(reads)
+            reads.clear()
+            merge(self._b(spark, [(1, "a")]), 0)  # replay again: tail only
+            second = sum(reads)
+        assert first > 100_000  # parsed the padded ledger once
+        assert second < 1_000  # second check read only the (empty) tail
+
+    def test_concurrent_writer_is_refused(self, spark, tmp_path):
+        # single-writer fence: a second writer caught mid-commit is
+        # refused loudly (flock conflicts across fds even within one
+        # process, so holding the lock here simulates the other stream)
+        import fcntl
+
+        tgt = str(tmp_path / "fence_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(self._b(spark, [(1, "a")]), 0)
+        fd = os.open(os.path.join(tgt, "_OWNER"), os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            with pytest.raises(ValueError, match="single-writer"):
+                merge(self._b(spark, [(2, "b")]), 1)
+        finally:
+            os.close(fd)
+        # fence released → the same writer proceeds normally
+        merge(self._b(spark, [(2, "b")]), 1)
+        assert {r.id: r.v for r in js.read_current(spark, tgt).collect()} == {
+            1: "a",
+            2: "b",
+        }
+
+
 class TestNeardedupSink:
     BASE = "the quick brown fox jumps over the lazy dog again and again " * 3
     OTHER = "completely unrelated prose about distributed query planning " * 3
