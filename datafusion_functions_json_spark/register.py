@@ -279,12 +279,78 @@ def _union_is_null_udf():
     return F.pandas_udf(fn, "boolean")
 
 
-def register_all(spark: SparkSession) -> None:
+# canonical SQL name -> its _NATIVE_SQL_BODIES twin, for auto_tier
+# routing. json_length / json_object_keys are NOT routable: their exact
+# SQL surface accepts a zero-path call (document-level length/keys),
+# which a fixed (j, k) SQL-UDF signature cannot express.
+_AUTO_TIER_BODY = {
+    "json_get_str": "json_get_str_variant",
+    "json_get_int": "json_get_int_variant",
+    "json_get_float": "json_get_float_variant",
+    "json_get_bool": "json_get_bool_variant",
+    "json_get_json": "json_get_json_variant",
+    "json_get_array": "json_get_array_variant",
+    "json_as_text": "json_as_text_variant",
+    "json_contains": "json_contains_variant",
+}
+
+
+def register_all(
+    spark: SparkSession,
+    *,
+    auto_tier: bool = False,
+    json_profile=None,
+) -> list:
     """Register every JSON function for the SQL surface (reference:
-    src/lib.rs:69-96 — aliases included)."""
+    src/lib.rs:69-96 — aliases included).
+
+    ``auto_tier=True`` additionally consults
+    :func:`~.functions.native.recommend_tier` (with ``json_profile``, a
+    :class:`~.functions.native.JsonProfile`; default permissive) and,
+    for every function whose variant tier is semantics-safe for that
+    profile, registers the JVM-inlined VARIANT implementation under the
+    CANONICAL name — whole-stage codegen, zero Python hops, the tier
+    the sf10 decade ledger measures at ~0.3-0.6x of the DuckDB twin.
+    The displaced reference-exact implementation stays reachable as
+    ``<name>_exact``. Returns the list of routed names (empty without
+    ``auto_tier``).
+
+    Signature envelope of the routed names (on top of the JsonProfile
+    envelope): SQL UDFs have a FIXED ``(j, k)`` signature, so routed
+    names accept exactly one STRING object-key path element — the
+    dominant call shape. Callers that pass zero keys, multiple keys, or
+    integer array indexes need ``<name>_exact`` (or
+    ``auto_tier=False``, or ``JsonProfile.strict()``). json_length /
+    json_object_keys are never routed for exactly this reason (their
+    zero-path form is common); json_get isn't either
+    (``recommend_tier`` keeps the union-struct builder on the measured-
+    faster exact tier).
+    """
     names = {}
     for fn_key in _SQL_KERNELS:
         names[fn_key] = _make_sql_udf(fn_key)
+    routed = []
+    if auto_tier:
+        from .functions.native import recommend_tier
+
+        rec = recommend_tier(
+            spark_version=spark.version, json_profile=json_profile
+        )
+        for fn_key, body_key in _AUTO_TIER_BODY.items():
+            if rec.get(fn_key) != "variant":
+                continue
+            ret, body = _NATIVE_SQL_BODIES[body_key]
+            # a SQL UDF cannot REPLACE a previously-registered Python
+            # UDF of the same name (CANNOT_REPLACE_NON_SQL_UDF) — drop
+            # any prior registration first
+            spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn_key}")
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {fn_key}"
+                f"(j STRING, k STRING) RETURNS {ret} RETURN "
+                + body.format(p=f"({_JSONPATH_GUARD})")
+            )
+            names[f"{fn_key}_exact"] = names.pop(fn_key)
+            routed.append(fn_key)
     names["json_len"] = names["json_length"]  # reference: src/json_length.rs:29
     names["json_keys"] = names["json_object_keys"]  # src/json_object_keys.rs:29
     names["json_union_to_text"] = udfs.union_to_text_udf()
@@ -293,7 +359,17 @@ def register_all(spark: SparkSession) -> None:
     names["scalar_to_json"] = names["json_from_scalar"]  # src/json_from_scalar.rs:31
     for name, udf in names.items():
         spark.udf.register(name, udf)
+    return routed
 
+
+# shared JSONPath-key guard for the variant-tier SQL UDF bodies: keys
+# containing . [ ] ' " $ * are not expressible in JSONPath
+_JSONPATH_GUARD = (
+    "CASE WHEN k RLIKE '[.\\\\[\\\\]''\"$*]' THEN "
+    "raise_error(concat('key ', k, ' is not expressible in JSONPath "
+    "syntax; use the exact tier')) "
+    "ELSE concat('$.', k) END"
+)
 
 # SQL bodies for the JVM-native variant tier (functions/native.py twins).
 # `{p}` expands to the guarded JSONPath expression over parameter `k`.
@@ -326,6 +402,13 @@ _NATIVE_SQL_BODIES = {
     "json_as_text_variant": (
         "STRING",
         "try_variant_get(try_parse_json(ltrim(j)), {p}, 'string')",
+    ),
+    # array<string> of element JSON texts (literal null elements render
+    # as 'null'), same re-serialization envelope as json_get_json
+    "json_get_array_variant": (
+        "ARRAY<STRING>",
+        "transform(try_variant_get(try_parse_json(ltrim(j)), {p}, "
+        "'array<variant>'), v -> to_json(v))",
     ),
     # present-null => non-null variant => TRUE; missing/invalid => NULL
     # variant => FALSE (reference json_contains semantics)
@@ -361,17 +444,10 @@ def register_native(spark: SparkSession) -> None:
     exact tier and containers are re-serialized, so the reference-exact
     ``register_all`` functions remain the default surface.
     """
-    # keys containing . [ ] ' " $ * are not expressible in JSONPath
-    guard = (
-        "CASE WHEN k RLIKE '[.\\\\[\\\\]''\"$*]' THEN "
-        "raise_error(concat('key ', k, ' is not expressible in JSONPath "
-        "syntax; use the exact tier')) "
-        "ELSE concat('$.', k) END"
-    )
     for name, (ret, body) in _NATIVE_SQL_BODIES.items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(j STRING, k STRING) "
-            f"RETURNS {ret} RETURN " + body.format(p=f"({guard})")
+            f"RETURNS {ret} RETURN " + body.format(p=f"({_JSONPATH_GUARD})")
         )
 
 

@@ -255,3 +255,99 @@ class TestFromScalarNullParity:
             "from fs_null_t order by isn"
         ).collect()
         assert [(r.isn, r.txt) for r in rows] == [(False, "7"), (True, None)]
+
+
+class TestAutoTier:
+    """register_all(auto_tier=True): canonical SQL names route to the
+    Catalyst-inlined variant tier when the JsonProfile says the variant
+    semantics are safe; the displaced exact implementations stay
+    reachable as <name>_exact and answers agree inside the envelope."""
+
+    ROUTED = [
+        "json_get_str",
+        "json_get_int",
+        "json_get_float",
+        "json_get_bool",
+        "json_get_json",
+        "json_get_array",
+        "json_as_text",
+        "json_contains",
+    ]
+
+    # envelope-conformant corpus: plain object keys, no trailing
+    # garbage, consistently-typed values at each queried path, no
+    # integral floats, minified containers (exact raw slices == variant
+    # re-serialization on such docs)
+    DOCS = [
+        '{"k":"abc","n":42,"b":true,"f":0.5,"arr":[1,"x",null],"o":{"in":1}}',
+        '{"k":null,"n":null,"b":null,"f":null,"arr":null,"o":null}',
+        '{"other":1}',
+        ' {"k":"ws","n":-7,"b":false,"f":-2.25,"arr":[],"o":{}}',
+        "not json",
+        "",
+        None,
+    ]
+    PATH_FOR = {
+        "json_get_str": "k",
+        "json_get_int": "n",
+        "json_get_float": "f",
+        "json_get_bool": "b",
+        "json_get_json": "o",
+        "json_get_array": "arr",
+        "json_as_text": "k",
+        "json_contains": "k",
+    }
+
+    def test_routed_names_match_exact_and_are_python_free(self, spark):
+        import datafusion_functions_json_spark as jsonf
+        from datafusion_functions_json_spark.plans import explain_str
+
+        spark.createDataFrame(
+            [(i, d) for i, d in enumerate(self.DOCS)], "id int, j string"
+        ).createOrReplaceTempView("auto_tier_t")
+        routed = jsonf.register_all(spark, auto_tier=True)
+        try:
+            assert routed == self.ROUTED
+            for fn in self.ROUTED:
+                key = self.PATH_FOR[fn]
+                got = spark.sql(
+                    f"select id, {fn}(j, '{key}') as v "
+                    "from auto_tier_t order by id"
+                )
+                want = spark.sql(
+                    f"select id, {fn}_exact(j, '{key}') as v "
+                    "from auto_tier_t order by id"
+                ).collect()
+                assert [tuple(r) for r in got.collect()] == [
+                    tuple(r) for r in want
+                ], fn
+                # the routed plan is pure JVM: no Python/Arrow eval hop
+                plan = explain_str(got)
+                assert "EvalPython" not in plan, (fn, plan)
+        finally:
+            jsonf.register_all(spark)  # restore the reference-exact surface
+
+    def test_strict_profile_routes_nothing(self, spark):
+        import datafusion_functions_json_spark as jsonf
+        from datafusion_functions_json_spark.functions.native import (
+            JsonProfile,
+        )
+
+        try:
+            routed = jsonf.register_all(
+                spark, auto_tier=True, json_profile=JsonProfile.strict()
+            )
+            assert routed == []
+            # canonical name still the exact tier: trailing-garbage doc
+            # parses leading value (variant tier would yield NULL)
+            spark.createDataFrame(
+                [('{"k": 5} trailing',)], "j string"
+            ).createOrReplaceTempView("strict_t")
+            assert (
+                spark.sql("select json_get_int(j, 'k') v from strict_t")
+                .collect()[0]
+                .v
+                == 5
+            )
+        finally:
+            jsonf.register_all(spark)

@@ -4,6 +4,13 @@ given SF, compare row count + order-insensitive values (columns sorted
 by name, rows sorted), and print a per-query verdict.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --stale N
+
+``--stale N`` runs the N registry entries LEAST recently checked by the
+driver (the exact staleness order ``queries()`` exposes — it reads the
+CORRECTNESS_r*.json history at call time), so the 50-slot rotation's
+residual staleness can be drained locally each round without hand-
+picking names.
 """
 
 from __future__ import annotations
@@ -53,8 +60,19 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    stale_n = None
+    if "--stale" in argv:
+        i = argv.index("--stale")
+        try:
+            stale_n = int(argv[i + 1])
+        except (IndexError, ValueError):
+            raise SystemExit("--stale requires an integer count")
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if stale_n is not None and only:
+        raise SystemExit("--stale and explicit query names are exclusive")
     # the twin-generated VALUES oracles (minhash/simhash pair sets) must
     # be computed over the SAME corpus the queries run on
     os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
@@ -76,6 +94,11 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if stale_n is not None:
+        # queries() is already least-recently-driver-checked first
+        names = list(qs)[:stale_n]
+        print(f"--stale {stale_n}: {', '.join(names)}\n")
+        qs = {k: qs[k] for k in names}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
