@@ -82,6 +82,9 @@ QUERIES = [
     # at sf1 but never themselves measured beyond sf0.1 (VERDICT r10)
     "json_get_int", "json_get_int_variant", "json_as_text_native",
     "token_count",
+    # round-12: decade rows for the slowest-falling weak query's JVM
+    # twin (VERDICT r11 item 4 — promote-or-adjudicate decision)
+    "json_agg_variant",
 ]
 # spark-only (no DuckDB twin exists — xxhash64 candidate generation):
 # timed for the sf0.1 → sf1 scale curve, excluded from paired ratios
