@@ -923,7 +923,14 @@ def merge_batch_fn(
             fcntl = None
         fence_fd = None
         if fcntl is not None:
-            os.makedirs(target_dir, exist_ok=True)
+            try:
+                os.makedirs(target_dir, exist_ok=True)
+            except (NotADirectoryError, FileExistsError):
+                # target_dir runs through an existing FILE — skip the
+                # fence and let _read_pointer below raise its
+                # descriptive misconfiguration error
+                fcntl = None
+        if fcntl is not None:
             fence_fd = os.open(
                 os.path.join(target_dir, _OWNER),
                 os.O_CREAT | os.O_RDWR,
@@ -1057,8 +1064,27 @@ def merge_batch_fn(
         # short line per batch; bytes, not data, so it never needs
         # pruning on realistic stream lifetimes.
         if fp is not None:
-            with open(os.path.join(target_dir, _COMMITS), "a") as f:
-                f.write(f"v3:{name}:{fp}\n")
+            ledger = os.path.join(target_dir, _COMMITS)
+            # repair guard: a crash mid-append leaves a torn trailing
+            # line; appending directly would GLUE the new line onto it,
+            # losing BOTH batches' fingerprints (merged garbage parses
+            # as absent — fail-safe, but unprotected). Terminate the
+            # torn line with a "#torn" marker first: the marker breaks
+            # the <count>:<hashsum> shape, so the torn line stays
+            # conclusively ABSENT (a bare newline would instead make
+            # truncated-but-digit-shaped fingerprints believable and
+            # refuse byte-identical replays), and the new line stands
+            # alone.
+            try:
+                with open(ledger, "rb") as f:
+                    f.seek(0, os.SEEK_END)
+                    torn = f.tell() > 0 and (
+                        f.seek(-1, os.SEEK_END) or f.read(1) != b"\n"
+                    )
+            except OSError:
+                torn = False
+            with open(ledger, "a") as f:
+                f.write(("#torn\n" if torn else "") + f"v3:{name}:{fp}\n")
         if keep_versions >= 1:
             # prune ONLY versions strictly below the pointer just
             # committed — never trust recency alone (an uncommitted

@@ -1101,6 +1101,24 @@ class TestLedgerRound12:
         assert first > 100_000  # parsed the padded ledger once
         assert second < 1_000  # second check read only the (empty) tail
 
+    def test_append_after_torn_line_does_not_glue(self, spark, tmp_path):
+        # a torn trailing line must not merge with the NEXT commit's
+        # append: the repair guard terminates it first, so the new
+        # batch's fingerprint line stays parseable (the torn batch's
+        # protection is lost — trusted replay — but never the new one's)
+        tgt = str(tmp_path / "glue_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(self._b(spark, [(1, "a")]), 0)
+        ledger = os.path.join(tgt, "_COMMITS")
+        full = open(ledger).read()
+        open(ledger, "w").write(full[: len(full) - 3])  # tear the tail
+        merge(self._b(spark, [(2, "b")]), 1)  # append after the tear
+        # batch 1's line is intact: a reset recycling id 1 refuses
+        with pytest.raises(ValueError, match="checkpoint reset"):
+            merge(self._b(spark, [(9, "NEW")]), 1)
+        # batch 0's torn line reads as absent: different content trusted
+        merge(self._b(spark, [(8, "x")]), 0)  # no raise, no-op
+
     def test_concurrent_writer_is_refused(self, spark, tmp_path):
         # single-writer fence: a second writer caught mid-commit is
         # refused loudly (flock conflicts across fds even within one
