@@ -340,15 +340,26 @@ def register_all(
             if rec.get(fn_key) != "variant":
                 continue
             ret, body = _NATIVE_SQL_BODIES[body_key]
-            # a SQL UDF cannot REPLACE a previously-registered Python
-            # UDF of the same name (CANNOT_REPLACE_NON_SQL_UDF) — drop
-            # any prior registration first
-            spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn_key}")
-            spark.sql(
-                f"CREATE OR REPLACE TEMPORARY FUNCTION {fn_key}"
-                f"(j STRING, k STRING) RETURNS {ret} RETURN "
-                + body.format(p=f"({_JSONPATH_GUARD})")
-            )
+            try:
+                # a SQL UDF cannot REPLACE a previously-registered
+                # Python UDF of the same name
+                # (CANNOT_REPLACE_NON_SQL_UDF) — drop any prior
+                # registration first
+                spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fn_key}")
+                spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION {fn_key}"
+                    f"(j STRING, k STRING) RETURNS {ret} RETURN "
+                    + body.format(p=f"({_JSONPATH_GUARD})")
+                )
+            except Exception:
+                # mid-routing failure (SQL UDFs unavailable/restricted):
+                # restore the exact surface for the dropped name and
+                # every name already routed, so the session is never
+                # left with unresolved canonical functions
+                spark.udf.register(fn_key, names[fn_key])
+                for k in routed:
+                    spark.udf.register(k, names[f"{k}_exact"])
+                raise
             names[f"{fn_key}_exact"] = names.pop(fn_key)
             routed.append(fn_key)
     names["json_len"] = names["json_length"]  # reference: src/json_length.rs:29

@@ -845,8 +845,11 @@ def merge_batch_fn(
         # replays). Each column is preceded by its isNull indicator:
         # Spark's hash leaves the accumulator UNCHANGED on a NULL input,
         # so without the never-null boolean marker (NULL,'a') and
-        # ('a',NULL) would collide. MapType columns (unhashable by
-        # xxhash64) fall back to per-column to_json. v2 is kept only to
+        # ('a',NULL) would collide. Columns containing a MapType at ANY
+        # nesting depth (unhashable by xxhash64) fall back to per-column
+        # to_json — for those columns only, timestamps embedded in the
+        # map remain session-timezone-sensitive: pin the session tz for
+        # such schemas or pass verify_replays=False. v2 is kept only to
         # verify ledger lines written before the format change.
         if version == "v2":
             per_row = F.xxhash64(F.to_json(F.struct(*sorted(df.columns))))
@@ -856,8 +859,10 @@ def merge_batch_fn(
             for c in sorted(df.columns):
                 col = F.col(c)
                 parts.append(col.isNull())
+                # substring match, not startswith: a map nested inside
+                # an array/struct also makes xxhash64 fail analysis
                 parts.append(
-                    F.to_json(col) if fields[c].startswith("map<") else col
+                    F.to_json(col) if "map<" in fields[c] else col
                 )
             per_row = F.xxhash64(*parts)
         row = df.agg(
@@ -1075,14 +1080,14 @@ def merge_batch_fn(
             # truncated-but-digit-shaped fingerprints believable and
             # refuse byte-identical replays), and the new line stands
             # alone.
+            torn = False
             try:
                 with open(ledger, "rb") as f:
-                    f.seek(0, os.SEEK_END)
-                    torn = f.tell() > 0 and (
-                        f.seek(-1, os.SEEK_END) or f.read(1) != b"\n"
-                    )
+                    if f.seek(0, os.SEEK_END) > 0:
+                        f.seek(-1, os.SEEK_END)
+                        torn = f.read(1) != b"\n"
             except OSError:
-                torn = False
+                pass
             with open(ledger, "a") as f:
                 f.write(("#torn\n" if torn else "") + f"v3:{name}:{fp}\n")
         if keep_versions >= 1:

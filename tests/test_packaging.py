@@ -7,7 +7,12 @@ The full install is exercised out-of-band (clean venv, foreign cwd);
 these tests pin the invariants that would silently break it."""
 
 import os
-import tomllib
+
+import pytest
+
+# stdlib only on >= 3.11; the package itself supports 3.10, so the
+# metadata checks skip there rather than failing collection
+tomllib = pytest.importorskip("tomllib")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = "datafusion_functions_json_spark"

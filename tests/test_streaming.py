@@ -1022,6 +1022,28 @@ class TestLedgerRound12:
         with pytest.raises(ValueError, match="checkpoint reset"):
             merge(df2, 0)
 
+    def test_fingerprint_handles_nested_map_columns(self, spark, tmp_path):
+        # xxhash64 rejects MapType at ANY nesting depth (analysis
+        # error); such columns must take the to_json fallback — a
+        # top-level-only check crash-looped on array<map<...>> schemas
+        tgt = str(tmp_path / "nestedmap_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        df = spark.createDataFrame(
+            [(1, [{"a": "x"}], {"k": 2})],
+            "id bigint, tags array<map<string,string>>, m map<string,int>",
+        )
+        merge(df, 0)  # must not raise
+        merge(df, 0)  # identical replay no-ops
+        with pytest.raises(ValueError, match="checkpoint reset"):
+            merge(
+                spark.createDataFrame(
+                    [(9, [{"z": "y"}], {"q": 3})],
+                    "id bigint, tags array<map<string,string>>, "
+                    "m map<string,int>",
+                ),
+                0,
+            )
+
     def test_v2_ledger_line_upgrade_replay_noop(self, spark, tmp_path):
         # a target whose ledger was written before the v2→v3 change:
         # replays of its committed batches are verified with the v2
@@ -1110,14 +1132,21 @@ class TestLedgerRound12:
         merge = js.merge_batch_fn(tgt, "id")
         merge(self._b(spark, [(1, "a")]), 0)
         ledger = os.path.join(tgt, "_COMMITS")
+        # clean sequential commits never emit repair markers (the
+        # round-12 review caught a truthy-seek bug that marked every
+        # healthy append as torn)
+        merge(self._b(spark, [(5, "e")]), 1)
+        assert "#torn" not in open(ledger).read()
         full = open(ledger).read()
-        open(ledger, "w").write(full[: len(full) - 3])  # tear the tail
-        merge(self._b(spark, [(2, "b")]), 1)  # append after the tear
-        # batch 1's line is intact: a reset recycling id 1 refuses
+        open(ledger, "w").write(full[: len(full) - 3])  # tear batch 1's line
+        merge(self._b(spark, [(2, "b")]), 2)  # append after the tear
+        # batch 2's line is intact: a reset recycling id 2 refuses
         with pytest.raises(ValueError, match="checkpoint reset"):
-            merge(self._b(spark, [(9, "NEW")]), 1)
-        # batch 0's torn line reads as absent: different content trusted
-        merge(self._b(spark, [(8, "x")]), 0)  # no raise, no-op
+            merge(self._b(spark, [(9, "NEW")]), 2)
+        # batch 1's torn line reads as absent: different content trusted
+        merge(self._b(spark, [(8, "x")]), 1)  # no raise, no-op
+        # and exactly one repair marker was written (for the real tear)
+        assert open(ledger).read().count("#torn") == 1
 
     def test_concurrent_writer_is_refused(self, spark, tmp_path):
         # single-writer fence: a second writer caught mid-commit is
