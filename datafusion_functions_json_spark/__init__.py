@@ -69,6 +69,7 @@ from .functions.api import (
     json_union_to_text,
     scalar_to_json,
 )
+from .functions.native import JsonProfile, recommend_tier, tier_callable
 from .register import register_all, register_native, register_pipeline
 from .sql import rewrite_sql, sql
 from .union import UNION_DDL, UNION_SCHEMA, format_union_value
@@ -94,6 +95,9 @@ __all__ = [
     "json_union_to_text",
     "json_is_null",
     "json_extract_multi",
+    "JsonProfile",
+    "recommend_tier",
+    "tier_callable",
     "register_all",
     "register_native",
     "register_pipeline",
