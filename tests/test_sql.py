@@ -327,6 +327,49 @@ class TestAutoTier:
         finally:
             jsonf.register_all(spark)  # restore the reference-exact surface
 
+    def test_mid_routing_failure_restores_exact_surface(self, spark):
+        # round-12 review: if a CREATE fails mid-routing (SQL UDFs
+        # unavailable/restricted), the dropped canonical name and every
+        # already-routed name must be restored to the exact tier — the
+        # session must never be left with unresolved functions
+        import datafusion_functions_json_spark as jsonf
+        from datafusion_functions_json_spark import register as regmod
+
+        real_sql = type(spark).sql
+        calls = {"n": 0}
+
+        def failing_sql(self_, q, *a, **kw):
+            if q.startswith("CREATE OR REPLACE TEMPORARY FUNCTION"):
+                calls["n"] += 1
+                if calls["n"] == 3:  # fail on the third routed name
+                    raise RuntimeError("SQL UDFs restricted")
+            return real_sql(self_, q, *a, **kw)
+
+        try:
+            type(spark).sql = failing_sql
+            with pytest.raises(RuntimeError, match="restricted"):
+                jsonf.register_all(spark, auto_tier=True)
+        finally:
+            type(spark).sql = real_sql
+        # every canonical name (routed-then-restored, dropped, or never
+        # reached) still resolves and gives exact-tier answers
+        spark.createDataFrame(
+            [('{"k": 5} trailing',)], "j string"
+        ).createOrReplaceTempView("rollback_t")
+        for fn in regmod._AUTO_TIER_BODY:
+            row = spark.sql(
+                f"select {fn}(j, 'k') as v from rollback_t"
+            ).collect()[0]
+            assert row is not None, fn  # resolved + executed
+        # exact-tier semantics confirmed on the trailing-garbage doc
+        assert (
+            spark.sql("select json_get_int(j, 'k') v from rollback_t")
+            .collect()[0]
+            .v
+            == 5
+        )
+        jsonf.register_all(spark)  # leave the default surface in place
+
     def test_strict_profile_routes_nothing(self, spark):
         import datafusion_functions_json_spark as jsonf
         from datafusion_functions_json_spark.functions.native import (
