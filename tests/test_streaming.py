@@ -1022,6 +1022,34 @@ class TestLedgerRound12:
         with pytest.raises(ValueError, match="checkpoint reset"):
             merge(df2, 0)
 
+    def test_fingerprint_is_order_and_partitioning_invariant(
+        self, spark, tmp_path
+    ):
+        # the fingerprint is a per-row-hash SUM: any row order and any
+        # partitioning of the same multiset must fingerprint equal (a
+        # checkpoint replay delivers arbitrary partitionings), while
+        # changing any single cell must change it
+        import datetime
+
+        rows = [
+            (i, f"v{i}", float(i) / 3.0, datetime.datetime(2024, 1, 1 + i))
+            for i in range(8)
+        ] + [(99, None, None, None)]
+        schema = "id bigint, s string, x double, ts timestamp"
+        tgt = str(tmp_path / "perm_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(spark.createDataFrame(rows, schema), 0)
+        # replays: reversed order, single partition, 7-way repartition
+        for variant in (
+            spark.createDataFrame(rows[::-1], schema).coalesce(1),
+            spark.createDataFrame(rows, schema).repartition(7),
+        ):
+            merge(variant, 0)  # no raise — identical multiset
+        # single-cell change refuses
+        changed = [r if r[0] != 3 else (3, "DIFFERENT", r[2], r[3]) for r in rows]
+        with pytest.raises(ValueError, match="checkpoint reset"):
+            merge(spark.createDataFrame(changed, schema), 0)
+
     def test_fingerprint_handles_nested_map_columns(self, spark, tmp_path):
         # xxhash64 rejects MapType at ANY nesting depth (analysis
         # error); such columns must take the to_json fallback — a
