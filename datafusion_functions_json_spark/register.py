@@ -279,6 +279,12 @@ def _union_is_null_udf():
     return F.pandas_udf(fn, "boolean")
 
 
+# session conf recording which canonical names auto_tier routed to the
+# variant tier — jsonf.sql() reads it so the ->/->>/? rewriter can
+# emit <name>_exact for call shapes the routed (j, k) signature can't
+# serve (multi-key chains, integer array indexes, nested operands)
+_ROUTED_CONF = "spark.datafusion_functions_json_spark.autoTierRouted"
+
 # canonical SQL name -> its _NATIVE_SQL_BODIES twin, for auto_tier
 # routing. json_length / json_object_keys are NOT routable: their exact
 # SQL surface accepts a zero-path call (document-level length/keys),
@@ -370,6 +376,10 @@ def register_all(
     names["scalar_to_json"] = names["json_from_scalar"]  # src/json_from_scalar.rs:31
     for name, udf in names.items():
         spark.udf.register(name, udf)
+    # record the routed set on the session so jsonf.sql()'s operator
+    # rewriter can steer incompatible call shapes to <name>_exact;
+    # cleared by a plain register_all (the exact surface is back)
+    spark.conf.set(_ROUTED_CONF, ",".join(routed))
     return routed
 
 

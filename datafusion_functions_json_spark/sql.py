@@ -477,11 +477,21 @@ def _collapse_cast_keys(toks) -> None:
         i += 1
 
 
-def rewrite_sql(query: str) -> str:
+def rewrite_sql(query: str, routed=()) -> str:
     """Rewrite ``->``/``->>``/``?`` into registered JSON function calls.
 
     Pure text-to-text (no SparkSession needed) — the testable core of
     :func:`sql`.
+
+    ``routed``: canonical names currently auto-tier-routed to the
+    fixed-signature ``(j, k)`` variant SQL UDFs
+    (:func:`~.register.register_all` with ``auto_tier=True`` records
+    them; :func:`sql` passes them through). Emitted calls that fit the
+    routed signature — exactly one single-quoted STRING key over a
+    non-call operand — keep the canonical (fast) name; everything else
+    the routed signature can't serve (multi-key chains, integer array
+    indexes, nested call operands) is emitted as ``<name>_exact``, the
+    reference-exact escape ``auto_tier`` registers alongside.
     """
     toks = _tokenize(query)
 
@@ -724,6 +734,26 @@ def rewrite_sql(query: str) -> str:
                     else:
                         _validate_path_args(name, call_args)
 
+    # -- auto-tier retargeting -------------------------------------------
+    # done AFTER validation (path-arg errors fire on the canonical
+    # shapes) and BEFORE alias attachment (aliases carry the operator
+    # spelling regardless of tier)
+    if routed:
+        for t in toks:
+            if t.kind != "call" or t.fn not in routed:
+                continue
+            fits = (
+                len(t.args) == 2
+                and t.args[1].startswith("'")  # one STRING key
+                and "(" not in t.args[0]  # plain column/literal operand
+            )
+            if not fits:
+                # first occurrence is the outer call name: call_src is
+                # either "<fn>(..." or "cast(<fn>(..." — nested
+                # same-name calls occur later in the text
+                t.text = t.text.replace(f"{t.fn}(", f"{t.fn}_exact(", 1)
+                t.fn = f"{t.fn}_exact"
+
     # -- alias attachment for whole top-level select items --------------
     # The reference aliases the rewritten EXPRESSION node, so redundant
     # enclosing parens don't block the operator-spelling column title:
@@ -775,5 +805,17 @@ def sql(spark, query: str, **kwargs):
     ``spark.sql``. The JSON functions must be registered first
     (:func:`datafusion_functions_json_spark.register_all`). Extra kwargs
     (e.g. ``args`` for parameterized queries) pass through.
+
+    Composes with ``register_all(auto_tier=True)``: the session conf it
+    records steers the rewriter — single-string-key operator calls run
+    on the routed variant tier, shapes its fixed signature can't serve
+    fall back to the ``<name>_exact`` escape automatically.
     """
-    return spark.sql(rewrite_sql(query), **kwargs)
+    from .register import _ROUTED_CONF
+
+    try:
+        conf = spark.conf.get(_ROUTED_CONF, "")
+    except Exception:  # pragma: no cover - exotic session wrappers
+        conf = ""
+    routed = tuple(x for x in conf.split(",") if x)
+    return spark.sql(rewrite_sql(query, routed=routed), **kwargs)

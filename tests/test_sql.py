@@ -327,6 +327,55 @@ class TestAutoTier:
         finally:
             jsonf.register_all(spark)  # restore the reference-exact surface
 
+    def test_operator_rewriter_composes_with_auto_tier(self, spark):
+        # jsonf.sql's ->/->>/? rewriter emits canonical names; under
+        # auto_tier those have a fixed (j, k) STRING-key signature, so
+        # the rewriter must keep routed names only for single-string-key
+        # calls and steer chains / int indexes / nested operands to
+        # <name>_exact — same answers, no arity or semantics break
+        import datafusion_functions_json_spark as jsonf
+        from datafusion_functions_json_spark.plans import explain_str
+
+        spark.createDataFrame(
+            [('{"k": 7, "a": {"b": 5}, "arr": [10, 11]}',)], "j string"
+        ).createOrReplaceTempView("compose_t")
+        queries = [
+            # (query, expected single row)
+            ("select j->>'k' as v from compose_t", "7"),
+            ("select (j->'a'->'b')::int as v from compose_t", 5),
+            ("select j->'a'->>'b' as v from compose_t", "5"),
+            ("select j->>0 as v from compose_t", None),  # non-array doc
+            ("select j->'arr'->>0 as v from compose_t", "10"),
+            ("select j ? 'k' as v from compose_t", True),
+        ]
+        # exact surface answers first
+        jsonf.register_all(spark)
+        want = [
+            jsonf.sql(spark, q).collect()[0].v for q, _ in queries
+        ]
+        assert want == [exp for _, exp in queries]
+        routed = jsonf.register_all(spark, auto_tier=True)
+        try:
+            assert routed
+            for (q, _), w in zip(queries, want):
+                df = jsonf.sql(spark, q)
+                assert df.collect()[0].v == w, q
+            # the single-string-key form actually rides the routed tier
+            plan = explain_str(jsonf.sql(spark, "select j->>'k' from compose_t"))
+            assert "EvalPython" not in plan
+            # the chained form fell back to the exact escape (rewrite
+            # text check — session-independent)
+            from datafusion_functions_json_spark.sql import rewrite_sql
+
+            txt = rewrite_sql(
+                "select (j->'a'->'b')::int from t", routed=tuple(routed)
+            )
+            assert "json_get_int_exact(" in txt, txt
+            txt2 = rewrite_sql("select j->>'k' from t", routed=tuple(routed))
+            assert "json_as_text(" in txt2 and "_exact" not in txt2, txt2
+        finally:
+            jsonf.register_all(spark)
+
     def test_mid_routing_failure_restores_exact_surface(self, spark):
         # round-12 review: if a CREATE fails mid-routing (SQL UDFs
         # unavailable/restricted), the dropped canonical name and every
