@@ -331,6 +331,15 @@ def register_all(
     zero-path form is common); json_get isn't either
     (``recommend_tier`` keeps the union-struct builder on the measured-
     faster exact tier).
+
+    :func:`~.sql.sql`'s operator rewriter composes automatically (it
+    reads the routed set from the session conf and steers incompatible
+    call shapes to ``<name>_exact``). The JVM parser extension
+    (``jsonsparkext.JsonSqlExtension``) does NOT — it rewrites at parse
+    time without reading the conf — so do not combine ``auto_tier``
+    with operator tokens through the extension's plain ``spark.sql``
+    path when queries chain path elements or index arrays; route such
+    sessions through :func:`~.sql.sql` or keep the default surface.
     """
     names = {}
     for fn_key in _SQL_KERNELS:
