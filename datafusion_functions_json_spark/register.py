@@ -392,6 +392,13 @@ def register_all(
     return routed
 
 
+# characters a JSONPath key cannot carry — the Python-side twin of the
+# RLIKE class inside _JSONPATH_GUARD below; jsonf.sql's rewriter uses
+# it to steer guard-tripping literal keys to <name>_exact instead of a
+# runtime raise_error. KEEP THE TWO IN SYNC (pinned by
+# tests/test_sql.py::TestAutoTier::test_guard_chars_route_to_exact).
+_JSONPATH_UNSAFE = ".[]'\"$*"
+
 # shared JSONPath-key guard for the variant-tier SQL UDF bodies: keys
 # containing . [ ] ' " $ * are not expressible in JSONPath
 _JSONPATH_GUARD = (

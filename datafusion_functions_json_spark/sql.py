@@ -371,6 +371,28 @@ def _arg_is_literal(arg_src: str) -> bool:
     return _LITERAL_ARG_RE.fullmatch(arg_src.strip()) is not None
 
 
+def _routed_fits(fn: str, args, routed) -> bool:
+    """Whether a call of ``fn`` with these arg texts can resolve against
+    the auto-tier-routed fixed ``(j STRING, k STRING)`` SQL UDF with
+    identical semantics: exactly one single-quoted STRING key whose
+    content is expressible in JSONPath (no guard characters — the routed
+    body ``raise_error``s on those where the exact tier answers), over a
+    plain non-call operand. Anything else must take the ``<name>_exact``
+    escape. Decided at EMISSION time, so calls later embedded into an
+    outer call's arg text already carry the right name."""
+    if fn not in routed:
+        return True  # canonical name IS the exact tier
+    if len(args) != 2 or "(" in args[0]:
+        return False
+    k = args[1].strip()
+    if len(k) < 2 or not (k.startswith("'") and k.endswith("'")):
+        return False  # int index / param / expression key
+    from .register import _JSONPATH_UNSAFE
+
+    content = k[1:-1].replace("''", "'")
+    return not any(c in _JSONPATH_UNSAFE for c in content)
+
+
 # exact-arity functions: rewrite-time twin of the reference's signature
 # check (reference: tests/main.rs test_json_from_scalar_no_args /
 # test_json_from_scalar_too_many_args, src/json_from_scalar.rs signature)
@@ -494,6 +516,7 @@ def rewrite_sql(query: str, routed=()) -> str:
     reference-exact escape ``auto_tier`` registers alongside.
     """
     toks = _tokenize(query)
+    routed = frozenset(routed)
 
     # -- parenthesized/cast literal keys ---------------------------------
     # `j->('foo'::text)` and `j->('foo')` mean `j->'foo'` (reference:
@@ -584,7 +607,8 @@ def rewrite_sql(query: str, routed=()) -> str:
                 right.text,
             ]
         alias = f"{left['repr']} {_OP_SPELLING[t_op.kind]} {right.text}"
-        call_src = f"{fn}({', '.join(args)})"
+        emit_fn = fn if _routed_fits(fn, args, routed) else f"{fn}_exact"
+        call_src = f"{emit_fn}({', '.join(args)})"
         new_tok = _Tok(
             "call",
             call_src,
@@ -691,7 +715,12 @@ def rewrite_sql(query: str, routed=()) -> str:
                                     ):
                                         shell_type = toks[ty].text + params
             if new_fn:
-                call_src = f"{new_fn}({', '.join(t.args)})"
+                emit_fn = (
+                    new_fn
+                    if _routed_fits(new_fn, t.args, routed)
+                    else f"{new_fn}_exact"
+                )
+                call_src = f"{emit_fn}({', '.join(t.args)})"
                 if shell_type is not None:
                     call_src = f"cast({call_src} as {shell_type})"
                 toks[span_start : span_end + 1] = [
@@ -733,26 +762,14 @@ def rewrite_sql(query: str, routed=()) -> str:
                         _validate_arity(name, call_args)
                     else:
                         _validate_path_args(name, call_args)
-
-    # -- auto-tier retargeting -------------------------------------------
-    # done AFTER validation (path-arg errors fire on the canonical
-    # shapes) and BEFORE alias attachment (aliases carry the operator
-    # spelling regardless of tier)
-    if routed:
-        for t in toks:
-            if t.kind != "call" or t.fn not in routed:
-                continue
-            fits = (
-                len(t.args) == 2
-                and t.args[1].startswith("'")  # one STRING key
-                and "(" not in t.args[0]  # plain column/literal operand
-            )
-            if not fits:
-                # first occurrence is the outer call name: call_src is
-                # either "<fn>(..." or "cast(<fn>(..." — nested
-                # same-name calls occur later in the text
-                t.text = t.text.replace(f"{t.fn}(", f"{t.fn}_exact(", 1)
-                t.fn = f"{t.fn}_exact"
+                    # user-written function-form calls of routed names:
+                    # steer shapes the routed (j, k) signature can't
+                    # serve to the exact escape, same rule as the
+                    # operator-emitted calls
+                    if name in routed and not _routed_fits(
+                        name, call_args, routed
+                    ):
+                        t.text += "_exact"
 
     # -- alias attachment for whole top-level select items --------------
     # The reference aliases the rewritten EXPRESSION node, so redundant

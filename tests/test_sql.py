@@ -347,6 +347,14 @@ class TestAutoTier:
             ("select j->>0 as v from compose_t", None),  # non-array doc
             ("select j->'arr'->>0 as v from compose_t", "10"),
             ("select j ? 'k' as v from compose_t", True),
+            # guard-char literal key: routed body would raise_error at
+            # runtime where the exact tier answers NULL (review finding)
+            ("select j->>'a.b' as v from compose_t", None),
+            ("select j ? 'x.y' as v from compose_t", False),
+            # user-written function-form calls (not operator-emitted):
+            # multi-key and int-index shapes must also take the escape
+            ("select json_get_int(j, 'a', 'b') as v from compose_t", 5),
+            ("select json_as_text(j, 0) as v from compose_t", None),
         ]
         # exact surface answers first
         jsonf.register_all(spark)
@@ -363,6 +371,21 @@ class TestAutoTier:
             # the single-string-key form actually rides the routed tier
             plan = explain_str(jsonf.sql(spark, "select j->>'k' from compose_t"))
             assert "EvalPython" not in plan
+            # inner call EMBEDDED into an outer call's arg text must
+            # already carry the right name (review finding: a post-pass
+            # over top-level tokens missed it — int index 0 silently
+            # became object key '0' on the routed tier)
+            spark.createDataFrame(
+                [('[{"k": 9}, 2]',)], "j string"
+            ).createOrReplaceTempView("compose_arr_t")
+            for chain in ("(j->>0)->>'k'", "(j->0)->>'k'"):
+                assert (
+                    jsonf.sql(
+                        spark,
+                        f"select {chain} as v from compose_arr_t",
+                    ).collect()[0].v
+                    == "9"
+                ), chain
             # the chained form fell back to the exact escape (rewrite
             # text check — session-independent)
             from datafusion_functions_json_spark.sql import rewrite_sql
@@ -395,29 +418,58 @@ class TestAutoTier:
             return real_sql(self_, q, *a, **kw)
 
         try:
-            type(spark).sql = failing_sql
-            with pytest.raises(RuntimeError, match="restricted"):
-                jsonf.register_all(spark, auto_tier=True)
+            try:
+                type(spark).sql = failing_sql
+                with pytest.raises(RuntimeError, match="restricted"):
+                    jsonf.register_all(spark, auto_tier=True)
+            finally:
+                type(spark).sql = real_sql
+            # every canonical name (routed-then-restored, dropped, or
+            # never reached) still resolves with its VARIADIC exact
+            # signature — a leftover routed (j, k) SQL UDF would throw
+            # an arity AnalysisException on the 3-arg call
+            spark.createDataFrame(
+                [('{"k": 5, "a": {"b": 2}} trailing',)], "j string"
+            ).createOrReplaceTempView("rollback_t")
+            for fn in regmod._AUTO_TIER_BODY:
+                spark.sql(
+                    f"select {fn}(j, 'a', 'b') as v from rollback_t"
+                ).collect()
+            # exact-tier semantics confirmed: the trailing-garbage doc
+            # still parses (the variant tier would yield NULL)
+            assert (
+                spark.sql("select json_get_int(j, 'k') v from rollback_t")
+                .collect()[0]
+                .v
+                == 5
+            )
         finally:
-            type(spark).sql = real_sql
-        # every canonical name (routed-then-restored, dropped, or never
-        # reached) still resolves and gives exact-tier answers
-        spark.createDataFrame(
-            [('{"k": 5} trailing',)], "j string"
-        ).createOrReplaceTempView("rollback_t")
-        for fn in regmod._AUTO_TIER_BODY:
-            row = spark.sql(
-                f"select {fn}(j, 'k') as v from rollback_t"
-            ).collect()[0]
-            assert row is not None, fn  # resolved + executed
-        # exact-tier semantics confirmed on the trailing-garbage doc
-        assert (
-            spark.sql("select json_get_int(j, 'k') v from rollback_t")
-            .collect()[0]
-            .v
-            == 5
-        )
-        jsonf.register_all(spark)  # leave the default surface in place
+            jsonf.register_all(spark)  # restore the default surface
+
+    def test_guard_chars_route_to_exact(self, spark):
+        # the Python-side _JSONPATH_UNSAFE set must stay in sync with
+        # the RLIKE class in _JSONPATH_GUARD: every unsafe char both
+        # (a) trips the SQL guard's raise_error on the routed tier and
+        # (b) makes the rewriter emit <name>_exact instead
+        import datafusion_functions_json_spark as jsonf
+        from datafusion_functions_json_spark import register as regmod
+        from datafusion_functions_json_spark.sql import rewrite_sql
+
+        routed = jsonf.register_all(spark, auto_tier=True)
+        try:
+            for ch in regmod._JSONPATH_UNSAFE:
+                key_sql = ("x" + ch + "y").replace("'", "''")
+                with pytest.raises(Exception, match="not expressible"):
+                    spark.sql(
+                        f"select json_get_int('{{}}', '{key_sql}')"
+                    ).collect()
+                # (b) the rewriter steers the same literal to _exact
+                txt = rewrite_sql(
+                    f"select j->>'{key_sql}' from t", routed=tuple(routed)
+                )
+                assert "json_as_text_exact(" in txt, (ch, txt)
+        finally:
+            jsonf.register_all(spark)
 
     def test_strict_profile_routes_nothing(self, spark):
         import datafusion_functions_json_spark as jsonf
