@@ -902,41 +902,116 @@ def centroid_assign(
     *,
     label_col: str = "label",
     centroid_col: str = "centroid",
+    impl: str = "numpy",
 ) -> DataFrame:
     """Nearest-centroid assignment (the classify/cluster-assign step of
     k-means or a prototype classifier): ``(id, pred_label, dist)`` with
     squared-L2 distance, ties broken by smallest label.
 
-    The centroid table is broadcast (labels × dim is KBs even at 4096
-    dims × 10k classes), so scoring is a map-side cross join — no
-    shuffle of the N-row side; the argmin is a ``min(struct(dist,
-    label))`` aggregation whose partial phase collapses each partition
-    to one row per id before any exchange. With upstream data already
-    keyed by id (one vector per id), Catalyst turns it into a
-    scan-shaped pass.
+    ``impl="numpy"`` (default, round 12): one Arrow-batched pandas UDF
+    computes every row's k distances against the collected k×dim
+    centroid matrix with a SEQUENTIAL per-dimension fold (``acc +=
+    (a_j - b_j)²`` in dimension order — the exact floating-point
+    operation order of the SQL path's ``aggregate`` fold, so distances
+    and therefore assignments and tie-breaks are BIT-IDENTICAL; pinned
+    by the differential test). This replaces the ``impl="sql"``
+    formulation — a broadcast crossJoin producing n×k rows each
+    evaluating an interpreted ``zip_with``+``aggregate`` HOF — whose
+    cost exploded once k scales with n (SemDeDup's derived k): the
+    round-12 sf10 sweep measured semantic_dedup at 107 s, ~95 of them
+    in this stage (200k rows × 40 centroids × 64 dims of interpreted
+    lambda ops); the numpy fold does the same flops in ~1 s. The
+    centroid collect is the same bounded k×dim driver state kmeans_fit
+    already holds between iterations.
+
+    Degenerate-vector envelope (both impls agree on ``pred_label``):
+    NULL vectors and length-mismatched vectors yield ``(smallest
+    label, NULL dist)`` on both paths. Vectors containing null / NaN /
+    infinite ELEMENTS also predict the smallest label on both paths,
+    but the numpy path reports dist NULL where the SQL fold would say
+    NULL (null element), NaN (NaN element), or Infinity (inf element)
+    — Arrow erases the null/NaN distinction before the UDF sees the
+    batch, so all three collapse to the NULL-dist arm.
+
+    ``impl="sql"`` keeps the pure-JVM formulation: zero Python workers,
+    scan-shaped (map-side cross join + partial-agg argmin, no shuffle
+    of the N-row side) — the right call when k is SMALL and fixed or
+    Python workers are unavailable.
     """
-    cent = F.broadcast(
-        centroids.select(
-            F.col(label_col).alias("_clabel"), F.col(centroid_col).alias("_cvec")
+    if impl == "sql":
+        cent = F.broadcast(
+            centroids.select(
+                F.col(label_col).alias("_clabel"),
+                F.col(centroid_col).alias("_cvec"),
+            )
         )
+        diff2 = F.aggregate(
+            F.zip_with(
+                _dvec(vec_col), _dvec("_cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        scored = df.crossJoin(cent).select(
+            F.col(id_col), F.col("_clabel"), diff2.alias("_d2")
+        )
+        best = scored.groupBy(id_col).agg(
+            F.min(F.struct(F.col("_d2"), F.col("_clabel"))).alias("_best")
+        )
+        return best.select(
+            id_col,
+            F.col("_best").getField("_clabel").alias("pred_label"),
+            F.col("_best").getField("_d2").alias("dist"),
+        )
+    if impl != "numpy":
+        raise ValueError(f"centroid_assign: unknown impl {impl!r}")
+    rows = sorted(
+        centroids.select(label_col, centroid_col).collect(),
+        key=lambda r: r[0],
     )
-    diff2 = F.aggregate(
-        F.zip_with(
-            _dvec(vec_col), _dvec("_cvec"), lambda a, b: (a - b) * (a - b)
-        ),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    scored = df.crossJoin(cent).select(
-        F.col(id_col), F.col("_clabel"), diff2.alias("_d2")
-    )
-    best = scored.groupBy(id_col).agg(
-        F.min(F.struct(F.col("_d2"), F.col("_clabel"))).alias("_best")
-    )
-    return best.select(
+    if not rows:
+        raise ValueError("centroid_assign: empty centroid table")
+    labels = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    C = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    k, dim = C.shape
+    min_label = int(labels[0])
+    # bound the (chunk × k) accumulator to ~32 MB of doubles
+    chunk_rows = max(1, (1 << 22) // max(k, 1))
+
+    @F.pandas_udf("struct<pred_label: int, dist: double>")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        n = len(vs)
+        pred = np.full(n, min_label, dtype=np.int64)
+        dist = pd.Series([None] * n, dtype=object)
+        ok = []
+        for i, v in enumerate(vs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape != (dim,) or not np.isfinite(a).all():
+                continue  # degenerate: (min_label, NULL) — see envelope
+            ok.append((i, a))
+        for s in range(0, len(ok), chunk_rows):
+            part = ok[s : s + chunk_rows]
+            V = np.stack([a for _, a in part])
+            acc = np.zeros((len(part), k), dtype=np.float64)
+            for j in range(dim):  # sequential fold == the SQL aggregate
+                d = V[:, j, None] - C[None, :, j]
+                acc += d * d
+            am = acc.argmin(axis=1)  # first min == smallest label (sorted)
+            dmin = acc[np.arange(len(part)), am]
+            for (i, _), lbl, dv in zip(part, labels[am], dmin):
+                pred[i] = lbl
+                dist.iloc[i] = float(dv)
+        return pd.DataFrame(
+            {"pred_label": pd.Series(pred), "dist": dist}
+        )
+
+    out = df.select(F.col(id_col), _assign(_dvec(vec_col)).alias("_a"))
+    return out.select(
         id_col,
-        F.col("_best").getField("_clabel").alias("pred_label"),
-        F.col("_best").getField("_d2").alias("dist"),
+        F.col("_a.pred_label").alias("pred_label"),
+        F.col("_a.dist").alias("dist"),
     )
 
 

@@ -1119,8 +1119,21 @@ class TestSimilarity:
         )
         from datafusion_functions_json_spark.plans import explain_str
 
+        # default (numpy) path: scan-shaped — one ArrowEvalPython, no join,
+        # no exchange of the N-row side
         plan = explain_str(assigned)
-        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "ArrowEvalPython" in plan
+        assert "Join" not in plan
+        # the SQL tier keeps the broadcast cross-join + partial-agg argmin
+        plan_sql = explain_str(
+            similarity.centroid_assign(
+                embeddings, "vec_id", "embedding", cent, impl="sql"
+            )
+        )
+        assert (
+            "BroadcastNestedLoopJoin" in plan_sql
+            or "BroadcastHashJoin" in plan_sql
+        )
         got = {r.vec_id: (r.pred_label, r.dist) for r in assigned.collect()}
         # numpy ground truth for a handful of ids
         crows = cent.collect()
@@ -1194,6 +1207,46 @@ class TestSimilarity:
             .count()
         )
         assert n_probed == 8  # all clusters populated => probe is selective
+
+    def test_centroid_assign_numpy_bit_equals_sql(self, spark):
+        # round-12: the numpy assignment (sequential per-dimension fold)
+        # must be BIT-identical to the SQL zip_with+aggregate path —
+        # same distances, same argmin, same tie-breaks — across random
+        # vectors, exact ties (duplicate centroids), label gaps, NULL
+        # vectors, and length-mismatched vectors
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(80)
+        ]
+        rows += [(900, None), (901, [1.0, 2.0])]  # null + wrong length
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        cents = [
+            (0, [rng.uniform(-1, 1) for _ in range(6)]),
+            (2, [rng.uniform(-1, 1) for _ in range(6)]),
+            (7, [0.5] * 6),
+            (9, [0.5] * 6),  # duplicate of label 7: every near row TIES
+        ]
+        cent = spark.createDataFrame(cents, "label int, centroid array<double>")
+        got_np = {
+            r.id: (r.pred_label, r.dist)
+            for r in similarity.centroid_assign(
+                df, "id", "v", cent, impl="numpy"
+            ).collect()
+        }
+        got_sql = {
+            r.id: (r.pred_label, r.dist)
+            for r in similarity.centroid_assign(
+                df, "id", "v", cent, impl="sql"
+            ).collect()
+        }
+        assert got_np == got_sql  # exact equality, dist bit-for-bit
+        # ties resolved toward label 7 (never 9), degenerates -> (0, None)
+        assert all(v[0] != 9 for v in got_np.values())
+        assert got_np[900] == (0, None) and got_np[901] == (0, None)
+        with pytest.raises(ValueError, match="impl"):
+            similarity.centroid_assign(df, "id", "v", cent, impl="bogus")
 
     def test_ivf_assign_vectorized_matches_scalar_loop(self, spark):
         # round-12: _assign's chunked (batch×k×dim) broadcast distance
