@@ -301,6 +301,33 @@ _AUTO_TIER_BODY = {
 }
 
 
+def _parser_extension_active(spark: SparkSession) -> bool:
+    """True when jsonsparkext.JsonSqlExtension's parse-time operator
+    rewriter is live on this session. Two detectors, OR-ed:
+
+    1. conf — ``spark.sql.extensions`` names the class (the documented
+       wiring, jvm_extension/src/jsonsparkext/JsonSqlExtension.java:31);
+    2. behavior — the session parser accepts ``x ->> 'k'`` as an
+       expression. Stock Spark rejects ``->>`` at parse time, so a
+       successful parse means SOME parse-time operator rewriter is
+       installed (programmatic injection included) and routing the
+       canonical names is unsafe regardless of how it got there.
+    """
+    try:
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        exts = ""
+    if "jsonsparkext" in exts:
+        return True
+    try:
+        spark._jsparkSession.sessionState().sqlParser().parseExpression(
+            "x ->> 'probe'"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def register_all(
     spark: SparkSession,
     *,
@@ -336,16 +363,33 @@ def register_all(
     reads the routed set from the session conf and steers incompatible
     call shapes to ``<name>_exact``). The JVM parser extension
     (``jsonsparkext.JsonSqlExtension``) does NOT — it rewrites at parse
-    time without reading the conf — so do not combine ``auto_tier``
-    with operator tokens through the extension's plain ``spark.sql``
-    path when queries chain path elements or index arrays; route such
-    sessions through :func:`~.sql.sql` or keep the default surface.
+    time without reading the conf, so e.g. ``j->>0`` becomes
+    ``json_as_text(j, 0)`` whose int index the routed fixed
+    ``(j STRING, k STRING)`` SQL UDF would silently mis-serve as object
+    key ``'0'``. ``auto_tier=True`` therefore REFUSES to route when the
+    extension is active on the session (conf check + a parse probe for
+    ``->>``): raises ``ValueError``. Use :func:`~.sql.sql` for the
+    operator surface in auto-tier sessions, or drop the extension.
     """
     names = {}
     for fn_key in _SQL_KERNELS:
         names[fn_key] = _make_sql_udf(fn_key)
     routed = []
     if auto_tier:
+        if _parser_extension_active(spark):
+            raise ValueError(
+                "register_all(auto_tier=True) cannot be combined with the "
+                "jsonsparkext.JsonSqlExtension parser extension: the "
+                "extension rewrites ->/->>/? at PARSE time without reading "
+                "the routed-names conf, so operator shapes the routed "
+                "(j STRING, k STRING) SQL UDFs cannot serve (int array "
+                "indexes, chained paths) would return silently wrong "
+                "answers (e.g. j->>0 read as object key '0'). Either "
+                "register with auto_tier=False, or remove "
+                "jsonsparkext.JsonSqlExtension from spark.sql.extensions "
+                "and use jsonf.sql(...) for the operator surface (it "
+                "auto-steers incompatible shapes to <name>_exact)."
+            )
         from .functions.native import recommend_tier
 
         rec = recommend_tier(
@@ -400,9 +444,11 @@ def register_all(
 _JSONPATH_UNSAFE = ".[]'\"$*"
 
 # shared JSONPath-key guard for the variant-tier SQL UDF bodies: keys
-# containing . [ ] ' " $ * are not expressible in JSONPath
+# containing . [ ] ' " $ * are not expressible in JSONPath, and the
+# EMPTY key would build JSONPath '$.' (INVALID_VARIANT_GET_PATH crash
+# where the exact tier answers — json_get_int('{"":5}','') is 5 there)
 _JSONPATH_GUARD = (
-    "CASE WHEN k RLIKE '[.\\\\[\\\\]''\"$*]' THEN "
+    "CASE WHEN length(k) = 0 OR k RLIKE '[.\\\\[\\\\]''\"$*]' THEN "
     "raise_error(concat('key ', k, ' is not expressible in JSONPath "
     "syntax; use the exact tier')) "
     "ELSE concat('$.', k) END"

@@ -390,6 +390,11 @@ def _routed_fits(fn: str, args, routed) -> bool:
     from .register import _JSONPATH_UNSAFE
 
     content = k[1:-1].replace("''", "'")
+    if not content:
+        # empty key: JSONPath '$.' is invalid — the routed body would
+        # raise where the exact tier answers (json_get_int('{"":5}','')
+        # is 5 there); unroutable, take <name>_exact
+        return False
     return not any(c in _JSONPATH_UNSAFE for c in content)
 
 

@@ -261,6 +261,24 @@ assert spark.sql(
 assert spark.sql("select transform(array(1,2), x -> x + 1)").collect()[0][0] == [2, 3]
 assert spark.sql("select ? + 1", args=[41]).collect()[0][0] == 42
 
+# auto_tier x parser-extension guard (round-13): the extension rewrites
+# j->>0 at parse time into json_as_text(j, 0) without reading the
+# routed-names conf; a routed fixed (j STRING, k STRING) SQL UDF would
+# silently serve int index 0 as object key '0'. register_all must
+# detect the live extension and REFUSE to route.
+from datafusion_functions_json_spark.register import _parser_extension_active
+assert _parser_extension_active(spark) is True
+try:
+    jsonf.register_all(spark, auto_tier=True)
+    raise SystemExit("expected auto_tier refusal with parser extension live")
+except ValueError as e:
+    assert "jsonsparkext" in str(e), str(e)[:300]
+# the refusal left the exact surface intact: int array index through the
+# extension's plain spark.sql path still answers correctly
+spark.createDataFrame([('[{"k": 9}, 2]',)], "j string").createOrReplaceTempView("arr_t")
+assert spark.sql("select j->0->>'k' from arr_t").collect()[0][0] == "9"
+assert spark.sql("select j->>1 from arr_t").collect()[0][0] == "2"
+
 print("E2E_OK")
 """
 

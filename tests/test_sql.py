@@ -471,6 +471,55 @@ class TestAutoTier:
         finally:
             jsonf.register_all(spark)
 
+    def test_empty_key_unroutable(self, spark):
+        # round-13 ADVICE: '' slipped through both guards — _routed_fits
+        # accepted it (len==2 quote-delimited, no unsafe chars) and the
+        # RLIKE guard never trips on an empty string, so the routed body
+        # built JSONPath '$.' and crashed (INVALID_VARIANT_GET_PATH)
+        # where the exact tier answers. Pins: (a) the SQL guard now
+        # raises the descriptive error, (b) the rewriter steers j->>''
+        # to <name>_exact, (c) end-to-end jsonf.sql and the exact tier
+        # both return the value of the empty-string key
+        import datafusion_functions_json_spark as jsonf
+        from datafusion_functions_json_spark.sql import rewrite_sql
+
+        routed = jsonf.register_all(spark, auto_tier=True)
+        try:
+            with pytest.raises(Exception, match="not expressible"):
+                spark.sql(
+                    "select json_get_int('{\"\":5}', '')"
+                ).collect()
+            txt = rewrite_sql("select j->>'' from t", routed=tuple(routed))
+            assert "json_as_text_exact(" in txt, txt
+            spark.createDataFrame(
+                [('{"":5}',)], "j string"
+            ).createOrReplaceTempView("empty_key_t")
+            assert (
+                jsonf.sql(spark, "select j->>'' as v from empty_key_t")
+                .collect()[0]
+                .v
+                == "5"
+            )
+            assert (
+                spark.sql(
+                    "select json_get_int_exact(j, '') as v from empty_key_t"
+                )
+                .collect()[0]
+                .v
+                == 5
+            )
+        finally:
+            jsonf.register_all(spark)
+
+    def test_parser_extension_probe_negative_on_stock_session(self, spark):
+        # the auto_tier x JVM-extension refusal guard must NOT trip on a
+        # stock session: the conf is unset and the parser rejects ->>
+        from datafusion_functions_json_spark.register import (
+            _parser_extension_active,
+        )
+
+        assert _parser_extension_active(spark) is False
+
     def test_strict_profile_routes_nothing(self, spark):
         import datafusion_functions_json_spark as jsonf
         from datafusion_functions_json_spark.functions.native import (
