@@ -796,6 +796,62 @@ def upsert_sink(
     return stream.writeStream.foreachBatch(_merge)
 
 
+def _map_free(col, dtype):
+    """Rewrite ``col`` (of ``dtype``) into an xxhash64-hashable column by
+    replacing every MapType at ANY nesting depth with its key-sorted
+    entries array: ``array_sort(map_entries(m))`` →
+    ``array<struct<key,value>>``. Used by the v3 upsert-sink fingerprint
+    so maps hash STRUCTURALLY (timestamps by internal epoch value —
+    session-timezone-independent) instead of through ``to_json``, whose
+    timestamp rendering follows ``spark.sql.session.timeZone`` and
+    re-fingerprinted byte-identical replays after a tz change.
+
+    Canonical by construction: map entry order is unspecified, so
+    entries are sorted by key (map keys are distinct and every map-free
+    type is orderable in Spark); a NULL map stays NULL (the caller's
+    isNull marker covers it). Key/value types are rewritten recursively
+    for maps nested inside maps, arrays, and structs."""
+
+    def _has_map(dt) -> bool:
+        return "MapType" in dt.__class__.__name__ or any(
+            _has_map(c) for c in _children(dt)
+        )
+
+    def _children(dt):
+        n = dt.__class__.__name__
+        if n == "ArrayType":
+            return [dt.elementType]
+        if n == "MapType":
+            return [dt.keyType, dt.valueType]
+        if n == "StructType":
+            return [f.dataType for f in dt.fields]
+        return []
+
+    n = dtype.__class__.__name__
+    if not _has_map(dtype):
+        return col
+    if n == "MapType":
+        return F.array_sort(
+            F.transform(
+                F.map_entries(col),
+                lambda e: F.struct(
+                    _map_free(e["key"], dtype.keyType).alias("key"),
+                    _map_free(e["value"], dtype.valueType).alias("value"),
+                ),
+            )
+        )
+    if n == "ArrayType":
+        return F.transform(col, lambda x: _map_free(x, dtype.elementType))
+    if n == "StructType":
+        return F.struct(
+            *[
+                _map_free(col[f.name], f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    return col  # pragma: no cover - map-bearing leaf types don't exist
+
+
 def merge_batch_fn(
     target_dir: str,
     keys,
@@ -846,24 +902,22 @@ def merge_batch_fn(
         # Spark's hash leaves the accumulator UNCHANGED on a NULL input,
         # so without the never-null boolean marker (NULL,'a') and
         # ('a',NULL) would collide. Columns containing a MapType at ANY
-        # nesting depth (unhashable by xxhash64) fall back to per-column
-        # to_json — for those columns only, timestamps embedded in the
-        # map remain session-timezone-sensitive: pin the session tz for
-        # such schemas or pass verify_replays=False. v2 is kept only to
-        # verify ledger lines written before the format change.
+        # nesting depth (unhashable by xxhash64) are rewritten
+        # STRUCTURALLY by _map_free — every map becomes its
+        # key-sorted entries array (array<struct<key,value>>, hashable,
+        # entry-order-canonical), so timestamps inside maps also hash by
+        # internal epoch value and stay session-timezone-independent.
+        # v2 is kept only to verify ledger lines written before the
+        # format change.
         if version == "v2":
             per_row = F.xxhash64(F.to_json(F.struct(*sorted(df.columns))))
         else:
-            fields = dict(df.dtypes)
+            fields = {f.name: f.dataType for f in df.schema.fields}
             parts: list = []
             for c in sorted(df.columns):
                 col = F.col(c)
                 parts.append(col.isNull())
-                # substring match, not startswith: a map nested inside
-                # an array/struct also makes xxhash64 fail analysis
-                parts.append(
-                    F.to_json(col) if "map<" in fields[c] else col
-                )
+                parts.append(_map_free(col, fields[c]))
             per_row = F.xxhash64(*parts)
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -888,18 +942,25 @@ def merge_batch_fn(
         digits) must read as absent — trusted replay — never as a
         mismatched fingerprint that would refuse a byte-identical
         replay, so only newline-terminated lines whose fingerprint
-        matches the ``<count>:<hashsum>`` shape are believed."""
+        matches the ``<count>:<hashsum>`` shape are believed.
+
+        The file is read in BINARY mode: the cached resume position is
+        a byte offset, and ``TextIOWrapper.seek`` is only defined for
+        ``tell()`` cookies — the previous text-mode read worked only
+        because ledger content is ASCII and the locale encoding
+        cooperated (round-13 ADVICE)."""
         try:
-            with open(os.path.join(target_dir, _COMMITS)) as f:
+            with open(os.path.join(target_dir, _COMMITS), "rb") as f:
                 f.seek(_ledger_cache["pos"])
-                text = f.read()
+                raw = f.read()
         except OSError:
             return None
         consumed = 0
-        for line in text.splitlines(keepends=True):
-            if not line.endswith("\n"):
+        for bline in raw.splitlines(keepends=True):
+            if not bline.endswith(b"\n"):
                 break  # torn trailing append: re-read next time
-            consumed += len(line.encode("utf-8", "surrogateescape"))
+            consumed += len(bline)
+            line = bline.decode("utf-8", "surrogateescape")
             parts = line.strip().split(":", 2)
             if (
                 len(parts) == 3

@@ -1052,8 +1052,9 @@ class TestLedgerRound12:
 
     def test_fingerprint_handles_nested_map_columns(self, spark, tmp_path):
         # xxhash64 rejects MapType at ANY nesting depth (analysis
-        # error); such columns must take the to_json fallback — a
-        # top-level-only check crash-looped on array<map<...>> schemas
+        # error); such columns must be rewritten structurally
+        # (_map_free: key-sorted entries arrays) — a top-level-only
+        # check crash-looped on array<map<...>> schemas
         tgt = str(tmp_path / "nestedmap_tgt")
         merge = js.merge_batch_fn(tgt, "id")
         df = spark.createDataFrame(
@@ -1071,6 +1072,57 @@ class TestLedgerRound12:
                 ),
                 0,
             )
+
+    def test_map_timestamp_replay_noop_across_tz_change(
+        self, spark, tmp_path
+    ):
+        # round-13: the v3 fingerprint's former to_json FALLBACK for
+        # map-typed columns re-introduced session-timezone sensitivity
+        # for timestamps nested in maps — the exact replay-refusal class
+        # v3 was built to close. Maps now hash structurally (_map_free:
+        # key-sorted entries arrays, timestamps by internal epoch), so a
+        # restart under a different spark.sql.session.timeZone must
+        # no-op on identical content, even for array<map<string,ts>>.
+        import datetime
+
+        tgt = str(tmp_path / "maptz_tgt")
+        schema = "id bigint, evs array<map<string,timestamp>>"
+        rows = [
+            (1, [{"start": datetime.datetime(2024, 3, 10, 2, 30)}]),
+            (2, None),
+            (3, [None, {"a": None}]),
+        ]
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        merge = js.merge_batch_fn(tgt, "id")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            merge(spark.createDataFrame(rows, schema), 0)
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+            merge(spark.createDataFrame(rows, schema), 0)  # no raise
+            # new data under the recycled id still refuses
+            with pytest.raises(ValueError, match="checkpoint reset"):
+                merge(
+                    spark.createDataFrame(
+                        [(9, [{"x": datetime.datetime(2030, 1, 1)}])],
+                        schema,
+                    ),
+                    0,
+                )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    def test_map_fingerprint_is_entry_order_canonical(self, spark, tmp_path):
+        # map entry order is unspecified in Spark's runtime values; the
+        # structural hash sorts entries by key, so the same logical map
+        # delivered with a different entry order must fingerprint equal
+        tgt = str(tmp_path / "maporder_tgt")
+        merge = js.merge_batch_fn(tgt, "id")
+        schema = "id bigint, m map<string,int>"
+        merge(spark.createDataFrame([(1, {"a": 1, "b": 2})], schema), 0)
+        merge(spark.createDataFrame([(1, {"b": 2, "a": 1})], schema), 0)
+        # a different VALUE under the same keys still refuses
+        with pytest.raises(ValueError, match="checkpoint reset"):
+            merge(spark.createDataFrame([(1, {"a": 1, "b": 3})], schema), 0)
 
     def test_v2_ledger_line_upgrade_replay_noop(self, spark, tmp_path):
         # a target whose ledger was written before the v2→v3 change:
