@@ -902,13 +902,23 @@ def centroid_assign(
     *,
     label_col: str = "label",
     centroid_col: str = "centroid",
-    impl: str = "numpy",
+    impl: str = "auto",
 ) -> DataFrame:
     """Nearest-centroid assignment (the classify/cluster-assign step of
     k-means or a prototype classifier): ``(id, pred_label, dist)`` with
     squared-L2 distance, ties broken by smallest label.
 
-    ``impl="numpy"`` (default, round 12): one Arrow-batched pandas UDF
+    ``impl="auto"`` (default, round 13) collects the centroid table
+    (bounded k×dim driver state — the same collect the numpy kernel
+    needs anyway) and picks the numpy kernel whenever the per-row SQL
+    cost is non-trivial (``k >= 2 and k*dim >= 32`` — below that the
+    interpreted fold is cheaper than an Arrow hop and the plan stays
+    pure JVM); sessions with no Python workers should pass
+    ``impl="sql"`` explicitly. Both the empty centroid table and a NULL
+    centroid label raise a descriptive ``ValueError`` on the collecting
+    paths (auto/numpy) instead of an opaque crash (round-13 ADVICE).
+
+    ``impl="numpy"`` (round 12): one Arrow-batched pandas UDF
     computes every row's k distances against the collected k×dim
     centroid matrix with a SEQUENTIAL per-dimension fold (``acc +=
     (a_j - b_j)²`` in dimension order — the exact floating-point
@@ -963,14 +973,30 @@ def centroid_assign(
             F.col("_best").getField("_clabel").alias("pred_label"),
             F.col("_best").getField("_d2").alias("dist"),
         )
-    if impl != "numpy":
+    if impl not in ("numpy", "auto"):
         raise ValueError(f"centroid_assign: unknown impl {impl!r}")
-    rows = sorted(
-        centroids.select(label_col, centroid_col).collect(),
-        key=lambda r: r[0],
-    )
+    rows = centroids.select(label_col, centroid_col).collect()
     if not rows:
         raise ValueError("centroid_assign: empty centroid table")
+    if any(r[0] is None for r in rows):
+        raise ValueError(
+            "centroid_assign: NULL label in centroid table — every "
+            "centroid row needs a non-null integer label"
+        )
+    rows = sorted(rows, key=lambda r: r[0])
+    if impl == "auto":
+        k = len(rows)
+        dim0 = len(rows[0][1]) if rows[0][1] is not None else 0
+        if k < 2 or k * dim0 < 32:
+            return centroid_assign(
+                df,
+                id_col,
+                vec_col,
+                centroids,
+                label_col=label_col,
+                centroid_col=centroid_col,
+                impl="sql",
+            )
     labels = np.array([int(r[0]) for r in rows], dtype=np.int64)
     C = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
     k, dim = C.shape

@@ -1134,6 +1134,8 @@ class TestSimilarity:
             "BroadcastNestedLoopJoin" in plan_sql
             or "BroadcastHashJoin" in plan_sql
         )
+        # the sql tier is pure JVM: zero Python/Arrow hops in-plan
+        assert "EvalPython" not in plan_sql
         got = {r.vec_id: (r.pred_label, r.dist) for r in assigned.collect()}
         # numpy ground truth for a handful of ids
         crows = cent.collect()
@@ -1247,6 +1249,104 @@ class TestSimilarity:
         assert got_np[900] == (0, None) and got_np[901] == (0, None)
         with pytest.raises(ValueError, match="impl"):
             similarity.centroid_assign(df, "id", "v", cent, impl="bogus")
+
+    def test_centroid_assign_auto_tier_selection(self, spark):
+        # round-13: impl="auto" (the new default) picks numpy when the
+        # per-row SQL cost is non-trivial (k>=2 and k*dim>=32) and the
+        # pure-JVM sql formulation below that; both produce identical
+        # assignments
+        from datafusion_functions_json_spark.plans import explain_str
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 5), float(i % 3)]) for i in range(20)],
+            "id long, v array<double>",
+        )
+        tiny = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [4.0, 2.0])],
+            "label int, centroid array<double>",
+        )
+        # k=2, dim=2 -> k*dim=4 < 32: auto stays pure JVM
+        auto_small = similarity.centroid_assign(df, "id", "v", tiny)
+        assert "EvalPython" not in explain_str(auto_small)
+        dim = 32
+        df_big = spark.createDataFrame(
+            [(i, [float(i)] * dim) for i in range(20)],
+            "id long, v array<double>",
+        )
+        big = spark.createDataFrame(
+            [(j, [float(5 * j)] * dim) for j in range(4)],
+            "label int, centroid array<double>",
+        )
+        # k=4, dim=32 -> auto takes the numpy kernel
+        auto_big = similarity.centroid_assign(df_big, "id", "v", big)
+        assert "ArrowEvalPython" in explain_str(auto_big)
+        want = {
+            r.id: (r.pred_label, r.dist)
+            for r in similarity.centroid_assign(
+                df_big, "id", "v", big, impl="sql"
+            ).collect()
+        }
+        got = {r.id: (r.pred_label, r.dist) for r in auto_big.collect()}
+        assert got == want
+
+    def test_centroid_assign_degenerate_tables_raise_descriptively(
+        self, spark
+    ):
+        # round-13 ADVICE: the collecting paths (auto/numpy) must raise
+        # descriptive errors — not int(None) TypeErrors — on an empty
+        # centroid table or NULL centroid labels
+        df = spark.createDataFrame([(1, [0.0])], "id long, v array<double>")
+        empty = spark.createDataFrame([], "label int, centroid array<double>")
+        with pytest.raises(ValueError, match="empty centroid table"):
+            similarity.centroid_assign(df, "id", "v", empty)
+        nul = spark.createDataFrame(
+            [(None, [0.0]), (1, [1.0])], "label int, centroid array<double>"
+        )
+        with pytest.raises(ValueError, match="NULL label"):
+            similarity.centroid_assign(df, "id", "v", nul)
+        with pytest.raises(ValueError, match="NULL label"):
+            similarity.centroid_assign(df, "id", "v", nul, impl="numpy")
+
+    def test_centroid_assign_nonfinite_element_envelope(self, spark):
+        # round-13: PIN the documented dist-taxonomy envelope so a future
+        # numpy change can't silently alter it — vectors with null / NaN
+        # / infinite ELEMENTS predict the smallest label on BOTH paths;
+        # the numpy path reports dist NULL for all three, where the SQL
+        # fold distinguishes NULL / NaN / Infinity
+        import math
+
+        rows = [
+            (0, [1.0, 2.0, None, 4.0]),
+            (1, [1.0, float("nan"), 3.0, 4.0]),
+            (2, [float("inf"), 2.0, 3.0, 4.0]),
+            (3, [1.0, 2.0, 3.0, float("-inf")]),
+        ]
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        cent = spark.createDataFrame(
+            [(5, [0.0] * 4), (8, [9.0] * 4)],
+            "label int, centroid array<double>",
+        )
+        got_np = {
+            r.id: (r.pred_label, r.dist)
+            for r in similarity.centroid_assign(
+                df, "id", "v", cent, impl="numpy"
+            ).collect()
+        }
+        assert got_np == {i: (5, None) for i in range(4)}
+        got_sql = {
+            r.id: (r.pred_label, r.dist)
+            for r in similarity.centroid_assign(
+                df, "id", "v", cent, impl="sql"
+            ).collect()
+        }
+        # pred_label agrees everywhere (smallest label on degenerates)
+        assert {i: v[0] for i, v in got_sql.items()} == {
+            i: v[0] for i, v in got_np.items()
+        }
+        # the SQL fold's richer taxonomy: NULL / NaN / Infinity
+        assert got_sql[0][1] is None
+        assert math.isnan(got_sql[1][1])
+        assert math.isinf(got_sql[2][1]) and math.isinf(got_sql[3][1])
 
     def test_ivf_assign_vectorized_matches_scalar_loop(self, spark):
         # round-12: _assign's chunked (batch×k×dim) broadcast distance
