@@ -208,6 +208,7 @@ def main():
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
     runs_max = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_MAX", "16"))
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "300"))
+
     # INTERLEAVED passes: the host shows multi-second interference spikes
     # lasting longer than one query's back-to-back runs, so run the whole
     # list once per pass and take the per-query min across passes — a
@@ -219,33 +220,66 @@ def main():
     # a noisy host (round 3 recorded every query uniformly ~1.5× round
     # 2's identical code) the extra passes are exactly the chance for the
     # per-query min to land in a quiet window.
-    best = {name: None for name in all_queries}
-    duck_best = {name: None for name in duck_sql}
-    bench_t0 = time.time()
-    passes = 0
-    while passes < runs or (
-        passes < runs_max and time.time() - bench_t0 < budget
-    ):
-        for name in all_queries:
-            fn = qs[name]
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            # terminal action: noop-sink write forces EVERY column to be
-            # computed (count() would let Catalyst prune unaggregated
-            # projections — measuring the scan, not the extraction)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            b = best[name]
-            best[name] = dt if b is None else min(b, dt)
-            # paired DuckDB run, back-to-back with the Spark run so both
-            # sides sample the same interference window
-            if name in duck_sql:
+    def _window(entry_eff: float):
+        best = {name: None for name in all_queries}
+        duck_best = {name: None for name in duck_sql}
+        bench_t0 = time.time()
+        passes = 0
+        while passes < runs or (
+            passes < runs_max and time.time() - bench_t0 < budget
+        ):
+            for name in all_queries:
+                fn = qs[name]
                 t0 = time.time()
-                con.sql(duck_sql[name]).fetchall()
+                df = fn(spark, sf_dir)
+                # terminal action: noop-sink write forces EVERY column to
+                # be computed (count() would let Catalyst prune
+                # unaggregated projections — measuring the scan, not the
+                # extraction)
+                df.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                b = duck_best[name]
-                duck_best[name] = dt if b is None else min(b, dt)
-        passes += 1
+                b = best[name]
+                best[name] = dt if b is None else min(b, dt)
+                # paired DuckDB run, back-to-back with the Spark run so
+                # both sides sample the same interference window
+                if name in duck_sql:
+                    t0 = time.time()
+                    con.sql(duck_sql[name]).fetchall()
+                    dt = time.time() - t0
+                    b = duck_best[name]
+                    duck_best[name] = dt if b is None else min(b, dt)
+            passes += 1
+        # the window's efficiency is its WORST probe reading (entry and
+        # exit): contention that starts mid-window must not read as clean
+        exit_eff = _host_parallel_efficiency(min(32, os.cpu_count() or 32))
+        return best, duck_best, passes, round(min(entry_eff, exit_eff), 3)
+
+    # HOST-NOISE GUARD (round 13): paired ratios cannot cancel vCPU
+    # oversubscription — these sub-second DuckDB twins are effectively
+    # single-threaded while Spark runs 32-way, so a degraded host
+    # inflates ratio_paired on byte-identical code (r12 measured
+    # 1.297→1.473 at efficiency 0.907→0.788). When the window's
+    # efficiency probe reads below SPARK_GRAFT_BENCH_EFF_MIN (default
+    # 0.85), rerun the whole window once and keep the
+    # better-efficiency window — same protocol the sf1 gate documents.
+    eff_min = float(os.environ.get("SPARK_GRAFT_BENCH_EFF_MIN", "0.85"))
+    reruns = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "1"))
+    windows = []
+    best, duck_best, passes, eff = _window(host_eff)
+    windows.append(eff)
+    while eff < eff_min and reruns > 0:
+        reruns -= 1
+        print(
+            f"# host degraded (efficiency {eff} < {eff_min}): rerunning "
+            "the bench window",
+            file=sys.stderr,
+        )
+        entry_eff = _host_parallel_efficiency(min(32, os.cpu_count() or 32))
+        b2, d2, p2, e2 = _window(entry_eff)
+        windows.append(e2)
+        if e2 > eff:
+            best, duck_best, passes, eff = b2, d2, p2, e2
+    host_eff = eff
     print(f"# passes: {passes}", file=sys.stderr)
     # min over passes: the minimum is the reproducible steady-state cost
     times = {name: round(best[name], 3) for name in all_queries}
@@ -280,6 +314,8 @@ def main():
                 if duck_total
                 else None,
                 "host_parallel_efficiency": host_eff,
+                "efficiency_windows": windows,
+                "efficiency_floor": eff_min,
                 "sf": sf,
             }
         )

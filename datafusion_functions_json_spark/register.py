@@ -301,31 +301,56 @@ _AUTO_TIER_BODY = {
 }
 
 
-def _parser_extension_active(spark: SparkSession) -> bool:
-    """True when jsonsparkext.JsonSqlExtension's parse-time operator
-    rewriter is live on this session. Two detectors, OR-ed:
+def _parser_extension_state(spark: SparkSession):
+    """How the session's parse-time operator rewriter relates to
+    auto-tier routing: ``None`` (no rewriter installed), ``"aware"``
+    (a jsonsparkext jar that reads the routed-names conf at parse time
+    and steers incompatible operator shapes to ``<name>_exact`` — safe
+    to route), or ``"legacy"`` (a conf-blind rewriter: routing the
+    canonical names would silently mis-serve e.g. ``j->>0``).
+
+    Liveness detectors, OR-ed:
 
     1. conf — ``spark.sql.extensions`` names the class (the documented
        wiring, jvm_extension/src/jsonsparkext/JsonSqlExtension.java:31);
     2. behavior — the session parser accepts ``x ->> 'k'`` as an
        expression. Stock Spark rejects ``->>`` at parse time, so a
        successful parse means SOME parse-time operator rewriter is
-       installed (programmatic injection included) and routing the
-       canonical names is unsafe regardless of how it got there.
+       installed (programmatic injection included).
+
+    Capability probe: the routed-aware jar exposes
+    ``JsonOperatorRewriter.rewriteRouted(query, routedCsv)`` (the same
+    entry point its parser wrapper calls with the conf value); if the
+    method resolves and steers a probe call, the rewriter composes
+    with routing. Any failure reads as ``"legacy"`` — conservative,
+    never unsafe.
     """
+    active = False
     try:
         exts = spark.conf.get("spark.sql.extensions", "") or ""
     except Exception:
         exts = ""
     if "jsonsparkext" in exts:
-        return True
+        active = True
+    if not active:
+        try:
+            spark._jsparkSession.sessionState().sqlParser().parseExpression(
+                "x ->> 'probe'"
+            )
+            active = True
+        except Exception:
+            active = False
+    if not active:
+        return None
     try:
-        spark._jsparkSession.sessionState().sqlParser().parseExpression(
-            "x ->> 'probe'"
+        out = spark._jvm.jsonsparkext.JsonOperatorRewriter.rewriteRouted(
+            "select j->>0 from t", "json_as_text"
         )
-        return True
+        if "json_as_text_exact(" in out:
+            return "aware"
     except Exception:
-        return False
+        pass
+    return "legacy"
 
 
 def register_all(
@@ -361,34 +386,35 @@ def register_all(
 
     :func:`~.sql.sql`'s operator rewriter composes automatically (it
     reads the routed set from the session conf and steers incompatible
-    call shapes to ``<name>_exact``). The JVM parser extension
-    (``jsonsparkext.JsonSqlExtension``) does NOT — it rewrites at parse
-    time without reading the conf, so e.g. ``j->>0`` becomes
-    ``json_as_text(j, 0)`` whose int index the routed fixed
-    ``(j STRING, k STRING)`` SQL UDF would silently mis-serve as object
-    key ``'0'``. ``auto_tier=True`` therefore REFUSES to route when the
-    extension is active on the session (conf check + a parse probe for
-    ``->>``): raises ``ValueError``. Use :func:`~.sql.sql` for the
-    operator surface in auto-tier sessions, or drop the extension.
+    call shapes to ``<name>_exact``), and so does the current JVM
+    parser extension (``jsonsparkext.JsonSqlExtension``): its parser
+    wrapper reads the same conf at parse time and applies the same
+    ``_routed_fits`` rule (Java twin, pinned by the routed
+    differential corpus). A LEGACY conf-blind jar would instead
+    silently mis-serve e.g. ``j->>0`` (int index read as object key
+    ``'0'`` by the routed fixed ``(j STRING, k STRING)`` SQL UDF), so
+    ``auto_tier=True`` probes the live rewriter's capability
+    (:func:`_parser_extension_state`) and raises ``ValueError`` when a
+    parse-time rewriter is active but not routed-aware.
     """
     names = {}
     for fn_key in _SQL_KERNELS:
         names[fn_key] = _make_sql_udf(fn_key)
     routed = []
     if auto_tier:
-        if _parser_extension_active(spark):
+        if _parser_extension_state(spark) == "legacy":
             raise ValueError(
-                "register_all(auto_tier=True) cannot be combined with the "
-                "jsonsparkext.JsonSqlExtension parser extension: the "
-                "extension rewrites ->/->>/? at PARSE time without reading "
-                "the routed-names conf, so operator shapes the routed "
-                "(j STRING, k STRING) SQL UDFs cannot serve (int array "
-                "indexes, chained paths) would return silently wrong "
-                "answers (e.g. j->>0 read as object key '0'). Either "
-                "register with auto_tier=False, or remove "
-                "jsonsparkext.JsonSqlExtension from spark.sql.extensions "
-                "and use jsonf.sql(...) for the operator surface (it "
-                "auto-steers incompatible shapes to <name>_exact)."
+                "register_all(auto_tier=True) cannot be combined with this "
+                "session's parse-time operator rewriter: it rewrites "
+                "->/->>/? without reading the routed-names conf, so "
+                "operator shapes the routed (j STRING, k STRING) SQL UDFs "
+                "cannot serve (int array indexes, chained paths) would "
+                "return silently wrong answers (e.g. j->>0 read as object "
+                "key '0'). Rebuild jvm_extension/ to get the routed-aware "
+                "jsonsparkext.JsonSqlExtension (it steers such shapes to "
+                "<name>_exact at parse time), register with "
+                "auto_tier=False, or drop the extension and use "
+                "jsonf.sql(...) for the operator surface."
             )
         from .functions.native import recommend_tier
 

@@ -512,13 +512,37 @@ class TestAutoTier:
             jsonf.register_all(spark)
 
     def test_parser_extension_probe_negative_on_stock_session(self, spark):
-        # the auto_tier x JVM-extension refusal guard must NOT trip on a
+        # the auto_tier x parse-time-rewriter guard must NOT trip on a
         # stock session: the conf is unset and the parser rejects ->>
         from datafusion_functions_json_spark.register import (
-            _parser_extension_active,
+            _parser_extension_state,
         )
 
-        assert _parser_extension_active(spark) is False
+        assert _parser_extension_state(spark) is None
+
+    def test_auto_tier_refuses_legacy_parser_rewriter(
+        self, spark, monkeypatch
+    ):
+        # a conf-blind parse-time rewriter (old jsonsparkext jar or any
+        # third-party ->-rewriter) combined with routing is the silent
+        # wrong-answer envelope of VERDICT r12 — register_all must
+        # refuse loudly and leave the session's surface untouched
+        import datafusion_functions_json_spark as jsonf
+        from datafusion_functions_json_spark import register as regmod
+
+        monkeypatch.setattr(
+            regmod, "_parser_extension_state", lambda s: "legacy"
+        )
+        with pytest.raises(ValueError, match="routed-names conf"):
+            jsonf.register_all(spark, auto_tier=True)
+        monkeypatch.setattr(
+            regmod, "_parser_extension_state", lambda s: "aware"
+        )
+        try:
+            assert jsonf.register_all(spark, auto_tier=True)
+        finally:
+            monkeypatch.undo()
+            jsonf.register_all(spark)
 
     def test_strict_profile_routes_nothing(self, spark):
         import datafusion_functions_json_spark as jsonf
