@@ -667,10 +667,11 @@ def contamination_alerts(
 
 _LATEST = "_LATEST"
 # append-only commit ledger for upsert_sink targets: one
-# `v3:<version>:<rowcount>:<hashsum>` line per committed batch (v2 lines
-# from pre-round-12 targets are still verified, with the v2 formula), used to
-# distinguish an at-least-once replay (same content, safe no-op) from a
-# checkpoint reset feeding NEW data under a recycled batch id (refused)
+# `v4:<version>:<rowcount>:<hashsum>` line per committed batch (v2/v3
+# lines from earlier targets are still verified, each with its own
+# formula), used to distinguish an at-least-once replay (same content,
+# safe no-op) from a checkpoint reset feeding NEW data under a recycled
+# batch id (refused)
 _COMMITS = "_COMMITS"
 # writer fence: an exclusive advisory lock on this file is held for the
 # duration of each batch commit, making the read-merge-write-pointer-
@@ -796,60 +797,59 @@ def upsert_sink(
     return stream.writeStream.foreachBatch(_merge)
 
 
-def _map_free(col, dtype):
-    """Rewrite ``col`` (of ``dtype``) into an xxhash64-hashable column by
-    replacing every MapType at ANY nesting depth with its key-sorted
-    entries array: ``array_sort(map_entries(m))`` →
-    ``array<struct<key,value>>``. Used by the v3 upsert-sink fingerprint
-    so maps hash STRUCTURALLY (timestamps by internal epoch value —
-    session-timezone-independent) instead of through ``to_json``, whose
-    timestamp rendering follows ``spark.sql.session.timeZone`` and
-    re-fingerprinted byte-identical replays after a tz change.
+def _canonical(col, dtype):
+    """Rewrite a nested ``col`` (of ``dtype``) into an xxhash64-hashable,
+    COLLISION-RESISTANT canonical form — the v4 upsert-sink fingerprint
+    encoding for every column whose type is a container:
 
-    Canonical by construction: map entry order is unspecified, so
-    entries are sorted by key (map keys are distinct and every map-free
-    type is orderable in Spark); a NULL map stays NULL (the caller's
-    isNull marker covers it). Key/value types are rewritten recursively
-    for maps nested inside maps, arrays, and structs."""
-
-    def _has_map(dt) -> bool:
-        return "MapType" in dt.__class__.__name__ or any(
-            _has_map(c) for c in _children(dt)
-        )
-
-    def _children(dt):
-        n = dt.__class__.__name__
-        if n == "ArrayType":
-            return [dt.elementType]
-        if n == "MapType":
-            return [dt.keyType, dt.valueType]
-        if n == "StructType":
-            return [f.dataType for f in dt.fields]
-        return []
-
+    - every MapType (at any nesting depth) becomes its key-sorted
+      entries array (``array_sort`` over rewritten ``map_entries``), so
+      maps hash structurally — timestamps by internal epoch value,
+      session-timezone-independent (the v3 ``to_json`` fallback
+      re-fingerprinted byte-identical replays of map<...,timestamp>
+      batches after a session-tz change) — and entry-order-canonically
+      (runtime entry order is unspecified; keys are distinct and every
+      canonical type is orderable in Spark);
+    - every NESTED nullable position gains an explicit never-null
+      boolean marker: array elements become ``struct(isnull, value)``,
+      map values likewise, struct fields get a flag field beside each
+      value field, and a NULL struct stays NULL (``when(isNotNull)``
+      guard). Spark's hash functions SKIP null inputs (the accumulator
+      is unchanged), so without markers ``['x', null]`` / ``[null,
+      'x']`` and ``[null]`` / ``[struct(null, null)]`` hash EQUAL —
+      a checkpoint reset differing exactly there would replay as
+      "identical content". Top-level columns get their marker in
+      ``_fingerprint`` itself; this extends the same rule inward.
+    """
     n = dtype.__class__.__name__
-    if not _has_map(dtype):
-        return col
     if n == "MapType":
         return F.array_sort(
             F.transform(
                 F.map_entries(col),
                 lambda e: F.struct(
-                    _map_free(e["key"], dtype.keyType).alias("key"),
-                    _map_free(e["value"], dtype.valueType).alias("value"),
+                    _canonical(e["key"], dtype.keyType).alias("k"),
+                    e["value"].isNull().alias("n"),
+                    _canonical(e["value"], dtype.valueType).alias("v"),
                 ),
             )
         )
     if n == "ArrayType":
-        return F.transform(col, lambda x: _map_free(x, dtype.elementType))
-    if n == "StructType":
-        return F.struct(
-            *[
-                _map_free(col[f.name], f.dataType).alias(f.name)
-                for f in dtype.fields
-            ]
+        return F.transform(
+            col,
+            lambda x: F.struct(
+                x.isNull().alias("n"),
+                _canonical(x, dtype.elementType).alias("v"),
+            ),
         )
-    return col  # pragma: no cover - map-bearing leaf types don't exist
+    if n == "StructType":
+        parts = []
+        for f in dtype.fields:
+            parts.append(col[f.name].isNull().alias(f.name + "__n"))
+            parts.append(
+                _canonical(col[f.name], f.dataType).alias(f.name)
+            )
+        return F.when(col.isNotNull(), F.struct(*parts))
+    return col
 
 
 def merge_batch_fn(
@@ -889,35 +889,56 @@ def merge_batch_fn(
 
     ks = [keys] if isinstance(keys, str) else list(keys)
 
-    def _fingerprint(df: DataFrame, version: str = "v3") -> str:
+    def _fingerprint(df: DataFrame, version: str = "v4") -> str:
         # order-insensitive batch content hash: per-row xxhash64 over the
         # full row (fixed column order), summed as decimal(38,0) — a
         # bigint sum would overflow-error under ANSI at real batch sizes.
-        # v3 hashes the COLUMNS directly (xxhash64 reads the internal
-        # representation — timestamps as epoch micros, dates as days —
-        # so the fingerprint is independent of spark.sql.session.timeZone;
-        # a v2 to_json-based fingerprint changed when a restarted stream
-        # ran under a different session timezone, refusing byte-identical
-        # replays). Each column is preceded by its isNull indicator:
-        # Spark's hash leaves the accumulator UNCHANGED on a NULL input,
-        # so without the never-null boolean marker (NULL,'a') and
-        # ('a',NULL) would collide. Columns containing a MapType at ANY
-        # nesting depth (unhashable by xxhash64) are rewritten
-        # STRUCTURALLY by _map_free — every map becomes its
-        # key-sorted entries array (array<struct<key,value>>, hashable,
-        # entry-order-canonical), so timestamps inside maps also hash by
-        # internal epoch value and stay session-timezone-independent.
-        # v2 is kept only to verify ledger lines written before the
-        # format change.
+        #
+        # v4 (current) hashes scalar columns directly (xxhash64 reads
+        # the internal representation — timestamps as epoch micros,
+        # dates as days — so the fingerprint is independent of
+        # spark.sql.session.timeZone) and container columns through
+        # _canonical: maps become key-sorted entries arrays (structural
+        # + entry-order-canonical, tz-independent for timestamps inside
+        # maps), and every nested nullable position carries an explicit
+        # marker. Each top-level column is likewise preceded by its
+        # never-null isNull indicator: Spark's hash leaves the
+        # accumulator UNCHANGED on a NULL input, so without markers
+        # (NULL,'a') and ('a',NULL) — at any depth — would collide.
+        #
+        # v3 (verify-only) hashed columns directly with a to_json
+        # fallback for map-bearing columns (tz-sensitive inside maps,
+        # nested-null collisions); v2 (verify-only) hashed
+        # to_json(struct(*cols)) (tz-sensitive everywhere). Both are
+        # kept EXACTLY as written so ledger lines from older targets
+        # keep verifying; new commits write v4.
         if version == "v2":
             per_row = F.xxhash64(F.to_json(F.struct(*sorted(df.columns))))
-        else:
-            fields = {f.name: f.dataType for f in df.schema.fields}
+        elif version == "v3":
+            fields = dict(df.dtypes)
             parts: list = []
             for c in sorted(df.columns):
                 col = F.col(c)
                 parts.append(col.isNull())
-                parts.append(_map_free(col, fields[c]))
+                # substring match, not startswith: a map nested inside
+                # an array/struct also makes xxhash64 fail analysis
+                parts.append(
+                    F.to_json(col) if "map<" in fields[c] else col
+                )
+            per_row = F.xxhash64(*parts)
+        else:
+            nested = ("ArrayType", "MapType", "StructType")
+            fields = {f.name: f.dataType for f in df.schema.fields}
+            parts = []
+            for c in sorted(df.columns):
+                col = F.col(c)
+                dt = fields[c]
+                parts.append(col.isNull())
+                parts.append(
+                    _canonical(col, dt)
+                    if dt.__class__.__name__ in nested
+                    else col
+                )
             per_row = F.xxhash64(*parts)
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -964,7 +985,7 @@ def merge_batch_fn(
             parts = line.strip().split(":", 2)
             if (
                 len(parts) == 3
-                and parts[0] in ("v2", "v3")
+                and parts[0] in ("v2", "v3", "v4")
                 and _FP_SHAPE.fullmatch(parts[2])
             ):
                 _ledger_cache["map"][parts[1]] = (parts[0], parts[2])
@@ -1038,8 +1059,9 @@ def merge_batch_fn(
             # trusted as a replay — same behavior as before the ledger.
             expect = _ledger_lookup(name) if verify_replays else None
             # recompute with the formula of the ledger line's version, so
-            # a target upgraded across the v2→v3 fingerprint change still
-            # no-ops on byte-identical replays of v2-committed batches
+            # a target upgraded across a fingerprint format change
+            # (v2→v3→v4) still no-ops on byte-identical replays of
+            # batches committed under the older formula
             if expect is not None and _fingerprint(batch_df, expect[0]) != expect[1]:
                 raise ValueError(
                     f"upsert_sink batch {batch_id} replays an already-"
@@ -1150,7 +1172,7 @@ def merge_batch_fn(
             except OSError:
                 pass
             with open(ledger, "a") as f:
-                f.write(("#torn\n" if torn else "") + f"v3:{name}:{fp}\n")
+                f.write(("#torn\n" if torn else "") + f"v4:{name}:{fp}\n")
         if keep_versions >= 1:
             # prune ONLY versions strictly below the pointer just
             # committed — never trust recency alone (an uncommitted

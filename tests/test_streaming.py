@@ -1124,6 +1124,30 @@ class TestLedgerRound12:
         with pytest.raises(ValueError, match="checkpoint reset"):
             merge(spark.createDataFrame([(1, {"a": 1, "b": 3})], schema), 0)
 
+    def test_canonical_distinguishes_null_struct_from_struct_of_nulls(
+        self, spark, tmp_path
+    ):
+        # round-13 review: [null] and [struct(null, null)] fingerprinted
+        # EQUAL under direct hashing (Spark's hash skips nulls AND a
+        # bare struct rebuild erases struct-level nullness) — a
+        # checkpoint reset differing exactly there replayed as
+        # "identical content". v4's _canonical element markers +
+        # when(isNotNull) struct guard keep them distinct.
+        tgt = str(tmp_path / "nullstruct_tgt")
+        schema = (
+            "id bigint, evs array<struct<m: map<string,int>, i: int>>"
+        )
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(
+            spark.createDataFrame([(1, [None])], schema),
+            0,
+        )
+        with pytest.raises(ValueError, match="checkpoint reset"):
+            merge(
+                spark.createDataFrame([(1, [(None, None)])], schema),
+                0,
+            )
+
     def test_v2_ledger_line_upgrade_replay_noop(self, spark, tmp_path):
         # a target whose ledger was written before the v2→v3 change:
         # replays of its committed batches are verified with the v2
@@ -1154,6 +1178,52 @@ class TestLedgerRound12:
         # and different content under the v2 line still refuses
         with pytest.raises(ValueError, match="checkpoint reset"):
             merge2(self._b(spark, [(9, "NEW")]), 0)
+
+    def test_v3_ledger_line_upgrade_replay_noop(self, spark, tmp_path):
+        # round-13: the v3→v4 format change (structural maps + nested
+        # null markers) must not crash-loop targets committed under v3 —
+        # ledger lines verify with the formula their version tag names,
+        # including the v3 to_json fallback for map-bearing columns
+        tgt = str(tmp_path / "v3_tgt")
+        schema = "id bigint, m map<string,int>, s string"
+        rows = [(1, {"a": 1}, "x"), (2, None, None)]
+        merge = js.merge_batch_fn(tgt, "id")
+        batch = spark.createDataFrame(rows, schema)
+        merge(batch, 0)
+        # rewrite the ledger line as v3 with the r12 formula (columns +
+        # null markers, to_json for the map-bearing column)
+        parts = []
+        for c in sorted(batch.columns):
+            col = F.col(c)
+            parts.append(col.isNull())
+            parts.append(F.to_json(col) if c == "m" else col)
+        row = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64(*parts).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        with open(os.path.join(tgt, "_COMMITS"), "w") as f:
+            f.write(f"v3:v{0:020d}:{int(row.n)}:{row.h}\n")
+        merge2 = js.merge_batch_fn(tgt, "id")
+        merge2(spark.createDataFrame(rows, schema), 0)  # no-op, no raise
+        with pytest.raises(ValueError, match="checkpoint reset"):
+            merge2(spark.createDataFrame([(9, {"z": 9}, "NEW")], schema), 0)
+
+    def test_nested_null_transposition_changes_fingerprint(
+        self, spark, tmp_path
+    ):
+        # round-13: Spark's hash SKIPS nulls, so without nested markers
+        # ['x', null] and [null, 'x'] (and [null] vs [struct(null,null)])
+        # fingerprint EQUAL — v4's _canonical adds a never-null marker at
+        # every nested nullable position
+        tgt = str(tmp_path / "nestednull_tgt")
+        schema = "id bigint, arr array<string>"
+        merge = js.merge_batch_fn(tgt, "id")
+        merge(spark.createDataFrame([(1, ["x", None])], schema), 0)
+        with pytest.raises(ValueError, match="checkpoint reset"):
+            merge(spark.createDataFrame([(1, [None, "x"])], schema), 0)
 
     def test_ledger_lookup_reads_tail_not_whole_file(self, spark, tmp_path):
         # the parsed-ledger cache: a replay check after N committed
