@@ -983,6 +983,18 @@ def centroid_assign(
             "centroid_assign: NULL label in centroid table — every "
             "centroid row needs a non-null integer label"
         )
+    if any(r[1] is None for r in rows) or any(
+        x is None for r in rows for x in r[1]
+    ):
+        raise ValueError(
+            "centroid_assign: NULL centroid vector (or NULL vector "
+            "element) in centroid table — centroids must be dense"
+        )
+    if len({len(r[1]) for r in rows}) != 1:
+        raise ValueError(
+            "centroid_assign: centroid vectors have mixed lengths — "
+            "all centroids must share one dimensionality"
+        )
     rows = sorted(rows, key=lambda r: r[0])
     if impl == "auto":
         k = len(rows)

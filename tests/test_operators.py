@@ -1306,6 +1306,23 @@ class TestSimilarity:
             similarity.centroid_assign(df, "id", "v", nul)
         with pytest.raises(ValueError, match="NULL label"):
             similarity.centroid_assign(df, "id", "v", nul, impl="numpy")
+        nulvec = spark.createDataFrame(
+            [(0, None), (1, [1.0])], "label int, centroid array<double>"
+        )
+        with pytest.raises(ValueError, match="NULL centroid vector"):
+            similarity.centroid_assign(df, "id", "v", nulvec)
+        nulel = spark.createDataFrame(
+            [(0, [None, 1.0]), (1, [1.0, 2.0])],
+            "label int, centroid array<double>",
+        )
+        with pytest.raises(ValueError, match="NULL centroid vector"):
+            similarity.centroid_assign(df, "id", "v", nulel)
+        ragged = spark.createDataFrame(
+            [(0, [1.0]), (1, [1.0, 2.0])],
+            "label int, centroid array<double>",
+        )
+        with pytest.raises(ValueError, match="mixed lengths"):
+            similarity.centroid_assign(df, "id", "v", ragged)
 
     def test_centroid_assign_nonfinite_element_envelope(self, spark):
         # round-13: PIN the documented dist-taxonomy envelope so a future
