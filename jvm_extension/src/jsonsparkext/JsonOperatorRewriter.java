@@ -48,7 +48,12 @@ public final class JsonOperatorRewriter {
         + "|(?<arrow>->)"
         + "|(?<question>\\?)"
         + "|(?<punct>(?s).)",
-        Pattern.DOTALL);
+        // UNICODE_CHARACTER_CLASS: Python's str-mode \s and \d are
+        // Unicode-aware (NBSP is whitespace, Unicode digits are \d);
+        // without the flag Java's are ASCII-only and an NBSP-separated
+        // `j ->> 'k'` tokenized differently in the two rewriters
+        // (pinned by the NBSP rows in the differential corpus)
+        Pattern.DOTALL | Pattern.UNICODE_CHARACTER_CLASS);
 
     private static final String[] KINDS = {
         "ws", "lcomment", "bcomment", "string", "dquote", "btick",

@@ -120,6 +120,11 @@ CURATED = [
     "select j -> -1.5 from t",
     "select (j->'a')::smallint from t",
     "select (j->'a')::real from t",
+    # round-13: Unicode whitespace — Python's \s matches NBSP; the Java
+    # tokenizer needs UNICODE_CHARACTER_CLASS to agree
+    "select j ->> 'k' from t",
+    "select j ? 'k' from t",
+    "select j -> 'a' from t",  # em space
 ]
 
 
