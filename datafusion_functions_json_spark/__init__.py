@@ -69,6 +69,7 @@ from .functions.api import (
     json_union_to_text,
     scalar_to_json,
 )
+from .functions.distinct_eval import eval_per_distinct
 from .functions.native import JsonProfile, recommend_tier, tier_callable
 from .register import register_all, register_native, register_pipeline
 from .sql import rewrite_sql, sql
@@ -95,6 +96,7 @@ __all__ = [
     "json_union_to_text",
     "json_is_null",
     "json_extract_multi",
+    "eval_per_distinct",
     "JsonProfile",
     "recommend_tier",
     "tier_callable",

@@ -1,6 +1,7 @@
 """json_extract_multi: fused N-field extraction must be bit-identical to
 N single-field calls (including the malformed-JSON fallback path)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 import datafusion_functions_json_spark as jsonf
@@ -296,3 +297,93 @@ class TestAutoTierMulti:
         ).select("u.*")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" in plan  # strict profile -> exact tier
+
+
+class TestEvalPerDistinct:
+    """eval_per_distinct: the dict-encoding-spirit distinct→evaluate→join
+    (reference common.rs:310-327 runs kernels on dictionary VALUES; the
+    relational spelling must be byte-identical to per-row evaluation)."""
+
+    DOCS = [
+        '{"k": 1, "s": "a"}',
+        '{"k": 1, "s": "a"}',      # duplicate doc
+        '{"k": 2}',
+        "not json",
+        "",
+        None,
+        None,                       # duplicate NULL
+        ' {"k": 3, "s": "ws"}',
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, d) for i, d in enumerate(self.DOCS)], "id int, j string"
+        )
+
+    def test_matches_per_row_evaluation(self, spark):
+        df = self._df(spark)
+        exprs = {
+            "k": lambda c: jsonf.json_get_int(c, "k"),
+            "s": lambda c: jsonf.json_as_text(c, "s"),
+        }
+        got = {
+            r.id: (r.k, r.s)
+            for r in jsonf.eval_per_distinct(df, "j", exprs).collect()
+        }
+        want = {
+            r.id: (r.k, r.s)
+            for r in df.select(
+                "id",
+                jsonf.json_get_int("j", "k").alias("k"),
+                jsonf.json_as_text("j", "s").alias("s"),
+            ).collect()
+        }
+        assert got == want  # includes NULL and malformed docs
+
+    def test_column_exprs_and_evaluation_count(self, spark):
+        # Column (non-callable) exprs work, and the Python kernel runs
+        # over the DISTINCT set only — pinned with an accumulator inside
+        # a pandas UDF counting processed rows (local mode: no task
+        # retries to inflate it; the persist-free plan evaluates the
+        # distinct side once for the single action)
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        df = self._df(spark)
+        acc = spark.sparkContext.accumulator(0)
+
+        @pandas_udf("long")
+        def counted_extract(s: pd.Series) -> pd.Series:
+            acc.add(len(s))
+            return pd.Series(
+                [len(x) if x is not None else None for x in s],
+                dtype="object",
+            )
+
+        out = jsonf.eval_per_distinct(
+            df, "j", {"n": counted_extract(F.col("j"))}
+        )
+        rows = {r.id: r.n for r in out.collect()}
+        n_distinct = len({d for d in self.DOCS if d is not None})
+        assert rows[0] == len(self.DOCS[0])
+        assert rows[5] is None  # NULL doc matched null-safely
+        # 8 input rows, 5 distinct non-null docs (+1 NULL distinct row)
+        assert acc.value <= n_distinct + 1, acc.value
+
+    def test_join_modes_and_validation(self, spark):
+        from datafusion_functions_json_spark.plans import explain_str
+
+        df = self._df(spark)
+        exprs = {"k": lambda c: jsonf.json_get_int(c, "k")}
+        plan_b = explain_str(
+            jsonf.eval_per_distinct(df, "j", exprs, join="broadcast")
+        )
+        assert "BroadcastHashJoin" in plan_b
+        plan_s = explain_str(
+            jsonf.eval_per_distinct(df, "j", exprs, join="shuffle")
+        )
+        assert "ShuffledHashJoin" in plan_s or "SortMergeJoin" in plan_s
+        with pytest.raises(ValueError, match="unknown join"):
+            jsonf.eval_per_distinct(df, "j", exprs, join="bogus")
+        with pytest.raises(ValueError, match="already exist"):
+            jsonf.eval_per_distinct(df, "j", {"id": exprs["k"]})
