@@ -24,6 +24,14 @@ Exactness: the join key is the raw document string compared null-safely
 (``eqNullSafe``), so results are byte-identical to evaluating per row —
 including NULL and malformed documents, which our kernels map to
 deterministic fallbacks. No semantic envelope, unlike the variant tier.
+
+Measured (local[8], 1.2M rows, 1000 distinct ~50-byte docs, two exact-
+tier extractions, min-of-3 noop-sink writes): per-row 1.10 s vs
+eval_per_distinct 0.61 s — the join overhead is already repaid at a
+1200:1 duplication ratio on tiny docs, and the gap widens with document
+size and duplication (the Python-kernel side scales with D, not N).
+For HIGH-cardinality columns (D ≈ N) the distinct+join is pure
+overhead — this is an opt-in spelling, not a default.
 """
 
 from __future__ import annotations
