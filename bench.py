@@ -119,6 +119,24 @@ def _burn(n):
     return s
 
 
+def _guarded_windows(run_window, probe, entry_eff, eff_min, reruns):
+    """Window-selection core of the host-noise guard, Spark-free so the
+    policy is unit-testable: run one window, and while its efficiency
+    reads under ``eff_min`` and reruns remain, run another and keep the
+    BETTER-efficiency window. ``run_window(entry_eff)`` returns a tuple
+    whose LAST element is the window's efficiency; ``probe()`` returns
+    a fresh entry reading. Returns (kept_window, all_efficiencies)."""
+    kept = run_window(entry_eff)
+    windows = [kept[-1]]
+    while kept[-1] < eff_min and reruns > 0:
+        reruns -= 1
+        cand = run_window(probe())
+        windows.append(cand[-1])
+        if cand[-1] > kept[-1]:
+            kept = cand
+    return kept, windows
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -264,21 +282,20 @@ def main():
     # better-efficiency window — same protocol the sf1 gate documents.
     eff_min = float(os.environ.get("SPARK_GRAFT_BENCH_EFF_MIN", "0.85"))
     reruns = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "1"))
-    windows = []
-    best, duck_best, passes, eff = _window(host_eff)
-    windows.append(eff)
-    while eff < eff_min and reruns > 0:
-        reruns -= 1
+
+    def _probe_rerun():
+        # only called when a window read under the floor — the rerun
+        # message rides the fresh entry probe
         print(
-            f"# host degraded (efficiency {eff} < {eff_min}): rerunning "
-            "the bench window",
+            f"# host degraded (efficiency < {eff_min}): rerunning the "
+            "bench window",
             file=sys.stderr,
         )
-        entry_eff = _host_parallel_efficiency(min(32, os.cpu_count() or 32))
-        b2, d2, p2, e2 = _window(entry_eff)
-        windows.append(e2)
-        if e2 > eff:
-            best, duck_best, passes, eff = b2, d2, p2, e2
+        return _host_parallel_efficiency(min(32, os.cpu_count() or 32))
+
+    (best, duck_best, passes, eff), windows = _guarded_windows(
+        _window, _probe_rerun, host_eff, eff_min, reruns
+    )
     host_eff = eff
     print(f"# passes: {passes}", file=sys.stderr)
     # min over passes: the minimum is the reproducible steady-state cost
