@@ -1053,7 +1053,7 @@ class TestLedgerRound12:
     def test_fingerprint_handles_nested_map_columns(self, spark, tmp_path):
         # xxhash64 rejects MapType at ANY nesting depth (analysis
         # error); such columns must be rewritten structurally
-        # (_map_free: key-sorted entries arrays) — a top-level-only
+        # (_canonical: key-sorted entries arrays) — a top-level-only
         # check crash-looped on array<map<...>> schemas
         tgt = str(tmp_path / "nestedmap_tgt")
         merge = js.merge_batch_fn(tgt, "id")
@@ -1079,7 +1079,7 @@ class TestLedgerRound12:
         # round-13: the v3 fingerprint's former to_json FALLBACK for
         # map-typed columns re-introduced session-timezone sensitivity
         # for timestamps nested in maps — the exact replay-refusal class
-        # v3 was built to close. Maps now hash structurally (_map_free:
+        # v3 was built to close. Maps now hash structurally (_canonical:
         # key-sorted entries arrays, timestamps by internal epoch), so a
         # restart under a different spark.sql.session.timeZone must
         # no-op on identical content, even for array<map<string,ts>>.
