@@ -82,6 +82,15 @@ def eval_per_distinct(
             f"eval_per_distinct: output names {clash} already exist in "
             "the input DataFrame"
         )
+    if _DOC in exprs:
+        # an output named like the internal join-key alias would make
+        # the computed table carry two `_DOC` columns, so the final
+        # drop(_DOC) would remove the user's output (or resolve
+        # ambiguously) — refuse up front like the df.columns clash
+        raise ValueError(
+            f"eval_per_distinct: output name {_DOC!r} is reserved for "
+            "the internal join key"
+        )
     if _DOC in df.columns:
         raise ValueError(
             f"eval_per_distinct: input already carries the internal "

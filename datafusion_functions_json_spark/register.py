@@ -318,12 +318,19 @@ def _parser_extension_state(spark: SparkSession):
        successful parse means SOME parse-time operator rewriter is
        installed (programmatic injection included).
 
-    Capability probe: the routed-aware jar exposes
-    ``JsonOperatorRewriter.rewriteRouted(query, routedCsv)`` (the same
-    entry point its parser wrapper calls with the conf value); if the
-    method resolves and steers a probe call, the rewriter composes
-    with routing. Any failure reads as ``"legacy"`` — conservative,
-    never unsafe.
+    Capability probe: BEHAVIORAL, against the live installed parser —
+    temporarily mark ``json_as_text`` as routed in the session conf
+    and parse the canonical incompatible shape ``j ->> 0``; a
+    routed-aware live rewriter steers it to ``json_as_text_exact`` at
+    parse time (the same steering the parser wrapper applies per
+    query). Probing the static ``rewriteRouted`` on the driver
+    classpath instead would conflate class PRESENCE with installed-
+    wrapper behavior: a conf-blind third-party rewriter handling
+    ``->>`` while a routed-aware jsonsparkext jar merely sits on the
+    classpath must read ``"legacy"``, and under this probe it does
+    (no ``_exact`` steer appears in what IT parses). Any failure —
+    no steer, parse error, conf plumbing — reads as ``"legacy"``:
+    conservative, never unsafe.
     """
     active = False
     try:
@@ -343,13 +350,26 @@ def _parser_extension_state(spark: SparkSession):
     if not active:
         return None
     try:
-        out = spark._jvm.jsonsparkext.JsonOperatorRewriter.rewriteRouted(
-            "select j->>0 from t", "json_as_text"
+        had = spark.conf.get(_ROUTED_CONF)
+    except Exception:
+        had = None
+    try:
+        spark.conf.set(_ROUTED_CONF, "json_as_text")
+        expr = spark._jsparkSession.sessionState().sqlParser().parseExpression(
+            "j ->> 0"
         )
-        if "json_as_text_exact(" in out:
+        if "json_as_text_exact" in expr.toString():
             return "aware"
     except Exception:
         pass
+    finally:
+        try:
+            if had is None:
+                spark.conf.unset(_ROUTED_CONF)
+            else:
+                spark.conf.set(_ROUTED_CONF, had)
+        except Exception:
+            pass
     return "legacy"
 
 

@@ -4,13 +4,19 @@ given SF, compare row count + order-insensitive values (columns sorted
 by name, rows sorted), and print a per-query verdict.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
-       python tools/check_oracle.py [sf_dir] --stale N
+       python tools/check_oracle.py [sf_dir] --stale N [--json OUT.json]
 
 ``--stale N`` runs the N registry entries LEAST recently checked by the
 driver (the exact staleness order ``queries()`` exposes — it reads the
 CORRECTNESS_r*.json history at call time), so the 50-slot rotation's
 residual staleness can be drained locally each round without hand-
 picking names.
+
+``--json OUT.json`` additionally writes the per-entry verdicts as a
+committable artifact (CHECKS_rNN.json): ``{"entries": {name:
+{"status": ok|fail|rows_only, "rows": n, "sec": t}}, "sf_dir": ...,
+"utc": ...}`` — so "every registry entry green" is verifiable from the
+repo without a ~15-minute re-run (VERDICT r13 §Next-round #4).
 """
 
 from __future__ import annotations
@@ -62,6 +68,14 @@ def canon(rows, cols):
 def main():
     argv = sys.argv[1:]
     stale_n = None
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        try:
+            json_out = argv[i + 1]
+        except IndexError:
+            raise SystemExit("--json requires an output path")
+        del argv[i : i + 2]
     if "--stale" in argv:
         i = argv.index("--stale")
         try:
@@ -100,6 +114,7 @@ def main():
         print(f"--stale {stale_n}: {', '.join(names)}\n")
         qs = {k: qs[k] for k in names}
     failures = []
+    entries = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -111,9 +126,14 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             failures.append(name)
+            entries[name] = {"status": "fail", "sec": round(time.time() - t0, 1)}
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            dt = time.time() - t0
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{dt:.1f}s]")
+            entries[name] = {
+                "status": "rows_only", "rows": len(srows), "sec": round(dt, 1),
+            }
             continue
         try:
             rel = con.sql(oracles[name])
@@ -122,13 +142,19 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
+            entries[name] = {"status": "fail", "sec": round(time.time() - t0, 1)}
             continue
         a, b = canon(srows, scols), canon(orows, ocols)
+        dt = time.time() - t0
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: column names {sorted(scols)} vs {sorted(ocols)}")
             failures.append(name)
+            entries[name] = {"status": "fail", "sec": round(dt, 1)}
         elif a == b:
-            print(f"OK    {name}: {len(a)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(a)} rows [{dt:.1f}s]")
+            entries[name] = {
+                "status": "ok", "rows": len(a), "sec": round(dt, 1),
+            }
         else:
             print(f"FAIL  {name}: {len(a)} vs {len(b)} rows; first diffs:")
             sb, sa = set(b), set(a)
@@ -137,8 +163,29 @@ def main():
             print("   spark:", diff_a)
             print("   duck :", diff_b)
             failures.append(name)
+            entries[name] = {"status": "fail", "sec": round(dt, 1)}
     print()
     print(f"{'ALL OK' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    if json_out:
+        import json as _json
+
+        counts = {"ok": 0, "fail": 0, "rows_only": 0}
+        for e in entries.values():
+            counts[e["status"]] += 1
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "utc": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "counts": counts,
+                    "entries": entries,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}: {counts}")
     spark.stop()
     return 1 if failures else 0
 
