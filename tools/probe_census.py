@@ -1,0 +1,90 @@
+"""Host-efficiency probe census: run bench.py's parallel-efficiency
+probe standalone (no Spark JVM) N times and record each reading
+together with the /proc/stat STEAL delta across the probe, so a
+sub-floor reading can be attributed: steal > ~2% of busy time during
+the probe means hypervisor-level vCPU oversubscription (external
+weather); steal ~0 with a low reading means the ceiling is structural
+(e.g. all-core clocks below single-core boost — invisible from a
+guest without cpufreq sysfs, which this VM does not expose).
+
+VERDICT r13 §Next-round #1 accepts either a >=0.85 bench window or a
+committed multi-attempt census showing the host never delivers one;
+this tool is the census instrument. Appends probe entries to
+BENCH_CENSUS_r14.json-style files via --append.
+
+Usage: python tools/probe_census.py [--n N] [--append CENSUS.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _host_parallel_efficiency  # noqa: E402
+
+
+def _stat_snapshot():
+    """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
+    line; busy = user+nice+system+irq+softirq (idle/iowait excluded)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    user, nice, system, _idle, _iowait, irq, softirq = vals[:7]
+    steal = vals[7] if len(vals) > 7 else 0
+    return user + nice + system + irq + softirq, steal
+
+
+def probe_once():
+    busy0, steal0 = _stat_snapshot()
+    t0 = time.time()
+    eff = _host_parallel_efficiency(min(32, os.cpu_count() or 32))
+    wall = time.time() - t0
+    busy1, steal1 = _stat_snapshot()
+    dbusy, dsteal = busy1 - busy0, steal1 - steal0
+    return {
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "efficiency": eff,
+        "probe_wall_sec": round(wall, 1),
+        "busy_jiffies": dbusy,
+        "steal_jiffies": dsteal,
+        # steal as a share of the work the probe actually did: the
+        # direct measure of "an external tenant took our cycles"
+        "steal_pct_of_busy": round(100.0 * dsteal / dbusy, 2) if dbusy else 0.0,
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+
+
+def main():
+    argv = sys.argv[1:]
+    n = 1
+    append = None
+    if "--n" in argv:
+        i = argv.index("--n")
+        n = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--append" in argv:
+        i = argv.index("--append")
+        append = argv[i + 1]
+        del argv[i : i + 2]
+    results = []
+    for k in range(n):
+        r = probe_once()
+        results.append(r)
+        print(json.dumps(r))
+    if append:
+        doc = {"round": None, "attempts": []}
+        if os.path.exists(append):
+            with open(append) as f:
+                doc = json.load(f)
+        doc.setdefault("probe_only", []).extend(results)
+        with open(append, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"appended {n} probe reading(s) to {append}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
