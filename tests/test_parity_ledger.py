@@ -55,6 +55,9 @@ def _ledger():
 def _repo_test_names():
     names = set()
     for p in glob.glob(os.path.join(REPO, "tests", "test_*.py")):
+        # the ledger cites covering sites both as function names and as
+        # module names (tests/test_column.py -> "test_column")
+        names.add(os.path.splitext(os.path.basename(p))[0])
         with open(p) as f:
             names |= set(re.findall(r"\bdef (test_[a-z0-9_]+)", f.read()))
     return names
