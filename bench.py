@@ -119,6 +119,39 @@ def _burn(n):
     return s
 
 
+def _stat_snapshot():
+    """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
+    line, or None off-Linux. busy = user+nice+system+irq+softirq."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+    if len(vals) < 8:
+        return None
+    user, nice, system, _idle, _iowait, irq, softirq, steal = vals[:8]
+    return user + nice + system + irq + softirq, steal
+
+
+def _steal_pct(before, after):
+    """Hypervisor steal across a window as % of the busy time the
+    window actually burned. WHY a second weather signal: the
+    efficiency probe is a 2-3 s point sample of a BURSTY process —
+    round 14 measured steal swinging 16% -> 0.6% of busy within two
+    minutes, so a probe can read 0.57 at the edge of a window whose
+    body was clean (and vice versa: r13's drift happened at a clean
+    probe reading). The steal delta integrates over the whole timed
+    window, so it attributes the window itself."""
+    if before is None or after is None:
+        return None
+    dbusy = after[0] - before[0]
+    dsteal = after[1] - before[1]
+    if dbusy <= 0:
+        return None
+    return round(100.0 * dsteal / dbusy, 2)
+
+
 def _guarded_windows(run_window, probe, entry_eff, eff_min, reruns):
     """Window-selection core of the host-noise guard, Spark-free so the
     policy is unit-testable: run one window, and while its efficiency
@@ -241,6 +274,7 @@ def main():
     def _window(entry_eff: float):
         best = {name: None for name in all_queries}
         duck_best = {name: None for name in duck_sql}
+        stat0 = _stat_snapshot()
         bench_t0 = time.time()
         passes = 0
         while passes < runs or (
@@ -269,8 +303,9 @@ def main():
             passes += 1
         # the window's efficiency is its WORST probe reading (entry and
         # exit): contention that starts mid-window must not read as clean
+        steal = _steal_pct(stat0, _stat_snapshot())
         exit_eff = _host_parallel_efficiency(min(32, os.cpu_count() or 32))
-        return best, duck_best, passes, round(min(entry_eff, exit_eff), 3)
+        return best, duck_best, passes, steal, round(min(entry_eff, exit_eff), 3)
 
     # HOST-NOISE GUARD (round 13): paired ratios cannot cancel vCPU
     # oversubscription — these sub-second DuckDB twins are effectively
@@ -293,7 +328,7 @@ def main():
         )
         return _host_parallel_efficiency(min(32, os.cpu_count() or 32))
 
-    (best, duck_best, passes, eff), windows = _guarded_windows(
+    (best, duck_best, passes, steal_pct, eff), windows = _guarded_windows(
         _window, _probe_rerun, host_eff, eff_min, reruns
     )
     host_eff = eff
@@ -333,6 +368,9 @@ def main():
                 "host_parallel_efficiency": host_eff,
                 "efficiency_windows": windows,
                 "efficiency_floor": eff_min,
+                # steal integrated over the KEPT window (probe readings
+                # are point samples; this attributes the window body)
+                "steal_pct_of_busy": steal_pct,
                 "sf": sf,
             }
         )
