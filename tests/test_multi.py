@@ -387,3 +387,44 @@ class TestEvalPerDistinct:
             jsonf.eval_per_distinct(df, "j", exprs, join="bogus")
         with pytest.raises(ValueError, match="already exist"):
             jsonf.eval_per_distinct(df, "j", {"id": exprs["k"]})
+        with pytest.raises(ValueError, match="reserved"):
+            jsonf.eval_per_distinct(
+                df, "j", {"__dict_eval_doc": exprs["k"]}
+            )
+
+    def test_sql_cte_recipe(self, spark):
+        # The README's spelling for jsonf.sql / pure-SQL users (VERDICT
+        # r13 item 6): DISTINCT subquery -> extract over the distinct
+        # side -> null-safe (<=>) join back. Must be byte-identical to
+        # the Python API on the same docs, NULL/malformed included.
+        from datafusion_functions_json_spark import register_all
+
+        register_all(spark)
+        df = self._df(spark)
+        df.createOrReplaceTempView("epd_docs")
+        out = spark.sql(
+            """
+            WITH dict AS (
+              SELECT __doc,
+                     json_get_int(__doc, 'k') AS k,
+                     json_as_text(__doc, 's') AS s
+              FROM (SELECT DISTINCT j AS __doc FROM epd_docs)
+            )
+            SELECT t.id, d.k, d.s
+            FROM epd_docs t LEFT JOIN dict d ON t.j <=> d.__doc
+            """
+        )
+        got = {r.id: (r.k, r.s) for r in out.collect()}
+        want = {
+            r.id: (r.k, r.s)
+            for r in jsonf.eval_per_distinct(
+                df,
+                "j",
+                {
+                    "k": lambda c: jsonf.json_get_int(c, "k"),
+                    "s": lambda c: jsonf.json_as_text(c, "s"),
+                },
+            ).collect()
+        }
+        assert got == want
+        spark.catalog.dropTempView("epd_docs")

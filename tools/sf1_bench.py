@@ -85,6 +85,10 @@ QUERIES = [
     # round-12: decade rows for the slowest-falling weak query's JVM
     # twin (VERDICT r11 item 4 — promote-or-adjudicate decision)
     "json_agg_variant",
+    # round-14: eval_per_distinct's N→D claim at sf1 (VERDICT r13
+    # item 3) — dict_extract vs its per-row twin on events.props
+    # (1M rows, 100 distinct at sf1: a 10,000:1 duplication ratio)
+    "dict_extract", "dict_extract_rowwise",
 ]
 # spark-only (no DuckDB twin exists — xxhash64 candidate generation):
 # timed for the sf0.1 → sf1 scale curve, excluded from paired ratios
