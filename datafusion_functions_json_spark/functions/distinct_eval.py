@@ -25,13 +25,31 @@ Exactness: the join key is the raw document string compared null-safely
 including NULL and malformed documents, which our kernels map to
 deterministic fallbacks. No semantic envelope, unlike the variant tier.
 
-Measured (local[8], 1.2M rows, 1000 distinct ~50-byte docs, two exact-
-tier extractions, min-of-3 noop-sink writes): per-row 1.10 s vs
-eval_per_distinct 0.61 s — the join overhead is already repaid at a
-1200:1 duplication ratio on tiny docs, and the gap widens with document
-size and duplication (the Python-kernel side scales with D, not N).
-For HIGH-cardinality columns (D ≈ N) the distinct+join is pure
-overhead — this is an opt-in spelling, not a default.
+Measured break-even (round 14, local[32], 1M rows, D=100, two exact-
+tier extractions, min-of-3 noop-sink writes, window steal 0.1%):
+
+    ~20 B docs:   per-row 0.47 s   dict 1.00 s   (dict 2.1x SLOWER)
+    ~120 B docs:  per-row 0.60 s   dict 1.57 s   (dict 2.6x slower)
+    ~1 KB docs:   per-row 6.11 s   dict 1.92 s   (dict 3.2x FASTER)
+
+The duplication ratio alone does NOT decide the win: dict's own cost
+rises with document BYTES (the distinct's hash-aggregate and the join
+probe both touch the full doc string as key), while its saving is the
+per-doc kernel cost times (1 - D/N). On 32 local cores the Arrow hop
+over tiny (<~0.5 KB) docs is cheaper than that bookkeeping — the sf1
+ledger pins the tiny-doc case honestly (dict_extract 0.72 s vs its
+per-row twin 0.52 s on 9-byte events.props at 10,000:1 duplication,
+BASELINE.md round-14). The win case is the column this spelling
+exists for: KB-sized low-cardinality documents (config blobs, schema'd
+payloads), where per-row parse dominates. An earlier local[8]
+measurement (1.2M rows, 1000 distinct ~50-byte docs: 1.10 s -> 0.61 s)
+showed the same crossover shifted left — with fewer cores the per-row
+side inflates first, which is also the 100 TB reading: the dictionary
+spelling saves TOTAL CPU (D evaluations instead of N) whenever
+per-doc cost dominates the ~1-2 us/row join bookkeeping; wall-clock
+on an underloaded local[32] masks exactly that. For HIGH-cardinality
+columns (D ~ N) the distinct+join is pure overhead — this is an
+opt-in spelling, not a default.
 """
 
 from __future__ import annotations
