@@ -152,22 +152,55 @@ def _steal_pct(before, after):
     return round(100.0 * dsteal / dbusy, 2)
 
 
-def _guarded_windows(run_window, probe, entry_eff, eff_min, reruns):
+def _window_degraded(eff, steal, eff_min, steal_max):
+    """A window is degraded when its probe efficiency reads under the
+    floor OR its integrated steal exceeds ``steal_max`` %-of-busy —
+    either signal alone suffices (round 14: the probe is a point
+    sample of bursty steal, so each sees storms the other misses)."""
+    return eff < eff_min or (steal is not None and steal > steal_max)
+
+
+def _window_better(eff2, steal2, eff1, steal1, steal_max=2.0):
+    """Window preference: a steal-clean window beats a steal-dirty one
+    REGARDLESS of probe readings; among two dirty windows, less steal
+    wins; among two clean windows, sub-ceiling steal differences are
+    noise and the probe decides. WHY steal outranks the probe across
+    the dirty/clean boundary: it integrates over the window body,
+    while the probe samples the edges — round 14's clean gate window
+    (0.6% steal, zero breaches) carried a WORSE entry probe than the
+    steal-storm window it retook (knn_graph at 4.7x of pin)."""
+    dirty1 = steal1 is not None and steal1 > steal_max
+    dirty2 = steal2 is not None and steal2 > steal_max
+    if dirty1 != dirty2:
+        return dirty1
+    if dirty1 and dirty2 and steal1 != steal2:
+        return steal2 < steal1
+    return eff2 > eff1
+
+
+def _guarded_windows(run_window, probe, entry_eff, eff_min, reruns,
+                     steal_max=2.0):
     """Window-selection core of the host-noise guard, Spark-free so the
-    policy is unit-testable: run one window, and while its efficiency
-    reads under ``eff_min`` and reruns remain, run another and keep the
-    BETTER-efficiency window. ``run_window(entry_eff)`` returns a tuple
-    whose LAST element is the window's efficiency; ``probe()`` returns
-    a fresh entry reading. Returns (kept_window, all_efficiencies)."""
+    policy is unit-testable: run one window, and while it reads
+    DEGRADED (``_window_degraded``) and reruns remain, run another and
+    keep the BETTER window (``_window_better``: lower integrated
+    steal first, probe efficiency as fallback). ``run_window(
+    entry_eff)`` returns a tuple whose LAST element is the window's
+    probe efficiency and SECOND-TO-LAST is its integrated steal
+    %-of-busy (None when /proc/stat is unavailable); ``probe()``
+    returns a fresh entry reading. Returns (kept_window,
+    all_efficiencies, all_steals)."""
     kept = run_window(entry_eff)
     windows = [kept[-1]]
-    while kept[-1] < eff_min and reruns > 0:
+    steals = [kept[-2]]
+    while _window_degraded(kept[-1], kept[-2], eff_min, steal_max) and reruns > 0:
         reruns -= 1
         cand = run_window(probe())
         windows.append(cand[-1])
-        if cand[-1] > kept[-1]:
+        steals.append(cand[-2])
+        if _window_better(cand[-1], cand[-2], kept[-1], kept[-2], steal_max):
             kept = cand
-    return kept, windows
+    return kept, windows, steals
 
 
 def main():
@@ -316,20 +349,23 @@ def main():
     # 0.85), rerun the whole window once and keep the
     # better-efficiency window — same protocol the sf1 gate documents.
     eff_min = float(os.environ.get("SPARK_GRAFT_BENCH_EFF_MIN", "0.85"))
+    steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "2.0"))
     reruns = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "1"))
 
     def _probe_rerun():
-        # only called when a window read under the floor — the rerun
-        # message rides the fresh entry probe
+        # only called when a window read degraded — the rerun message
+        # rides the fresh entry probe
         print(
-            f"# host degraded (efficiency < {eff_min}): rerunning the "
-            "bench window",
+            f"# host degraded (efficiency < {eff_min} or steal > "
+            f"{steal_max}%): rerunning the bench window",
             file=sys.stderr,
         )
         return _host_parallel_efficiency(min(32, os.cpu_count() or 32))
 
-    (best, duck_best, passes, steal_pct, eff), windows = _guarded_windows(
-        _window, _probe_rerun, host_eff, eff_min, reruns
+    (best, duck_best, passes, steal_pct, eff), windows, steals = (
+        _guarded_windows(
+            _window, _probe_rerun, host_eff, eff_min, reruns, steal_max
+        )
     )
     host_eff = eff
     print(f"# passes: {passes}", file=sys.stderr)
@@ -371,6 +407,8 @@ def main():
                 # steal integrated over the KEPT window (probe readings
                 # are point samples; this attributes the window body)
                 "steal_pct_of_busy": steal_pct,
+                "steal_windows": steals,
+                "steal_ceiling": steal_max,
                 "sf": sf,
             }
         )

@@ -1,9 +1,14 @@
-"""The bench host-noise guard's window-selection policy (bench.py
-``_guarded_windows``) — Spark-free unit pins so a future bench edit
-can't silently break the keep-the-better-window rule the round-13
-BASELINE.md protocol depends on (ratios are interpretable only next to
-their efficiency; three same-day identical-code runs read 1.256/1.291/
-1.514 at 0.63/0.70/0.58)."""
+"""The host-noise guard's window-selection policy (bench.py
+``_guarded_windows`` / ``_window_degraded`` / ``_window_better``,
+shared with tools/sf1_gate.py) — Spark-free unit pins so a future
+bench edit can't silently break the rules the BASELINE.md reading
+protocol depends on. Round 13 established keep-the-better-window by
+probe efficiency; round 14 made the policy STEAL-AWARE: the probe is
+a 2-3 s point sample of steal that bursts on a 2-minute scale, so a
+window's integrated steal decides degradation and preference, with
+the probe as tie-break/fallback (BASELINE.md round-14: the clean
+window that retook four false breaches carried a WORSE entry probe
+than the storm window it replaced)."""
 
 from __future__ import annotations
 
@@ -12,59 +17,127 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _guarded_windows
+from bench import _guarded_windows, _window_better, _window_degraded
 
 
-def _runner(effs):
-    """run_window stub: pops the next scripted efficiency; the window
-    payload records which run produced it."""
+def _runner(script):
+    """run_window stub: pops the next scripted (steal, eff) pair; the
+    window payload records which run produced it."""
     calls = []
 
     def run(entry_eff):
         i = len(calls)
         calls.append(entry_eff)
-        return (f"window{i}", effs[i])
+        steal, eff = script[i]
+        return (f"window{i}", steal, eff)
 
     return run, calls
 
 
+class TestWindowDegraded:
+    def test_eff_under_floor_degrades(self):
+        assert _window_degraded(0.66, 0.1, 0.85, 2.0)
+
+    def test_steal_over_ceiling_degrades_despite_clean_probe(self):
+        # the r14 storm case: probe sampled a quiet edge, body stormy
+        assert _window_degraded(0.95, 3.3, 0.85, 2.0)
+
+    def test_clean_window(self):
+        assert not _window_degraded(0.9, 0.5, 0.85, 2.0)
+
+    def test_missing_steal_falls_back_to_probe_alone(self):
+        assert not _window_degraded(0.9, None, 0.85, 2.0)
+        assert _window_degraded(0.7, None, 0.85, 2.0)
+
+
+class TestWindowBetter:
+    def test_clean_beats_dirty_even_with_worse_probe(self):
+        # THE round-14 case: clean retake had entry probe 0.57 vs the
+        # storm window's 0.592 — steal must out-vote the probe
+        assert _window_better(0.57, 0.6, 0.592, 15.5)
+
+    def test_dirty_loses_even_with_better_probe(self):
+        assert not _window_better(0.9, 5.0, 0.6, 0.5)
+
+    def test_both_dirty_less_steal_wins(self):
+        assert _window_better(0.5, 3.0, 0.9, 8.0)
+        assert not _window_better(0.9, 8.0, 0.5, 3.0)
+
+    def test_both_clean_subceiling_steal_is_noise_probe_decides(self):
+        # 0.1% vs 0.2% are both clean windows — the probe difference
+        # is the real signal, not the steal jitter
+        assert _window_better(0.9, 0.2, 0.6, 0.1)
+        assert not _window_better(0.6, 0.1, 0.9, 0.2)
+
+    def test_missing_steal_compares_probes(self):
+        assert _window_better(0.8, None, 0.6, None)
+        # one side missing steal reads as not-dirty — probe decides
+        # against a clean counterpart, but a DIRTY counterpart loses
+        assert _window_better(0.8, None, 0.6, 1.0)
+        assert _window_better(0.5, None, 0.6, 9.0)
+        assert not _window_better(0.5, 3.0, 0.6, None)
+
+
 class TestGuardedWindows:
     def test_healthy_window_runs_once(self):
-        run, calls = _runner([0.95])
-        kept, windows = _guarded_windows(run, lambda: 1 / 0, 0.95, 0.85, 1)
-        assert kept == ("window0", 0.95)
+        run, calls = _runner([(0.2, 0.95)])
+        kept, windows, steals = _guarded_windows(
+            run, lambda: 1 / 0, 0.95, 0.85, 1
+        )
+        assert kept == ("window0", 0.2, 0.95)
         assert windows == [0.95]
+        assert steals == [0.2]
         assert len(calls) == 1  # probe never fires on a clean window
 
-    def test_degraded_reruns_and_keeps_better(self):
-        run, calls = _runner([0.66, 0.70])
-        kept, windows = _guarded_windows(run, lambda: 0.7, 0.66, 0.85, 1)
-        assert kept == ("window1", 0.70)
-        assert windows == [0.66, 0.70]
+    def test_degraded_reruns_and_keeps_lower_steal(self):
+        run, calls = _runner([(15.5, 0.66), (0.6, 0.57)])
+        kept, windows, steals = _guarded_windows(
+            run, lambda: 0.57, 0.66, 0.85, 1
+        )
+        # the retake wins on steal despite its WORSE probe reading
+        assert kept == ("window1", 0.6, 0.57)
+        assert windows == [0.66, 0.57]
+        assert steals == [15.5, 0.6]
         assert len(calls) == 2
 
+    def test_high_steal_alone_triggers_rerun(self):
+        # probe above the floor, steal above the ceiling
+        run, calls = _runner([(3.3, 0.9), (0.3, 0.88)])
+        kept, _, steals = _guarded_windows(run, lambda: 0.88, 0.9, 0.85, 1)
+        assert kept == ("window1", 0.3, 0.88)
+        assert steals == [3.3, 0.3]
+
     def test_degraded_rerun_worse_keeps_first(self):
-        run, _ = _runner([0.70, 0.58])
-        kept, windows = _guarded_windows(run, lambda: 0.58, 0.70, 0.85, 1)
-        assert kept == ("window0", 0.70)
+        run, _ = _runner([(0.5, 0.70), (4.0, 0.58)])
+        kept, windows, _ = _guarded_windows(run, lambda: 0.58, 0.70, 0.85, 1)
+        assert kept == ("window0", 0.5, 0.70)
         assert windows == [0.70, 0.58]
 
     def test_rerun_budget_bounds_the_loop(self):
         # every window degraded: exactly 1 + reruns windows run
-        run, calls = _runner([0.5, 0.5, 0.5, 0.5])
-        _, windows = _guarded_windows(run, lambda: 0.5, 0.5, 0.85, 3)
+        run, calls = _runner([(0.1, 0.5)] * 4)
+        _, windows, _ = _guarded_windows(run, lambda: 0.5, 0.5, 0.85, 3)
         assert len(windows) == 4
         assert len(calls) == 4
 
     def test_zero_reruns_disables_the_guard(self):
-        run, calls = _runner([0.4])
-        kept, windows = _guarded_windows(run, lambda: 1 / 0, 0.4, 0.85, 0)
-        assert kept == ("window0", 0.4)
+        run, calls = _runner([(9.0, 0.4)])
+        kept, windows, _ = _guarded_windows(run, lambda: 1 / 0, 0.4, 0.85, 0)
+        assert kept == ("window0", 9.0, 0.4)
         assert windows == [0.4]
 
-    def test_early_stop_once_a_window_clears_the_floor(self):
-        run, calls = _runner([0.6, 0.9, 0.99])
-        kept, windows = _guarded_windows(run, lambda: 0.9, 0.6, 0.85, 5)
-        assert kept == ("window1", 0.9)
+    def test_early_stop_once_a_window_is_clean(self):
+        run, calls = _runner([(0.1, 0.6), (0.2, 0.9), (0.0, 0.99)])
+        kept, windows, _ = _guarded_windows(run, lambda: 0.9, 0.6, 0.85, 5)
+        assert kept == ("window1", 0.2, 0.9)
         assert windows == [0.6, 0.9]
-        assert len(calls) == 2  # budget remained but the floor was met
+        assert len(calls) == 2  # budget remained but the window was clean
+
+    def test_missing_steal_reduces_to_probe_policy(self):
+        # off-Linux: steal None everywhere — round-13 behavior exactly
+        run, _ = _runner([(None, 0.66), (None, 0.70)])
+        kept, windows, steals = _guarded_windows(
+            run, lambda: 0.7, 0.66, 0.85, 1
+        )
+        assert kept == ("window1", None, 0.70)
+        assert steals == [None, None]
