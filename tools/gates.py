@@ -73,6 +73,22 @@ def main():
         raise SystemExit("--round N is required (names the artifacts)")
 
     py = sys.executable
+
+    def _absorb(path):
+        """A skipped tier whose artifact already exists (e.g. an
+        adjudicated run kept from earlier in the round) still belongs
+        in the summary — absorb it instead of dropping the tier."""
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return {
+                "cmd": f"(absorbed existing artifact {os.path.basename(path)})",
+                "exit": 0,
+                "wall_sec": 0.0,
+                "parsed": json.load(f),
+                "stderr_log": None,
+            }
+
     tiers = {}
     if "bench" not in skip:
         r = _run([py, "bench.py"], f"/tmp/gates_r{rnd}_bench.stderr")
@@ -80,18 +96,30 @@ def main():
             with open(os.path.join(REPO, f"BENCH_r{rnd:02d}.json"), "w") as f:
                 f.write(json.dumps(r["parsed"]) + "\n")
         tiers["headline_sf0.1"] = r
+    else:
+        r = _absorb(os.path.join(REPO, f"BENCH_r{rnd:02d}.json"))
+        if r:
+            tiers["headline_sf0.1"] = r
     if "sf1" not in skip:
         out = os.path.join(REPO, f"BENCH_SF1_r{rnd:02d}.json")
         tiers["sf1_gate"] = _run(
             [py, "tools/sf1_gate.py", "--out", out],
             f"/tmp/gates_r{rnd}_sf1.stderr",
         )
+    else:
+        r = _absorb(os.path.join(REPO, f"BENCH_SF1_r{rnd:02d}.json"))
+        if r:
+            tiers["sf1_gate"] = r
     if "sf10" not in skip:
         out = os.path.join(REPO, f"BENCH_SF10_r{rnd:02d}.json")
         tiers["sf10_gate"] = _run(
             [py, "tools/sf1_gate.py", "--sf10", "--out", out],
             f"/tmp/gates_r{rnd}_sf10.stderr",
         )
+    else:
+        r = _absorb(os.path.join(REPO, f"BENCH_SF10_r{rnd:02d}.json"))
+        if r:
+            tiers["sf10_gate"] = r
 
     def _tier_summary(key):
         r = tiers.get(key)
