@@ -152,12 +152,30 @@ def _steal_pct(before, after):
     return round(100.0 * dsteal / dbusy, 2)
 
 
-def _window_degraded(eff, steal, eff_min, steal_max):
-    """A window is degraded when its probe efficiency reads under the
-    floor OR its integrated steal exceeds ``steal_max`` %-of-busy —
-    either signal alone suffices (round 14: the probe is a point
-    sample of bursty steal, so each sees storms the other misses)."""
-    return eff < eff_min or (steal is not None and steal > steal_max)
+# Probe floor used ONLY when the steal delta is available and clean:
+# the round-14 census (BASELINE.md, 8 attempts + 19 probes across 8
+# hours) proved this host structurally caps the probe at ~0.62-0.65
+# even at ZERO steal, so the 0.85 probe-only floor read every clean
+# window as degraded and burned the full rerun budget (~5 min/window)
+# for nothing. 0.55 sits under every clean-window reading the census
+# recorded (min 0.57) — a clean-steal window probing below it means
+# sibling-core contention, the one weather mode steal cannot see.
+EFF_STORM_FLOOR = float(os.environ.get("SPARK_GRAFT_BENCH_EFF_STORM", "0.55"))
+
+
+def _window_degraded(eff, steal, eff_min, steal_max, eff_storm=None):
+    """A window is degraded when its integrated steal exceeds
+    ``steal_max`` %-of-busy, or its probe efficiency reads under the
+    storm floor (sibling contention invisible to steal). The
+    ``eff_min`` probe-only floor governs ONLY when the steal delta is
+    unavailable (off-Linux): with steal in hand, a sub-``eff_min``
+    probe alone is this host's structural ceiling, not weather
+    (round-14 census re-basing; ADVICE r14)."""
+    if eff_storm is None:
+        eff_storm = EFF_STORM_FLOOR
+    if steal is None:
+        return eff < eff_min
+    return steal > steal_max or eff < eff_storm
 
 
 def _window_better(eff2, steal2, eff1, steal1, steal_max=2.0):
@@ -344,10 +362,12 @@ def main():
     # oversubscription — these sub-second DuckDB twins are effectively
     # single-threaded while Spark runs 32-way, so a degraded host
     # inflates ratio_paired on byte-identical code (r12 measured
-    # 1.297→1.473 at efficiency 0.907→0.788). When the window's
-    # efficiency probe reads below SPARK_GRAFT_BENCH_EFF_MIN (default
-    # 0.85), rerun the whole window once and keep the
-    # better-efficiency window — same protocol the sf1 gate documents.
+    # 1.297→1.473 at efficiency 0.907→0.788). When the window reads
+    # degraded — integrated steal above SPARK_GRAFT_BENCH_STEAL_MAX,
+    # or probe under the storm floor (or under
+    # SPARK_GRAFT_BENCH_EFF_MIN when steal is unavailable; see
+    # _window_degraded) — rerun the whole window once and keep the
+    # better window — same protocol the sf1 gate documents.
     eff_min = float(os.environ.get("SPARK_GRAFT_BENCH_EFF_MIN", "0.85"))
     steal_max = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_MAX", "2.0"))
     reruns = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "1"))

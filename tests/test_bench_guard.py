@@ -35,8 +35,24 @@ def _runner(script):
 
 
 class TestWindowDegraded:
-    def test_eff_under_floor_degrades(self):
-        assert _window_degraded(0.66, 0.1, 0.85, 2.0)
+    # round-15 re-basing (ADVICE r14 + the round-14 census): with the
+    # steal delta available, a sub-eff_min probe alone is this host's
+    # STRUCTURAL ceiling (~0.62-0.65 at zero steal), not weather — only
+    # the storm floor (default 0.55, under every census clean reading)
+    # degrades a steal-clean window.
+    def test_clean_steal_subfloor_probe_is_not_degraded(self):
+        # the dead-rerun case the census exposed: 0.64% steal, probe
+        # 0.63 — every r14 bench window burned its rerun budget here
+        assert not _window_degraded(0.63, 0.64, 0.85, 2.0)
+        assert not _window_degraded(0.57, 0.6, 0.85, 2.0)
+
+    def test_clean_steal_storm_probe_degrades(self):
+        # sibling-core contention: invisible to steal, probe collapses
+        assert _window_degraded(0.5, 0.3, 0.85, 2.0)
+
+    def test_storm_floor_override(self):
+        assert _window_degraded(0.63, 0.5, 0.85, 2.0, eff_storm=0.7)
+        assert not _window_degraded(0.5, 0.5, 0.85, 2.0, eff_storm=0.4)
 
     def test_steal_over_ceiling_degrades_despite_clean_probe(self):
         # the r14 storm case: probe sampled a quiet edge, body stormy
@@ -46,6 +62,7 @@ class TestWindowDegraded:
         assert not _window_degraded(0.9, 0.5, 0.85, 2.0)
 
     def test_missing_steal_falls_back_to_probe_alone(self):
+        # off-Linux: no steal delta, so eff_min governs alone
         assert not _window_degraded(0.9, None, 0.85, 2.0)
         assert _window_degraded(0.7, None, 0.85, 2.0)
 
@@ -108,10 +125,13 @@ class TestGuardedWindows:
         assert steals == [3.3, 0.3]
 
     def test_degraded_rerun_worse_keeps_first(self):
-        run, _ = _runner([(0.5, 0.70), (4.0, 0.58)])
-        kept, windows, _ = _guarded_windows(run, lambda: 0.58, 0.70, 0.85, 1)
-        assert kept == ("window0", 0.5, 0.70)
-        assert windows == [0.70, 0.58]
+        # first window: clean steal but probe under the storm floor
+        # (sibling contention); retake lands in a steal storm — the
+        # first window wins on steal
+        run, _ = _runner([(0.5, 0.50), (4.0, 0.58)])
+        kept, windows, _ = _guarded_windows(run, lambda: 0.58, 0.50, 0.85, 1)
+        assert kept == ("window0", 0.5, 0.50)
+        assert windows == [0.50, 0.58]
 
     def test_rerun_budget_bounds_the_loop(self):
         # every window degraded: exactly 1 + reruns windows run
@@ -127,11 +147,20 @@ class TestGuardedWindows:
         assert windows == [0.4]
 
     def test_early_stop_once_a_window_is_clean(self):
-        run, calls = _runner([(0.1, 0.6), (0.2, 0.9), (0.0, 0.99)])
+        run, calls = _runner([(5.0, 0.6), (0.2, 0.9), (0.0, 0.99)])
         kept, windows, _ = _guarded_windows(run, lambda: 0.9, 0.6, 0.85, 5)
         assert kept == ("window1", 0.2, 0.9)
         assert windows == [0.6, 0.9]
         assert len(calls) == 2  # budget remained but the window was clean
+
+    def test_early_stop_on_first_clean_steal_window(self):
+        # the ADVICE r14 dead-path fix: a clean-steal window with this
+        # host's structural ~0.63 probe must NOT burn a rerun
+        run, calls = _runner([(0.64, 0.63), (0.0, 0.99)])
+        kept, windows, _ = _guarded_windows(run, lambda: 0.99, 0.63, 0.85, 5)
+        assert kept == ("window0", 0.64, 0.63)
+        assert windows == [0.63]
+        assert len(calls) == 1
 
     def test_missing_steal_reduces_to_probe_policy(self):
         # off-Linux: steal None everywhere — round-13 behavior exactly

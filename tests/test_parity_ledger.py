@@ -49,24 +49,31 @@ def _ledger():
     # suffix shorthand appears as ", _basic_numbers" / "( _object" —
     # an underscore-led token after list punctuation, never mid-word
     short = set(re.findall(r"(?<=[,(] )(_[a-z0-9_]+)\b", text))
-    return full, short
+    # citations EXPLICITLY in module form ("tests/test_column.py"):
+    # only these may be satisfied by a module basename — a bare token
+    # must name a real test FUNCTION, otherwise deleting the specific
+    # covering function would leave a stale-but-passing ledger entry
+    # (ADVICE r14: module acceptance for bare tokens loosened exactly
+    # the staleness this audit exists to catch)
+    module_form = set(re.findall(r"tests/(test_[a-z0-9_]+)\.py", text))
+    return full, short, module_form
 
 
 def _repo_test_names():
-    names = set()
+    functions, modules = set(), set()
     for p in glob.glob(os.path.join(REPO, "tests", "test_*.py")):
-        # the ledger cites covering sites both as function names and as
-        # module names (tests/test_column.py -> "test_column")
-        names.add(os.path.splitext(os.path.basename(p))[0])
+        modules.add(os.path.splitext(os.path.basename(p))[0])
         with open(p) as f:
-            names |= set(re.findall(r"\bdef (test_[a-z0-9_]+)", f.read()))
-    return names
+            functions |= set(
+                re.findall(r"\bdef (test_[a-z0-9_]+)", f.read())
+            )
+    return functions, modules
 
 
 def test_every_reference_test_is_accounted():
     """Direction 1: no reference test name is unmapped by the ledger."""
     ref = _reference_names()
-    full, short = _ledger()
+    full, short, _ = _ledger()
     unaccounted = sorted(
         r
         for r in ref
@@ -80,12 +87,14 @@ def test_every_reference_test_is_accounted():
 
 def test_no_fabricated_reference_names():
     """Direction 2: every test_* token in the ledger is either a real
-    reference test name or a real repo test name (covering-site
-    citations) — a token matching neither is fabricated."""
+    reference test name, a real repo test FUNCTION, or an explicitly
+    module-form citation of a real test module — a token matching
+    none is fabricated (or stale: the covering function was deleted
+    while a same-prefix module kept the bare token alive)."""
     ref = _reference_names()
-    full, short = _ledger()
-    repo = _repo_test_names()
-    fabricated = sorted(full - ref - repo)
+    full, short, module_form = _ledger()
+    functions, modules = _repo_test_names()
+    fabricated = sorted(full - ref - functions - (module_form & modules))
     assert not fabricated, f"PARITY.md names that exist nowhere: {fabricated}"
     dead_suffixes = sorted(
         s for s in short if not any(r.endswith(s) for r in ref)

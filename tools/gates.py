@@ -1,18 +1,27 @@
-"""One runner for all three standing performance gates, one summary
-artifact (VERDICT r13 §Next-round #8): the headline sf0.1 paired
-bench (bench.py), the sf1 regression gate, and the sf10
-k-scales-with-n gate each emit their own JSON today, and every
-verdict re-derives the reading protocol (efficiency + steal next to
-every number) from BASELINE.md prose. This tool runs the tiers
-SEQUENTIALLY (they are timing runs — concurrency inflates the Spark
-side, BASELINE.md round-8), keeps each tier's own artifact, and
-writes a single GATES_rNN.json whose summary line carries the
-per-tier efficiency and steal readings next to the headline numbers.
+"""One runner for ALL standing per-round gates, one summary artifact
+(VERDICT r13 §Next-round #8; registry tier added per VERDICT r14 #4):
+the headline sf0.1 paired bench (bench.py), the sf1 regression gate,
+the sf10 k-scales-with-n gate, and the full-registry correctness
+drain (tools/check_oracle.py) each emit their own JSON; this tool
+runs the tiers SEQUENTIALLY (they are timing runs — concurrency
+inflates the Spark side, BASELINE.md round-8), keeps each tier's own
+artifact, and writes a single GATES_rNN.json whose summary line
+carries the per-tier efficiency and steal readings next to the
+headline numbers, so one command proves correctness + perf + weather
+per round.
 
 Usage:
-    python tools/gates.py --round 14 [--skip bench,sf1,sf10]
+    python tools/gates.py --round 15 [--skip bench,sf1,sf10,registry]
         # writes BENCH_rNN.json / BENCH_SF1_rNN.json /
-        # BENCH_SF10_rNN.json (unless skipped) and GATES_rNN.json
+        # BENCH_SF10_rNN.json / CHECKS_rNN.json (unless skipped)
+        # and GATES_rNN.json
+
+Skip semantics (ADVICE r14): a skipped tier whose artifact already
+exists this round is ABSORBED (marked ``absorbed: true``, exit
+``null`` — the run that produced it carried the exit); a skipped tier
+with NO artifact is recorded as ``{skipped, artifact_missing}`` and
+fails the bad-exit check — tier coverage is never silently absent
+from the summary.
 """
 
 from __future__ import annotations
@@ -37,7 +46,10 @@ def _last_json_line(text: str):
     return None
 
 
-def _run(cmd, log_path):
+def _run(cmd, log_path, parse_file=None):
+    """Run one tier; ``parsed`` comes from the last stdout JSON line,
+    or from ``parse_file`` for tools that write their artifact
+    directly (check_oracle)."""
     t0 = time.time()
     with open(log_path, "w") as log:
         proc = subprocess.run(
@@ -47,7 +59,13 @@ def _run(cmd, log_path):
             stderr=log,
             text=True,
         )
-    parsed = _last_json_line(proc.stdout)
+    if parse_file is not None:
+        parsed = None
+        if os.path.exists(parse_file):
+            with open(parse_file) as f:
+                parsed = json.load(f)
+    else:
+        parsed = _last_json_line(proc.stdout)
     return {
         "cmd": " ".join(cmd),
         "exit": proc.returncode,
@@ -77,13 +95,21 @@ def main():
     def _absorb(path):
         """A skipped tier whose artifact already exists (e.g. an
         adjudicated run kept from earlier in the round) still belongs
-        in the summary — absorb it instead of dropping the tier."""
+        in the summary — absorb it, explicitly marked: the absorbed
+        run's exit code is not knowable here (ADVICE r14: a hardcoded
+        exit 0 made absorbed tiers indistinguishable from green live
+        runs)."""
         if not os.path.exists(path):
-            return None
+            return {
+                "skipped": True,
+                "artifact_missing": True,
+                "artifact": os.path.basename(path),
+            }
         with open(path) as f:
             return {
                 "cmd": f"(absorbed existing artifact {os.path.basename(path)})",
-                "exit": 0,
+                "absorbed": True,
+                "exit": None,
                 "wall_sec": 0.0,
                 "parsed": json.load(f),
                 "stderr_log": None,
@@ -97,9 +123,9 @@ def main():
                 f.write(json.dumps(r["parsed"]) + "\n")
         tiers["headline_sf0.1"] = r
     else:
-        r = _absorb(os.path.join(REPO, f"BENCH_r{rnd:02d}.json"))
-        if r:
-            tiers["headline_sf0.1"] = r
+        tiers["headline_sf0.1"] = _absorb(
+            os.path.join(REPO, f"BENCH_r{rnd:02d}.json")
+        )
     if "sf1" not in skip:
         out = os.path.join(REPO, f"BENCH_SF1_r{rnd:02d}.json")
         tiers["sf1_gate"] = _run(
@@ -107,9 +133,9 @@ def main():
             f"/tmp/gates_r{rnd}_sf1.stderr",
         )
     else:
-        r = _absorb(os.path.join(REPO, f"BENCH_SF1_r{rnd:02d}.json"))
-        if r:
-            tiers["sf1_gate"] = r
+        tiers["sf1_gate"] = _absorb(
+            os.path.join(REPO, f"BENCH_SF1_r{rnd:02d}.json")
+        )
     if "sf10" not in skip:
         out = os.path.join(REPO, f"BENCH_SF10_r{rnd:02d}.json")
         tiers["sf10_gate"] = _run(
@@ -117,27 +143,58 @@ def main():
             f"/tmp/gates_r{rnd}_sf10.stderr",
         )
     else:
-        r = _absorb(os.path.join(REPO, f"BENCH_SF10_r{rnd:02d}.json"))
-        if r:
-            tiers["sf10_gate"] = r
+        tiers["sf10_gate"] = _absorb(
+            os.path.join(REPO, f"BENCH_SF10_r{rnd:02d}.json")
+        )
+    checks_out = os.path.join(REPO, f"CHECKS_r{rnd:02d}.json")
+    if "registry" not in skip:
+        # full drain: every registry entry, least-recently-driver-
+        # checked first (the order is irrelevant at full count — it is
+        # simply "all of them"); ~13 min at sf0.01
+        import __spark_entry__ as entrymod
+
+        n = len(entrymod.queries())
+        tiers["registry"] = _run(
+            [
+                py,
+                "tools/check_oracle.py",
+                "/root/testdata/sf0.01",
+                "--stale",
+                str(n),
+                "--json",
+                checks_out,
+            ],
+            f"/tmp/gates_r{rnd}_registry.stderr",
+            parse_file=checks_out,
+        )
+    else:
+        tiers["registry"] = _absorb(checks_out)
 
     def _tier_summary(key):
         r = tiers.get(key)
-        if not r or not r["parsed"]:
+        if r is None:
             return None
+        if r.get("skipped"):
+            return {"skipped": True, "artifact_missing": True}
+        if not r["parsed"]:
+            return {"exit": r["exit"], "parsed": None}
         p = r["parsed"]
-        return {
+        s = {
             "efficiency": p.get("host_parallel_efficiency"),
             "steal_pct_of_busy": p.get("steal_pct_of_busy"),
             "breaches": p.get("breaches"),
             "ratio_paired": p.get("ratio_paired"),
             "exit": r["exit"],
         }
+        if key == "registry":
+            s = {"counts": p.get("counts"), "exit": r["exit"]}
+        if r.get("absorbed"):
+            s["absorbed"] = True
+        return s
 
     summary = {
         k: _tier_summary(k)
-        for k in ("headline_sf0.1", "sf1_gate", "sf10_gate")
-        if k in tiers
+        for k in ("headline_sf0.1", "sf1_gate", "sf10_gate", "registry")
     }
     doc = {
         "round": rnd,
@@ -154,11 +211,27 @@ def main():
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({"wrote": out, "summary": summary}))
-    bad = [
-        k
-        for k, v in summary.items()
-        if v is None or v["exit"] != 0
-    ]
+
+    def _bad(k, v):
+        """A tier is bad when it is absent/missing, a live run exited
+        non-zero, or an ABSORBED artifact itself records breaches or
+        failures — absorption must not launder a red artifact."""
+        if v is None or v.get("artifact_missing"):
+            return True
+        if v.get("parsed", "x") is None:
+            return True
+        if v.get("exit") not in (0, None):
+            return True
+        if v.get("breaches"):
+            return True
+        c = v.get("counts")
+        if c and c.get("fail"):
+            return True
+        return False
+
+    bad = [k for k, v in summary.items() if _bad(k, v)]
+    if bad:
+        print(f"# BAD tiers: {', '.join(bad)}", file=sys.stderr)
     return 1 if bad else 0
 
 

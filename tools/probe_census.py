@@ -24,27 +24,29 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _host_parallel_efficiency  # noqa: E402
-
-
-def _stat_snapshot():
-    """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
-    line; busy = user+nice+system+irq+softirq (idle/iowait excluded)."""
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    user, nice, system, _idle, _iowait, irq, softirq = vals[:7]
-    steal = vals[7] if len(vals) > 7 else 0
-    return user + nice + system + irq + softirq, steal
+# ONE weather-attribution primitive: bench._stat_snapshot /
+# bench._steal_pct are the same functions the bench and gate windows
+# use, so the census and the gates cannot drift on what "steal" means
+# (ADVICE r14: this file used to carry a divergent copy that raised on
+# an unreadable /proc/stat and read a missing steal field as 0).
+from bench import (  # noqa: E402
+    _host_parallel_efficiency,
+    _stat_snapshot,
+    _steal_pct,
+)
 
 
 def probe_once():
-    busy0, steal0 = _stat_snapshot()
+    s0 = _stat_snapshot()
     t0 = time.time()
     eff = _host_parallel_efficiency(min(32, os.cpu_count() or 32))
     wall = time.time() - t0
-    busy1, steal1 = _stat_snapshot()
-    dbusy, dsteal = busy1 - busy0, steal1 - steal0
+    s1 = _stat_snapshot()
+    # _stat_snapshot returns None off-Linux / short cpu line — the
+    # census then records the probe with explicitly-null attribution
+    # (same "steal unavailable" state the gates fall back on)
+    dbusy = s1[0] - s0[0] if s0 and s1 else None
+    dsteal = s1[1] - s0[1] if s0 and s1 else None
     return {
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "efficiency": eff,
@@ -53,7 +55,7 @@ def probe_once():
         "steal_jiffies": dsteal,
         # steal as a share of the work the probe actually did: the
         # direct measure of "an external tenant took our cycles"
-        "steal_pct_of_busy": round(100.0 * dsteal / dbusy, 2) if dbusy else 0.0,
+        "steal_pct_of_busy": _steal_pct(s0, s1),
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
 
