@@ -1957,6 +1957,46 @@ class TestSemanticDedup:
                 embeddings, "vec_id", "embedding", target_cluster_size=0
             )
 
+    def test_stage_prefixes_match_full_operator(self, spark, embeddings):
+        # the sf10 gate's per-stage attribution entries (VERDICT r14
+        # #1) are CUMULATIVE PREFIXES of semantic_dedup: the assign
+        # stage must equal the decision table's first three columns
+        # and the dropped stage its dropped-id set — same helpers,
+        # same rounding grain, so byte-equal by construction; this pin
+        # keeps a future operator edit from drifting the stage entries
+        emb = embeddings.filter(F.col("vec_id") < 40)
+        planted = emb.filter(F.col("vec_id") < 6).select(
+            (F.col("vec_id") + 5000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+        inp = emb.unionByName(planted)
+        kw = dict(k=4, iters=1, salt="t")
+        full = similarity.semantic_dedup(
+            inp, "vec_id", "embedding", threshold=0.99, **kw
+        ).cache()
+        assign = similarity.semantic_dedup_assign(
+            inp, "vec_id", "embedding", **kw
+        )
+        assert (
+            assign.orderBy("vec_id").collect()
+            == full.select("vec_id", "cluster", "cent_dist")
+            .orderBy("vec_id")
+            .collect()
+        )
+        dropped = similarity.semantic_dedup_dropped(
+            inp, "vec_id", "embedding", threshold=0.99, **kw
+        )
+        assert (
+            dropped.orderBy("vec_id").collect()
+            == full.filter("dropped")
+            .select("vec_id")
+            .orderBy("vec_id")
+            .collect()
+        )
+
 
 class TestSemanticDedupKernel:
     def test_gram_kernel_matches_pair_join_formulation(self, spark):
