@@ -95,9 +95,16 @@ QUERIES = [
 UNTWINNED = ["minhash_pairs"]
 
 
-def generate(spark):
+def generate(spark, tables=None):
+    """Build the replica tables under DST (skips existing dirs).
+    ``tables`` restricts generation to a subset (the sf100 decade rows
+    need only events/orders/customer — replicating documents and
+    embeddings 1000x would burn disk and wall for queries that never
+    read them, VERDICT r14 #2)."""
     os.makedirs(DST, exist_ok=True)
     for t in COPY_TABLES:
+        if tables is not None and t not in tables:
+            continue
         d = os.path.join(DST, f"{t}.parquet")
         if os.path.isdir(d):
             continue
@@ -112,17 +119,42 @@ def generate(spark):
         os.rename(d + ".tmp", d)
         print(f"# generated {t} (verbatim x{REPLICAS})", file=sys.stderr)
     for t, keys in OFFSET_TABLES.items():
+        if tables is not None and t not in tables:
+            continue
         d = os.path.join(DST, f"{t}.parquet")
         if os.path.isdir(d):
             continue
         base = load_table(spark, SRC, t)
         mods = base.agg(*[(F.max(k) + 1).alias(k) for k in keys]).collect()[0]
-        rep = None
-        for i in range(REPLICAS):
-            r = base
+        dtypes = dict(base.dtypes)
+        if REPLICAS > 20:
+            # scalable formulation for the sf100 decade: a REPLICAS-way
+            # unionByName makes Catalyst re-analyze a plan that grows
+            # linearly in branches (minutes of driver time at 1000);
+            # one broadcast-range cross join emits the identical rows
+            # through a single scan. Only used above the sf10 grain so
+            # the pinned sf1/sf10 ledgers keep their original physical
+            # layout byte-for-byte on regeneration.
+            reps = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
+            r = base.crossJoin(F.broadcast(reps))
             for k in keys:
-                r = r.withColumn(k, (F.col(k) + F.lit(i * mods[k])).cast(dict(base.dtypes)[k]))
-            rep = r if rep is None else rep.unionByName(r)
+                r = r.withColumn(
+                    k,
+                    (F.col(k) + F.col("_rep") * F.lit(mods[k])).cast(
+                        dtypes[k]
+                    ),
+                )
+            # file grain ~the source's so downstream split sizing holds
+            rep = r.drop("_rep").repartition(max(32, REPLICAS // 16))
+        else:
+            rep = None
+            for i in range(REPLICAS):
+                r = base
+                for k in keys:
+                    r = r.withColumn(
+                        k, (F.col(k) + F.lit(i * mods[k])).cast(dtypes[k])
+                    )
+                rep = r if rep is None else rep.unionByName(r)
         rep.write.mode("overwrite").parquet(d)
         print(f"# generated {t} (key-offset x{REPLICAS})", file=sys.stderr)
 
@@ -140,6 +172,9 @@ def main():
         missing = set(only) - set(QUERIES) - set(UNTWINNED)
         if missing:
             raise SystemExit(f"unknown --queries entries: {sorted(missing)}")
+    tables = None
+    if "--tables" in sys.argv:
+        tables = set(sys.argv[sys.argv.index("--tables") + 1].split(","))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # sf1 shuffles move ~100 MB: 32 reduce tasks (one per core) is the
     # right grain here, unlike bench.py's 8 at sf0.1
@@ -162,7 +197,7 @@ def main():
 
     if "--regen" in sys.argv and os.path.isdir(DST):
         shutil.rmtree(DST)
-    generate(spark)
+    generate(spark, tables=tables)
 
     # warmup: page cache + codegen + UDF worker pool (same as bench.py)
     import glob as _glob
@@ -174,9 +209,11 @@ def main():
                     pass
     from datafusion_functions_json_spark import json_get_int
 
-    ev = load_table(spark, DST, "events", spread=True)
-    ev.select(json_get_int("props", "k")).count()
-    load_table(spark, DST, "lineitem").count()
+    if os.path.exists(os.path.join(DST, "events.parquet")):
+        ev = load_table(spark, DST, "events", spread=True)
+        ev.select(json_get_int("props", "k")).count()
+    if os.path.exists(os.path.join(DST, "lineitem.parquet")):
+        load_table(spark, DST, "lineitem").count()
 
     import duckdb
 
