@@ -135,8 +135,16 @@ def generate(spark, tables=None):
             # through a single scan. Only used above the sf10 grain so
             # the pinned sf1/sf10 ledgers keep their original physical
             # layout byte-for-byte on regeneration.
-            reps = spark.range(REPLICAS).withColumnRenamed("id", "_rep")
-            r = base.crossJoin(F.broadcast(reps))
+            # the RANGE side drives (one partition per ~16 replicas →
+            # every core expands in parallel) and the sub-10MB source
+            # table is the broadcast side — broadcasting the range
+            # instead would funnel the whole expansion through the
+            # source's single parquet split
+            nparts = max(32, REPLICAS // 16)
+            reps = spark.range(
+                0, REPLICAS, numPartitions=nparts
+            ).withColumnRenamed("id", "_rep")
+            r = reps.crossJoin(F.broadcast(base))
             for k in keys:
                 r = r.withColumn(
                     k,
@@ -144,8 +152,9 @@ def generate(spark, tables=None):
                         dtypes[k]
                     ),
                 )
-            # file grain ~the source's so downstream split sizing holds
-            rep = r.drop("_rep").repartition(max(32, REPLICAS // 16))
+            # no final repartition: the range partitioning already
+            # yields ~REPLICAS/nparts source-sized files per task
+            rep = r.drop("_rep").select(*base.columns)
         else:
             rep = None
             for i in range(REPLICAS):
@@ -198,6 +207,12 @@ def main():
     if "--regen" in sys.argv and os.path.isdir(DST):
         shutil.rmtree(DST)
     generate(spark, tables=tables)
+    if "--gen-only" in sys.argv:
+        # build the replica tables in a (possibly stormy) window now,
+        # measure later in a clean one — generation isn't timed
+        print(json.dumps({"metric": f"sf{SF}_gen_only", "dst": DST}))
+        spark.stop()
+        return
 
     # warmup: page cache + codegen + UDF worker pool (same as bench.py)
     import glob as _glob
