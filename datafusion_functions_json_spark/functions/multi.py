@@ -286,7 +286,14 @@ def json_extract_multi(
     ``try_variant_get`` over ONE parsed variant, bound per row to a
     higher-order-function lambda variable so the parse is structurally
     single (codegen subexpression elimination does NOT fire on variant
-    expressions — measured) — one parse, N fields, no Python. OPT-IN
+    expressions — measured) — one parse, N fields, no Python. CAVEAT
+    measured at sf100 (round 15, 100M tiny docs, 2 fields): the HOF
+    binding is a whole-stage-codegen FALLBACK, and below ~3 fields its
+    interpreted-projection cost exceeds the parses it saves (fused
+    15.0 s vs two independent single-field twins 10.6 s in one
+    interleaved window) — prefer the single-field ``*_variant`` twins
+    for 1-2 fields; the fused path wins on wide extractions (the
+    5-field multi_extract_variant beats DuckDB at sf1). OPT-IN
     because the variant envelope is not bit-equal to the exact tier
     (container/float re-serialization for ``text``, cast-based string
     coercions; see native.py's envelope docs); union kinds and
