@@ -33,6 +33,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # __spark_entry__ (registry tier sizing)
 
 
 def _last_json_line(text: str):
