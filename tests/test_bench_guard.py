@@ -170,3 +170,58 @@ class TestGuardedWindows:
         )
         assert kept == ("window1", None, 0.70)
         assert steals == [None, None]
+
+
+class TestGatesTierHonesty:
+    """tools/gates.py summary honesty (ADVICE r14): missing tiers and
+    red absorbed artifacts must fail the bad-exit check; green live
+    and green absorbed tiers must not."""
+
+    def _gates(self):
+        import importlib
+        import sys as _sys
+        import os as _os
+
+        _sys.path.insert(
+            0,
+            _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "tools",
+            ),
+        )
+        return importlib.import_module("gates")
+
+    def test_missing_tier_is_bad(self):
+        g = self._gates()
+        assert g._tier_bad(None)
+        assert g._tier_bad({"skipped": True, "artifact_missing": True})
+
+    def test_unparsed_or_nonzero_exit_is_bad(self):
+        g = self._gates()
+        assert g._tier_bad({"exit": 0, "parsed": None})
+        assert g._tier_bad({"exit": 1, "ratio_paired": 1.2})
+
+    def test_absorbed_red_artifact_is_bad(self):
+        g = self._gates()
+        # a kept artifact recording breaches must not be laundered
+        assert g._tier_bad(
+            {"exit": None, "absorbed": True, "breaches": ["knn_graph"]}
+        )
+        assert g._tier_bad(
+            {"exit": None, "absorbed": True, "counts": {"ok": 170, "fail": 2}}
+        )
+
+    def test_green_live_and_absorbed_pass(self):
+        g = self._gates()
+        assert not g._tier_bad({"exit": 0, "ratio_paired": 1.36, "breaches": None})
+        assert not g._tier_bad(
+            {"exit": None, "absorbed": True, "breaches": []}
+        )
+        assert not g._tier_bad(
+            {"exit": 0, "counts": {"ok": 172, "fail": 0, "rows_only": 0}}
+        )
+
+    def test_last_json_line_skips_trailing_noise(self):
+        g = self._gates()
+        assert g._last_json_line('x\n{"a": 1}\n# note\n') == {"a": 1}
+        assert g._last_json_line("no json here") is None

@@ -36,6 +36,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)  # __spark_entry__ (registry tier sizing)
 
 
+def _tier_bad(v):
+    """A summary tier is bad when it is absent/missing, a live run
+    exited non-zero, or an ABSORBED artifact itself records breaches
+    or failures — absorption must not launder a red artifact
+    (ADVICE r14). Module-level so tests/test_bench_guard.py can pin
+    the policy Spark-free."""
+    if v is None or v.get("artifact_missing"):
+        return True
+    if v.get("parsed", "x") is None:
+        return True
+    if v.get("exit") not in (0, None):
+        return True
+    if v.get("breaches"):
+        return True
+    c = v.get("counts")
+    if c and c.get("fail"):
+        return True
+    return False
+
+
 def _last_json_line(text: str):
     for line in reversed(text.strip().splitlines()):
         line = line.strip()
@@ -213,24 +233,7 @@ def main():
         json.dump(doc, f, indent=1)
     print(json.dumps({"wrote": out, "summary": summary}))
 
-    def _bad(k, v):
-        """A tier is bad when it is absent/missing, a live run exited
-        non-zero, or an ABSORBED artifact itself records breaches or
-        failures — absorption must not launder a red artifact."""
-        if v is None or v.get("artifact_missing"):
-            return True
-        if v.get("parsed", "x") is None:
-            return True
-        if v.get("exit") not in (0, None):
-            return True
-        if v.get("breaches"):
-            return True
-        c = v.get("counts")
-        if c and c.get("fail"):
-            return True
-        return False
-
-    bad = [k for k, v in summary.items() if _bad(k, v)]
+    bad = [k for k, v in summary.items() if _tier_bad(v)]
     if bad:
         print(f"# BAD tiers: {', '.join(bad)}", file=sys.stderr)
     return 1 if bad else 0
