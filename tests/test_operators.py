@@ -1063,6 +1063,34 @@ class TestQuantize:
 
 
 class TestSimilarity:
+    def test_cosine_topk_auto_tier_policy(self, embeddings, monkeypatch):
+        # round-15 crossover (BASELINE.md): numpy's lower fixed cost
+        # wins under ~200k rows (~64 MB of 64-dim floats), the JVM HOF
+        # twin's ~2.7x-cheaper per-row cost wins above; unknown size
+        # reads LARGE (hof is never catastrophically wrong small, the
+        # reverse is). Assert through the PHYSICAL plan: the vectorized
+        # tier has an ArrowEvalPython node, the hof tier has none.
+        from datafusion_functions_json_spark.plans import arrow_eval_count
+
+        q = [0.1] * 64
+        # small plan-stat -> vectorized (one Arrow hop)
+        monkeypatch.setattr(similarity, "_plan_size_bytes", lambda df: 1024)
+        assert arrow_eval_count(
+            similarity.cosine_topk(embeddings, "embedding", q, k=3)
+        ) == 1
+        # large -> hof (pure JVM); unknown -> hof as well
+        for stat in ((64 << 20) + 1, None):
+            monkeypatch.setattr(
+                similarity, "_plan_size_bytes", lambda df, _s=stat: _s
+            )
+            assert arrow_eval_count(
+                similarity.cosine_topk(embeddings, "embedding", q, k=3)
+            ) == 0
+        # the real stat of a file-backed frame is a positive size
+        monkeypatch.undo()
+        sz = similarity._plan_size_bytes(embeddings)
+        assert isinstance(sz, int) and sz > 0
+
     def test_cosine_topk_self_query(self, embeddings):
         # querying with row 0's own embedding must return row 0 first
         q = embeddings.filter(F.col("vec_id") == 0).first().embedding

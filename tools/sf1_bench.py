@@ -254,6 +254,11 @@ def main():
     all_q = QUERIES + UNTWINNED
     best = {n: None for n in all_q}
     duck_best = {n: None for n in QUERIES}
+    # integrated steal over the measured region (round 15): ledger
+    # rows are only interpretable next to their window's weather
+    from bench import _stat_snapshot, _steal_pct
+
+    stat0 = _stat_snapshot()
     t_start = time.time()
     passes = 0
     while passes < runs or (passes < runs_max and time.time() - t_start < budget):
@@ -293,6 +298,7 @@ def main():
         "ratio_paired": (
             round(twinned_total / duck_total, 3) if duck_total else None
         ),
+        "steal_pct_of_busy": _steal_pct(stat0, _stat_snapshot()),
         "unit": "sec",
         "sf": float(SF),
     }))
