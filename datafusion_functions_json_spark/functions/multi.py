@@ -220,25 +220,78 @@ def _variant_multi(json_col, specs) -> Column:
     )[0]
 
 
-def _auto_tier(specs, json_profile) -> str:
-    """Resolve ``tier='auto'``: the variant tier iff Spark >= 4, every
-    requested kind/path is variant-expressible, and the
-    :class:`~.native.JsonProfile` doesn't disqualify the corresponding
-    function's envelope (same rules as :func:`~.native.recommend_tier`);
-    otherwise the exact tier. A disqualified AUTO silently falls back —
-    the point is "fastest equivalent without reading envelope docs";
-    callers who want a hard error opt into ``tier='variant'``."""
+def _variant_perfield(json_col, specs) -> Column:
+    # N independent parses, NO lambda binding: each field is a plain
+    # parse_json+try_variant_get chain, so the projection stays inside
+    # whole-stage codegen (the HOF binding above is a codegen FALLBACK —
+    # measured at sf100 r15: below ~3 fields the interpreted projection
+    # costs more than the 1-2 parses it saves, fused 15.0 s vs two
+    # independent single-field twins 10.6 s on 100M docs)
+    from . import native
+
+    return F.struct(
+        *(
+            native.variant_field(native.parse_variant(json_col), p, k).alias(n)
+            for n, k, p in specs
+        )
+    )
+
+
+# tier='auto' crossover constants — both measured round 15 at sf100
+# (BASELINE.md decade ledger). Below _HOF_MIN_FIELDS the fused
+# HOF-bound form's interpreted projection costs more than the parses it
+# saves; below _SMALL_INPUT_BYTES the tier difference is immaterial and
+# the exact tier (reference-fidelity, zero envelope caveats) wins by
+# default. Mirrors cosine_topk's impl='auto' (operators/similarity.py).
+_HOF_MIN_FIELDS = 3
+_SMALL_INPUT_BYTES = 64 << 20
+
+
+def _auto_tier(specs, json_profile, input_df=None) -> str:
+    """Resolve ``tier='auto'`` to one of ``exact`` / ``variant`` (fused
+    HOF, one parse) / ``variant_perfield`` (N parses, stays in codegen).
+
+    Gate first, then crossover:
+
+    0. ``json_profile is None`` → ``exact``, always. The JVM tiers are
+       only PROVABLY equivalent relative to a caller's claim about the
+       data (the :class:`~.native.JsonProfile` flags); with no claim
+       nothing is proven, and the module's contract — results identical
+       to N single-field calls on ANY input — wins. This is why the
+       r16 default-tier change (``tier='auto'``) is bit-compatible with
+       r15's ``tier='exact'`` default: speed is one explicit
+       ``json_profile=JsonProfile()`` away, silent divergence never is.
+    1. A JVM tier is eligible iff Spark >= 4, every requested kind/path
+       is variant-expressible, and the profile doesn't disqualify the
+       corresponding function's envelope (same rules as
+       :func:`~.native.recommend_tier`) — otherwise ``exact``.
+       A disqualified AUTO silently falls back — the point is "fastest
+       equivalent without reading envelope docs"; callers who want a
+       hard error opt into ``tier='variant'``.
+    2. ``len(specs) >= 3`` → fused ``variant`` (one parse for N fields;
+       the HOF binding's codegen-fallback cost amortizes — measured
+       break-even ~3 fields at sf100, round 15).
+    3. 1-2 fields: the fused form LOSES; pick between per-field variant
+       and exact by the optimizer's free size statistic when
+       ``input_df`` was provided: below ~64 MB the difference is
+       immaterial and ``exact`` (the reference-fidelity tier) wins by
+       default; large or UNKNOWN (no ``input_df``, or Spark Connect
+       where plan stats are unreachable) → ``variant_perfield``
+       (measured ~20% under Arrow+orjson on tiny-doc scans, no Python
+       workers — the conservative choice at scale)."""
     import pyspark
 
-    from .native import JsonProfile, _jvm_tier_ok, jsonpath, parse_spark_version
+    from .native import _jvm_tier_ok, jsonpath, parse_spark_version
 
+    if json_profile is None:
+        return "exact"  # no data claim -> nothing provable -> fidelity
     try:
         ver = parse_spark_version(pyspark.__version__)
     except ValueError:
         return "exact"
     if ver < (4, 0):
         return "exact"
-    p = json_profile or JsonProfile()
+    p = json_profile
     kind_fn = {
         "str": "json_get_str",
         "int": "json_get_int",
@@ -257,15 +310,24 @@ def _auto_tier(specs, json_profile) -> str:
             jsonpath(path)
         except ValueError:
             return "exact"  # key inexpressible in JSONPath syntax
-    return "variant"
+    if len(specs) >= _HOF_MIN_FIELDS:
+        return "variant"
+    if input_df is not None:
+        from ..plans import plan_size_bytes
+
+        sz = plan_size_bytes(input_df)
+        if sz is not None and sz < _SMALL_INPUT_BYTES:
+            return "exact"
+    return "variant_perfield"
 
 
 def json_extract_multi(
     json_col,
     fields: Mapping[str, Tuple],
     *,
-    tier: str = "exact",
+    tier: str = "auto",
     json_profile=None,
+    input_df=None,
 ) -> Column:
     """Extract N typed fields from one JSON column with ONE parse per
     document.
@@ -300,15 +362,37 @@ def json_extract_multi(
     JSONPath-inexpressible keys raise. The bench shows the Arrow hop
     alone costs ~0.3 s/600k rows — this path removes it entirely.
 
-    ``tier="auto"`` — pick the fastest PROVABLY-EQUIVALENT tier for a
-    :class:`~.native.JsonProfile` (``json_profile`` kwarg, default
-    permissive): variant when Spark >= 4 and every field's envelope
-    allows it, exact otherwise — the :func:`~.native.recommend_tier`
-    rules applied per field, with silent fallback instead of the
-    variant tier's hard errors.
+    ``tier="variant_perfield"`` — N independent parse+get chains, one
+    per field: more parses than the fused form but NO HOF binding, so
+    the projection stays inside whole-stage codegen. The measured
+    winner for 1-2 fields at scan scale (see the sf100 numbers above);
+    same envelope caveats as ``"variant"``.
+
+    ``tier="auto"`` (DEFAULT since round 16) — pick the fastest
+    PROVABLY-EQUIVALENT tier for a :class:`~.native.JsonProfile`
+    (``json_profile`` kwarg). **No profile → exact**: the JVM tiers are
+    only provably equivalent relative to a claim about the data, so a
+    bare call keeps r15's exact-tier results bit-for-bit; pass
+    ``json_profile=JsonProfile()`` (the permissive claim: no mixed-type
+    paths, no trailing garbage, no raw-slice needs...) to unlock the
+    JVM tiers. Given a profile: exact whenever any
+    field's envelope or Spark < 4 disqualifies the JVM tiers (silent
+    fallback instead of the variant tier's hard errors); otherwise
+    fused ``variant`` at >= 3 fields, ``variant_perfield`` at 1-2
+    fields — except that when ``input_df`` (the DataFrame the column
+    will be selected from) is provided and the optimizer's free size
+    statistic reads under ~64 MB, 1-2-field extractions take the exact
+    tier (the difference is immaterial below the crossover and exact
+    has zero envelope caveats). Unknown size — no ``input_df``, or
+    Spark Connect where plan stats are unreachable — is treated as
+    LARGE, mirroring ``cosine_topk(impl='auto')``. Both crossovers
+    (field count ~3, ~64 MB) measured round 15 at sf100.
     """
-    if tier not in ("exact", "variant", "auto"):
-        raise ValueError(f"unknown tier {tier!r}; expected exact|variant|auto")
+    if tier not in ("exact", "variant", "variant_perfield", "auto"):
+        raise ValueError(
+            f"unknown tier {tier!r}; expected "
+            "exact|variant|variant_perfield|auto"
+        )
     if isinstance(json_col, str):
         json_col = F.col(json_col)
     specs = []
@@ -321,14 +405,16 @@ def json_extract_multi(
             )
         specs.append((name, kind, tuple(path)))
     if tier == "auto":
-        tier = _auto_tier(specs, json_profile)
-    if tier == "variant":
+        tier = _auto_tier(specs, json_profile, input_df)
+    if tier in ("variant", "variant_perfield"):
         bad = sorted({k for _, k, _ in specs if k not in _VARIANT_KINDS})
         if bad:
             raise ValueError(
                 f"kinds {bad} are not expressible on the variant tier; "
                 "use tier='exact'"
             )
+        if tier == "variant_perfield":
+            return _variant_perfield(json_col, specs)
         return _variant_multi(json_col, specs)
     ret = "struct<" + ",".join(f"`{n}`:{FIELD_KINDS[k]}" for n, k, _ in specs) + ">"
     # parse_constant: reject NaN/Infinity tokens like the reference's

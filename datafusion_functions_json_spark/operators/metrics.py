@@ -103,9 +103,13 @@ class StageMetrics:
         out = {}
         pending = []
         for stage, obs in self._stages.items():
+            # Spark Connect Observations carry no _jo/_jvm handle — the
+            # bounded JVM wait below is classic-session-only; without it
+            # we fall straight through to obs.get (Connect's get is
+            # server-side and does not need the deadlock guard)
             jo = getattr(obs, "_jo", None)
             done = True
-            if jo is not None:
+            if jo is not None and getattr(obs, "_jvm", None) is not None:
                 try:
                     jvm = obs._jvm
                     dur = jvm.scala.concurrent.duration.Duration.apply(

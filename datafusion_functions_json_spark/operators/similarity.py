@@ -69,17 +69,14 @@ def _dvec(c) -> Column:
 
 
 def _plan_size_bytes(df: DataFrame):
-    """The optimizer's sizeInBytes estimate for ``df`` — free (no
-    action; file sources report summed file size). None when the JVM
-    plan stats are unreachable; callers treat unknown as LARGE (the
+    """Shared helper — see :func:`~..plans.plan_size_bytes`. None when
+    the JVM plan stats are unreachable (e.g. Spark Connect, where
+    ``df._jdf`` does not exist); callers treat unknown as LARGE (the
     large-input code path is never catastrophically wrong on small
     inputs, the reverse is)."""
-    try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return None
+    from ..plans import plan_size_bytes
+
+    return plan_size_bytes(df)
 
 
 def dot(a, b) -> Column:

@@ -14,6 +14,7 @@ __all__ = [
     "explain_str",
     "arrow_eval_count",
     "has_pushed_filter",
+    "plan_size_bytes",
     "wholestage_codegen_spans",
 ]
 
@@ -27,6 +28,28 @@ def explain_str(df: DataFrame, mode: str = "simple") -> str:
         else:
             df.explain(mode)
     return buf.getvalue()
+
+
+def plan_size_bytes(df: DataFrame):
+    """The optimizer's ``sizeInBytes`` estimate for ``df`` — free (no
+    action; file sources report summed file size). This is the shared
+    input-size statistic behind every ``'auto'`` tier choice
+    (``cosine_topk(impl='auto')``, ``json_extract_multi(tier='auto')``).
+
+    Returns ``None`` when the JVM plan stats are unreachable — notably
+    under **Spark Connect**, where ``df._jdf`` does not exist. Callers
+    MUST treat ``None`` as "large/unknown" and take their conservative
+    tier: the large-input code path is never catastrophically wrong on
+    small inputs, the reverse is."""
+    try:
+        sz = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    # Long.MaxValue is Catalyst's "statistics unknown" sentinel (e.g.
+    # some local relations) — report it as unknown, not as a real size
+    return None if sz >= (1 << 63) - 1 else sz
 
 
 def arrow_eval_count(df: DataFrame) -> int:
