@@ -225,3 +225,47 @@ class TestGatesTierHonesty:
         g = self._gates()
         assert g._last_json_line('x\n{"a": 1}\n# note\n') == {"a": 1}
         assert g._last_json_line("no json here") is None
+
+
+class TestCensusAttempts:
+    """Round-16 policy (VERDICT r15 #2): census attempts carry the FULL
+    bench record — per-query and duckdb maps — not just totals."""
+
+    def test_append_census_attempt_full_record(self, tmp_path):
+        import json
+
+        import bench
+
+        p = str(tmp_path / "census.json")
+        rec = {
+            "metric": "headline_queries_total",
+            "value": 5.0,
+            "queries": {"tpch_q1": 0.4},
+            "duckdb_queries": {"tpch_q1": 0.1},
+            "ratio_paired": 1.36,
+        }
+        bench.append_census_attempt(p, rec, "first window")
+        bench.append_census_attempt(p, rec)
+        doc = json.loads(open(p).read())
+        assert len(doc["attempts"]) == 2
+        a = doc["attempts"][0]
+        assert a["queries"] == {"tpch_q1": 0.4}
+        assert a["duckdb_queries"] == {"tpch_q1": 0.1}
+        assert a["note"] == "first window"
+        assert "utc" in a
+        # no note -> no empty-note key noise
+        assert "note" not in doc["attempts"][1]
+
+    def test_append_preserves_probe_only_entries(self, tmp_path):
+        import json
+
+        import bench
+
+        p = str(tmp_path / "census.json")
+        with open(p, "w") as f:
+            json.dump({"round": 16, "probe_only": [{"efficiency": 0.6}]}, f)
+        bench.append_census_attempt(p, {"value": 1.0})
+        doc = json.loads(open(p).read())
+        assert doc["round"] == 16
+        assert doc["probe_only"] == [{"efficiency": 0.6}]
+        assert doc["attempts"][0]["value"] == 1.0

@@ -67,11 +67,15 @@ def _last_json_line(text: str):
     return None
 
 
-def _run(cmd, log_path, parse_file=None):
+def _run(cmd, log_path, parse_file=None, extra_env=None):
     """Run one tier; ``parsed`` comes from the last stdout JSON line,
     or from ``parse_file`` for tools that write their artifact
     directly (check_oracle)."""
     t0 = time.time()
+    env = None
+    if extra_env:
+        env = dict(os.environ)
+        env.update(extra_env)
     with open(log_path, "w") as log:
         proc = subprocess.run(
             cmd,
@@ -79,6 +83,7 @@ def _run(cmd, log_path, parse_file=None):
             stdout=subprocess.PIPE,
             stderr=log,
             text=True,
+            env=env,
         )
     if parse_file is not None:
         parsed = None
@@ -138,7 +143,20 @@ def main():
 
     tiers = {}
     if "bench" not in skip:
-        r = _run([py, "bench.py"], f"/tmp/gates_r{rnd}_bench.stderr")
+        # every headline window self-records a FULL attempt (per-query
+        # + duckdb maps) in the round census — VERDICT r15 #2
+        r = _run(
+            [py, "bench.py"],
+            f"/tmp/gates_r{rnd}_bench.stderr",
+            extra_env={
+                "SPARK_GRAFT_BENCH_CENSUS": os.path.join(
+                    REPO, f"BENCH_CENSUS_r{rnd:02d}.json"
+                ),
+                "SPARK_GRAFT_BENCH_NOTE": os.environ.get(
+                    "SPARK_GRAFT_BENCH_NOTE", "gates.py headline tier"
+                ),
+            },
+        )
         if r["parsed"]:
             with open(os.path.join(REPO, f"BENCH_r{rnd:02d}.json"), "w") as f:
                 f.write(json.dumps(r["parsed"]) + "\n")

@@ -13,6 +13,14 @@ this tool is the census instrument. Appends probe entries to
 BENCH_CENSUS_r14.json-style files via --append.
 
 Usage: python tools/probe_census.py [--n N] [--append CENSUS.json]
+       python tools/probe_census.py --append CENSUS.json \
+           --attempt BENCH_rNN.json [--note "..."]
+
+The --attempt form copies an existing bench artifact (the FULL record,
+per-query and duckdb maps included) into the census's attempts list —
+the r16 fix for round 15's totals-only attempts (VERDICT r15 #2).
+bench.py can also self-record: set SPARK_GRAFT_BENCH_CENSUS=<file>
+(and optionally SPARK_GRAFT_BENCH_NOTE) before a run.
 """
 
 from __future__ import annotations
@@ -33,6 +41,7 @@ from bench import (  # noqa: E402
     _host_parallel_efficiency,
     _stat_snapshot,
     _steal_pct,
+    append_census_attempt,
 )
 
 
@@ -72,6 +81,26 @@ def main():
         i = argv.index("--append")
         append = argv[i + 1]
         del argv[i : i + 2]
+    if "--attempt" in argv:
+        i = argv.index("--attempt")
+        bench_artifact = argv[i + 1]
+        del argv[i : i + 2]
+        note = ""
+        if "--note" in argv:
+            i = argv.index("--note")
+            note = argv[i + 1]
+            del argv[i : i + 2]
+        if not append:
+            sys.exit("--attempt requires --append CENSUS.json")
+        with open(bench_artifact) as f:
+            record = json.load(f)
+        append_census_attempt(append, record, note)
+        print(
+            f"appended {bench_artifact} as a full attempt record to "
+            f"{append}",
+            file=sys.stderr,
+        )
+        return
     results = []
     for k in range(n):
         r = probe_once()
