@@ -3,13 +3,13 @@ with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 All three decode legs are REAL: ``decode_image`` uses PIL when
 importable and falls back to pure-stdlib decoders (PNG via zlib+
-unfilter, binary PPM/PGM, JPEG/GIF header sniff — see
-:mod:`._codecs`); ``extract_audio_features`` parses WAV/PCM with the
-stdlib ``wave`` module; ``extract_video_features`` uses PyAV when
-importable (any ffmpeg codec) and falls back to a pure-stdlib
-RIFF/AVI parser — full pixel decode for uncompressed BI_RGB DIB
-frames, MJPEG frames through the JPEG path (PIL where present, header
-sniff otherwise; non-AVI containers need PyAV). Undecodable payloads
+unfilter, binary PPM/PGM, baseline JPEG full decode since round 16,
+GIF header sniff — see :mod:`._codecs`); ``extract_audio_features``
+parses WAV/PCM with the stdlib ``wave`` module;
+``extract_video_features`` uses PyAV when importable (any ffmpeg
+codec) and falls back to a pure-stdlib RIFF/AVI parser — full pixel
+decode for uncompressed BI_RGB DIB frames AND baseline-MJPEG frames
+(stdlib JPEG decoder; non-AVI containers need PyAV). Undecodable payloads
 yield NULL fields per row — never a task failure. ``fake=True``
 remains the deterministic hash-derived stand-in available for
 reproducible oracle queries.
@@ -125,8 +125,9 @@ def decode_image(df: DataFrame, payload_col: str = "payload", *, fake: bool = Fa
     4×4-luma-grid feature vector via Arrow-batched ``mapInPandas``.
 
     Real decode chain: PIL when importable on the worker, else the
-    pure-stdlib decoders in :mod:`._codecs` (PNG, PPM/PGM full decode;
-    JPEG/GIF dimension sniff → NULL features). Undecodable payloads →
+    pure-stdlib decoders in :mod:`._codecs` (PNG, PPM/PGM, baseline
+    JPEG full decode; progressive-JPEG/GIF dimension sniff → NULL
+    features). Undecodable payloads →
     NULL fields for that row. ``fake=True`` keeps the deterministic
     hash-derived stand-in (same schema/batching) for reproducible
     oracle queries.
@@ -259,10 +260,10 @@ def extract_video_features(
        sequential scan, each requested timestamp gets the last frame
        at-or-before it (ffmpeg seek semantics).
     2. Pure-stdlib RIFF/AVI (:func:`._codecs.parse_avi`): full pixel
-       decode for uncompressed BI_RGB 24/32-bit DIB frames; MJPEG
-       frames route through the JPEG path (PIL where importable, else
-       header sniff → NULL features). Frame index = ``ts * fps / 1000``
-       clamped to the stored frame list.
+       decode for uncompressed BI_RGB 24/32-bit DIB frames AND
+       baseline-MJPEG frames (stdlib JPEG decoder, round 16; PIL still
+       tried first for exotic frame encodings). Frame index =
+       ``ts * fps / 1000`` clamped to the stored frame list.
     3. Anything else (non-AVI container without PyAV, undecodable
        payload) → NULL features for that row — never a task failure.
 

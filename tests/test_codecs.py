@@ -20,6 +20,7 @@ from datafusion_functions_json_spark.operators._codecs import (
     decode_image_bytes,
     decode_wav_bytes,
     encode_avi,
+    encode_jpeg,
     image_grid_features,
     parse_avi,
 )
@@ -282,3 +283,118 @@ class TestPilParity:
         px = _checker(10, 9, 3)
         img = PIL_Image.open(io.BytesIO(encode_png(px, 4)))
         assert np.array_equal(np.asarray(img), px)
+
+
+class TestJpegCodec:
+    """Round-16 stdlib baseline-JPEG codec (VERDICT r15 #7, stronger
+    option): full decode without PIL, round-tripped against our own
+    fixture-grade encoder. JPEG is lossy — compare with tolerance;
+    solid-color blocks must survive near-exactly."""
+
+    @staticmethod
+    def _smooth(h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.clip(
+            np.stack([yy * 6, xx * 7, yy * 3 + xx * 3], -1), 0, 255
+        ).astype(np.uint8)
+
+    def test_roundtrip_444_rgb(self):
+        px = self._smooth(24, 17)
+        h, w, c, out = decode_image_bytes(encode_jpeg(px, quality=95))
+        assert (h, w, c) == (24, 17, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
+
+    def test_roundtrip_420_subsampled(self):
+        px = self._smooth(40, 33)
+        h, w, c, out = decode_image_bytes(
+            encode_jpeg(px, quality=92, subsample=True)
+        )
+        assert (h, w, c) == (40, 33, 3)
+        # chroma is 2x2-averaged: tolerate more, but the image must
+        # clearly be THIS image
+        assert np.abs(out.astype(int) - px.astype(int)).mean() < 4
+
+    def test_roundtrip_grayscale(self):
+        px = self._smooth(16, 11)[:, :, 0]
+        h, w, c, out = decode_image_bytes(encode_jpeg(px, quality=95))
+        assert (h, w, c) == (16, 11, 1)
+        assert np.abs(out[:, :, 0].astype(int) - px.astype(int)).max() <= 3
+
+    def test_roundtrip_restart_markers(self):
+        px = self._smooth(40, 33)
+        h, w, c, out = decode_image_bytes(
+            encode_jpeg(px, quality=92, restart_interval=2)
+        )
+        assert (h, w, c) == (40, 33, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 6
+
+    def test_solid_color_near_exact(self):
+        solid = np.full((16, 16, 3), 120, np.uint8)
+        _, _, _, out = decode_image_bytes(encode_jpeg(solid, quality=90))
+        assert np.abs(out.astype(int) - 120).max() == 0
+
+    def test_truncated_entropy_falls_back_to_sniff_dims(self):
+        px = self._smooth(24, 17)
+        b = encode_jpeg(px, quality=90)
+        cut = b[: len(b) // 2]
+        h, w, c, out = decode_image_bytes(cut)
+        # full decode impossible -> header sniff still yields dims
+        assert (h, w, c) == (24, 17, 3)
+        assert out is None
+
+    def test_progressive_sof2_sniffs_dims_only(self):
+        # hand-build SOI + SOF2: the baseline decoder must refuse and
+        # the sniffer must still report dimensions
+        sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 48, 64, 3)
+        payload = (
+            b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof2
+        )
+        assert decode_image_bytes(payload) == (48, 64, 3, None)
+
+    def test_garbage_never_raises(self):
+        from datafusion_functions_json_spark.operators._codecs import (
+            _decode_jpeg,
+        )
+
+        for b in (
+            b"\xff\xd8\xff",
+            b"\xff\xd8" + b"\x00" * 50,
+            encode_jpeg(self._smooth(8, 8))[:-20] + b"\xff" * 20,
+        ):
+            got = _decode_jpeg(bytes(b))
+            assert got is None or got[3] is None or got[3].dtype == np.uint8
+
+    def test_pil_decodes_our_jpeg_close(self):
+        PIL_Image = pytest.importorskip("PIL.Image")
+        px = self._smooth(24, 17)
+        img = PIL_Image.open(io.BytesIO(encode_jpeg(px, quality=95)))
+        arr = np.asarray(img)
+        assert arr.shape == (24, 17, 3)
+        assert np.abs(arr.astype(int) - px.astype(int)).mean() < 3
+
+
+class TestMjpegAvi:
+    def test_mjpeg_frames_decode(self):
+        yy, xx = np.mgrid[0:24, 0:20]
+        f0 = np.clip(
+            np.stack([yy * 8, xx * 9, yy * 4 + xx * 4], -1), 0, 255
+        ).astype(np.uint8)
+        f1 = (255 - f0).astype(np.uint8)
+        info = parse_avi(encode_avi([f0, f1], codec="mjpg"))
+        assert info is not None and len(info["frames"]) == 2
+        a = decode_avi_frame(info, 0)
+        b = decode_avi_frame(info, 1)
+        assert a is not None and b is not None
+        assert np.abs(a.astype(int) - f0.astype(int)).mean() < 2
+        assert np.abs(b.astype(int) - f1.astype(int)).mean() < 2
+
+    def test_mjpeg_corrupt_frame_is_none(self):
+        f0 = np.full((16, 16, 3), 90, np.uint8)
+        avi = encode_avi([f0], codec="mjpg")
+        info = parse_avi(avi)
+        info["frames"][0] = b"\xff\xd8" + b"\x01" * 10  # broken JPEG
+        assert decode_avi_frame(info, 0) is None
+
+    def test_bad_codec_rejected(self):
+        with pytest.raises(ValueError, match="codec"):
+            encode_avi([np.zeros((8, 8, 3), np.uint8)], codec="h264")
