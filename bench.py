@@ -178,15 +178,30 @@ def _window_degraded(eff, steal, eff_min, steal_max, eff_storm=None):
     return steal > steal_max or eff < eff_storm
 
 
-def _window_better(eff2, steal2, eff1, steal1, steal_max=2.0):
-    """Window preference: a steal-clean window beats a steal-dirty one
-    REGARDLESS of probe readings; among two dirty windows, less steal
-    wins; among two clean windows, sub-ceiling steal differences are
-    noise and the probe decides. WHY steal outranks the probe across
-    the dirty/clean boundary: it integrates over the window body,
-    while the probe samples the edges — round 14's clean gate window
-    (0.6% steal, zero breaches) carried a WORSE entry probe than the
-    steal-storm window it retook (knn_graph at 4.7x of pin)."""
+def _window_better(eff2, steal2, eff1, steal1, steal_max=2.0,
+                   probe_zone=6.0):
+    """Window preference, re-based on the round-16 two-dimension
+    measurement: when BOTH windows sit under ``probe_zone`` (~6%)
+    integrated steal, the PROBE decides (with a 0.02 hysteresis below
+    which sub-zone steal differences break the tie) — three true
+    ≤2%-steal full windows read 1.431-1.51 at probe 0.565-0.585 while
+    a 5.92%-steal window at probe 0.604 read 1.361 and a 32%-steal
+    control at probe 0.624 read 1.499 (BASELINE.md round-16): below
+    the zone the paired ratio tracks sibling-collapse, not steal.
+    Above the zone the round-14 rule stands: a steal-clean window
+    beats a steal-dirty one regardless of probes (steal integrates
+    over the window body; the probe samples the edges — r14's clean
+    retake carried a WORSE entry probe than the storm window it
+    replaced), and among two dirty windows less steal wins."""
+    if (
+        steal1 is not None
+        and steal2 is not None
+        and steal1 < probe_zone
+        and steal2 < probe_zone
+    ):
+        if abs(eff2 - eff1) > 0.02 + 1e-9:  # epsilon: float-sub noise
+            return eff2 > eff1
+        return steal2 < steal1
     dirty1 = steal1 is not None and steal1 > steal_max
     dirty2 = steal2 is not None and steal2 > steal_max
     if dirty1 != dirty2:
@@ -201,8 +216,8 @@ def _guarded_windows(run_window, probe, entry_eff, eff_min, reruns,
     """Window-selection core of the host-noise guard, Spark-free so the
     policy is unit-testable: run one window, and while it reads
     DEGRADED (``_window_degraded``) and reruns remain, run another and
-    keep the BETTER window (``_window_better``: lower integrated
-    steal first, probe efficiency as fallback). ``run_window(
+    keep the BETTER window (``_window_better``: probe decides inside
+    the sub-6%-steal zone, steal decides across/above it). ``run_window(
     entry_eff)`` returns a tuple whose LAST element is the window's
     probe efficiency and SECOND-TO-LAST is its integrated steal
     %-of-busy (None when /proc/stat is unavailable); ``probe()``

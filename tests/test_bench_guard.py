@@ -74,7 +74,8 @@ class TestWindowBetter:
         assert _window_better(0.57, 0.6, 0.592, 15.5)
 
     def test_dirty_loses_even_with_better_probe(self):
-        assert not _window_better(0.9, 5.0, 0.6, 0.5)
+        # above the ~6% probe zone a true storm loses regardless
+        assert not _window_better(0.9, 8.0, 0.6, 0.5)
 
     def test_both_dirty_less_steal_wins(self):
         assert _window_better(0.5, 3.0, 0.9, 8.0)
@@ -85,6 +86,19 @@ class TestWindowBetter:
         # is the real signal, not the steal jitter
         assert _window_better(0.9, 0.2, 0.6, 0.1)
         assert not _window_better(0.6, 0.1, 0.9, 0.2)
+
+    def test_sub_zone_probe_outranks_steal(self):
+        # THE round-16 case: 5.92% steal at probe 0.604 measured
+        # BETTER (ratio 1.361) than 1.37% steal at probe 0.581
+        # (1.510) — below the ~6% zone the probe decides
+        assert _window_better(0.604, 5.92, 0.581, 1.37)
+        assert not _window_better(0.581, 1.37, 0.604, 5.92)
+        # hysteresis: probes within 0.02 -> sub-zone steal breaks tie
+        # (the r15 steal-gradient note: 1.6% reads 4-19% over 0.4%)
+        assert _window_better(0.60, 0.4, 0.59, 1.6)
+        assert not _window_better(0.59, 1.6, 0.60, 0.4)
+        # the zone boundary: 8% is outside, clean-beats-dirty rules
+        assert not _window_better(0.9, 8.0, 0.55, 1.0)
 
     def test_missing_steal_compares_probes(self):
         assert _window_better(0.8, None, 0.6, None)
@@ -118,19 +132,30 @@ class TestGuardedWindows:
         assert len(calls) == 2
 
     def test_high_steal_alone_triggers_rerun(self):
-        # probe above the floor, steal above the ceiling
-        run, calls = _runner([(3.3, 0.9), (0.3, 0.88)])
-        kept, _, steals = _guarded_windows(run, lambda: 0.88, 0.9, 0.85, 1)
-        assert kept == ("window1", 0.3, 0.88)
+        # probe above the floor, steal above the ceiling; probes tie
+        # within hysteresis so the sub-zone steal breaks it
+        run, calls = _runner([(3.3, 0.9), (0.3, 0.9)])
+        kept, _, steals = _guarded_windows(run, lambda: 0.9, 0.9, 0.85, 1)
+        assert kept == ("window1", 0.3, 0.9)
         assert steals == [3.3, 0.3]
 
     def test_degraded_rerun_worse_keeps_first(self):
         # first window: clean steal but probe under the storm floor
-        # (sibling contention); retake lands in a steal storm — the
-        # first window wins on steal
-        run, _ = _runner([(0.5, 0.50), (4.0, 0.58)])
+        # (sibling contention); retake lands ABOVE the probe zone (a
+        # true steal storm) — the first window wins on steal, because
+        # the probe-decides rule only applies when both sit sub-zone
+        run, _ = _runner([(0.5, 0.50), (9.0, 0.58)])
         kept, windows, _ = _guarded_windows(run, lambda: 0.58, 0.50, 0.85, 1)
         assert kept == ("window0", 0.5, 0.50)
+
+    def test_degraded_rerun_sub_zone_probe_wins(self):
+        # r16 refinement: sibling-collapsed first window (probe 0.50,
+        # clean steal) vs a 4%-steal retake probing 0.58 — sub-zone,
+        # the probe decides and the retake wins (the 0.487-probe
+        # window this round was garbage despite 1.29% steal)
+        run, _ = _runner([(0.5, 0.50), (4.0, 0.58)])
+        kept, windows, _ = _guarded_windows(run, lambda: 0.58, 0.50, 0.85, 1)
+        assert kept == ("window1", 4.0, 0.58)
         assert windows == [0.50, 0.58]
 
     def test_rerun_budget_bounds_the_loop(self):
