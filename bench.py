@@ -179,7 +179,7 @@ def _window_degraded(eff, steal, eff_min, steal_max, eff_storm=None):
 
 
 def _window_better(eff2, steal2, eff1, steal1, steal_max=2.0,
-                   probe_zone=6.0):
+                   probe_zone=6.0, eff_storm=None):
     """Window preference, re-based on the round-16 two-dimension
     measurement: when BOTH windows sit under ``probe_zone`` (~6%)
     integrated steal, the PROBE decides (with a 0.02 hysteresis below
@@ -192,7 +192,21 @@ def _window_better(eff2, steal2, eff1, steal1, steal_max=2.0,
     beats a steal-dirty one regardless of probes (steal integrates
     over the window body; the probe samples the edges — r14's clean
     retake carried a WORSE entry probe than the storm window it
-    replaced), and among two dirty windows less steal wins."""
+    replaced), and among two dirty windows less steal wins.
+
+    Storm-floor backstop (VERDICT r16 #5): a window probing UNDER the
+    storm floor is degraded on the one axis the census proved dominates
+    the sub-zone ratio, so it can never displace — nor survive against —
+    a window probing at or above the floor, regardless of steal.
+    Round 16's driver-final kept a probe-0.442 window over a 5.92%-steal
+    probe-0.604 one on the less-steal rule; per the census curve the
+    0.442 window's readings were the more inflated ones."""
+    if eff_storm is None:
+        eff_storm = EFF_STORM_FLOOR
+    sub1 = eff1 < eff_storm
+    sub2 = eff2 < eff_storm
+    if sub1 != sub2:
+        return sub1  # the above-floor window wins outright
     if (
         steal1 is not None
         and steal2 is not None
@@ -212,7 +226,7 @@ def _window_better(eff2, steal2, eff1, steal1, steal_max=2.0,
 
 
 def _guarded_windows(run_window, probe, entry_eff, eff_min, reruns,
-                     steal_max=2.0):
+                     steal_max=2.0, eff_storm=None):
     """Window-selection core of the host-noise guard, Spark-free so the
     policy is unit-testable: run one window, and while it reads
     DEGRADED (``_window_degraded``) and reruns remain, run another and
@@ -226,12 +240,18 @@ def _guarded_windows(run_window, probe, entry_eff, eff_min, reruns,
     kept = run_window(entry_eff)
     windows = [kept[-1]]
     steals = [kept[-2]]
-    while _window_degraded(kept[-1], kept[-2], eff_min, steal_max) and reruns > 0:
+    while (
+        _window_degraded(kept[-1], kept[-2], eff_min, steal_max, eff_storm)
+        and reruns > 0
+    ):
         reruns -= 1
         cand = run_window(probe())
         windows.append(cand[-1])
         steals.append(cand[-2])
-        if _window_better(cand[-1], cand[-2], kept[-1], kept[-2], steal_max):
+        if _window_better(
+            cand[-1], cand[-2], kept[-1], kept[-2], steal_max,
+            eff_storm=eff_storm,
+        ):
             kept = cand
     return kept, windows, steals
 
@@ -245,8 +265,16 @@ def append_census_attempt(census_path: str, record: dict, note: str = ""):
     across windows can be re-derived mechanically."""
     doc = {"round": None, "attempts": []}
     if os.path.exists(census_path):
-        with open(census_path) as f:
-            doc = json.load(f)
+        try:
+            with open(census_path) as f:
+                doc = json.load(f)
+        except (json.JSONDecodeError, OSError, ValueError):
+            # a truncated/corrupt census must not discard the new
+            # attempt (ADVICE r17) — keep the bytes aside for forensics
+            # and start a fresh doc that says so
+            os.replace(census_path, census_path + ".corrupt")
+            doc = {"round": None, "attempts": [],
+                   "recovered_from_corrupt": True}
     attempt = {
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         **record,
@@ -465,18 +493,30 @@ def main():
                 "steal_pct_of_busy": steal_pct,
                 "steal_windows": steals,
                 "steal_ceiling": steal_max,
+                # self-describing degradation (VERDICT r16 #5): true when
+                # the KEPT window still reads degraded after the rerun
+                # budget — a consumer must not treat this number as a
+                # clean-window reading
+                "degraded": bool(
+                    _window_degraded(eff, steal_pct, eff_min, steal_max)
+                ),
                 "sf": sf,
             }
     )
+    # headline line FIRST: a corrupt census file must never discard the
+    # whole bench window's output (ADVICE r17)
+    print(json.dumps(record))
     # self-recording census: every bench window lands in the round's
     # census file WITH its per-query maps (VERDICT r15 #2), so no
     # cross-window claim ever rests on numbers outside an artifact
     census = os.environ.get("SPARK_GRAFT_BENCH_CENSUS", "")
     if census:
-        append_census_attempt(
-            census, record, os.environ.get("SPARK_GRAFT_BENCH_NOTE", "")
-        )
-    print(json.dumps(record))
+        try:
+            append_census_attempt(
+                census, record, os.environ.get("SPARK_GRAFT_BENCH_NOTE", "")
+            )
+        except Exception as e:
+            print(f"# census append failed: {e!r}", file=sys.stderr)
     spark.stop()
 
 

@@ -484,7 +484,11 @@ def _jpeg_scan(height, width, comps, scan, qt, huff, dri, chunks):
             return None  # only integer upsampling factors
     mcus_x = -(-width // (8 * max_h))
     mcus_y = -(-height // (8 * max_v))
-    if mcus_x * mcus_y > 1 << 22:  # ~4M MCUs: bound untrusted dims
+    # Bound the PADDED plane allocation, not just MCU count: with 4x4
+    # sampling factors a crafted 65535x65535 header sits under a pure
+    # MCU cap while the float64 plane would be ~32 GiB. 64M padded
+    # pixels ~= 512 MB of float64 per plane, the real ceiling.
+    if mcus_x * max_h * 8 * mcus_y * max_v * 8 > 1 << 26:
         return None
     planes = [
         np.zeros((mcus_y * v * 8, mcus_x * h * 8), dtype=np.float64)
@@ -814,7 +818,7 @@ def decode_image_bytes(b: Optional[bytes]):
     for dec in (_decode_png, _decode_pnm, _decode_jpeg, _sniff_jpeg, _sniff_gif):
         try:
             got = dec(b)
-        except (ValueError, struct.error, IndexError):
+        except (ValueError, struct.error, IndexError, MemoryError):
             got = None
         if got is not None:
             return got
@@ -947,7 +951,7 @@ def decode_avi_frame(info: dict, idx: int):
     if comp == _FOURCC_MJPG:
         try:
             got = _decode_jpeg(bytes(info["frames"][idx]))
-        except (ValueError, struct.error, IndexError):
+        except (ValueError, struct.error, IndexError, MemoryError):
             got = None
         if got is None or got[3] is None:
             return None

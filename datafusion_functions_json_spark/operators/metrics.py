@@ -33,10 +33,37 @@ this belongs to the LLM-pipeline extension suite.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 __all__ = ["observe_stats", "StageMetrics"]
+
+
+def _bounded_obs_get(obs, timeout_s: float):
+    """``obs.get`` under a join-bounded daemon thread.
+
+    Returns ``(True, metrics)`` when the Observation materialized within
+    ``timeout_s``; ``(False, None)`` on timeout or error. Used on the
+    no-JVM-handle path (Spark Connect), where ``Observation.get`` for a
+    never-materialized Observation blocks server-side or raises instead
+    of honoring any timeout; a thread left blocked in ``get`` is a
+    daemon and dies with the driver."""
+    box = {}
+
+    def _read():
+        try:
+            box["val"] = obs.get
+        except Exception as e:  # Connect may raise instead of blocking
+            box["err"] = e
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or "err" in box:
+        return False, None
+    return True, box.get("val")
 
 
 def observe_stats(
@@ -103,12 +130,23 @@ class StageMetrics:
         out = {}
         pending = []
         for stage, obs in self._stages.items():
-            # Spark Connect Observations carry no _jo/_jvm handle — the
-            # bounded JVM wait below is classic-session-only; without it
-            # we fall straight through to obs.get (Connect's get is
-            # server-side and does not need the deadlock guard)
+            # Spark Connect Observations carry no _jo/_jvm handle so the
+            # bounded JVM wait below is classic-session-only. Connect's
+            # ``get`` STILL blocks (or raises) for a never-materialized
+            # Observation, so the no-handle path gets its own bounded
+            # wait: ``obs.get`` runs on a daemon thread with a join
+            # timeout, and timeout/failure maps to the same None/pending
+            # handling (ADVICE r17).
             jo = getattr(obs, "_jo", None)
             done = True
+            if jo is None or getattr(obs, "_jvm", None) is None:
+                ok, val = _bounded_obs_get(obs, timeout_s)
+                if ok:
+                    out[stage] = val
+                else:
+                    out[stage] = None
+                    pending.append(stage)
+                continue
             if jo is not None and getattr(obs, "_jvm", None) is not None:
                 try:
                     jvm = obs._jvm

@@ -78,8 +78,24 @@ class TestWindowBetter:
         assert not _window_better(0.9, 8.0, 0.6, 0.5)
 
     def test_both_dirty_less_steal_wins(self):
-        assert _window_better(0.5, 3.0, 0.9, 8.0)
-        assert not _window_better(0.9, 8.0, 0.5, 3.0)
+        # (probes above the storm floor — the r17 backstop rules first)
+        assert _window_better(0.6, 3.0, 0.9, 8.0)
+        assert not _window_better(0.9, 8.0, 0.6, 3.0)
+
+    def test_storm_floor_backstop_outranks_steal(self):
+        # VERDICT r16 #5: the r16 driver-final kept a probe-0.442
+        # window over a 5.92%-steal probe-0.604 one on the less-steal
+        # rule — per the census the sub-floor window's readings were
+        # 1.3-2.3x inflated while even a 32%-steal probe-0.624 control
+        # read near-band. A sub-storm-floor window never displaces an
+        # above-floor one, regardless of steal.
+        assert not _window_better(0.442, 1.0, 0.604, 5.92)
+        assert _window_better(0.604, 5.92, 0.442, 1.0)
+        # even above the 6% zone
+        assert not _window_better(0.5, 3.0, 0.9, 8.0)
+        assert _window_better(0.9, 8.0, 0.5, 3.0)
+        # both sub-floor: existing rules resume (sub-zone probe decides)
+        assert _window_better(0.52, 1.0, 0.44, 1.0)
 
     def test_both_clean_subceiling_steal_is_noise_probe_decides(self):
         # 0.1% vs 0.2% are both clean windows — the probe difference
@@ -104,9 +120,12 @@ class TestWindowBetter:
         assert _window_better(0.8, None, 0.6, None)
         # one side missing steal reads as not-dirty — probe decides
         # against a clean counterpart, but a DIRTY counterpart loses
+        # (unless the challenger probes under the storm floor — r17
+        # backstop: a sub-floor window never wins)
         assert _window_better(0.8, None, 0.6, 1.0)
-        assert _window_better(0.5, None, 0.6, 9.0)
-        assert not _window_better(0.5, 3.0, 0.6, None)
+        assert not _window_better(0.5, None, 0.6, 9.0)
+        assert _window_better(0.56, None, 0.6, 9.0)
+        assert not _window_better(0.56, 3.0, 0.6, None)
 
 
 class TestGuardedWindows:
@@ -139,14 +158,17 @@ class TestGuardedWindows:
         assert kept == ("window1", 0.3, 0.9)
         assert steals == [3.3, 0.3]
 
-    def test_degraded_rerun_worse_keeps_first(self):
+    def test_degraded_rerun_storm_floor_backstop(self):
         # first window: clean steal but probe under the storm floor
         # (sibling contention); retake lands ABOVE the probe zone (a
-        # true steal storm) — the first window wins on steal, because
-        # the probe-decides rule only applies when both sit sub-zone
+        # true steal storm). Through r16 the first window won on steal
+        # — the exact loophole VERDICT r16 #5 flagged (driver-final
+        # kept a probe-0.442 window): census says the sub-floor
+        # window's readings are the more inflated ones, so the
+        # above-floor retake now wins regardless of steal.
         run, _ = _runner([(0.5, 0.50), (9.0, 0.58)])
         kept, windows, _ = _guarded_windows(run, lambda: 0.58, 0.50, 0.85, 1)
-        assert kept == ("window0", 0.5, 0.50)
+        assert kept == ("window1", 9.0, 0.58)
 
     def test_degraded_rerun_sub_zone_probe_wins(self):
         # r16 refinement: sibling-collapsed first window (probe 0.50,
@@ -294,3 +316,20 @@ class TestCensusAttempts:
         assert doc["round"] == 16
         assert doc["probe_only"] == [{"efficiency": 0.6}]
         assert doc["attempts"][0]["value"] == 1.0
+
+    def test_corrupt_census_file_recovers(self, tmp_path):
+        # ADVICE r17: a truncated census must not raise and discard the
+        # bench window — the corrupt bytes move aside, the attempt lands
+        import json
+        import os
+
+        import bench
+
+        p = str(tmp_path / "census.json")
+        with open(p, "w") as f:
+            f.write('{"round": 17, "attempts": [{"va')  # truncated
+        bench.append_census_attempt(p, {"value": 2.0}, "after corruption")
+        doc = json.loads(open(p).read())
+        assert doc["recovered_from_corrupt"] is True
+        assert doc["attempts"][0]["value"] == 2.0
+        assert os.path.exists(p + ".corrupt")

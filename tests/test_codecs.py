@@ -8,6 +8,7 @@ suite needs no binary files and no codec libraries.
 
 import io
 import struct
+import time
 import wave
 import zlib
 
@@ -363,6 +364,28 @@ class TestJpegCodec:
         ):
             got = _decode_jpeg(bytes(b))
             assert got is None or got[3] is None or got[3].dtype == np.uint8
+
+    def test_plane_allocation_bomb_rejected(self):
+        # ADVICE r17: a crafted header claiming 65535x65535 with 4x4
+        # sampling passes a pure MCU-count cap while the padded float64
+        # plane would be ~32 GiB. The decoder must reject on the padded
+        # PIXEL bound before allocating; the header sniff still serves
+        # dims-only.
+        from datafusion_functions_json_spark.operators._codecs import (
+            _decode_jpeg,
+        )
+
+        b = bytearray(encode_jpeg(self._smooth(16, 16), quality=90))
+        sof = b.find(b"\xff\xc0")
+        assert sof >= 0
+        # SOF0 payload: len(2) P(1) H(2) W(2) Nf(1) [id, HV, Tq]*
+        struct.pack_into(">HH", b, sof + 5, 65535, 65535)
+        b[sof + 11] = 0x44  # component 0 sampling factors 4x4
+        t0 = time.monotonic()
+        assert _decode_jpeg(bytes(b)) is None
+        got = decode_image_bytes(bytes(b))
+        assert got[3] is None  # at most a dims-only sniff, no pixels
+        assert time.monotonic() - t0 < 5.0
 
     def test_pil_decodes_our_jpeg_close(self):
         PIL_Image = pytest.importorskip("PIL.Image")

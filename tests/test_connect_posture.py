@@ -101,3 +101,42 @@ class TestMetricsDegradation:
         m = StageMetrics()
         m._stages["s"] = _OddObs()
         assert m.report(timeout_s=0.1) == {"s": {"rows": 1}}
+
+    def test_connect_blocking_get_honors_timeout(self):
+        # ADVICE r17: real Connect blocks in .get for a
+        # never-materialized Observation — the no-handle path must still
+        # honor timeout_s instead of hanging report() forever.
+        import threading
+        import time
+
+        from datafusion_functions_json_spark.operators.metrics import (
+            StageMetrics,
+        )
+
+        class _BlockingObs:
+            @property
+            def get(self):
+                threading.Event().wait()  # blocks forever
+
+        m = StageMetrics()
+        m._stages["never_ran"] = _BlockingObs()
+        t0 = time.monotonic()
+        out = m.report(timeout_s=0.3)
+        assert out == {"never_ran": None}
+        assert time.monotonic() - t0 < 5.0
+        with pytest.raises(RuntimeError, match="never_ran"):
+            m.report(strict=True, timeout_s=0.3)
+
+    def test_connect_raising_get_maps_to_pending(self):
+        from datafusion_functions_json_spark.operators.metrics import (
+            StageMetrics,
+        )
+
+        class _RaisingObs:
+            @property
+            def get(self):
+                raise RuntimeError("observation was not materialized")
+
+        m = StageMetrics()
+        m._stages["s"] = _RaisingObs()
+        assert m.report(timeout_s=0.3) == {"s": None}
