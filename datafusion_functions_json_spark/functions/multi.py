@@ -387,6 +387,18 @@ def json_extract_multi(
     Spark Connect where plan stats are unreachable — is treated as
     LARGE, mirroring ``cosine_topk(impl='auto')``. Both crossovers
     (field count ~3, ~64 MB) measured round 15 at sf100.
+
+    .. versionchanged:: round 16
+       ``tier='auto'`` with **no** ``json_profile`` now resolves to
+       ``exact`` (previously auto assumed the permissive profile and
+       could pick a JVM tier). Results are identical either way, but
+       callers who passed ``tier='auto'`` explicitly without a profile
+       regain the ArrowEvalPython hop — a silent plan change. To keep
+       the JVM tier, pass ``json_profile=JsonProfile()`` (one line; it
+       IS the equivalence claim the old behavior silently assumed).
+       A runtime warning is not emitted because the explicit and
+       default spellings are indistinguishable at the call site and the
+       default (bare) call is the common, correctly-exact case.
     """
     if tier not in ("exact", "variant", "variant_perfield", "auto"):
         raise ValueError(

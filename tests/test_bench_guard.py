@@ -333,3 +333,67 @@ class TestCensusAttempts:
         assert doc["recovered_from_corrupt"] is True
         assert doc["attempts"][0]["value"] == 2.0
         assert os.path.exists(p + ".corrupt")
+
+
+class TestSlowModeWatch:
+    """Sub-breach slow-mode watch (VERDICT r16 #1): the r16 gate read
+    semantic_dedup 3.991 s at 0.16% steal with green stages — over
+    1.2x the 3.3 pin but under the 1.5x trip — and recorded nothing.
+    watch_entry() must land evidence for exactly that signature."""
+
+    def _import(self):
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools",
+            ),
+        )
+        from sf1_gate import watch_entry
+
+        return watch_entry
+
+    def test_r16_signature_records(self):
+        watch_entry = self._import()
+        times = {
+            "semantic_dedup": 3.991,
+            "semantic_dedup_assign": 1.8,
+            "semantic_dedup_pairs": 0.9,
+        }
+        gate = {
+            "semantic_dedup": 3.3,
+            "semantic_dedup_assign": 2.3,
+            "semantic_dedup_pairs": 1.4,
+        }
+        w = watch_entry(times, gate, [], 0.16, 0.62)
+        assert w is not None
+        assert w["reading_sec"] == 3.991
+        assert w["pin"] == 3.3
+        assert w["stage_times"] == {
+            "semantic_dedup_assign": 1.8,
+            "semantic_dedup_pairs": 0.9,
+        }
+        assert w["steal_pct_of_busy"] == 0.16
+        assert w["efficiency"] == 0.62
+
+    def test_typical_reading_stays_silent(self):
+        watch_entry = self._import()
+        times = {"semantic_dedup": 2.5, "semantic_dedup_assign": 1.8,
+                 "semantic_dedup_pairs": 0.9}
+        gate = {"semantic_dedup": 3.3, "semantic_dedup_assign": 2.3,
+                "semantic_dedup_pairs": 1.4}
+        assert watch_entry(times, gate, [], 0.2, 0.62) is None
+
+    def test_breach_or_red_stage_defers_to_adjudication(self):
+        watch_entry = self._import()
+        times = {"semantic_dedup": 5.5, "semantic_dedup_assign": 3.0,
+                 "semantic_dedup_pairs": 0.9}
+        gate = {"semantic_dedup": 3.3, "semantic_dedup_assign": 2.3,
+                "semantic_dedup_pairs": 1.4}
+        # full-op breached -> the existing slow_mode_events arm owns it
+        assert watch_entry(times, gate, ["semantic_dedup"], 0.2, 0.6) is None
+        # a red stage pin means attribution, not the bimodal mode
+        assert (
+            watch_entry(times, gate, ["semantic_dedup_assign"], 0.2, 0.6)
+            is None
+        )
