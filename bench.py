@@ -398,6 +398,15 @@ def main():
         ):
             for name in all_queries:
                 fn = qs[name]
+                # time the WORK, not a cache read: eager operators
+                # (minhash/simhash/knn/semantic_dedup classes) return a
+                # live-persisted result, and Spark's CacheManager
+                # plan-matches the NEXT pass's identical plan onto it —
+                # round 17 measured pass-2 "compute" at 1.4 s vs a 20 s
+                # cold pass for sf1 minhash_pairs. min-over-passes was
+                # silently taking the cache-read time (BASELINE.md
+                # round-17 protocol note).
+                spark.catalog.clearCache()
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 # terminal action: noop-sink write forces EVERY column to

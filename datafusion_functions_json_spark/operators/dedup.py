@@ -47,6 +47,9 @@ __all__ = [
     "simhash_dup_pairs",
     "jaccard_tokens",
     "ngram_jaccard_pairs",
+    "band_candidate_stats",
+    "minhash_candidate_stats",
+    "simhash_candidate_stats",
 ]
 
 _MH_PRIME = 2147483647  # 2^31 - 1 (Mersenne), the classic minhash modulus
@@ -374,6 +377,128 @@ def lsh_bands(sig: Column, *, bands: int, rows: int) -> Column:
             for b in range(bands)
         ]
     )
+
+
+def band_candidate_stats(
+    keyed: DataFrame, *, distinct_pairs: bool = True
+) -> dict:
+    """Candidate-volume statistics for a bucketed LSH join.
+
+    ``keyed``: (id, key) rows — one row per (document, bucket key), the
+    exact relation the banded self-join joins on. Returns a dict:
+
+    - ``join_rows``: sum over buckets of C(c, 2) — the number of rows
+      the self-join MATERIALIZES before any verification filter. This,
+      not the verified-pair count, is the quantity that blows up when
+      banding parameters are too loose for the corpus's duplicate
+      density: it is the shuffle+compare cost the cluster actually
+      pays.
+    - ``distinct_pairs``: unique (id_a, id_b) candidates across buckets
+      (a pair agreeing on k buckets costs k join rows but verifies
+      once after dropDuplicates). Skipped when ``distinct_pairs=False``
+      (it requires executing the join; join_rows needs only an agg).
+    - ``max_bucket``: the largest bucket — the skew indicator; one hot
+      bucket of size c contributes C(c, 2) rows on a single reduce
+      task, the first thing to check when join_rows looks pathological.
+    - ``buckets_multi``: buckets with ≥ 2 members.
+
+    Scale guidance (measured round 17, planted-density fixture —
+    BASELINE.md): candidate volume is linear in planted near-dup
+    density for minhash banding (num_perm=32/bands=8: join_rows ≈
+    bands x true_pairs + O(1) background on a 50k-doc corpus) and for
+    simhash 16-bit blocking at ≥ 100k docs the BACKGROUND term
+    dominates instead: join_rows grows ~ n²/2^block_bits x n_blocks
+    from birthday collisions alone — raise block_bits (more, smaller
+    buckets would break the pigeonhole bound; fewer bits = bigger
+    buckets) or pre-partition by a cheap exact key before blocking
+    when n per partition exceeds ~1M."""
+    agg = (
+        keyed.groupBy("key")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("c * (c - 1) / 2")), F.lit(0)
+            ).cast("long").alias("join_rows"),
+            F.coalesce(F.max("c"), F.lit(0)).alias("max_bucket"),
+            F.count("*").alias("buckets_multi"),
+        )
+        .collect()[0]
+    )
+    out = {
+        "join_rows": agg["join_rows"],
+        "max_bucket": agg["max_bucket"],
+        "buckets_multi": agg["buckets_multi"],
+    }
+    if distinct_pairs:
+        L, R = keyed.alias("L"), keyed.alias("R")
+        out["distinct_pairs"] = (
+            L.join(R, F.col("L.key") == F.col("R.key"))
+            .filter(F.col("L.id") < F.col("R.id"))
+            .select("L.id", "R.id")
+            .distinct()
+            .count()
+        )
+    return out
+
+
+def minhash_candidate_stats(
+    index: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    distinct_pairs: bool = True,
+) -> dict:
+    """:func:`band_candidate_stats` over a :func:`minhash_index`'s
+    banding — the pre-verification join volume of
+    :func:`minhash_dup_pairs_from_index` under the same parameters."""
+    rows = _band_rows(num_perm, bands)
+    keyed = index.select(
+        "id",
+        F.explode(lsh_bands(F.col("sig"), bands=bands, rows=rows)).alias(
+            "key"
+        ),
+    )
+    return band_candidate_stats(keyed, distinct_pairs=distinct_pairs)
+
+
+def simhash_candidate_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_bits: int = 16,
+    distinct_pairs: bool = True,
+) -> dict:
+    """:func:`band_candidate_stats` over :func:`simhash_dup_pairs`'s
+    block decomposition — the pre-Hamming join volume under the same
+    ``block_bits``."""
+    if block_bits < 1 or 64 % block_bits:
+        raise ValueError(f"block_bits ({block_bits}) must divide 64")
+    n_blocks = 64 // block_bits
+    keyed = df.select(
+        F.col(id_col).alias("id"), simhash(text_col).alias("_sh")
+    ).filter(
+        # a shared NULL hash must not pool every empty doc into one
+        # quadratic bucket
+        F.col("_sh").isNotNull()
+    ).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright(F.col("_sh"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("key"),
+    )
+    return band_candidate_stats(keyed, distinct_pairs=distinct_pairs)
 
 
 def jaccard_tokens(a: Column, b: Column) -> Column:
@@ -1062,6 +1187,14 @@ def simhash_dup_pairs(
     df = _spread(df)
     base = df.select(
         F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")
+    ).filter(
+        # NULL-text docs have a NULL simhash, and Spark struct equality
+        # treats NULL fields as EQUAL — without this filter every
+        # null-hash doc lands in one all-pairs join bucket (quadratic
+        # join volume; the hamming filter then drops every row, so the
+        # blow-up is invisible in the RESULT and only shows as shuffle
+        # cost). Round-17 planted-density work surfaced it.
+        F.col("_sh").isNotNull()
     ).withColumn(
         "_blk",
         F.explode(

@@ -709,6 +709,88 @@ class TestSimhash:
         pairs = dedup.simhash_dup_pairs(df, "id", "text", max_hamming=3).collect()
         assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
 
+    def test_null_text_does_not_pool_into_one_bucket(self, spark):
+        # Spark struct equality treats NULL fields as EQUAL, so without
+        # the _sh null filter N null-text docs produce an N^2/2 block
+        # join (invisible in the RESULT — hamming on null filters every
+        # row — visible only as shuffle cost). Pin both the result and
+        # the candidate volume.
+        rows = [(i, None) for i in range(1, 40)] + [
+            (100, "alpha beta gamma delta epsilon zeta"),
+            (101, "alpha beta gamma delta epsilon zeta"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        pairs = dedup.simhash_dup_pairs(df, "id", "text").collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(100, 101)]
+        stats = dedup.simhash_candidate_stats(df, "id", "text")
+        # 4 blocks x the one true pair; zero contribution from nulls
+        assert stats["join_rows"] == 4
+        assert stats["distinct_pairs"] == 1
+        assert stats["max_bucket"] == 2
+
+
+class TestCandidateStats:
+    """band_candidate_stats: the pre-verification join volume — the
+    quantity that blows up under loose banding at high dup density
+    (VERDICT r16 #2); planted-density measurements in BASELINE.md."""
+
+    def test_join_rows_and_skew(self, spark):
+        # bucket A holds 3 ids -> C(3,2)=3 join rows; bucket B holds 2
+        # -> 1; singleton C contributes nothing
+        keyed = spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "C")],
+            "id long, key string",
+        )
+        s = dedup.band_candidate_stats(keyed)
+        assert s == {
+            "join_rows": 3 + 1,
+            "max_bucket": 3,
+            "buckets_multi": 2,
+            "distinct_pairs": 4,
+        }
+
+    def test_multiband_pair_counted_once_in_distinct(self, spark):
+        # the same pair agreeing on 2 bands costs 2 join rows but 1
+        # distinct candidate
+        keyed = spark.createDataFrame(
+            [(1, "b0"), (2, "b0"), (1, "b1"), (2, "b1")],
+            "id long, key string",
+        )
+        s = dedup.band_candidate_stats(keyed)
+        assert s["join_rows"] == 2
+        assert s["distinct_pairs"] == 1
+
+    def test_empty_input_is_all_zero(self, spark):
+        keyed = spark.createDataFrame([], "id long, key string")
+        s = dedup.band_candidate_stats(keyed)
+        assert s == {
+            "join_rows": 0,
+            "max_bucket": 0,
+            "buckets_multi": 0,
+            "distinct_pairs": 0,
+        }
+
+    def test_minhash_stats_match_pair_output(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different text about spark query engines"),
+            (4, "another unrelated document mentioning nothing shared"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        idx = dedup.minhash_index(
+            df, "id", "text", num_perm=32, mode="word", n=3
+        )
+        s = dedup.minhash_candidate_stats(idx, num_perm=32, bands=8)
+        # identical docs agree on all 8 bands; nothing else collides
+        assert s["join_rows"] == 8
+        assert s["distinct_pairs"] == 1
+        assert s["max_bucket"] == 2
+        pairs = dedup.minhash_dup_pairs(
+            df, "id", "text", num_perm=32, bands=8, mode="word", n=3
+        ).collect()
+        assert len(pairs) == s["distinct_pairs"]
+
 
 class TestNgramJaccard:
     def test_pairs(self, spark):

@@ -89,6 +89,11 @@ QUERIES = [
     # item 3) — dict_extract vs its per-row twin on events.props
     # (1M rows, 100 distinct at sf1: a 10,000:1 duplication ratio)
     "dict_extract", "dict_extract_rowwise",
+    # round-17 (VERDICT r16 #7): sf10 representatives for the
+    # line-dedup and tf-idf LLM families — select via --queries; note
+    # the .benchdata replica corpus repeats every text 10x SF times,
+    # so their group sizes scale superlinearly by design here
+    "line_dedup", "tf_idf",
 ]
 # spark-only (no DuckDB twin exists — xxhash64 candidate generation):
 # timed for the sf0.1 → sf1 scale curve, excluded from paired ratios
@@ -263,6 +268,11 @@ def main():
     passes = 0
     while passes < runs or (passes < runs_max and time.time() - t_start < budget):
         for name in all_q:
+            # time the WORK, not a cache read (round-17 protocol fix:
+            # eager operators return live-persisted results and pass 2+
+            # plan-matches the cache — sf1 minhash_pairs read 0.646 s
+            # cached vs ~20 s cold; see BASELINE.md round 17)
+            spark.catalog.clearCache()
             t0 = time.time()
             df = qs[name](spark, DST)
             df.write.format("noop").mode("overwrite").save()
