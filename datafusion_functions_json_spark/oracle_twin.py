@@ -270,6 +270,63 @@ def minhash_pairs(
     return out
 
 
+def _bucket_stats(buckets: dict) -> dict:
+    """Shared candidate-volume reduction over an LSH bucket map:
+    mirrors ``dedup.band_candidate_stats`` (join_rows = sum of C(c,2),
+    the rows the banded self-join materializes pre-verification)."""
+    sizes = [len(ids) for ids in buckets.values() if len(ids) > 1]
+    cand = set()
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    return {
+        "join_rows": sum(c * (c - 1) // 2 for c in sizes),
+        "max_bucket": max(sizes, default=0),
+        "buckets_multi": len(sizes),
+        "distinct_pairs": len(cand),
+    }
+
+
+def minhash_candidate_stats(
+    docs, *, num_perm: int, bands: int, seed: int, n: int
+) -> dict:
+    """Twin of ``dedup.minhash_candidate_stats`` (word mode): the
+    pre-verification join volume of the banded minhash self-join."""
+    rows = _band_rows(num_perm, bands)
+    hasher = _StrHasher()
+    idx = _index(docs, num_perm=num_perm, seed=seed, n=n, hasher=hasher)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, (sig, _) in idx.items():
+        for key in _band_keys(sig, bands, rows, hasher):
+            buckets.setdefault(key, []).append(doc_id)
+    return _bucket_stats(buckets)
+
+
+def simhash_candidate_stats(docs, *, block_bits: int) -> dict:
+    """Twin of ``dedup.simhash_candidate_stats``: the pre-Hamming join
+    volume of the simhash block join (null-text docs excluded, exactly
+    as production filters null hashes)."""
+    if block_bits < 1 or 64 % block_bits:
+        raise ValueError(f"block_bits ({block_bits}) must divide 64")
+    n_blocks = 64 // block_bits
+    hasher = _StrHasher()
+    mask = (1 << block_bits) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        sh = _simhash64(text, hasher)
+        for i in range(n_blocks):
+            buckets.setdefault(
+                (i, (sh >> (i * block_bits)) & mask), []
+            ).append(doc_id)
+    return _bucket_stats(buckets)
+
+
 def minhash_pairs_against(
     new_docs,
     idx_docs,
