@@ -21,6 +21,7 @@ bit-mixing uses shifts/xor which don't overflow-check.
 from __future__ import annotations
 
 import random
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -1155,6 +1156,7 @@ def simhash_dup_pairs(
     *,
     max_hamming: int = 3,
     block_bits: int = 16,
+    block_cap: Optional[int] = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
@@ -1163,6 +1165,23 @@ def simhash_dup_pairs(
     pigeonhole, two hashes within Hamming distance 3 agree on ≥1 block —
     join on (block_id, block_value) instead of cross join (same shuffle
     discipline as minhash banding). Returns (id_a, id_b, hamming).
+
+    ``block_cap``: drop block buckets holding more than this many docs
+    before the self-join. The block join's background volume grows
+    ~ n²·n_blocks/2^block_bits (birthday) PLUS a block-value skew term
+    from template-shared tokens — measured round 17 on the planted
+    fixture: 500k docs produced **1.41e9 join rows** (max bucket
+    12,168 → 74M rows from ONE bucket) for 467k verified pairs
+    (PLANTED_r17.json; BASELINE.md round 17). Raising block_bits is
+    not available (pigeonhole needs ≥ max_hamming+1 blocks). Recall
+    contract: a true pair is lost only if EVERY block the two hashes
+    agree on is capped-hot. MEASURED on the planted 500k fixture:
+    cap=2,000 cut wall 524 s → 250 s (~2.1x) at recall **0.849** — the
+    loss concentrates exactly in template-heavy docs whose every block
+    is hot, so the cap is an explicit recall trade, not a free win;
+    prefer sharding/pre-partitioning (BASELINE.md round-17 guidance)
+    when full recall matters. ``None`` (default) keeps exact
+    pigeonhole semantics.
 
     Cache contract: same as :func:`minhash_dup_pairs` — the simhash base
     is read by both sides of the self-join; ``materialize=True``
@@ -1212,6 +1231,22 @@ def simhash_dup_pairs(
         ),
     )
     base = base.select("_blk", "_id", "_sh")
+    if block_cap is not None:
+        if block_cap < 2:
+            raise ValueError(
+                f"block_cap ({block_cap}) must be >= 2: a bucket needs "
+                "two members to produce a candidate at all"
+            )
+        # hot-block list is tiny (block values over the cap), so it
+        # broadcasts; the anti-join prunes the quadratic buckets before
+        # they reach the self-join's shuffle
+        hot = (
+            base.groupBy("_blk")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > block_cap)
+            .select("_blk")
+        )
+        base = base.join(F.broadcast(hot), "_blk", "left_anti")
     if materialize:
         # simhash is the expensive map and a broadcast self-join would
         # otherwise compute it once per side

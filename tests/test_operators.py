@@ -709,6 +709,33 @@ class TestSimhash:
         pairs = dedup.simhash_dup_pairs(df, "id", "text", max_hamming=3).collect()
         assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
 
+    def test_block_cap_prunes_hot_blocks_keeps_close_pairs(self, spark):
+        # 30 docs sharing ONE word ("common") pool into hot blocks;
+        # an exact-dup pair (hamming 0, agrees on all 4 blocks)
+        # survives any cap because not every block it agrees on is hot.
+        rows = [
+            (i, f"common word{i} tail{i} extra{i} filler{i}")
+            for i in range(1, 31)
+        ] + [
+            (100, "alpha beta gamma delta epsilon zeta"),
+            (101, "alpha beta gamma delta epsilon zeta"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        capped = dedup.simhash_dup_pairs(df, "id", "text", block_cap=5)
+        got = [(p.id_a, p.id_b, p.hamming) for p in capped.collect()]
+        assert (100, 101, 0) in got
+        # and the cap is a strict subset of the uncapped pair set
+        full = {
+            (p.id_a, p.id_b)
+            for p in dedup.simhash_dup_pairs(df, "id", "text").collect()
+        }
+        assert {(a, b) for a, b, _ in got} <= full
+
+    def test_block_cap_validation(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        with pytest.raises(ValueError, match="block_cap"):
+            dedup.simhash_dup_pairs(df, "id", "text", block_cap=1)
+
     def test_null_text_does_not_pool_into_one_bucket(self, spark):
         # Spark struct equality treats NULL fields as EQUAL, so without
         # the _sh null filter N null-text docs produce an N^2/2 block
