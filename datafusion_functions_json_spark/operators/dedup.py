@@ -285,7 +285,13 @@ def minhash_signature(
                 out.append(_minima(sh))
             return pd.Series(out, dtype=object)
 
-        return _sig_words(tok_hashes)
+        # asNondeterministic: optimizer hint ONLY (the signature is
+        # deterministic) — it stops Catalyst duplicating this expensive
+        # UDF when a consumer filters on its output (guide §4.4: the
+        # pushed-down filter re-evaluates the UDF below the spread
+        # exchange, i.e. serially on the unspread scan — round-17
+        # measured 2x signature evaluation in minhash_pairs' plan).
+        return _sig_words.asNondeterministic()(tok_hashes)
 
     hashes = shingle_hashes(text, mode=mode, n=n)
 
@@ -299,7 +305,8 @@ def minhash_signature(
             out.append(_minima(np.asarray(h, dtype=np.int64)))
         return pd.Series(out, dtype=object)
 
-    return _sig(hashes)
+    # optimizer hint only — see the word-mode return above (guide §4.4)
+    return _sig.asNondeterministic()(hashes)
 
 
 def _signature_with_hashes(
@@ -340,7 +347,13 @@ def _signature_with_hashes(
                 hsets.append(sh.tolist())
             return pd.DataFrame({"sig": sigs, "hashes": hsets}, dtype=object)
 
-        return _sw(tok_hashes)
+        # asNondeterministic: optimizer hint ONLY (deterministic in
+        # fact) — prevents Catalyst pushing a consumer's
+        # isnotnull(sig) filter below the spread exchange by
+        # DUPLICATING this whole signature pass (guide §4.4; round-17
+        # plan audit: minhash_pairs evaluated _sw twice, the pushed
+        # copy serially below the exchange).
+        return _sw.asNondeterministic()(tok_hashes)
 
     hashes = shingle_hashes(text, mode=mode, n=n)
 
@@ -357,7 +370,8 @@ def _signature_with_hashes(
             hsets.append(sh.tolist())
         return pd.DataFrame({"sig": sigs, "hashes": hsets}, dtype=object)
 
-    return _sc(hashes)
+    # optimizer hint only — see the word-mode return above (guide §4.4)
+    return _sc.asNondeterministic()(hashes)
 
 
 def lsh_bands(sig: Column, *, bands: int, rows: int) -> Column:
@@ -1115,7 +1129,10 @@ def simhash(text, *, mode: str = "word", n: int = 1, impl: str = "pandas") -> Co
                 out.append(v - (1 << 64) if v >= (1 << 63) else v)
             return pd.Series(out, dtype=object)
 
-        return _simhash(hashes)
+        # optimizer hint only (deterministic in fact) — stops Catalyst
+        # duplicating the signature below a pushed isnotnull filter
+        # (guide §4.4; round-17: simhash_pairs evaluated _simhash twice)
+        return _simhash.asNondeterministic()(hashes)
     # Bit positions are plan-time constants (shift amounts must be python
     # ints in Spark), so the 64 vote lanes unroll here; the per-row work
     # stays one aggregate pass over the feature hashes.

@@ -177,7 +177,11 @@ def cosine_to_query_np(vec_col, query: Sequence[float]) -> Column:
                 out[i] = float(cos[j])
         return pd.Series(out, dtype="object")
 
-    return _cos(_col(vec_col))
+    # asNondeterministic: optimizer hint ONLY (deterministic in fact) —
+    # stops Catalyst duplicating the kernel when a consumer filters on
+    # the score (guide §4.4; round-17 plan audit: ann_recall evaluated
+    # _cos twice, the pushed copy below the exchange)
+    return _cos.asNondeterministic()(_col(vec_col))
 
 
 def pair_cosine_np(a_col, b_col) -> Column:
@@ -425,7 +429,12 @@ def ivf_build(
             out.iloc[idx] = [int(c) for c in labels]
         return out
 
-    return df.withColumn("ivf_cluster", _assign(F.col(vec_col))), centroids
+    # optimizer hint only — prevents §4.4 duplicate evaluation when a
+    # consumer filters on the cluster id (round-17 plan audit)
+    return (
+        df.withColumn("ivf_cluster", _assign.asNondeterministic()(F.col(vec_col))),
+        centroids,
+    )
 
 
 def ivf_build_distributed(
@@ -1075,7 +1084,13 @@ def centroid_assign(
             {"pred_label": pd.Series(pred), "dist": dist}
         )
 
-    out = df.select(F.col(id_col), _assign(_dvec(vec_col)).alias("_a"))
+    # asNondeterministic: optimizer hint only (deterministic in fact) —
+    # semantic_dedup's stage filters on the assignment, and Catalyst
+    # otherwise duplicates this whole k×dim scoring pass below the
+    # exchange (guide §4.4; round-17 plan audit: 3 evaluations)
+    out = df.select(
+        F.col(id_col), _assign.asNondeterministic()(_dvec(vec_col)).alias("_a")
+    )
     return out.select(
         id_col,
         F.col("_a.pred_label").alias("pred_label"),
