@@ -436,6 +436,83 @@ def make_find_scalar(path):
     return find_scalar_const
 
 
+def guard_needles(path) -> tuple:
+    """The quoted-key needles :func:`make_find_scalar`'s duplicate-key
+    guard counts for ``path`` — exposed so the batch-vectorized guard
+    (kernels._fast_mask) tests EXACTLY the same conditions."""
+    return tuple(
+        '"%s"' % p for p in path if isinstance(p, str) and not isinstance(p, bool)
+    )
+
+
+def make_fast_walk(path):
+    """The GUARDS-PASSED arm of :func:`make_find_scalar` alone: one
+    C-speed ``loads`` + typed walk, with the same parse-failure fallback
+    to the streaming scanner. Callers must only invoke it on rows a
+    guard check (textual or the batch-vectorized ``kernels._fast_mask``)
+    has already cleared — rows with escapes or duplicated path keys
+    belong to :func:`make_find_scalar` / :func:`find`.
+
+    NOTE on the big-digit guard: when the mask skipped the 19-digit
+    check (``check_big=False``), an out-of-range integer reaches orjson
+    and comes back as INT (within u64) or a lossy FLOAT (outside) — the
+    per-kernel equivalence proofs in kernels._scalar_pairs document why
+    the five scalar getters produce identical results either way."""
+    path = tuple(path)
+    for p in path:
+        if p is None or isinstance(p, bool):
+            return _constant_missing
+        if not isinstance(p, str):
+            try:
+                i = int(p)
+            except (TypeError, ValueError):
+                return _constant_missing
+            if i < 0:
+                return _constant_missing
+    ops = tuple(
+        (True, p) if isinstance(p, str) else (False, int(p)) for p in path
+    )
+    fallback = find
+    loads = _loads
+
+    def fast_walk(s):
+        if s is None:
+            return MISSING, None
+        try:
+            doc = loads(s)
+        except Exception:
+            return fallback(s, path)
+        try:
+            for is_key, p in ops:
+                if is_key:
+                    if type(doc) is dict:
+                        doc = doc[p]  # KeyError -> MISSING
+                    else:
+                        return MISSING, None
+                else:
+                    if type(doc) is not list:
+                        return MISSING, None
+                    doc = doc[p]  # IndexError -> MISSING
+        except (KeyError, IndexError):
+            return MISSING, None
+        if doc is None:
+            return NULL, None
+        if doc is True or doc is False:
+            return BOOL, doc
+        t = type(doc)
+        if t is int:
+            return INT, doc
+        if t is float:
+            return FLOAT, doc
+        if t is str:
+            return STR, doc
+        if t is list:
+            return ARRAY, doc
+        return OBJECT, doc
+
+    return fast_walk
+
+
 def find_raw(s, path):
     """Like :func:`find` but preserving the document's exact bytes.
 

@@ -460,7 +460,17 @@ def json_extract_multi(
         for p in {p for _, _, path in specs for p in path if isinstance(p, str)}
     )
 
-    def extract_row(s):
+    # Does any kind OBSERVE the INT-vs-lossy-FLOAT distinction orjson
+    # introduces for integers outside [i64::MIN, u64::MAX]? Only the
+    # union kinds (big int -> null arm). Every other kind coerces the
+    # two identically ('int': both -> NULL out of range; 'float':
+    # float(exact int) == the lossy double; 'text': floats take the
+    # raw-slice fallback anyway; str/bool -> NULL; exists/length
+    # untouched) — same per-kind proofs as kernels._scalar_pairs.
+    needs_big = any(k in ("union_text", "union_isnull") for _, k, _ in specs)
+    from .kernels import _fast_mask as fast_mask  # closure-captured
+
+    def extract_row(s, use_fast=None):
         if s is None:
             return tuple(
                 False
@@ -469,14 +479,16 @@ def json_extract_multi(
                 for _, k, _p in specs
             )
         try:
-            if (
-                "\\" in s
-                or any(s.count(q) > 1 for q in quoted_keys)
-                or (big_digits is not None and big_digits(s) is not None)
-            ):
-                doc = loads(s, object_pairs_hook=first_wins)
-            else:
+            if use_fast is None:
+                use_fast = not (
+                    "\\" in s
+                    or any(s.count(q) > 1 for q in quoted_keys)
+                    or (big_digits is not None and big_digits(s) is not None)
+                )
+            if use_fast:
                 doc = fast_loads(s)
+            else:
+                doc = loads(s, object_pairs_hook=first_wins)
         except Exception:
             return tuple(_fallback_one(s, k, p) for _, k, p in specs)
         out = []
@@ -504,7 +516,25 @@ def json_extract_multi(
 
     @F.pandas_udf(ret)
     def _multi(js: pd.Series) -> pd.DataFrame:
-        rows = [extract_row(s) for s in js]
+        # round-17: the textual guards run batch-vectorized over the
+        # Arrow buffer (kernels._fast_mask, guide §4.2) — identical
+        # conditions, one pyarrow.compute pass instead of 2+K C-string
+        # calls per row; the big-digit term only when a union kind
+        # observes it (see needs_big above). mask=None (no pyarrow /
+        # exotic batch) keeps the per-row guard path bit-identically.
+        # fast_mask is CLOSURE-captured, never imported here: a module
+        # import inside the UDF body would need the package on the
+        # worker's sys.path (foreign-cwd contract, __init__.py).
+        mask = fast_mask(
+            js, quoted_keys, needs_big and big_digits is not None
+        )
+        vals = js.tolist() if hasattr(js, "tolist") else js
+        if mask is None:
+            rows = [extract_row(s) for s in vals]
+        else:
+            rows = [
+                extract_row(s, bool(ok)) for s, ok in zip(vals, mask)
+            ]
         # column-wise assembly: zip(*rows) transposes at C speed; building
         # the frame from per-cell rows costs ~2x on wide batches
         data = zip(*rows) if rows else ([] for _ in specs)

@@ -15,6 +15,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -80,9 +82,14 @@ def load_table(
     name: str,
     *,
     nanos_as_timestamp: bool = True,
-    spread: bool = False,
+    spread: bool | str = False,
 ) -> DataFrame:
     """Load one testdata table.
+
+    ``spread="auto"`` applies the spread only when the table's file size
+    clears ``SPARK_GRAFT_SPREAD_MIN_BYTES`` (default 6 MB) — the
+    break-even for LIGHT per-row kernels, below which the exchange
+    costs more than the parallelism buys (see inline note).
 
     ``nanos_as_timestamp=True`` converts BIGINT-nanosecond columns (how
     Spark reads the testdata's TIMESTAMP(NANOS) under the legacy conf)
@@ -120,6 +127,27 @@ def load_table(
                 df = df.withColumn(
                     c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                 )
+    if spread == "auto":
+        # Size-gated spread (optimization round 17, guide §2.4): the
+        # spread exchange only pays when the downstream per-row work it
+        # parallelizes exceeds the exchange's own cost. For LIGHT
+        # per-row work (single JSON-getter kernels at ~1.4 M rows/s per
+        # core) that break-even sits at a few MB of input — below it
+        # the exchange is pure overhead (sf0.1 events, 2 MB: json_get
+        # _int measured 0.64 s spread vs 0.42 s unspread, same window).
+        # Above the threshold this is exactly spread=True. Heavy
+        # kernels (fused multi-extract, minhash signatures) should keep
+        # spread=True: their break-even is far smaller than any real
+        # input (sf0.1 lineitem multi_extract: 1.3 s spread vs 5.8 s
+        # unspread). Threshold env-tunable, scale-independent (bytes,
+        # not cores), so lower-core bench runs see the same plan.
+        try:
+            sz = os.path.getsize(f"{sf_dir}/{name}.parquet")
+        except OSError:
+            sz = None
+        spread = sz is None or sz >= int(
+            os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(6 << 20))
+        )
     if spread:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:

@@ -211,6 +211,99 @@ def test_make_find_scalar_never_raises(junk, path):
     core.make_find_scalar(tuple(path))(None)
 
 
+# -------------------------------------------- batch-vectorized guards
+# (round-17 optimization: kernels._fast_mask + core.make_fast_walk)
+
+from datafusion_functions_json_spark.functions import kernels  # noqa: E402
+
+_BATCH_KERNELS = [
+    kernels.kernel_json_get_str,
+    kernels.kernel_json_get_int,
+    kernels.kernel_json_get_float,
+    kernels.kernel_json_get_bool,
+    kernels.kernel_json_contains,
+    kernels.kernel_json_is_null_fused,
+]
+
+
+def _run_batch_both_ways(kernel, docs, path, monkey):
+    """Kernel output with the batch-vectorized guard vs with the mask
+    disabled (per-row guard path) — must be identical row for row."""
+    fast = kernel(docs, kernels.repeat_path(path))
+    monkey.setattr(kernels, "_fast_mask", lambda *a, **k: None)
+    try:
+        slow = kernel(docs, kernels.repeat_path(path))
+    finally:
+        monkey.undo()
+    return fast, slow
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    values=st.lists(json_values, max_size=6),
+    path=paths,
+    pre=ws,
+    post=ws,
+)
+def test_batch_mask_path_matches_per_row(values, path, pre, post):
+    """Every scalar kernel must give row-identical results whether the
+    textual guards run batch-vectorized (pyarrow mask) or per row."""
+    import pytest
+
+    monkey = pytest.MonkeyPatch()
+    docs = [pre + json.dumps(v) + post for v in values] + [None]
+    p = tuple(path)
+    for kernel in _BATCH_KERNELS:
+        fast, slow = _run_batch_both_ways(kernel, docs, p, monkey)
+        assert list(fast) == list(slow), kernel.__name__
+
+
+def test_batch_mask_big_int_proofs():
+    """The check_big=False kernels must be unobservably equal on
+    integers outside i64 — the documented proof cases (orjson exact int
+    within u64, lossy float outside) — and the check_big=True kernel
+    (is_null_fused) must still see the big-int null arm."""
+    import pytest
+
+    monkey = pytest.MonkeyPatch()
+    docs = [
+        '{"k": 9223372036854775807}',    # i64 max
+        '{"k": 9223372036854775808}',    # i64 max + 1 (u64 range)
+        '{"k": 18446744073709551615}',   # u64 max
+        '{"k": 18446744073709551616}',   # u64 max + 1 (lossy float)
+        '{"k": -9223372036854775808}',   # i64 min
+        '{"k": -9223372036854775809}',   # i64 min - 1 (lossy float)
+        '{"k": 1.5}',
+        '{"k": "9223372036854775808"}',  # string: untouched by parser
+        None,
+    ]
+    for kernel in _BATCH_KERNELS:
+        fast, slow = _run_batch_both_ways(kernel, docs, ("k",), monkey)
+        assert list(fast) == list(slow), kernel.__name__
+    # the distinction-observing kernel: big ints land in the null arm
+    assert kernels.kernel_json_is_null_fused(
+        docs[:6], kernels.repeat_path(("k",))
+    ) == [False, True, True, True, False, True]
+
+
+def test_batch_mask_duplicate_keys_and_escapes():
+    """Mask-fail rows (duplicate path keys, escapes) must keep the
+    streaming first-match semantics through the batch path."""
+    docs = [
+        '{"k": 1, "k": 2}',              # duplicate: first match wins
+        '{"a": {"k": 1}, "k": 2}',       # needle appears twice, nested
+        '{"\\u006b": 3}',                # escaped key spelling of "k"
+        '{"k": "a\\"b"}',                # escaped quote in value
+        '{"k": 7}',
+    ]
+    assert kernels.kernel_json_get_int(
+        docs, kernels.repeat_path(("k",))
+    ) == [1, 2, 3, None, 7]
+    assert kernels.kernel_json_get_str(
+        docs, kernels.repeat_path(("k",))
+    ) == [None, None, None, 'a"b', None]
+
+
 # ----------------------------------------------------------- sql rewriter
 
 _SQL_ALPHABET = (
