@@ -95,7 +95,12 @@ def _spread(df: DataFrame) -> DataFrame:
     cluster input splits usually provide parallelism, but a repartition
     here is cheap insurance relative to the per-row work it spreads."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    from ..plans import needs_spread
+
+    # needs_spread replaces the df.rdd partition probe (round-17): the
+    # RDD conversion cost 130-240 ms of DRIVER time per operator build
+    # — pure overhead whenever the input was already spread
+    if needs_spread(df, sc.defaultParallelism):
         df = df.repartition(sc.defaultParallelism)
     return df
 

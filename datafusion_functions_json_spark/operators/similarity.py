@@ -545,7 +545,10 @@ def embedding_dup_pairs(
     ANSI mode (a zero embedding has no direction; failing the whole
     job over it helps nobody)."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    from ..plans import needs_spread
+
+    # cheap spread gate (round-17): see operators.dedup._spread
+    if needs_spread(df, sc.defaultParallelism):
         df = df.repartition(sc.defaultParallelism)
     base = add_lsh_buckets(df, vec_col, dim, n_planes=n_planes, seed=seed).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "lsh_bucket"
@@ -1153,7 +1156,10 @@ def knn_graph(
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    from ..plans import needs_spread
+
+    # cheap spread gate (round-17): see operators.dedup._spread
+    if needs_spread(df, sc.defaultParallelism):
         df = df.repartition(sc.defaultParallelism)
     base = df.select(F.col(id_col).alias("_id"), _dvec(vec_col).alias("_v"))
     tables = []

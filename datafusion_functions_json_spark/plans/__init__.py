@@ -14,9 +14,54 @@ __all__ = [
     "explain_str",
     "arrow_eval_count",
     "has_pushed_filter",
+    "needs_spread",
     "plan_size_bytes",
     "wholestage_codegen_spans",
 ]
+
+
+def needs_spread(df: DataFrame, par: int, split_bytes: int = 128 << 20) -> bool:
+    """Would ``df`` execute with fewer partitions than ``par``? The
+    gate behind every operator-level spread repartition.
+
+    Round-17 optimization: the direct probe (``df.rdd
+    .getNumPartitions()``) converts the whole plan to an RDD through
+    py4j — measured 130-240 ms per FRESH DataFrame, paid at build time
+    by every eager operator (minhash/simhash/knn/semantic classes). The
+    cheap cascade answers the same question in ~5-15 ms for the shapes
+    that actually occur:
+
+    1. A plan already containing a ``Repartition`` was parallelized
+       deliberately (our loaders' spread, or the caller's own) — leave
+       it alone.
+    2. The optimizer's free ``sizeInBytes`` statistic: a scan of S
+       bytes splits into ~``S / maxPartitionBytes`` tasks, so
+       ``S < par * split_bytes`` means fewer than ``par`` partitions
+       (and conversely). An estimate on both sides of the SAME
+       division, so tiny inputs spread and genuinely large scans are
+       left to their input splits, exactly like the RDD probe.
+    3. Stats unknown → the internal-RDD probe (no Python serializer
+       wrapping; ~half the cost of ``df.rdd``).
+
+    Under Spark Connect (no ``_jdf``) this returns False: injecting a
+    surprise full-corpus shuffle at 100 TB is the one catastrophic
+    wrong answer, and real deployments get parallelism from input
+    splits anyway."""
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    if "Repartition" in analyzed:
+        return False
+    sz = plan_size_bytes(df)
+    if sz is not None:
+        return sz < par * split_bytes
+    try:
+        return (
+            df._jdf.queryExecution().toRdd().getNumPartitions() < par
+        )
+    except Exception:  # pragma: no cover - defensive
+        return False
 
 
 def explain_str(df: DataFrame, mode: str = "simple") -> str:

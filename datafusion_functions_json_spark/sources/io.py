@@ -141,18 +141,67 @@ def load_table(
         # input (sf0.1 lineitem multi_extract: 1.3 s spread vs 5.8 s
         # unspread). Threshold env-tunable, scale-independent (bytes,
         # not cores), so lower-core bench runs see the same plan.
-        try:
-            sz = os.path.getsize(f"{sf_dir}/{name}.parquet")
-        except OSError:
-            sz = None
+        sz = _input_bytes(f"{sf_dir}/{name}.parquet")
         spread = sz is None or sz >= int(
             os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(6 << 20))
         )
     if spread:
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        # partition-count ESTIMATE from file bytes (round-17): the
+        # exact probe (df.rdd.getNumPartitions()) converts the plan to
+        # an RDD through py4j — measured 40-70 ms of driver time per
+        # load. A parquet scan of S bytes splits into ~S /
+        # maxPartitionBytes tasks, so the comparison below asks the
+        # same question for a single os.path.getsize call. Estimate
+        # error only matters within one split-size of the boundary,
+        # where spread-vs-not is immaterial anyway.
+        try:
+            split = _parse_bytes(
+                spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                )
+            )
+        except Exception:
+            split = 128 << 20
+        sz = _input_bytes(f"{sf_dir}/{name}.parquet")
+        if sz is None or (sz + split - 1) // split < par:
             df = df.repartition(par, F.col(df.columns[0]))
     return df
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g')."""
+    v = str(v).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)
+    ):
+        if v.endswith(suf + "b"):
+            v, mult = v[:-2], m
+            break
+        if v.endswith(suf):
+            v, mult = v[:-1], m
+            break
+    if v.endswith("b"):
+        v = v[:-1]
+    return int(float(v)) * mult
+
+
+def _input_bytes(path: str):
+    """Total bytes of a parquet file or directory of parts; None when
+    unreadable (remote filesystems) — callers treat None as 'small'
+    and keep the spread, the conservative choice for a single file."""
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        total += os.path.getsize(os.path.join(root, f))
+            return total
+        return os.path.getsize(path)
+    except OSError:
+        return None
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict:
