@@ -119,6 +119,56 @@ def _burn(n):
     return s
 
 
+def _host_gram_efficiency(workers: int = 32) -> float:
+    """Parallel efficiency on MEMORY-BANDWIDTH-BOUND work — the
+    attribution dimension :func:`_host_parallel_efficiency` cannot see.
+    Round-17 finding: with steal ~1-9% and the pure-CPU probe reading
+    0.785, 32 parallel copies of a Gram-kernel-shaped burn (BLAS matmul
+    whose output exceeds the last-level cache, then a threshold scan)
+    ran at 0.003 efficiency — a ~300x collapse that dilated every
+    data-heavy Spark stage while control queries and steal stayed
+    clean. Read bandwidth-bound query numbers (the Gram/semantic
+    class, big shuffles) next to THIS number the way CPU-bound ones
+    are read next to the CPU probe.
+
+    Kept cheap: ~0.1 s single-process; worst observed collapse makes
+    the 32-way copy ~30 s — a bounded, once-per-bench reading."""
+    import multiprocessing as mp
+    import time as _time
+
+    import numpy as np
+
+    ctx = mp.get_context("fork")
+
+    def _gram_burn(n_iter):
+        rng = np.random.RandomState(0)
+        V = rng.rand(1750, 64)
+        for _ in range(n_iter):
+            G = V @ V.T  # 24.5 MB product: above LLC share, like the
+            (G >= 0.99).sum()  # operators' cosine slabs
+
+    def _wall(target, arg):
+        procs = [
+            ctx.Process(target=target, args=(arg,)) for _ in range(workers)
+        ]
+        t0 = _time.time()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        return _time.time() - t0
+
+    _gram_burn(1)  # warm numpy/BLAS in the parent before forking
+    t0 = _time.time()
+    _gram_burn(3)
+    single = _time.time() - t0
+    noop = _wall(_gram_burn, 0)
+    para = _wall(_gram_burn, 3) - noop
+    if para <= 0:
+        return 1.0
+    return round(min(single / para, 1.0), 3)
+
+
 def _stat_snapshot():
     """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
     line, or None off-Linux. busy = user+nice+system+irq+softirq."""
@@ -495,6 +545,11 @@ def main():
                 if duck_total
                 else None,
                 "host_parallel_efficiency": host_eff,
+                # bandwidth-dimension probe (round 17): taken once,
+                # AFTER the kept window (never contends with it)
+                "gram_parallel_efficiency": _host_gram_efficiency(
+                    min(32, os.cpu_count() or 32)
+                ),
                 "efficiency_windows": windows,
                 "efficiency_floor": eff_min,
                 # steal integrated over the KEPT window (probe readings

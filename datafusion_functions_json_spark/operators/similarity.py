@@ -620,7 +620,15 @@ def _gram_chunks(ids, V, chunk: int):
     from the slab. ``ids`` rides along only for the callers' pair
     filters — pairs between rows carrying the SAME id are the
     callers' job to exclude (the join formulations used id
-    inequality, not positional inequality)."""
+    inequality, not positional inequality).
+
+    Used by the row-wise top-k caller (:func:`_bucket_topk_pairs`),
+    which needs every row's FULL cosine vector to rank neighbors; the
+    threshold-pair callers use :func:`_gram_tiles` instead (round 17:
+    full-width slabs on a big bucket are ~33 MB plus same-sized
+    divide/round temporaries — RAM-bandwidth-bound, and this VM's
+    co-tenant collapses parallel bandwidth-bound work up to ~300x
+    while pure-CPU work runs at normal efficiency)."""
     norms = np.linalg.norm(V, axis=1)
     norms[norms == 0.0] = 1.0
     n = len(ids)
@@ -628,6 +636,43 @@ def _gram_chunks(ids, V, chunk: int):
         i1 = min(i0 + chunk, n)
         cos = (V[i0:i1] @ V.T) / np.outer(norms[i0:i1], norms)
         yield i0, _round6_half_up(cos)
+
+
+# L2-resident Gram tile: itile x jtile float64 = 2 MB, vs the 33 MB
+# full-width slab (plus same-sized outer/divide/round temporaries)
+# _bucket_chunk sizes. Measured round 17 on a 5000-row sf10-shaped
+# cluster, 32-way parallel, interleaved same-window: full-width
+# 55.8-143.5 s vs tiled 7.7-11.8 s (7-12x), and 6.28 -> 0.59 s
+# single-process — the full-width shape is memory-bandwidth-bound
+# even uncontended, and cache-resident tiles additionally stay flat
+# when co-tenant bandwidth pressure collapses RAM throughput.
+_GRAM_ITILE = 256
+_GRAM_JTILE = 1024
+
+
+def _gram_tiles(ids, V, itile: int | None = None, jtile: int | None = None):
+    """Cache-resident tiled variant of :func:`_gram_chunks` for the
+    threshold-pair callers: yields ``(i0, j0, cos_tile)`` where
+    ``cos_tile[r, c]`` is the HALF_UP-6-rounded cosine of rows
+    ``i0+r`` and ``j0+c``. Arithmetic is IDENTICAL per element to the
+    full-width slab — the same BLAS dot over the (unblocked, len-64ish)
+    vector axis, divided by the same ``np.outer`` sub-block, rounded by
+    the same helper — so every tile value is bit-equal to the slab
+    value it replaces (pinned by TestGramTiles); only the slab SHAPE
+    (and therefore the working-set size) changes."""
+    itile = _GRAM_ITILE if itile is None else itile
+    jtile = _GRAM_JTILE if jtile is None else jtile
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    n = len(ids)
+    for i0 in range(0, n, itile):
+        i1 = min(i0 + itile, n)
+        for j0 in range(0, n, jtile):
+            j1 = min(j0 + jtile, n)
+            cos = (V[i0:i1] @ V.T[:, j0:j1]) / np.outer(
+                norms[i0:i1], norms[j0:j1]
+            )
+            yield i0, j0, _round6_half_up(cos)
 
 
 def _bucket_chunk(n: int) -> int:
@@ -802,23 +847,24 @@ def _bucket_dup_pairs(
         mixed = pdf["_lo"].iat[0] != pdf["_hi"].iat[0]
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         out_a, out_b, out_c = [], [], []
-        for i0, cos in _gram_chunks(ids, V, _bucket_chunk(n)):
+        for i0, j0, cos in _gram_tiles(ids, V):
             ii, jj = np.nonzero(cos >= threshold)
             ii_g = ii + i0
+            jj_g = jj + j0
             # join-formulation parity: pair identity is by ID, not
             # position — strict id inequality (duplicate-id rows must
             # never emit a degenerate (x, x) pair), each unordered
             # pair once via position order
-            keep = (ii_g < jj) & (ids[ii_g] != ids[jj])
+            keep = (ii_g < jj_g) & (ids[ii_g] != ids[jj_g])
             if mixed:
                 # sub-group contract: mixed (lo != hi) sub-groups emit
                 # CROSS-block pairs only — same-block pairs belong to
                 # their diagonal sub-group (exactly-once coverage)
-                keep &= blk[ii_g] != blk[jj]
-            ii, jj, ii_g = ii[keep], jj[keep], ii_g[keep]
+                keep &= blk[ii_g] != blk[jj_g]
+            ii, jj, ii_g, jj_g = ii[keep], jj[keep], ii_g[keep], jj_g[keep]
             if len(ii) == 0:
                 continue
-            ia, ib = ids[ii_g], ids[jj]
+            ia, ib = ids[ii_g], ids[jj_g]
             out_a.extend(np.minimum(ia, ib).tolist())
             out_b.extend(np.maximum(ia, ib).tolist())
             out_c.extend(cos[ii, jj].tolist())
@@ -1332,9 +1378,11 @@ def _semdedup_dropped_ids(
     bucket_cap: int | str | None = None,
 ) -> DataFrame:
     """Distinct ids :func:`semantic_dedup` drops, computed per cluster
-    with one grouped-pandas kernel (:func:`_gram_chunks`): pairs at
+    with one grouped-pandas kernel (:func:`_gram_tiles`): pairs at
     ``cos >= threshold`` resolved by the SemDeDup rule (drop the
     smaller rounded centroid distance; exact ties drop the larger id).
+    ``chunk`` overrides the row-tile height (tests exercise odd
+    tile-boundary geometry with it).
     Input ``base`` must carry ``_id``, ``_v`` (array<double>),
     ``cluster``, ``cent_dist``. NULL vectors never pair (cosine is SQL
     NULL in the join formulation — here they are excluded up front);
@@ -1366,18 +1414,19 @@ def _semdedup_dropped_ids(
             [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
         )
         dropped = set()
-        for i0, cos in _gram_chunks(ids, V, chunk or _bucket_chunk(n)):
+        for i0, j0, cos in _gram_tiles(ids, V, itile=chunk):
             ii, jj = np.nonzero(cos >= threshold)
             ii_g = ii + i0
-            keep = (ii_g < jj) & (ids[ii_g] != ids[jj])
+            jj_g = jj + j0
+            keep = (ii_g < jj_g) & (ids[ii_g] != ids[jj_g])
             if mixed:
                 # sub-group contract: cross-block pairs only
-                keep &= blk[ii_g] != blk[jj]
-            ii_g, jj = ii_g[keep], jj[keep]
+                keep &= blk[ii_g] != blk[jj_g]
+            ii_g, jj_g = ii_g[keep], jj_g[keep]
             if len(ii_g) == 0:
                 continue
-            da, db = cd[ii_g], cd[jj]
-            ia, ja = ids[ii_g], ids[jj]
+            da, db = cd[ii_g], cd[jj_g]
+            ia, ja = ids[ii_g], ids[jj_g]
             loser = np.where(
                 da < db, ia, np.where(db < da, ja, np.maximum(ia, ja))
             )

@@ -2135,6 +2135,60 @@ class TestSemanticDedup:
         )
 
 
+class TestGramTiles:
+    """Round-17: the cache-resident tiled Gram iterator must be
+    bit-identical to the full-width slab iterator it replaced in the
+    threshold-pair callers — every tile value equals the slab value at
+    the same (row, col), over random vectors, duplicated rows (the
+    sf10 replica shape), zero-norm rows, and values engineered to sit
+    near the round-6 boundary. Spark-free (pure numpy)."""
+
+    @staticmethod
+    def _assemble(ids, V, fn, **kw):
+        from datafusion_functions_json_spark.operators.similarity import (
+            _gram_chunks,
+            _gram_tiles,
+        )
+
+        n = len(ids)
+        out = np.full((n, n), np.nan)
+        if fn == "slab":
+            for i0, cos in _gram_chunks(ids, V, kw.get("chunk", 97)):
+                out[i0 : i0 + cos.shape[0], :] = cos
+        else:
+            for i0, j0, cos in _gram_tiles(
+                ids, V, itile=kw.get("itile"), jtile=kw.get("jtile")
+            ):
+                out[i0 : i0 + cos.shape[0], j0 : j0 + cos.shape[1]] = cos
+        return out
+
+    def test_tiles_bit_equal_slab(self):
+        rng = np.random.RandomState(17)
+        base = rng.rand(23, 7)
+        V = np.repeat(base, 11, axis=0)  # 253 rows, heavy duplication
+        V[40] = 0.0  # zero-norm row (divides by 1)
+        ids = np.arange(len(V))
+        slab = self._assemble(ids, V, "slab", chunk=97)
+        for itile, jtile in ((256, 1024), (37, 41), (1, 253), (253, 1)):
+            tiled = self._assemble(ids, V, "tiles", itile=itile, jtile=jtile)
+            assert tiled.shape == slab.shape
+            assert np.array_equal(tiled, slab), (itile, jtile)
+
+    def test_tiles_bit_equal_on_boundary_values(self):
+        # vectors whose cosines land a hair around a .5 round-6
+        # boundary: scaled near-collinear pairs — any arithmetic
+        # reordering between the two paths would flip the HALF_UP round
+        rng = np.random.RandomState(5)
+        a = rng.rand(64)
+        V = np.vstack(
+            [a * (1.0 + k * 5e-7) + rng.rand(64) * 1e-9 for k in range(90)]
+        )
+        ids = np.arange(len(V))
+        slab = self._assemble(ids, V, "slab", chunk=13)
+        tiled = self._assemble(ids, V, "tiles", itile=17, jtile=29)
+        assert np.array_equal(tiled, slab)
+
+
 class TestSemanticDedupKernel:
     def test_gram_kernel_matches_pair_join_formulation(self, spark):
         # the grouped Gram-matmul kernel must reproduce the original

@@ -132,14 +132,20 @@ def generate(spark, tables=None):
         base = load_table(spark, SRC, t)
         mods = base.agg(*[(F.max(k) + 1).alias(k) for k in keys]).collect()[0]
         dtypes = dict(base.dtypes)
-        if REPLICAS > 20:
+        if REPLICAS > 100:
             # scalable formulation for the sf100 decade: a REPLICAS-way
             # unionByName makes Catalyst re-analyze a plan that grows
             # linearly in branches (minutes of driver time at 1000);
             # one broadcast-range cross join emits the identical rows
-            # through a single scan. Only used above the sf10 grain so
-            # the pinned sf1/sf10 ledgers keep their original physical
-            # layout byte-for-byte on regeneration.
+            # through a single scan. Only used ABOVE the sf10 grain
+            # (REPLICAS > 100) so the pinned sf1/sf10 ledgers keep
+            # their original physical layout on regeneration — the
+            # round-17 optimization round measured that regenerating
+            # sf10 embeddings through this path (same values, replica-
+            # interleaved layout, 32 files instead of 100) made
+            # semantic_dedup_pairs 2.5-4x slower on EVERY code version
+            # (pin-era ~13.6 s -> 33-55 s), breaching pins that the
+            # code itself still meets on original-layout data.
             # the RANGE side drives (one partition per ~16 replicas →
             # every core expands in parallel) and the sub-10MB source
             # table is the broadcast side — broadcasting the range
