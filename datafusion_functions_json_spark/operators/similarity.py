@@ -628,14 +628,33 @@ def _gram_chunks(ids, V, chunk: int):
     full-width slabs on a big bucket are ~33 MB plus same-sized
     divide/round temporaries — RAM-bandwidth-bound, and this VM's
     co-tenant collapses parallel bandwidth-bound work up to ~300x
-    while pure-CPU work runs at normal efficiency)."""
+    while pure-CPU work runs at normal efficiency).
+
+    The slab is ASSEMBLED from the same L2-resident tiles
+    :func:`_gram_tiles` iterates (matmul/outer/divide/round
+    temporaries are all tile-sized, 2 MB): only the final rounded
+    values stream through RAM, once, into one preallocated buffer —
+    the slab's four slab-sized intermediate round-trips are gone while
+    the caller still receives full cosine rows. Per element the
+    arithmetic is unchanged (same BLAS dot over the unblocked vector
+    axis, same outer/divide/round), so assembled slabs are bit-equal
+    to the one-shot slab they replace (pinned by TestGramTiles against
+    an independent naive full-width reference)."""
     norms = np.linalg.norm(V, axis=1)
     norms[norms == 0.0] = 1.0
     n = len(ids)
     for i0 in range(0, n, chunk):
         i1 = min(i0 + chunk, n)
-        cos = (V[i0:i1] @ V.T) / np.outer(norms[i0:i1], norms)
-        yield i0, _round6_half_up(cos)
+        out = np.empty((i1 - i0, n), dtype=np.float64)
+        for s0 in range(i0, i1, _GRAM_ITILE):
+            s1 = min(s0 + _GRAM_ITILE, i1)
+            for j0 in range(0, n, _GRAM_JTILE):
+                j1 = min(j0 + _GRAM_JTILE, n)
+                tile = (V[s0:s1] @ V.T[:, j0:j1]) / np.outer(
+                    norms[s0:s1], norms[j0:j1]
+                )
+                out[s0 - i0 : s1 - i0, j0:j1] = _round6_half_up(tile)
+        yield i0, out
 
 
 # L2-resident Gram tile: itile x jtile float64 = 2 MB, vs the 33 MB

@@ -2136,12 +2136,25 @@ class TestSemanticDedup:
 
 
 class TestGramTiles:
-    """Round-17: the cache-resident tiled Gram iterator must be
-    bit-identical to the full-width slab iterator it replaced in the
-    threshold-pair callers — every tile value equals the slab value at
-    the same (row, col), over random vectors, duplicated rows (the
-    sf10 replica shape), zero-norm rows, and values engineered to sit
-    near the round-6 boundary. Spark-free (pure numpy)."""
+    """Round-17: the cache-resident tiled Gram iterator — and the
+    tile-ASSEMBLED slab iterator `_gram_chunks` (knn_graph's top-k
+    kernel) — must be bit-identical to the one-shot full-width Gram
+    slab they replaced: every value equals the naive reference at the
+    same (row, col), over random vectors, duplicated rows (the sf10
+    replica shape), zero-norm rows, and values engineered to sit near
+    the round-6 boundary. The reference is computed INLINE here (one
+    unblocked matmul/outer/divide/round), so it stays independent of
+    both production code paths. Spark-free (pure numpy)."""
+
+    @staticmethod
+    def _naive(V):
+        from datafusion_functions_json_spark.operators.similarity import (
+            _round6_half_up,
+        )
+
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        return _round6_half_up((V @ V.T) / np.outer(norms, norms))
 
     @staticmethod
     def _assemble(ids, V, fn, **kw):
@@ -2168,25 +2181,49 @@ class TestGramTiles:
         V = np.repeat(base, 11, axis=0)  # 253 rows, heavy duplication
         V[40] = 0.0  # zero-norm row (divides by 1)
         ids = np.arange(len(V))
+        ref = self._naive(V)
         slab = self._assemble(ids, V, "slab", chunk=97)
+        assert np.array_equal(slab, ref)
         for itile, jtile in ((256, 1024), (37, 41), (1, 253), (253, 1)):
             tiled = self._assemble(ids, V, "tiles", itile=itile, jtile=jtile)
-            assert tiled.shape == slab.shape
-            assert np.array_equal(tiled, slab), (itile, jtile)
+            assert tiled.shape == ref.shape
+            assert np.array_equal(tiled, ref), (itile, jtile)
+
+    def test_assembled_chunks_bit_equal_naive(self):
+        # chunk interacting with the internal i-subtile every way:
+        # smaller, equal, larger-non-multiple, and the degenerate 1
+        from datafusion_functions_json_spark.operators import similarity
+
+        rng = np.random.RandomState(23)
+        base = rng.rand(41, 16)
+        V = np.repeat(base, 9, axis=0)  # 369 rows
+        V[100] = 0.0
+        ids = np.arange(len(V))
+        ref = self._naive(V)
+        orig_it, orig_jt = similarity._GRAM_ITILE, similarity._GRAM_JTILE
+        try:
+            similarity._GRAM_ITILE, similarity._GRAM_JTILE = 32, 48
+            for chunk in (1, 17, 32, 100, 369, 1024):
+                slab = self._assemble(ids, V, "slab", chunk=chunk)
+                assert np.array_equal(slab, ref), chunk
+        finally:
+            similarity._GRAM_ITILE, similarity._GRAM_JTILE = orig_it, orig_jt
 
     def test_tiles_bit_equal_on_boundary_values(self):
         # vectors whose cosines land a hair around a .5 round-6
         # boundary: scaled near-collinear pairs — any arithmetic
-        # reordering between the two paths would flip the HALF_UP round
+        # reordering between the paths would flip the HALF_UP round
         rng = np.random.RandomState(5)
         a = rng.rand(64)
         V = np.vstack(
             [a * (1.0 + k * 5e-7) + rng.rand(64) * 1e-9 for k in range(90)]
         )
         ids = np.arange(len(V))
+        ref = self._naive(V)
         slab = self._assemble(ids, V, "slab", chunk=13)
         tiled = self._assemble(ids, V, "tiles", itile=17, jtile=29)
-        assert np.array_equal(tiled, slab)
+        assert np.array_equal(slab, ref)
+        assert np.array_equal(tiled, ref)
 
 
 class TestSemanticDedupKernel:
