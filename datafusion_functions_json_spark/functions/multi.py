@@ -23,7 +23,7 @@ import json
 import re
 from typing import Mapping, Sequence, Tuple
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -468,7 +468,18 @@ def json_extract_multi(
     # raw-slice fallback anyway; str/bool -> NULL; exists/length
     # untouched) — same per-kind proofs as kernels._scalar_pairs.
     needs_big = any(k in ("union_text", "union_isnull") for _, k, _ in specs)
+    from .kernels import _dict_encode as dict_encode  # closure-captured
     from .kernels import _fast_mask as fast_mask  # closure-captured
+
+    # Arrow output type per field (matches FIELD_KINDS / ret exactly)
+    _pa_kind = {
+        "string": pa.string(),
+        "bigint": pa.int64(),
+        "double": pa.float64(),
+        "boolean": pa.bool_(),
+    }
+    out_types = tuple(_pa_kind[FIELD_KINDS[k]] for _, k, _ in specs)
+    out_names = [n for n, _, _ in specs]
 
     def extract_row(s, use_fast=None):
         if s is None:
@@ -514,8 +525,8 @@ def json_extract_multi(
                 out.append(_coerce(k, found, v))
         return tuple(out)
 
-    @F.pandas_udf(ret)
-    def _multi(js: pd.Series) -> pd.DataFrame:
+    @F.arrow_udf(ret)
+    def _multi(js: pa.Array) -> pa.Array:
         # round-17: the textual guards run batch-vectorized over the
         # Arrow buffer (kernels._fast_mask, guide §4.2) — identical
         # conditions, one pyarrow.compute pass instead of 2+K C-string
@@ -525,24 +536,44 @@ def json_extract_multi(
         # fast_mask is CLOSURE-captured, never imported here: a module
         # import inside the UDF body would need the package on the
         # worker's sys.path (foreign-cwd contract, __init__.py).
-        mask = fast_mask(
-            js, quoted_keys, needs_big and big_digits is not None
-        )
-        vals = js.tolist() if hasattr(js, "tolist") else js
+        # round-18: (a) true Arrow UDF — the batch never materializes
+        # as pandas on either side; typed pa.array outputs
+        # (from_pandas=True keeps the pandas NaN→null coercion);
+        # (b) dictionary shortcut (kernels._dict_encode): when the
+        # batch's documents repeat, parse+extract only the DISTINCT
+        # documents (plus one None for the null-row tuple) and scatter
+        # the per-field columns back via one pc.take each —
+        # bit-identical because extract_row is a pure per-row function
+        # (the reference's dictionary-array evaluation,
+        # src/common.rs:310-327).
+        import pyarrow.compute as pc
+
+        pre = dict_encode(js)
+        if pre is None:
+            idx = None
+            vals = js.to_pylist()
+            mask = fast_mask(
+                js, quoted_keys, needs_big and big_digits is not None
+            )
+        else:
+            vals, idx = pre
+            mask = fast_mask(
+                vals, quoted_keys, needs_big and big_digits is not None
+            )
         if mask is None:
             rows = [extract_row(s) for s in vals]
         else:
             rows = [
                 extract_row(s, bool(ok)) for s, ok in zip(vals, mask)
             ]
-        # column-wise assembly: zip(*rows) transposes at C speed; building
-        # the frame from per-cell rows costs ~2x on wide batches
-        data = zip(*rows) if rows else ([] for _ in specs)
-        return pd.DataFrame(
-            {
-                n: pd.Series(col, dtype=object)
-                for (n, _, _), col in zip(specs, data)
-            }
-        )
+        # column-wise assembly: zip(*rows) transposes at C speed
+        data = list(zip(*rows)) if rows else [[] for _ in specs]
+        children = [
+            pa.array(col, type=t, from_pandas=True)
+            for col, t in zip(data, out_types)
+        ]
+        if idx is not None:
+            children = [pc.take(c, idx) for c in children]
+        return pa.StructArray.from_arrays(children, names=out_names)
 
     return _multi(json_col)

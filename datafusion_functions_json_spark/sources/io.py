@@ -145,6 +145,28 @@ def load_table(
         spread = sz is None or sz >= int(
             os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(6 << 20))
         )
+    task_bytes = None
+    if spread == "kernel":
+        # Byte-derived spread WIDTH (optimization round 18, guide §2.2
+        # "fewer, larger partitions" / §2 "derive partitioning from
+        # input size"): for downstream work that is a dict-shortcut-able
+        # Python kernel (functions/kernels._dict_encode collapses
+        # repetitive batches; worst-case per-task cost is bounded by the
+        # task's BYTES), fanning a small input out to every core costs
+        # more in exchange + per-task Python-hop overhead than the
+        # parallelism buys — measured at sf0.1: nested_get_str 0.88 s at
+        # width 32 vs 0.60 s at width 8 (same window, min-of-6). Width =
+        # ceil(bytes / SPARK_GRAFT_SPREAD_TASK_BYTES), capped at
+        # defaultParallelism — inputs above cores×task_bytes (any real
+        # production input; sf1 already) get exactly the full-width
+        # spread as before, so this is scale-adaptive, not a local[32]
+        # tune. NOT for per-row-heavy JVM tiers: the variant tier cannot
+        # dedup and needs all cores even on tiny inputs (measured 0.75 s
+        # at 32 vs 3.6 s unspread on sf0.1 lineitem).
+        task_bytes = int(
+            os.environ.get("SPARK_GRAFT_SPREAD_TASK_BYTES", str(2 << 20))
+        )
+        spread = True
     if spread:
         par = spark.sparkContext.defaultParallelism
         # partition-count ESTIMATE from file bytes (round-17): the
@@ -164,8 +186,11 @@ def load_table(
         except Exception:
             split = 128 << 20
         sz = _input_bytes(f"{sf_dir}/{name}.parquet")
-        if sz is None or (sz + split - 1) // split < par:
-            df = df.repartition(par, F.col(df.columns[0]))
+        width = par
+        if task_bytes and sz is not None:
+            width = max(1, min(par, (sz + task_bytes - 1) // task_bytes))
+        if sz is None or (sz + split - 1) // split < width:
+            df = df.repartition(width, F.col(df.columns[0]))
     return df
 
 

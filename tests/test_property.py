@@ -304,6 +304,98 @@ def test_batch_mask_duplicate_keys_and_escapes():
     ) == [None, None, None, 'a"b', None]
 
 
+# ------------------------------------------- per-batch dictionary shortcut
+# (round-18 optimization: kernels._dict_encode + kernels._scatter — the
+# Arrow analog of the reference's dictionary-array evaluation,
+# src/common.rs:310-327)
+
+_ALL_LIST_KERNELS = [
+    kernels.kernel_json_get_str,
+    kernels.kernel_json_get_int,
+    kernels.kernel_json_get_float,
+    kernels.kernel_json_get_bool,
+    kernels.kernel_json_get_json,
+    kernels.kernel_json_get_array,
+    kernels.kernel_json_as_text,
+    kernels.kernel_json_contains,
+    kernels.kernel_json_length,
+    kernels.kernel_json_object_keys,
+    kernels.kernel_json_to_text_fused,
+    kernels.kernel_json_is_null_fused,
+]
+
+
+def _dedup_eval(kernel, docs, path, min_rows):
+    pre = kernels._dict_encode(docs, min_rows=min_rows)
+    assert pre is not None
+    dvals, idx = pre
+    # the appended None slot makes the kernel compute the null row itself
+    assert dvals[-1] is None
+    out_d = kernel(dvals, kernels.repeat_path(path))
+    return list(kernels._scatter(out_d, idx))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    values=st.lists(json_values, min_size=1, max_size=5),
+    path=paths,
+    pre=ws,
+    post=ws,
+)
+def test_dict_shortcut_matches_direct(values, path, pre, post):
+    """Every kernel must be row-identical whether evaluated per row or
+    on the batch's distinct documents with results scattered back —
+    including null rows, duplicate-key docs, escapes and big ints
+    (whatever hypothesis generates), because the kernels are pure."""
+    pool = [pre + json.dumps(v) + post for v in values] + [None]
+    docs = [pool[i % len(pool)] for i in range(64)]  # force repetition
+    p = tuple(path)
+    for kernel in _ALL_LIST_KERNELS:
+        direct = list(kernel(docs, kernels.repeat_path(p)))
+        dedup = _dedup_eval(kernel, docs, p, min_rows=16)
+        for a, b in zip(direct, dedup):
+            if isinstance(a, float) and isinstance(b, float):
+                assert a == b or (math.isnan(a) and math.isnan(b))
+            else:
+                assert a == b, kernel.__name__
+    # the struct kernel: member columns scatter independently
+    direct = kernels.kernel_json_get(docs, kernels.repeat_path(p))
+    pre_enc = kernels._dict_encode(docs, min_rows=16)
+    dvals, idx = pre_enc
+    out_d = kernels.kernel_json_get(dvals, kernels.repeat_path(p))
+    for f in kernels.UNION_FIELDS:
+        assert direct[f] == list(kernels._scatter(out_d[f], idx)), f
+
+
+def test_dict_shortcut_gates():
+    """The shortcut must decline: small batches, mostly-distinct heads,
+    and head-fooling sorted inputs (the encode-level 2-rows-per-distinct
+    bail); and must accept a genuinely repetitive batch."""
+    rep = ['{"k": %d}' % (i % 5) for i in range(4096)]
+    assert kernels._dict_encode(rep) is not None
+    # under min_rows
+    assert kernels._dict_encode(rep[:100]) is None
+    # mostly-distinct head
+    uniq = ['{"k": %d}' % i for i in range(4096)]
+    assert kernels._dict_encode(uniq) is None
+    # repetitive head, distinct tail: caught by the full-encode gate
+    sneaky = ['{"k": 0}'] * 300 + ['{"k": %d}' % i for i in range(3796)]
+    assert kernels._dict_encode(sneaky) is None
+    # non-string batches decline instead of raising
+    assert kernels._dict_encode([1, 2, 3] * 2000) is None
+
+
+def test_dict_shortcut_all_null_batch():
+    """A batch of only nulls: every row maps to the appended None slot."""
+    docs = [None] * 2048
+    out = _dedup_eval(
+        kernels.kernel_json_contains, docs, ("k",), min_rows=16
+    )
+    assert out == [False] * 2048
+    out = _dedup_eval(kernels.kernel_json_get_str, docs, ("k",), min_rows=16)
+    assert out == [None] * 2048
+
+
 # ----------------------------------------------------------- sql rewriter
 
 _SQL_ALPHABET = (

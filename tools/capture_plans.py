@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` output for the bench headline queries
-into plans/r17/<query>_<tag>.txt — the optimization round's before/after
+into plans/<round>/<query>_<tag>.txt (round from $SPARK_GRAFT_PLANS_ROUND, default r18) — the optimization round's before/after
 plan evidence (the judge checks plan claims against these files).
 
     python tools/capture_plans.py <tag> [sf_dir] [query ...]
@@ -31,12 +31,18 @@ def main():
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r17",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
+    # master mirrors the bench's core count (round 18): partition widths
+    # in the captured plans must be the ones the bench actually runs —
+    # byte-derived spread widths cap at defaultParallelism, so a local[4]
+    # capture would hide a 32→6 width change. Default stays 4 (the r17
+    # capture grain) unless SPARK_GRAFT_CPUS says otherwise.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
     spark = session_defaults(
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("capture-plans")
         .config("spark.sql.shuffle.partitions",
                 os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "8"))
