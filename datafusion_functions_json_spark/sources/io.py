@@ -167,6 +167,22 @@ def load_table(
             os.environ.get("SPARK_GRAFT_SPREAD_TASK_BYTES", str(2 << 20))
         )
         spread = True
+    elif spread == "text":
+        # Same byte-derived width for TEXT-SIGNATURE work (minhash /
+        # simhash builds): per-byte cost is ~20x the JSON kernels'
+        # (measured ~0.5 us/byte single-thread for tokenize+signature
+        # vs ~25 ns/byte for a dict-shortcut JSON batch), so the
+        # per-task target is proportionally smaller. Width sweep at
+        # sf0.1 (cold, min-of-5): minhash_pairs 1.113 s at width 32 vs
+        # 0.770-0.794 s at width 4-8; simhash_pairs 0.767 vs 0.700 at
+        # width 8 (and 1.457 at width 1 — too narrow loses; the byte
+        # derivation lands in the measured optimum). Same cap at
+        # defaultParallelism: sf1+ documents clear cores x task-bytes
+        # and spread at full width exactly as before.
+        task_bytes = int(
+            os.environ.get("SPARK_GRAFT_TEXT_SPREAD_TASK_BYTES", str(128 << 10))
+        )
+        spread = True
     if spread:
         par = spark.sparkContext.defaultParallelism
         # partition-count ESTIMATE from file bytes (round-17): the
