@@ -58,6 +58,23 @@ class TestWindowDegraded:
         # the r14 storm case: probe sampled a quiet edge, body stormy
         assert _window_degraded(0.95, 3.3, 0.85, 2.0)
 
+    def test_gram_floor_degrades_clean_cpu_window(self):
+        # round 18 (VERDICT r17 task 4): the r17 sf1 gate kept windows
+        # at gram 0.007-0.01 as "clean" (CPU probe 0.78, steal <1%)
+        # while knn_graph read 2x its band — with a gram reading
+        # supplied, sub-floor bandwidth degrades the window
+        assert _window_degraded(0.78, 0.5, 0.85, 2.0, gram=0.01)
+        assert _window_degraded(
+            0.78, 0.5, 0.85, 2.0, gram=0.04, gram_floor=0.05
+        )
+        # at/above the floor: the existing axes decide, unchanged
+        assert not _window_degraded(0.78, 0.5, 0.85, 2.0, gram=0.05)
+        assert not _window_degraded(0.78, 0.5, 0.85, 2.0, gram=0.17)
+        # no gram reading supplied (headline suite): policy unchanged
+        assert not _window_degraded(0.78, 0.5, 0.85, 2.0)
+        # gram cannot UN-degrade a stormy window
+        assert _window_degraded(0.95, 3.3, 0.85, 2.0, gram=0.17)
+
     def test_clean_window(self):
         assert not _window_degraded(0.9, 0.5, 0.85, 2.0)
 
@@ -96,6 +113,35 @@ class TestWindowBetter:
         assert _window_better(0.9, 8.0, 0.5, 3.0)
         # both sub-floor: existing rules resume (sub-zone probe decides)
         assert _window_better(0.52, 1.0, 0.44, 1.0)
+
+    def test_gram_floor_backstop(self):
+        # round 18 (VERDICT r17 task 4): when BOTH windows carry a
+        # gram reading, a sub-gram-floor window (bandwidth-collapsed:
+        # the r17 census proved gram 0.007-0.01 dilates the
+        # knn_graph/semantic_dedup class ~2x) never displaces — nor
+        # survives against — an above-floor one, regardless of steal
+        assert not _window_better(
+            0.7, 0.3, 0.6, 5.0, gram2=0.01, gram1=0.09
+        )
+        assert _window_better(
+            0.6, 5.0, 0.7, 0.3, gram2=0.09, gram1=0.01
+        )
+        # CPU storm floor still outranks the gram backstop: a window
+        # under the CPU floor loses even with the better gram reading
+        assert not _window_better(
+            0.4, 0.5, 0.7, 0.5, gram2=0.1, gram1=0.01
+        )
+        # either gram missing -> existing rules resume unchanged
+        assert _window_better(0.9, 0.2, 0.6, 0.1, gram2=None, gram1=0.01)
+        assert not _window_better(0.6, 0.1, 0.9, 0.2, gram2=0.2, gram1=None)
+        # both sub-gram-floor: existing rules resume (probe decides)
+        assert _window_better(
+            0.9, 0.2, 0.6, 0.1, gram2=0.01, gram1=0.02
+        )
+        # custom floor honored
+        assert _window_better(
+            0.6, 5.0, 0.7, 0.3, gram2=0.3, gram1=0.2, gram_floor=0.25
+        )
 
     def test_both_clean_subceiling_steal_is_noise_probe_decides(self):
         # 0.1% vs 0.2% are both clean windows — the probe difference
