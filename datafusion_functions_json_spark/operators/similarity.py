@@ -694,6 +694,75 @@ def _gram_tiles(ids, V, itile: int | None = None, jtile: int | None = None):
             yield i0, j0, _round6_half_up(cos)
 
 
+def _gram_tiles_thresh(ids, V, threshold, itile=None, jtile=None):
+    """Threshold-pair Gram iterator (round 18, VERDICT r17 task 5 —
+    the deferred float32 BLAS lever): yields ``(gi, gj, cos)`` global
+    index arrays plus the HALF_UP-6-rounded float64 cosines of every
+    pair with rounded cosine ``>= threshold``, tile by tile.
+
+    Two-pass exactness scheme — float32 SCREENS, float64 DECIDES:
+
+    1. Rows are normalized in float64 (zero norms -> 1, same as
+       :func:`_gram_tiles`) and cast once to float32; each tile is ONE
+       float32 GEMM — half the FLOPs and half the memory traffic of
+       the float64 tile, and the 5-pass ``_round6_half_up`` over every
+       tile element disappears entirely (only candidates are rounded).
+    2. A pair is a CANDIDATE when its float32 cosine reads
+       ``>= threshold - eps`` with ``eps = 8*(d+8)*2**-24 + 1e-6``.
+       Error proof: with float64-normalized unit rows, the float32
+       cast adds <= 2 ulp32 per element and the float32 dot
+       accumulation <= gamma_d = d*2**-24 relative to Sum|a_i'b_i'|,
+       which Cauchy-Schwarz bounds by 1 — so
+       ``|cos32 - cos64| <= (d+4)*2**-24`` absolute; the ``+1e-6``
+       term covers HALF_UP rounding lifting cos64 up to half a grain
+       onto the threshold; the 8x factor is margin. A pair the screen
+       drops therefore CANNOT have rounded float64 cosine >=
+       threshold (false positives only cost the float64 recompute;
+       false negatives are impossible within the bound — pinned by
+       TestGramTilesThresh's engineered boundary cases).
+    3. Candidates (sparse: dup pairs are a small fraction of n^2) are
+       recomputed in float64 from the ORIGINAL vectors — pairwise dot
+       / norm product, then ``_round6_half_up`` — and kept iff the
+       rounded value clears the threshold. Emitted values come from
+       this float64 arithmetic, the same dot/divide/round formula the
+       float64 tiles used (summation order of a pairwise dot vs a GEMM
+       row can differ in the last ulp — 1e-16-class, nine orders under
+       the 1e-6 rounding grain, the same cross-order exposure the
+       existing oracle match already tolerates between BLAS and the
+       SQL engines' own summation orders).
+
+    Inputs whose float32 normalization is non-finite (inf/NaN vectors
+    — NaN comparisons would silently drop candidates) take the exact
+    float64 tile path unchanged."""
+    itile = _GRAM_ITILE if itile is None else itile
+    jtile = _GRAM_JTILE if jtile is None else jtile
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0.0] = 1.0
+    Vn32 = (V / norms[:, None]).astype(np.float32)
+    if not np.all(np.isfinite(Vn32)):
+        for i0, j0, cos in _gram_tiles(ids, V, itile=itile, jtile=jtile):
+            ii, jj = np.nonzero(cos >= threshold)
+            yield ii + i0, jj + j0, cos[ii, jj]
+        return
+    d = V.shape[1] if V.ndim == 2 else 1
+    screen = np.float32(threshold - (8.0 * (d + 8) * 2.0**-24 + 1e-6))
+    n = len(ids)
+    for i0 in range(0, n, itile):
+        i1 = min(i0 + itile, n)
+        for j0 in range(0, n, jtile):
+            j1 = min(j0 + jtile, n)
+            t32 = Vn32[i0:i1] @ Vn32.T[:, j0:j1]
+            ii, jj = np.nonzero(t32 >= screen)
+            if len(ii) == 0:
+                continue
+            gi = ii + i0
+            gj = jj + j0
+            dots = np.einsum("ij,ij->i", V[gi], V[gj])
+            cos = _round6_half_up(dots / (norms[gi] * norms[gj]))
+            keep = cos >= threshold
+            yield gi[keep], gj[keep], cos[keep]
+
+
 def _bucket_chunk(n: int) -> int:
     """Chunk rows so a cos slab stays ≤ ~32 MB whatever the bucket
     holds (skew-safe)."""
@@ -866,10 +935,7 @@ def _bucket_dup_pairs(
         mixed = pdf["_lo"].iat[0] != pdf["_hi"].iat[0]
         V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
         out_a, out_b, out_c = [], [], []
-        for i0, j0, cos in _gram_tiles(ids, V):
-            ii, jj = np.nonzero(cos >= threshold)
-            ii_g = ii + i0
-            jj_g = jj + j0
+        for ii_g, jj_g, cosv in _gram_tiles_thresh(ids, V, threshold):
             # join-formulation parity: pair identity is by ID, not
             # position — strict id inequality (duplicate-id rows must
             # never emit a degenerate (x, x) pair), each unordered
@@ -880,13 +946,13 @@ def _bucket_dup_pairs(
                 # CROSS-block pairs only — same-block pairs belong to
                 # their diagonal sub-group (exactly-once coverage)
                 keep &= blk[ii_g] != blk[jj_g]
-            ii, jj, ii_g, jj_g = ii[keep], jj[keep], ii_g[keep], jj_g[keep]
-            if len(ii) == 0:
+            ii_g, jj_g, cosv = ii_g[keep], jj_g[keep], cosv[keep]
+            if len(ii_g) == 0:
                 continue
             ia, ib = ids[ii_g], ids[jj_g]
             out_a.extend(np.minimum(ia, ib).tolist())
             out_b.extend(np.maximum(ia, ib).tolist())
-            out_c.extend(cos[ii, jj].tolist())
+            out_c.extend(cosv.tolist())
         if not out_a:
             return empty
         return pd.DataFrame(
@@ -1433,10 +1499,9 @@ def _semdedup_dropped_ids(
             [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
         )
         dropped = set()
-        for i0, j0, cos in _gram_tiles(ids, V, itile=chunk):
-            ii, jj = np.nonzero(cos >= threshold)
-            ii_g = ii + i0
-            jj_g = jj + j0
+        for ii_g, jj_g, _cosv in _gram_tiles_thresh(
+            ids, V, threshold, itile=chunk
+        ):
             keep = (ii_g < jj_g) & (ids[ii_g] != ids[jj_g])
             if mixed:
                 # sub-group contract: cross-block pairs only

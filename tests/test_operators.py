@@ -2226,6 +2226,125 @@ class TestGramTiles:
         assert np.array_equal(tiled, ref)
 
 
+class TestGramTilesThresh:
+    """Round-18: the float32-screen / float64-decide threshold-pair
+    iterator must emit EXACTLY the pair set and rounded cosines the
+    exact float64 path yields — the screen may only add candidates
+    (recomputed and re-filtered in float64), never drop one. Pinned
+    against the same inline naive reference TestGramTiles uses, over
+    random vectors, duplicated rows, zero-norm rows, engineered
+    threshold-boundary cosines (within float32 error of the
+    threshold), round-6-boundary values, and the non-finite fallback
+    arm. Spark-free (pure numpy)."""
+
+    @staticmethod
+    def _naive_pairs(V, threshold):
+        ref = TestGramTiles._naive(V)
+        ii, jj = np.nonzero(ref >= threshold)
+        return set(zip(ii.tolist(), jj.tolist())), ref
+
+    @staticmethod
+    def _thresh_pairs(ids, V, threshold, **kw):
+        from datafusion_functions_json_spark.operators.similarity import (
+            _gram_tiles_thresh,
+        )
+
+        got = {}
+        for gi, gj, cos in _gram_tiles_thresh(ids, V, threshold, **kw):
+            for a, b, c in zip(gi.tolist(), gj.tolist(), cos.tolist()):
+                assert (a, b) not in got  # each cell exactly once
+                got[(a, b)] = c
+        return got
+
+    def test_matches_exact_path_random(self):
+        rng = np.random.RandomState(18)
+        base = rng.rand(23, 7)
+        V = np.repeat(base, 11, axis=0)  # 253 rows, heavy duplication
+        V[40] = 0.0  # zero-norm row (divides by 1)
+        ids = np.arange(len(V))
+        for threshold in (0.999999, 0.99, 0.9, 0.5, 0.0, -1.0):
+            want, ref = self._naive_pairs(V, threshold)
+            for itile, jtile in ((256, 1024), (37, 41), (1, 253)):
+                got = self._thresh_pairs(
+                    ids, V, threshold, itile=itile, jtile=jtile
+                )
+                assert set(got) == want, (threshold, itile, jtile)
+                for (a, b), c in got.items():
+                    assert c == ref[a, b], (threshold, a, b)
+
+    def test_threshold_boundary_within_float32_error(self):
+        # cosines engineered to land WITHIN float32 dot error of the
+        # threshold (spacings 1e-9..1e-5 around it): the screen margin
+        # must pass every true candidate through to the float64 decide
+        rng = np.random.RandomState(7)
+        a = rng.rand(64)
+        a /= np.linalg.norm(a)
+        b = rng.rand(64)
+        b -= (b @ a) * a
+        b /= np.linalg.norm(b)  # orthonormal pair
+        threshold = 0.95
+        rows = [a]
+        for delta in (-1e-5, -1e-6, -1e-7, -1e-9, 0.0, 1e-9, 1e-7,
+                      1e-6, 1e-5):
+            c = threshold + delta
+            if abs(c) > 1.0:
+                continue
+            rows.append(c * a + np.sqrt(max(0.0, 1 - c * c)) * b)
+        V = np.vstack(rows)
+        ids = np.arange(len(V))
+        want, ref = self._naive_pairs(V, threshold)
+        got = self._thresh_pairs(ids, V, threshold, itile=3, jtile=4)
+        assert set(got) == want
+        for (i, j), c in got.items():
+            assert c == ref[i, j]
+
+    def test_round6_boundary_values_match(self):
+        # the TestGramTiles boundary family: near-collinear rows whose
+        # cosines sit a hair around a .5 round-6 boundary — decisions
+        # AND emitted values must match the exact path bit-for-bit
+        rng = np.random.RandomState(5)
+        a = rng.rand(64)
+        V = np.vstack(
+            [a * (1.0 + k * 5e-7) + rng.rand(64) * 1e-9 for k in range(90)]
+        )
+        ids = np.arange(len(V))
+        for threshold in (0.9999995, 0.999999, 1.0):
+            want, ref = self._naive_pairs(V, threshold)
+            got = self._thresh_pairs(ids, V, threshold, itile=17, jtile=29)
+            assert set(got) == want, threshold
+            for (i, j), c in got.items():
+                assert c == ref[i, j]
+
+    def test_nonfinite_vectors_take_exact_path(self):
+        rng = np.random.RandomState(3)
+        V = rng.rand(20, 8)
+        V[4, 2] = np.inf  # cast/normalize -> non-finite float32
+        V[9, 0] = np.nan
+        ids = np.arange(len(V))
+        threshold = 0.9
+        want, ref = self._naive_pairs(V, threshold)
+        got = self._thresh_pairs(ids, V, threshold, itile=6, jtile=7)
+        assert set(got) == want
+        for (i, j), c in got.items():
+            assert c == ref[i, j]
+
+    def test_huge_magnitudes_overflow_float32_safely(self):
+        # values above float32 max: float64 NORMALIZATION happens
+        # before the cast, so the normalized rows are finite and the
+        # fast path still screens correctly
+        rng = np.random.RandomState(9)
+        V = rng.rand(30, 16)
+        V[3] *= 1e300
+        V[7] *= 1e-300  # denormal-range norms
+        ids = np.arange(len(V))
+        for threshold in (0.99, 0.7):
+            want, ref = self._naive_pairs(V, threshold)
+            got = self._thresh_pairs(ids, V, threshold)
+            assert set(got) == want
+            for (i, j), c in got.items():
+                assert c == ref[i, j]
+
+
 class TestSemanticDedupKernel:
     def test_gram_kernel_matches_pair_join_formulation(self, spark):
         # the grouped Gram-matmul kernel must reproduce the original
