@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -370,6 +371,12 @@ def append_census_attempt(census_path: str, record: dict, note: str = ""):
             os.replace(census_path, census_path + ".corrupt")
             doc = {"round": None, "attempts": [],
                    "recovered_from_corrupt": True}
+    if doc.get("round") is None:
+        # ADVICE r17: the census artifact said "round": null — derive
+        # it from the canonical file name (BENCH_CENSUS_rNN.json)
+        m = re.search(r"_r(\d+)\.json$", os.path.basename(census_path))
+        if m:
+            doc["round"] = int(m.group(1))
     attempt = {
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         **record,

@@ -96,6 +96,10 @@ def _run(cmd, log_path, parse_file=None, extra_env=None):
         "cmd": " ".join(cmd),
         "exit": proc.returncode,
         "wall_sec": round(time.time() - t0, 1),
+        # per-tier completion stamp (ADVICE r17: a re-assembled GATES
+        # file stamped only one top-level utc over tiers taken from
+        # separate runs — provenance belongs in the artifact itself)
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "parsed": parsed,
         "stderr_log": log_path,
     }
@@ -137,6 +141,12 @@ def main():
                 "absorbed": True,
                 "exit": None,
                 "wall_sec": 0.0,
+                # when the absorbed tier actually ran (ADVICE r17:
+                # composite files must carry per-tier provenance)
+                "artifact_mtime_utc": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ",
+                    time.gmtime(os.path.getmtime(path)),
+                ),
                 "parsed": json.load(f),
                 "stderr_log": None,
             }
@@ -238,6 +248,10 @@ def main():
     doc = {
         "round": rnd,
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # true when any tier was absorbed from an earlier run rather
+        # than executed by this invocation (ADVICE r17: the composite
+        # nature must be visible in the artifact, not only git history)
+        "assembled": any(t.get("absorbed") for t in tiers.values()),
         "reading_protocol": (
             "every number is interpretable only next to its tier's "
             "efficiency AND steal_pct_of_busy; steal wins when they "
